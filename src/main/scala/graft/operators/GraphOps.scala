@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph-shaped capabilities of the reference (SURVEY.md §2.3): KEGG
+  * pathway distances and nearest-Tclin search, PPI edge normalization.
+  *
+  * BFS is frontier-join iteration: each hop is one shuffle join against the
+  * edge list, the frontier is anti-joined against visited nodes so work is
+  * proportional to newly reached nodes. Frontiers are persisted per hop to
+  * cut lineage; at cluster scale the edge list would be pre-partitioned by
+  * src so every hop reuses the same partitioning (no re-shuffle of edges).
+  */
+object GraphOps {
+
+  /** Bounded multi-source BFS over an edge list.
+    * @param edges   (src, dst) directed edges (symmetrize for undirected)
+    * @param sources (node) start set, distance 0
+    * @return (node, dist) minimum hop count, nodes within maxHops only
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val next = e.as("E").join(frontier.as("F"), col("F.node") === col("E.src"))
+        .select(col("E.dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+        frontier = next
+      }
+      hop += 1
+    }
+    visited
+  }
+
+  /** Undirected co-occurrence edges: suppliers sharing a part (the PPI
+    * graph analog). Both directions emitted so BFS needs no symmetrize. */
+  def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
+    val ps = T.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+    val a = ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
+    val b = ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst"))
+    a.join(b, "pk").filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** Undirected edge normalization + dedup (loaders/load-BioPlexPPIs.py,
+    * load-ReactomePPIs.py merge PPIs arriving in either direction):
+    * canonical (least, greatest) ordering, weight = #shared parts. */
+  val qEdgeDedup: Q = Q(
+    "q_edge_dedup",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT least(a.l_suppkey, b.l_suppkey) AS s1,
+      |       greatest(a.l_suppkey, b.l_suppkey) AS s2,
+      |       COUNT(*) AS n_shared_parts
+      |FROM ps a JOIN ps b
+      |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin) { (s, d) =>
+    val ps = T.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+    val a = ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("sa"))
+    val b = ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("sb"))
+    a.join(b, "pk").filter(col("sa") < col("sb"))
+      .groupBy(least(col("sa"), col("sb")).as("s1"),
+        greatest(col("sa"), col("sb")).as("s2"))
+      .agg(count(lit(1)).as("n_shared_parts"))
+      .orderBy("s1", "s2")
+  }
+
+  /** Bounded BFS distances from one node (loaders/load-KEGGDistances.py
+    * computes all shortest path lengths in KEGG pathway graphs). */
+  val qGraphBfs: Q = Q(
+    "q_graph_bfs",
+    """WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |  e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      |        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+      |        AND a.l_suppkey <> b.l_suppkey GROUP BY 1, 2),
+      |  walk(node, dd) AS (
+      |    SELECT CAST(1 AS BIGINT), 0
+      |    UNION
+      |    SELECT e.dst, walk.dd + 1 FROM walk JOIN e ON e.src = walk.node
+      |    WHERE walk.dd < 3)
+      |SELECT node, CAST(MIN(dd) AS BIGINT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+    val sources = s.range(1, 2).select(col("id").as("node"))
+    bfsDistances(coSupplyEdges(s, d), sources, 3)
+      .groupBy("node").agg(min(col("dist")).as("dist"))
+      .orderBy("node")
+  }
+
+  /** Distance to nearest labeled node (loaders/load-KEGGNearestTclins.py
+    * finds each target's nearest Tclin in pathway space): multi-source BFS
+    * from all labeled nodes at once — one pass, not |labels| passes. */
+  val qNearestLabeled: Q = Q(
+    "q_nearest_labeled",
+    """WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |  e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      |        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+      |        AND a.l_suppkey <> b.l_suppkey GROUP BY 1, 2),
+      |  seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_acctbal > 8000),
+      |  walk(node, dd) AS (
+      |    SELECT node, 0 FROM seeds
+      |    UNION
+      |    SELECT e.dst, walk.dd + 1 FROM walk JOIN e ON e.src = walk.node
+      |    WHERE walk.dd < 3)
+      |SELECT node AS s_suppkey, CAST(MIN(dd) AS BIGINT) AS dist_to_labeled
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+    val seeds = T.supplier(s, d).filter(col("s_acctbal") > 8000)
+      .select(col("s_suppkey").as("node"))
+    bfsDistances(coSupplyEdges(s, d), seeds, 3)
+      .groupBy("node").agg(min(col("dist")).as("dist_to_labeled"))
+      .select(col("node").as("s_suppkey"), col("dist_to_labeled"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Cross-space mapping rollup (loaders/load-Orthologs.py maps entities
+    * across taxa then rolls up): aggregate-then-join — counts are computed
+    * per side BEFORE joining, so no fact-x-fact blowup at scale. */
+  val qOrthoRollup: Q = Q(
+    "q_ortho_rollup",
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+      |  s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+      |SELECT n_name,
+      |  CAST(COALESCE(n_customers, 0) AS BIGINT) AS n_customers,
+      |  CAST(COALESCE(n_suppliers, 0) AS BIGINT) AS n_suppliers,
+      |  round(CAST(COALESCE(n_customers, 0) AS DOUBLE) / greatest(CAST(COALESCE(n_suppliers, 0) AS DOUBLE), 1.0), 6) AS ratio
+      |FROM nation
+      |LEFT JOIN c ON nk = n_nationkey
+      |LEFT JOIN s ON s.nk = n_nationkey
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    val c = T.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sp = T.supplier(s, d).groupBy(col("s_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    T.nation(s, d)
+      .join(c, col("nk") === col("n_nationkey"), "left")
+      .join(sp, col("nk2") === col("n_nationkey"), "left")
+      .select(col("n_name"),
+        lng(coalesce(col("n_customers"), lit(0))).as("n_customers"),
+        lng(coalesce(col("n_suppliers"), lit(0))).as("n_suppliers"),
+        round(dbl(coalesce(col("n_customers"), lit(0))) /
+          greatest(dbl(coalesce(col("n_suppliers"), lit(0))), lit(1.0)), 6).as("ratio"))
+      .orderBy("n_name")
+  }
+
+  val all: Seq[Q] = Seq(qEdgeDedup, qGraphBfs, qNearestLabeled, qOrthoRollup)
+}

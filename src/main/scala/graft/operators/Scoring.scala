@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's domain scoring algorithms, re-expressed as declarative
+  * Spark aggregation plans (SURVEY.md §2.3).
+  *
+  * Determinism notes: TIN-X-style reciprocal weights (1/n) are summed as
+  * exact integers scaled by LCM(1..20)=232792560 — n is the per-group
+  * cardinality and never exceeds 17 in this data — so the aggregate is
+  * order-independent; the single division at the end is exact-input double
+  * math. Tau sums its (at most 3) per-flag terms in a fixed expression
+  * order via conditional aggregation rather than a row-order-dependent
+  * SUM over doubles.
+  */
+object Scoring {
+
+  /** LCM(1..20): every 1/n with n<=20 becomes an exact integer weight. */
+  val RecipLcm = 232792560L
+
+  /** Empirical CDF per group (loaders/load-HGramCDFs.py computes attr-count
+    * CDFs per dataset): cume_dist of order-count within market segment. */
+  val qCdf: Q = Q(
+    "q_cdf",
+    """SELECT c_custkey, c_mktsegment, cnt,
+      |  round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY cnt), 6) AS cdf
+      |FROM (SELECT c_custkey, c_mktsegment, COUNT(*) AS cnt
+      |      FROM customer JOIN orders ON o_custkey = c_custkey
+      |      GROUP BY c_custkey, c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val counts = T.customer(s, d)
+      .join(T.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("cnt")
+    counts.withColumn("cdf", round(cume_dist().over(w), 6)).orderBy("c_custkey")
+  }
+
+  /** Consensus/mode aggregation with deterministic tie-break
+    * (loaders/load-ConsensusExpressions.py calculate_consensus): the most
+    * frequent order priority per customer, ties to the smallest value. */
+  val qConsensusMode: Q = Q(
+    "q_consensus_mode",
+    """SELECT o_custkey, o_orderpriority AS consensus_priority, cnt FROM (
+      |  SELECT o_custkey, o_orderpriority, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY cnt DESC, o_orderpriority) AS rn
+      |  FROM (SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+      |        FROM orders GROUP BY 1, 2))
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val counts = T.orders(s, d)
+      .groupBy("o_custkey", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("cnt").desc, col("o_orderpriority"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("consensus_priority"), col("cnt"))
+      .orderBy("o_custkey")
+  }
+
+  /** Tissue-specificity tau (R/hpa_tau.R, R/hpm_tau.R):
+    * tau = sum_i(1 - x_i/max) / (n-1) over per-flag revenue "tissues".
+    * Fixed 3-term expression keeps double addition order deterministic. */
+  val qTau: Q = Q(
+    "q_tau",
+    """WITH x AS (
+      |  SELECT l_suppkey,
+      |    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS xa,
+      |    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS xn,
+      |    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS xr
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT l_suppkey,
+      |  round(((1 - xa / greatest(xa, xn, xr)) + (1 - xn / greatest(xa, xn, xr)) + (1 - xr / greatest(xa, xn, xr))) / 2, 6) AS tau
+      |FROM x ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    def flagSum(f: String): Column =
+      dbl(coalesce(sum(when(col("l_returnflag") === f, dec2(col("l_extendedprice")))), lit(0)))
+    val x = T.lineitem(s, d).groupBy("l_suppkey")
+      .agg(flagSum("A").as("xa"), flagSum("N").as("xn"), flagSum("R").as("xr"))
+    val mx = greatest(col("xa"), col("xn"), col("xr"))
+    x.select(col("l_suppkey"),
+        round(((lit(1) - col("xa") / mx) + (lit(1) - col("xn") / mx) +
+          (lit(1) - col("xr") / mx)) / 2, 6).as("tau"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Multiway rule classification (loaders/load-TDLs.py:90-160 assigns
+    * Tclin/Tchem/Tbio/Tdark from activity evidence): customers classified
+    * by order evidence, left joins keeping evidence-free rows (Tdark). */
+  val qTdl: Q = Q(
+    "q_tdl",
+    """SELECT c_custkey,
+      |  CASE WHEN max_price > 495000 THEN 'Tclin'
+      |       WHEN n_orders >= 15 THEN 'Tchem'
+      |       WHEN n_orders >= 1 THEN 'Tbio'
+      |       ELSE 'Tdark' END AS tdl,
+      |  n_orders, max_price
+      |FROM (
+      |  SELECT c_custkey,
+      |    CAST(COALESCE(COUNT(o_orderkey), 0) AS BIGINT) AS n_orders,
+      |    CAST(COALESCE(MAX(o_totalprice), 0) AS DOUBLE) AS max_price
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    T.customer(s, d)
+      .join(T.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        lng(coalesce(count(col("o_orderkey")), lit(0))).as("n_orders"),
+        dbl(coalesce(max(col("o_totalprice")), lit(0))).as("max_price"))
+      .withColumn("tdl",
+        when(col("max_price") > 495000, "Tclin")
+          .when(col("n_orders") >= 15, "Tchem")
+          .when(col("n_orders") >= 1, "Tbio")
+          .otherwise("Tdark"))
+      .select("c_custkey", "tdl", "n_orders", "max_price")
+      .orderBy("c_custkey")
+  }
+
+  /** TIN-X novelty (python/TIN-X.py): novelty(target) = sum over
+    * publications mentioning it of 1/|targets(pub)|. Here pub=order,
+    * target=part. Exact integer weights via RecipLcm. */
+  val qTinxNovelty: Q = Q(
+    "q_tinx_novelty",
+    """WITH mention AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |  pubsize AS (SELECT l_orderkey, COUNT(*) AS n FROM mention GROUP BY 1)
+      |SELECT l_partkey,
+      |  round(CAST(SUM(232792560 // n) AS DOUBLE) / 232792560, 6) AS novelty,
+      |  COUNT(*) AS n_pubs
+      |FROM mention JOIN pubsize USING (l_orderkey)
+      |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    val mention = T.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val pubsize = mention.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    mention.join(pubsize, "l_orderkey")
+      .groupBy("l_partkey")
+      .agg(
+        round(dbl(sum(lit(RecipLcm) / col("n"))) / RecipLcm, 6).as("novelty"),
+        count(lit(1)).as("n_pubs"))
+      .orderBy("l_partkey")
+  }
+
+  /** TIN-X importance (python/TIN-X.py): importance(disease, target) =
+    * sum over shared pubs of 1/(|targets(pub)|*|diseases(pub)|). Here
+    * disease=customer (one per order), so the denominator is |parts|. */
+  val qTinxImportance: Q = Q(
+    "q_tinx_importance",
+    """WITH mention AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |  pubsize AS (SELECT l_orderkey, COUNT(*) AS n FROM mention GROUP BY 1)
+      |SELECT o_custkey, l_partkey,
+      |  round(CAST(SUM(232792560 // n) AS DOUBLE) / 232792560, 6) AS importance,
+      |  COUNT(*) AS n_shared_pubs
+      |FROM mention
+      |JOIN pubsize USING (l_orderkey)
+      |JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY o_custkey, l_partkey
+      |ORDER BY o_custkey, l_partkey""".stripMargin) { (s, d) =>
+    val mention = T.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val pubsize = mention.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    mention.join(pubsize, "l_orderkey")
+      .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey", "l_partkey")
+      .agg(
+        round(dbl(sum(lit(RecipLcm) / col("n"))) / RecipLcm, 6).as("importance"),
+        count(lit(1)).as("n_shared_pubs"))
+      .orderBy("o_custkey", "l_partkey")
+  }
+
+  /** Weighted score per entity per year with running total
+    * (loaders/load-JensenLabPubMedScores.py sums yearly scores and keeps a
+    * cumulative per-protein total). Decimal window sum stays exact. */
+  val qPubscore: Q = Q(
+    "q_pubscore",
+    """WITH yearly AS (
+      |  SELECT l_suppkey, year(l_shipdate) AS yr,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS score_dec
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_suppkey, yr, CAST(score_dec AS DOUBLE) AS score,
+      |  CAST(SUM(score_dec) OVER (PARTITION BY l_suppkey ORDER BY yr) AS DOUBLE) AS cum_score
+      |FROM yearly ORDER BY l_suppkey, yr""".stripMargin) { (s, d) =>
+    val yearly = T.lineitem(s, d)
+      .groupBy(col("l_suppkey"), lng(year(col("l_shipdate"))).as("yr"))
+      .agg(sum(discPrice(col("l_quantity"), col("l_discount"))).as("score_dec"))
+    val w = Window.partitionBy("l_suppkey").orderBy("yr")
+    yearly.select(col("l_suppkey"), col("yr"),
+        dbl(col("score_dec")).as("score"),
+        dbl(sum(col("score_dec")).over(w)).as("cum_score"))
+      .orderBy("l_suppkey", "yr")
+  }
+
+  val all: Seq[Q] = Seq(qCdf, qConsensusMode, qTau, qTdl, qTinxNovelty,
+    qTinxImportance, qPubscore)
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data pipeline (SURVEY.md §2.4).
+  *
+  * Scale design: every near-dup variant is candidate-generation-by-key
+  * (shingle / band-signature / simhash-band) followed by verification on
+  * candidates only — the shuffle key is the bucket, never an O(n²) cross
+  * join. The exact variant is a plain hash groupBy (one shuffle on the
+  * content hash). At 100 TB the bucket keys are uniform by construction
+  * (hashes), so no skew handling is needed beyond AQE.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per document: (id, sh). */
+  def wordShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    ).otherwise(array(col(textCol)))
+    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("sh"))
+  }
+
+  /** Exact duplicate groups by content hash; survivor = min id.
+    * (On 100 TB: one shuffle on md5, combine-enabled.) */
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    """SELECT md5(text) AS fp, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY survivor_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .orderBy("survivor_id")
+  }
+
+  /** N-gram Jaccard near-dup pairs: shingle-key candidate join, then
+    * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) verified on candidates. */
+  val qDedupNgram: Q = Q(
+    "q_dedup_ngram",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |  sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |         FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  COUNT(*) AS n_common,
+      |  round(CAST(COUNT(*) AS DOUBLE) /
+      |    CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |JOIN sz sa ON sa.doc_id = a.doc_id
+      |JOIN sz sb ON sb.doc_id = b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING round(CAST(COUNT(*) AS DOUBLE) /
+      |    CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val sh = wordShingles(T.documents(s, d), "doc_id", "text", 3)
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("id").as("id_a"), col("sh"))
+    val b = sh.select(col("id").as("id_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "n_common", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** k seeded MinHash values per document: (id, sig array<long-ish int>).
+    * Seeding = murmur3 over (shingle, seed) — all codegen'd builtins. */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(hash(col("sh"), lit(i))).as(s"mh$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: candidates share at least one of `bands` band
+    * signatures; est_jaccard = matching minhash fraction. No oracle —
+    * murmur3 isn't portable to DuckDB — so this is a rows-only check; the
+    * ScalaTest spec cross-validates against exact Jaccard. */
+  val qDedupMinhash: Q = Q.rowsOnly("q_dedup_minhash") { (s, d) =>
+    val k = 64; val bands = 16; val rows = k / bands
+    val sh = wordShingles(T.documents(s, d), "doc_id", "text", 3)
+    val sig = minhashSignatures(sh, k)
+    val banded = sig.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bsig")))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bsig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dbl(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)) / k).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash from token votes; banded buckets + hamming<=3 verify.
+    * Rows-only (xxhash64 not portable to the oracle). */
+  val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
+    val tok = T.documents(s, d)
+      .select(col("doc_id").as("id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i")
+    }
+    val sim = tok.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => shiftleft(when(col(s"b$i") > 0, 1L).otherwise(0L), i))
+          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+    // band value = 16-bit slice j of the simhash
+    val withBands = sim.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("simhash"), 16 * j).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x"))
+      .select(col("id"), col("simhash"), col("x.band").as("band"), col("x.bval").as("bval"))
+    val a = withBands.select(col("band"), col("bval"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = withBands.select(col("band"), col("bval"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bval")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs. Brute-force pair join is the small-N
+    * baseline; the LSH-bucketed path (Similarity.qAnnLsh, r2) is the scale
+    * route. Dot/norm are left-fold double aggregates in index order —
+    * bit-identical to the oracle's list_inner_product. */
+  val qDedupEmbed: Q = Q(
+    "q_dedup_embed",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _)))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _) /
+          (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.38)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed)
+}

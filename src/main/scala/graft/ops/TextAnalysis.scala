@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.4):
+  * language ID, quality scoring, token counting, fingerprinting. All are
+  * pure narrow per-row transforms (no shuffle), built from codegen'd
+  * builtin functions — they run at scan speed and pipeline into whatever
+  * aggregation follows. The reference's text-mining analog is
+  * python/grant_tagger.py (string tagging of grant abstracts).
+  */
+object TextAnalysis {
+
+  /** Count of regex matches (codegen'd builtin). */
+  def matches(c: Column, pat: String): Column = regexp_count(c, lit(pat))
+
+  // Marker-stopword scores per language (deterministic, SQL-replicable).
+  def enScore(t: Column): Column = matches(t, "\\b(the|and|of|to|in)\\b")
+  def deScore(t: Column): Column = matches(t, "\\b(der|die|und|das|ist)\\b")
+  def esScore(t: Column): Column = matches(t, "\\b(el|la|los|las|una)\\b")
+  def frScore(t: Column): Column = matches(t, "\\b(le|les|des|une|est)\\b")
+
+  /** Language-ID over marker-token counts; priority order en>de>es>fr on
+    * ties, 'unknown' when no marker hits. */
+  val qLangId: Q = Q(
+    "q_lang_id",
+    """SELECT doc_id,
+      |  CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+      |       WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+      |       WHEN es >= fr AND es > 0 THEN 'es'
+      |       WHEN fr > 0 THEN 'fr'
+      |       ELSE 'unknown' END AS pred_lang,
+      |  en, de, es, fr
+      |FROM (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS en,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|una)\b')) AS BIGINT) AS es,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b')) AS BIGINT) AS fr
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = lower(col("text"))
+    T.documents(s, d)
+      .select(col("doc_id"),
+        lng(enScore(t)).as("en"), lng(deScore(t)).as("de"),
+        lng(esScore(t)).as("es"), lng(frScore(t)).as("fr"))
+      .withColumn("pred_lang",
+        when(col("en") >= col("de") && col("en") >= col("es") && col("en") >= col("fr") && col("en") > 0, "en")
+          .when(col("de") >= col("es") && col("de") >= col("fr") && col("de") > 0, "de")
+          .when(col("es") >= col("fr") && col("es") > 0, "es")
+          .when(col("fr") > 0, "fr")
+          .otherwise("unknown"))
+      .select("doc_id", "pred_lang", "en", "de", "es", "fr")
+      .orderBy("doc_id")
+  }
+
+  /** Document quality score: stopword density, punctuation ratio, length
+    * saturation — fixed-weight formula, fixed double op order. */
+  val qQualityScore: Q = Q(
+    "q_quality_score",
+    """SELECT doc_id, chars, tokens, punct, stop,
+      |  round(0.4 * (CAST(stop AS DOUBLE) / CAST(tokens AS DOUBLE))
+      |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE))
+      |      + 0.3 * least(1.0, CAST(tokens AS DOUBLE) / 100.0), 6) AS quality
+      |FROM (SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens,
+      |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|to|in)\b')) AS BIGINT) AS stop
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"),
+        lng(length(col("text"))).as("chars"),
+        lng(size(split(trim(col("text")), " "))).as("tokens"),
+        lng(matches(col("text"), "[.,;:!?]")).as("punct"),
+        lng(matches(lower(col("text")), "\\b(the|a|an|of|and|or|to|in)\\b")).as("stop"))
+      .withColumn("quality",
+        round(lit(0.4) * (dbl(col("stop")) / dbl(col("tokens")))
+          + lit(0.3) * (lit(1.0) - dbl(col("punct")) / dbl(col("chars")))
+          + lit(0.3) * least(lit(1.0), dbl(col("tokens")) / lit(100.0)), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish segmentation count
+    * (letter runs / digits / single punctuation, the usual pre-tokenizer
+    * shape) + a chars-per-token ratio. */
+  val qTokenCount: Q = Q(
+    "q_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+      |  round(CAST(length(text) AS DOUBLE) / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 6) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = size(split(trim(col("text")), " "))
+    T.documents(s, d)
+      .select(col("doc_id"),
+        lng(ws).as("ws_tokens"),
+        lng(matches(col("text"), "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")).as("bpe_tokens"),
+        round(dbl(length(col("text"))) / dbl(ws), 6).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Stable content fingerprint + shard bucket (md5 is identical across
+    * engines; the 2-hex-char prefix is the shard/bucket key a 100 TB
+    * dedup would partition by). */
+  val qFingerprint: Q = Q(
+    "q_fingerprint",
+    """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 2) AS bucket, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 2).as("bucket"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint)
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source layer: typed access to the benchmark parquet tables plus the
+  * generic ingestion helpers the reference pipeline needs (CSV/TSV with
+  * explicit schema — the `python/csv2sql.py` / `python/csv_utils.py`
+  * capability — and partitioned parquet sinks).
+  *
+  * All reads are plain `spark.read.parquet`, so Catalyst pushes filters
+  * and prunes columns into the scan (verify via explain: PushedFilters /
+  * ReadSchema).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark only reads as raw longs (legacy conf). Normalize to a proper
+    * microsecond timestamp via integer division (nanos exceed 2^53, so
+    * float division would lose precision); truncation matches what
+    * nanos→micros readers (e.g. DuckDB) do. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register every table as a temp view (SQL entry point). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** CSV/TSV ingest with an explicit schema — never infer on a 100 TB
+    * input (schema inference is a full extra pass over the data).
+    * Reference analog: `python/csv2sql.py`. */
+  def readDelimited(spark: SparkSession, path: String, schema: StructType,
+                    delimiter: String = ",", header: Boolean = true): DataFrame =
+    spark.read
+      .option("sep", delimiter)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  /** Partitioned parquet sink: partition column choice is the scale lever
+    * (keep per-partition file counts bounded; low-cardinality keys only). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}
