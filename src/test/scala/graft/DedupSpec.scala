@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup survivors cover all documents") {
+    val d = Dedup.qDedupExact.fn(spark, TinyDir)
+    val total = d.agg(sum("n_copies")).head().getLong(0)
+    val docs = spark.read.parquet(s"$TinyDir/documents.parquet").count()
+    assert(total == docs)
+  }
+
+  test("ngram jaccard pairs are within [0,1] and above threshold") {
+    val p = Dedup.qDedupNgram.fn(spark, TinyDir).collect()
+    assert(p.nonEmpty) // generator plants near-dups
+    p.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("minhash LSH finds the planted near-dup pairs (vs exact jaccard)") {
+    val exact = Dedup.qDedupNgram.fn(spark, TinyDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.qDedupMinhash.fn(spark, TinyDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: LSH at est>=0.5 should recover most >=0.5-jaccard pairs
+    val hit = exact.intersect(lsh).size.toDouble
+    assert(exact.isEmpty || hit / exact.size >= 0.6, s"recall too low: $hit/${exact.size}")
+  }
+
+  test("simhash near-dup hamming bound holds") {
+    val p = Dedup.qDedupSimhash.fn(spark, TinyDir).collect()
+    p.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and thresholded") {
+    val p = Dedup.qDedupEmbed.fn(spark, TinyDir)
+    assert(p.filter(col("id_a") >= col("id_b")).isEmpty)
+    assert(p.filter(col("cos") < 0.38).isEmpty)
+  }
+}

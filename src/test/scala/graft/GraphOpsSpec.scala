@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("bfsDistances on a handcrafted path graph") {
+    import spark.implicits._
+    // path: 1-2-3-4-5, plus isolated 9
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L),
+      (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val sources = Seq(1L).toDF("node")
+    val got = GraphOps.bfsDistances(edges, sources, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5 is 4 hops: excluded
+  }
+
+  test("multi-source bfs takes the minimum over seeds") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 3L), (3L, 10L))
+      .toDF("src", "dst")
+    val sources = Seq(1L, 10L).toDF("node")
+    val got = GraphOps.bfsDistances(edges, sources, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 1L) // via seed 10, not 2 hops via 1
+  }
+
+  test("edge dedup emits canonical ordered pairs exactly once") {
+    val e = GraphOps.qEdgeDedup.fn(spark, TinyDir)
+    assert(e.filter(col("s1") >= col("s2")).isEmpty)
+    assert(e.groupBy("s1", "s2").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("graph bfs distances start at 0 and grow by hops") {
+    val d = GraphOps.qGraphBfs.fn(spark, TinyDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(1L) == 0L)
+    assert(d.values.forall(v => v >= 0 && v <= 3))
+  }
+}
