@@ -22,6 +22,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
   }
 
   def get(appName: String = "graft"): SparkSession = {

@@ -151,13 +151,11 @@ object Dedup {
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _)))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos",
-        round(aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _) /
-          (col("na") * col("nb")), 6))
+        round(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")), 6))
       .filter(col("cos") >= 0.38)
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")

@@ -37,14 +37,14 @@ object Similarity {
       |  SELECT *, RANK() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
       |  FROM scored)
       |WHERE rnk <= 5 ORDER BY query_id, rnk, neighbor_id""".stripMargin) { (s, d) =>
-    val corpus = withNorms(T.embeddings(s, d), "vec_id", "embedding")
-    val probes = corpus.filter(col("id") < 10)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
       .join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
-        round(aggregate(zip_with(col("qv"), col("cv"), _ * _), lit(0.0), _ + _) /
-          (col("qn") * col("cn")), 6))
+        round(graft.functions.VectorFunctions.cosineSim(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", lng(rank().over(w)))
       .filter(col("rnk") <= 5)
