@@ -12,9 +12,11 @@ object SparkEntry {
       operators.Scoring.all ++
       operators.GraphOps.all ++
       operators.Events.all ++
+      operators.AsofJoin.all ++
       ops.TextAnalysis.all ++
       ops.Dedup.all ++
-      ops.Similarity.all
+      ops.Similarity.all ++
+      ops.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.Q
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column pipeline (SURVEY.md §2.4 q_multimodal_features).
+  *
+  * Media is carried as an opaque `binary` column + typed metadata; decode /
+  * feature-extract runs as a per-partition batch transform (mapPartitions)
+  * so a real codec would amortize its init (model load, JNI handle) once
+  * per partition, not per row — the Spark-side plumbing (schema, batching,
+  * partition-parallelism) is real, only the codec is stubbed.
+  *
+  * The container has no image/audio libs, so [[DecodeStub]] is a
+  * clearly-marked deterministic fake: "dimensions" derived from byte
+  * length, "content fingerprint" = MD5 of the bytes (which a real decoder
+  * would replace with perceptual hashes / embeddings).
+  */
+object Multimodal {
+
+  /** STUB decode: replace with a real codec (libjpeg/ffmpeg/…) in prod. */
+  object DecodeStub {
+    def features(bytes: Array[Byte]): (Long, Long, Long, String) = {
+      val len = bytes.length.toLong
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fp = md.digest(bytes).map("%02x".format(_)).mkString
+      // fake "decoded" dimensions, deterministic in the payload size
+      (len, 1 + len % 64, 1 + len % 48, fp)
+    }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("fingerprint", StringType, nullable = false)))
+
+  /** Binary column -> feature rows, one decoder init per partition. */
+  def extractFeatures(binDf: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = binDf.sparkSession
+    val enc = RowEncoder.encoderFor(featureSchema)
+    binDf.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it =>
+        // a real pipeline would initialize the codec HERE, once
+        it.map { r =>
+          val (len, w, h, fp) = DecodeStub.features(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), len, w, h, fp)
+        }
+      }(enc)
+  }
+
+  /** documents.text cast to binary stands in for a media payload; the
+    * oracle reproduces the stub arithmetic over octet_length + md5. */
+  val qMultimodalFeatures: Q = Q(
+    "q_multimodal_features",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  CAST(1 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+      |  CAST(1 + octet_length(encode(text)) % 48 AS BIGINT) AS height,
+      |  md5(text) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    extractFeatures(
+      T.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qMultimodalFeatures)
+}

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.functions.Exact._
+import graft.functions.VectorFunctions
 import graft.sources.{Tables => T}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -52,5 +53,53 @@ object Similarity {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 
-  val all: Seq[Q] = Seq(qAnnTopk)
+  /** Deterministic ±1 random-hyperplane matrix: nPlanes x dim, from a
+    * fixed-seed LCG so signatures are reproducible across runs/engines. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    Array.fill(nPlanes)(Array.fill(dim)(if (((next() >> 33) & 1L) == 0L) -1.0 else 1.0))
+  }
+
+  /** LSH-bucketed ANN (the 100 TB path): 4 bands x 8 sign-bits. Candidate
+    * pairs share a band signature — a hash join on (band, sig) — then only
+    * candidates get exact cosine. No O(n^2) stage anywhere: at scale the
+    * corpus shuffles once by band signature; probes are broadcast.
+    * Rows-only check (signature internals aren't SQL-portable); the spec
+    * cross-validates candidates against brute force. */
+  val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
+    val bands = 4; val bitsPerBand = 8; val dim = 64
+    val planes = hyperplanes(bands * bitsPerBand, dim)
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // sig bit p = sign(dot(v, plane_p)); band value packs its 8 bits
+    def bandSig(b: Int) =
+      (0 until bitsPerBand).map { i =>
+        val p = b * bitsPerBand + i
+        val planeLit = array(planes(p).map(lit): _*)
+        shiftleft(when(VectorFunctions.dotProduct(col("v"), planeLit) > 0, 1L).otherwise(0L), i)
+      }.reduce(_ + _)
+    val signed = corpus.select(
+      col("vec_id") +: col("v") +:
+        (0 until bands).map(b => bandSig(b).as(s"band$b")): _*)
+    val banded = signed.select(col("vec_id"), col("v"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("x"))
+      .select(col("vec_id"), col("v"), col("x.band").as("band"), col("x.sig").as("sig"))
+    val probes = banded.filter(col("vec_id") < 10)
+      .select(col("band"), col("sig"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val cands = banded
+      .select(col("band"), col("sig"), col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      .join(broadcast(probes), Seq("band", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosineSim(col("qv"), col("cv")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("rnk", lng(rank().over(w)))
+      .filter(col("rnk") <= 5)
+      .orderBy("query_id", "rnk", "neighbor_id")
+  }
+
+  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh)
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event operators (SURVEY.md §2.1
+  * src_stream). Batch twins live in graft.operators.Events — same
+  * semantics, so a pipeline can run either mode off one definition.
+  *
+  * Scale posture: state is keyed by user/event id, partitioned by the
+  * shuffle hash; watermarks bound state size (late data past the watermark
+  * is dropped, state for closed windows/sessions is reclaimed).
+  */
+object StreamingOps {
+
+  case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class SessionOut(user_id: Long, n_events: Long, first_event_id: Long, duration_us: Long)
+  /** One open-or-closing session in per-user state. */
+  case class St(firstId: Long, start: Long, last: Long, n: Long)
+
+  /** Tumbling event-time window counts; mirrors Events.qTumblingWindow. */
+  def tumblingCounts(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sumDbl(dec2(col("value"))).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Exactly-once event de-dup inside the watermark horizon. */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id")
+
+  /** Streaming sessionization with a 30-min inactivity gap: custom state
+    * via flatMapGroupsWithState + event-time timeout. A session is emitted
+    * once the watermark passes its last event + gap. */
+  def sessionize(events: Dataset[Ev], gapUs: Long = 1800L * 1000 * 1000,
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, rows: Iterator[Ev], state: GroupState[List[St]]): Iterator[SessionOut] = {
+      var sessions = state.getOption.getOrElse(Nil)
+      val out = scala.collection.mutable.ListBuffer[SessionOut]()
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+      for (e <- evs) {
+        val tus = e.ts.getTime * 1000
+        sessions match {
+          case cur :: rest if tus - cur.last <= gapUs =>
+            sessions = St(cur.firstId, cur.start, math.max(cur.last, tus), cur.n + 1) :: rest
+          case cur :: rest =>
+            out += SessionOut(userId, cur.n, cur.firstId, cur.last - cur.start)
+            sessions = St(e.event_id, tus, tus, 1) :: rest
+          case Nil =>
+            sessions = St(e.event_id, tus, tus, 1) :: Nil
+        }
+      }
+      if (state.hasTimedOut || sessions.isEmpty) {
+        // watermark passed: flush any session whose gap has elapsed
+        sessions.foreach(cur => out += SessionOut(userId, cur.n, cur.firstId, cur.last - cur.start))
+        state.remove()
+      } else {
+        state.update(sessions)
+        val lastUs = sessions.head.last
+        state.setTimeoutTimestamp(lastUs / 1000 + gapUs / 1000)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

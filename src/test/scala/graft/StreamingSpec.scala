@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming tumbling window matches batch semantics") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "event_type", "value", "ts")
+    val q = StreamingOps.tumblingCounts(df)
+      .writeStream.format("memory").queryName("tumble").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "click", 1.0, ts("2024-01-01 10:00:00")),
+        (2L, "click", 2.5, ts("2024-01-01 11:00:00")),
+        (3L, "view", 4.0, ts("2024-01-02 09:00:00")))
+      q.processAllAvailable()
+      // watermark must pass day-1 before its window emits (append mode)
+      mem.addData((4L, "click", 1.0, ts("2024-01-05 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((5L, "click", 1.0, ts("2024-01-09 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT day, event_type, cnt, sum_value FROM tumble")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got.contains(("2024-01-01", "click", 2L, 3.5)))
+      assert(got.contains(("2024-01-02", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed event ids") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "event_type", "ts")
+    val q = StreamingOps.dedupEvents(df)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData((1L, "click", ts("2024-01-01 10:00:00")),
+        (1L, "click", ts("2024-01-01 10:00:00")),
+        (2L, "view", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      mem.addData((2L, "view", ts("2024-01-01 10:02:00")), (3L, "view", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup").head().getLong(0)
+      assert(n == 3L) // 1, 2, 3 — replays dropped
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits closed sessions after watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 7: two sessions 45 min apart; user 8: one session
+      mem.addData(
+        Ev(7L, 1L, ts("2024-01-01 10:00:00")),
+        Ev(7L, 2L, ts("2024-01-01 10:10:00")),
+        Ev(7L, 3L, ts("2024-01-01 10:55:00")),
+        Ev(8L, 4L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // push watermark far ahead so all sessions time out
+      mem.addData(Ev(9L, 99L, ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(Ev(9L, 100L, ts("2024-01-03 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, n_events, first_event_id, duration_us FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got.contains((7L, 2L, 1L, 600000000L)), s"got $got") // 10:00-10:10
+      assert(got.contains((7L, 1L, 3L, 0L)))
+      assert(got.contains((8L, 1L, 4L, 0L)))
+    } finally q.stop()
+  }
+}
