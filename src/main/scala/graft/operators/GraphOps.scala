@@ -56,6 +56,41 @@ object GraphOps {
       .select("src", "dst").distinct()
   }
 
+  /** BFS over the co-supply graph WITHOUT materializing its edges: one
+    * co-supply hop = supplier→parts→suppliers through the (part, supplier)
+    * incidence list. The incidence list is |lineitem-distinct| rows; the
+    * quadratic per-part supplier×supplier edge set (which coSupplyEdges
+    * materializes) never exists. At 100 TB this is the difference between
+    * a shuffle of the fact table and a shuffle of its square. */
+  def coSupplyBfs(s: SparkSession, d: String, sources: DataFrame, maxHops: Int): DataFrame = {
+    val ps = T.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited.select("node")
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val parts = ps.join(broadcast(frontier.withColumnRenamed("node", "fsk")),
+          col("sk") === col("fsk"))
+        .select("pk").distinct()
+      val nbrs = ps.join(broadcast(parts.withColumnRenamed("pk", "fpk")),
+          col("pk") === col("fpk"))
+        .select(col("sk").as("node")).distinct()
+      val next = nbrs.join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop.toLong)).persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+        frontier = next.select("node")
+      }
+      hop += 1
+    }
+    ps.unpersist()
+    visited
+  }
+
   /** Undirected edge normalization + dedup (loaders/load-BioPlexPPIs.py,
     * load-ReactomePPIs.py merge PPIs arriving in either direction):
     * canonical (least, greatest) ordering, weight = #shared parts. */
@@ -94,7 +129,7 @@ object GraphOps {
       |SELECT node, CAST(MIN(dd) AS BIGINT) AS dist
       |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
     val sources = s.range(1, 2).select(col("id").as("node"))
-    bfsDistances(coSupplyEdges(s, d), sources, 3)
+    coSupplyBfs(s, d, sources, 3)
       .groupBy("node").agg(min(col("dist")).as("dist"))
       .orderBy("node")
   }
@@ -118,7 +153,7 @@ object GraphOps {
       |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
     val seeds = T.supplier(s, d).filter(col("s_acctbal") > 8000)
       .select(col("s_suppkey").as("node"))
-    bfsDistances(coSupplyEdges(s, d), seeds, 3)
+    coSupplyBfs(s, d, seeds, 3)
       .groupBy("node").agg(min(col("dist")).as("dist_to_labeled"))
       .select(col("node").as("s_suppkey"), col("dist_to_labeled"))
       .orderBy("s_suppkey")

@@ -17,14 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles per document: (id, sh). */
+  /** Distinct word n-gram shingles per document: (id, sh).
+    * The tokenization is hoisted into its own projection so the transform
+    * lambda reads an attribute — inlining `split` into each element_at
+    * made Spark re-split the text per shingle element (~n*shingles regex
+    * splits per row, the dominant cost of the whole dedup pipeline). */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
+    val toks = col("__toks")
     val sh = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    ).otherwise(array(col(textCol)))
-    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("sh"))
+    ).otherwise(array(col("__text")))
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"),
+        split(col(textCol), " ").as("__toks"))
+      .select(col("id"), explode(array_distinct(sh)).as("sh"))
   }
 
   /** Exact duplicate groups by content hash; survivor = min id.
@@ -37,6 +43,42 @@ object Dedup {
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
       .orderBy("survivor_id")
+  }
+
+  /** Exact Jaccard>=t pair join with SSJoin prefix filtering: shingles are
+    * globally ordered by document frequency (rarest first); a doc of n
+    * shingles only indexes its first n-ceil(t*n)+1 — if J(A,B)>=t the
+    * prefixes must share a shingle, so the candidate join touches the rare
+    * tail of the distribution instead of every posting list. Verification
+    * computes |A∩B| via array_intersect on the collected sets, only for
+    * candidates. Identical output to the naive all-pairs join. */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = wordShingles(docs, idCol, textCol, n)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("id").orderBy("df", "sh")
+    val wAll = Window.partitionBy("id")
+    // prefix length for Jaccard t: n - ceil(t*n) + 1 (kept generic in t)
+    val ranked = sh.join(freq, "sh")
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("nsh", count(lit(1)).over(wAll))
+      .withColumn("plen", col("nsh") - ceil(col("nsh") * threshold) + 1)
+    val prefix = ranked.filter(col("rn") <= col("plen")).select("id", "sh")
+    val cand = prefix.select(col("id").as("id_a"), col("sh"))
+      .join(prefix.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = sh.groupBy("id")
+      .agg(collect_set(col("sh")).as("set"), count(lit(1)).as("nsh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("set").as("sa"), col("nsh").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("sb"), col("nsh").as("nb")), "id_b")
+      .withColumn("n_common", lng(size(array_intersect(col("sa"), col("sb")))))
+      .withColumn("jaccard",
+        round(dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
   }
 
   /** N-gram Jaccard near-dup pairs: shingle-key candidate join, then
@@ -58,18 +100,7 @@ object Dedup {
       |HAVING round(CAST(COUNT(*) AS DOUBLE) /
       |    CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val sh = wordShingles(T.documents(s, d), "doc_id", "text", 3)
-    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("id").as("id_a"), col("sh"))
-    val b = sh.select(col("id").as("id_b"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-      .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jaccard",
-        round(dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select("id_a", "id_b", "n_common", "jaccard")
+    jaccardPairsPrefix(T.documents(s, d), "doc_id", "text", 3, 0.5)
       .orderBy("id_a", "id_b")
   }
 
