@@ -16,7 +16,8 @@ object SparkEntry {
       ops.TextAnalysis.all ++
       ops.Dedup.all ++
       ops.Similarity.all ++
-      ops.Multimodal.all
+      ops.Multimodal.all ++
+      plans.TopKQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
