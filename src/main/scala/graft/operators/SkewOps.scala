@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (SURVEY.md §4).
+  *
+  * AQE's skew-join splitting handles most cases at runtime; salting is the
+  * explicit fallback when one side has pathological hot keys (a handful of
+  * keys carrying a large share of rows — e.g. one mega-customer, one
+  * stopword shingle). The hot side gets a random-ish salt derived from a
+  * row hash (deterministic, no RNG), the other side is replicated
+  * `factor` times; the join key becomes (key, salt) so a hot key's rows
+  * spread over `factor` reducers instead of one.
+  *
+  * Join-result equivalence to the unsalted join is exact (spec-verified):
+  * every original pair (l, r) appears exactly once because r is replicated
+  * across all salts and l picks exactly one salt.
+  */
+object SkewOps {
+
+  /** Inner equi-join with the LEFT side treated as skewed.
+    * @param factor number of salt buckets per key (2..shufflePartitions) */
+  def saltedInnerJoin(skewed: DataFrame, other: DataFrame, key: String,
+                      factor: Int): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    // deterministic per-row salt: hash over all columns, uniform
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col): _*), lit(factor)))
+    val replicated = other
+      .withColumn("__salt", explode(array((0 until factor).map(lit): _*)))
+    val joined = salted.join(replicated,
+      salted(key) === replicated(key) && salted("__salt") === replicated("__salt"))
+    // drop the helper + the duplicate right key column
+    val rightCols = other.columns.filterNot(_ == key).map(replicated(_))
+    joined.select(skewed.columns.map(salted(_)) ++ rightCols: _*)
+  }
+
+  /** Top hot keys by frequency — feed into AQE monitoring or a targeted
+    * salt of only the hot keys (split-union plan). */
+  def hotKeys(df: DataFrame, key: String, topN: Int): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key)).limit(topN)
+}

@@ -117,5 +117,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint)
+  /** Winnowed (MOSS-style) fingerprints: rolling n-byte hashes, then the
+    * minimum of each w-length hash window, deduplicated. Two documents
+    * sharing text of >= n+w-1 bytes share a fingerprint — so equal
+    * fingerprints are near-dup candidate join keys at corpus scale. */
+  def winnowedFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, n: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = docs.select(col(idCol).as("id"),
+      posexplode(graft.functions.RollingHash(col(textCol), n)).as(Seq("pos", "h")))
+    val win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    hashed.withColumn("fp", min("h").over(win))
+      .select("id", "fp").distinct()
+  }
+
+  /** Rows-only (custom hash isn't SQL-portable): per-doc fingerprint count
+    * plus the doc's minimal fingerprint — spec cross-checks the expression
+    * against a reference implementation. */
+  val qFingerprintWinnow: Q = Q.rowsOnly("q_fingerprint_winnow") { (s, d) =>
+    winnowedFingerprints(T.documents(s, d), "doc_id", "text", 16, 8)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"), min(col("fp")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint, qFingerprintWinnow)
 }
