@@ -191,6 +191,21 @@ object Scoring {
       .orderBy("l_suppkey", "yr")
   }
 
+  /** Sketch-based distinct counting (HyperLogLog via Apache DataSketches
+    * builtins): the 100 TB answer to "how many distinct parts per
+    * supplier" QC rollups — sketches merge associatively, so partial
+    * aggregation and re-aggregation across days/partitions are exact
+    * sketch merges instead of distinct-row shuffles. Rows-only (sketch
+    * internals aren't oracle-portable); spec bounds the error vs exact. */
+  val qSketchDistinct: Q = Q.rowsOnly("q_sketch_distinct") { (s, d) =>
+    T.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_suppkey")
+  }
+
   val all: Seq[Q] = Seq(qCdf, qConsensusMode, qTau, qTdl, qTinxNovelty,
-    qTinxImportance, qPubscore)
+    qTinxImportance, qPubscore, qSketchDistinct)
 }

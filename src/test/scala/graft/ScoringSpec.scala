@@ -44,6 +44,15 @@ class ScoringSpec extends SparkSpec {
     assert(m.groupBy("o_custkey").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("hll sketch distinct is within 5% of exact per supplier") {
+    val r = Scoring.qSketchDistinct.fn(spark, SmallDir).collect()
+    r.foreach { row =>
+      val approx = row.getLong(1).toDouble
+      val exact = row.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"supplier ${row.get(0)}: $approx vs $exact")
+    }
+  }
+
   test("ann topk returns exactly 5 neighbors per probe with descending cos") {
     val a = Similarity.qAnnTopk.fn(spark, TinyDir)
     val counts = a.groupBy("query_id").count().collect()
