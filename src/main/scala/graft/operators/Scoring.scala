@@ -191,6 +191,44 @@ object Scoring {
       .orderBy("l_suppkey", "yr")
   }
 
+  /** Parametric (Gaussian-ish) CDF, the reference's actual HGram formula:
+    * loaders/load-HGramCDFs.py fits mean/std per attribute type and scores
+    * each count with a normal CDF, falling back to the logistic
+    * approximation 1/(1+exp(-1.702*z)) (line 124). Spark/DuckDB lack erf,
+    * so the logistic form — the loader's own fallback — is what both
+    * engines compute here. Mean/std come from exact decimal sums. */
+  val qGaussianCdf: Q = Q(
+    "q_gaussian_cdf",
+    """WITH counts AS (
+      |  SELECT c_custkey, c_mktsegment, COUNT(*) AS cnt
+      |  FROM customer JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT c_mktsegment,
+      |    CAST(SUM(cnt) AS DOUBLE) AS s1,
+      |    CAST(SUM(cnt * cnt) AS DOUBLE) AS s2,
+      |    CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM counts GROUP BY 1)
+      |SELECT c_custkey, cnt,
+      |  round(1.0 / (1.0 + exp(-(1.702 * ((cnt - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)))))), 6) AS attr_cdf
+      |FROM counts JOIN stats USING (c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val counts = T.customer(s, d)
+      .join(T.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.groupBy("c_mktsegment")
+      .agg(dbl(sum(col("cnt"))).as("s1"),
+        dbl(sum(col("cnt") * col("cnt"))).as("s2"),
+        dbl(count(lit(1))).as("n"))
+    val z = (col("cnt") - col("s1") / col("n")) /
+      sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    counts.join(broadcast(stats), "c_mktsegment")
+      .select(col("c_custkey"), col("cnt"),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(1.702) * z))), 6).as("attr_cdf"))
+      .orderBy("c_custkey")
+  }
+
   /** Sketch-based distinct counting (HyperLogLog via Apache DataSketches
     * builtins): the 100 TB answer to "how many distinct parts per
     * supplier" QC rollups — sketches merge associatively, so partial
@@ -206,6 +244,6 @@ object Scoring {
       .orderBy("l_suppkey")
   }
 
-  val all: Seq[Q] = Seq(qCdf, qConsensusMode, qTau, qTdl, qTinxNovelty,
-    qTinxImportance, qPubscore, qSketchDistinct)
+  val all: Seq[Q] = Seq(qCdf, qGaussianCdf, qConsensusMode, qTau, qTdl,
+    qTinxNovelty, qTinxImportance, qPubscore, qSketchDistinct)
 }

@@ -141,5 +141,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint, qFingerprintWinnow)
+  /** Dictionary tagging (python/grant_tagger.py tags grant abstracts
+    * against target-name dictionaries): explode tokens, broadcast-join a
+    * term→tag dictionary, count matches per (doc, tag). At scale the
+    * dictionary is the broadcast side; the corpus never shuffles before
+    * the (doc, tag) aggregation. */
+  val dictionary: Seq[(String, String)] = Seq(
+    "join" -> "operator", "scan" -> "operator", "merge" -> "operator",
+    "sort" -> "operator", "filter" -> "operator",
+    "customer" -> "entity", "order" -> "entity", "part" -> "entity",
+    "table" -> "object", "row" -> "object", "column" -> "object",
+    "fast" -> "qualifier", "slow" -> "qualifier", "small" -> "qualifier")
+
+  val qDictTag: Q = Q(
+    "q_dict_tag",
+    """SELECT doc_id, tag, COUNT(*) AS n_hits
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      |JOIN (VALUES ('join','operator'),('scan','operator'),('merge','operator'),
+      |  ('sort','operator'),('filter','operator'),('customer','entity'),
+      |  ('order','entity'),('part','entity'),('table','object'),('row','object'),
+      |  ('column','object'),('fast','qualifier'),('slow','qualifier'),
+      |  ('small','qualifier')) AS dict(term, tag)
+      |  ON t.token = dict.term
+      |GROUP BY doc_id, tag
+      |ORDER BY doc_id, tag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dict = dictionary.toDF("term", "tag")
+    T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(dict), col("token") === col("term"))
+      .groupBy("doc_id", "tag")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id", "tag")
+  }
+
+  val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
+    qFingerprintWinnow, qDictTag)
 }
