@@ -54,23 +54,25 @@ object Dedup {
     * candidates. Identical output to the naive all-pairs join. */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = wordShingles(docs, idCol, textCol, n)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val wRank = Window.partitionBy("id").orderBy("df", "sh")
-    val wAll = Window.partitionBy("id")
-    // prefix length for Jaccard t: n - ceil(t*n) + 1 (kept generic in t)
-    val ranked = sh.join(freq, "sh")
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("nsh", count(lit(1)).over(wAll))
-      .withColumn("plen", col("nsh") - ceil(col("nsh") * threshold) + 1)
-    val prefix = ranked.filter(col("rn") <= col("plen")).select("id", "sh")
+    // one groupBy builds the df-ordered shingle list, from which both the
+    // full set (verification) and the rare-first prefix (candidate keys)
+    // are sliced — no window passes, no second sets aggregation
+    val profiles = sh.join(freq, "sh")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
+      .select(col("id"),
+        transform(col("arr"), x => x.getField("sh")).as("set"),
+        size(col("arr")).as("nsh"))
+      .withColumn("plen", (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
+      .withColumn("prefix", slice(col("set"), lit(1), col("plen")))
+    val prefix = profiles.select(col("id"), explode(col("prefix")).as("sh"))
     val cand = prefix.select(col("id").as("id_a"), col("sh"))
       .join(prefix.select(col("id").as("id_b"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = sh.groupBy("id")
-      .agg(collect_set(col("sh")).as("set"), count(lit(1)).as("nsh"))
+    val sets = profiles.select(col("id"), col("set"), col("nsh"))
     cand
       .join(sets.select(col("id").as("id_a"), col("set").as("sa"), col("nsh").as("na")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("sb"), col("nsh").as("nb")), "id_b")
