@@ -54,6 +54,60 @@ object Multimodal {
       }(enc)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("frame_bytes", BinaryType, nullable = false),
+    StructField("frame_fp", StringType, nullable = false)))
+
+  /** Frame sampling: one media payload -> every `stride`-th fixed-size
+    * chunk as a "frame" row (a real video codec would seek keyframes; the
+    * STUB slices byte ranges). One-to-many mapPartitions keeps the
+    * expansion pipelined — no driver materialization, frames spill with
+    * the partition. */
+  def sampleFrames(binDf: DataFrame, idCol: String, binCol: String,
+                   frameSize: Int = 64, stride: Int = 4): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    binDf.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val nFrames = math.max(bytes.length / frameSize, 1)
+          (0 until nFrames by stride).iterator.map { f =>
+            val from = math.min(f * frameSize, math.max(bytes.length - 1, 0))
+            val until = math.min(from + frameSize, bytes.length)
+            val frame = java.util.Arrays.copyOfRange(bytes, from, until)
+            md.reset()
+            val fp = md.digest(frame).map("%02x".format(_)).mkString
+            Row(id, f.toLong, frame, fp)
+          }
+        }
+      }(enc)
+  }
+
+  /** STUB resize: a real impl would decode+scale; the fake deterministically
+    * subsamples every k-th byte to the target "resolution". */
+  def resizeStub(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+    if (bytes.length <= targetLen) bytes
+    else {
+      val step = bytes.length.toDouble / targetLen
+      Array.tabulate(targetLen)(i => bytes((i * step).toInt))
+    }
+  }
+
+  /** Rows-only: per-doc frame counts + first-frame fingerprint (binary
+    * frame payloads aren't oracle-comparable; spec checks the slicing). */
+  val qFrameSample: Q = Q.rowsOnly("q_frame_sample") { (s, d) =>
+    sampleFrames(
+      T.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), min(col("frame_idx")).as("first_idx"))
+      .orderBy("doc_id")
+  }
+
   /** documents.text cast to binary stands in for a media payload; the
     * oracle reproduces the stub arithmetic over octet_length + md5. */
   val qMultimodalFeatures: Q = Q(
@@ -70,5 +124,5 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qMultimodalFeatures)
+  val all: Seq[Q] = Seq(qMultimodalFeatures, qFrameSample)
 }

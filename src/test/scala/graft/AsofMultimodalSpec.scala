@@ -37,6 +37,26 @@ class AsofMultimodalSpec extends SparkSpec {
     assert(f.filter(length(col("fingerprint")) =!= 32).isEmpty)
   }
 
+  test("frame sampling slices deterministic strided chunks") {
+    import spark.implicits._
+    val payload = ("x" * 300).getBytes("UTF-8")
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", frameSize = 64, stride = 2)
+      .collect()
+    // 300/64 = 4 frames, stride 2 -> indices 0, 2
+    assert(frames.map(_.getLong(1)).sorted.sameElements(Array(0L, 2L)))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 64))
+    val again = Multimodal.sampleFrames(df, "doc_id", "payload", 64, 2).collect()
+    assert(frames.map(_.getString(3)).toSet == again.map(_.getString(3)).toSet)
+  }
+
+  test("resize stub subsamples to target length deterministically") {
+    val in = Array.tabulate(100)(_.toByte)
+    val out = Multimodal.resizeStub(in, 10)
+    assert(out.length == 10 && out.sameElements(Multimodal.resizeStub(in, 10)))
+    assert(Multimodal.resizeStub(Array[Byte](1, 2), 10).length == 2)
+  }
+
   test("lsh ann candidates are a subset of brute-force scored pairs") {
     val brute = Similarity.qAnnTopk.fn(spark, TinyDir)
       .select("query_id", "neighbor_id", "cos")
