@@ -159,6 +159,54 @@ object GraphOps {
       .orderBy("s_suppkey")
   }
 
+  /** Transitive closure of a DAG edge list by path doubling: round i
+    * holds all paths of length <= 2^i, so depth-d hierarchies close in
+    * ceil(log2 d) self-joins instead of d BFS rounds — at 100 TB that is
+    * 5 shuffles for a depth-32 ontology instead of 32.
+    * Reference analog: ancestor closure over parent-child ontologies
+    * (loaders/load-Ontologies.py, python/obo.py). */
+  def transitiveClosure(edges: DataFrame, maxDepth: Int): DataFrame = {
+    var closure = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var depth = 1
+    var grew = true
+    while (depth < maxDepth && grew) {
+      val doubled = closure.as("l")
+        .join(closure.as("r"), col("l.dst") === col("r.src"))
+        .select(col("l.src").as("src"), col("r.dst").as("dst"))
+        .union(closure)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      grew = doubled.count() > closure.count()
+      closure = doubled
+      depth *= 2
+    }
+    closure
+  }
+
+  /** Ancestor closure over the part→brand→type→ROOT hierarchy synthesized
+    * from the part table (category rollup paths, the ontology shape). */
+  val qTransitiveClosure: Q = Q(
+    "q_transitive_closure",
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT 'part:' || CAST(p_partkey AS VARCHAR) AS src, 'brand:' || p_brand AS dst FROM part
+      |  UNION SELECT DISTINCT 'brand:' || p_brand, 'type:' || p_type FROM part
+      |  UNION SELECT DISTINCT 'type:' || p_type, 'ROOT' FROM part),
+      |walk(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT walk.src, edges.dst FROM walk JOIN edges ON edges.src = walk.dst)
+      |SELECT src, dst FROM walk ORDER BY src, dst""".stripMargin) { (s, d) =>
+    val p = T.part(s, d)
+    val e1 = p.select(concat(lit("part:"), col("p_partkey")).as("src"),
+      concat(lit("brand:"), col("p_brand")).as("dst"))
+    val e2 = p.select(concat(lit("brand:"), col("p_brand")).as("src"),
+      concat(lit("type:"), col("p_type")).as("dst"))
+    val e3 = p.select(concat(lit("type:"), col("p_type")).as("src"), lit("ROOT").as("dst"))
+    transitiveClosure(e1.union(e2).union(e3).distinct(), maxDepth = 8)
+      .orderBy("src", "dst")
+  }
+
   /** Cross-space mapping rollup (loaders/load-Orthologs.py maps entities
     * across taxa then rolls up): aggregate-then-join — counts are computed
     * per side BEFORE joining, so no fact-x-fact blowup at scale. */
@@ -189,5 +237,6 @@ object GraphOps {
       .orderBy("n_name")
   }
 
-  val all: Seq[Q] = Seq(qEdgeDedup, qGraphBfs, qNearestLabeled, qOrthoRollup)
+  val all: Seq[Q] = Seq(qEdgeDedup, qGraphBfs, qNearestLabeled, qOrthoRollup,
+    qTransitiveClosure)
 }

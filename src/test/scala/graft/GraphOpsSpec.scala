@@ -32,6 +32,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(e.groupBy("s1", "s2").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("transitive closure on a chain reaches all ancestors") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val got = GraphOps.transitiveClosure(edges, 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a","b"),("a","c"),("a","d"),("a","e"),
+      ("b","c"),("b","d"),("b","e"),("c","d"),("c","e"),("d","e")))
+  }
+
   test("graph bfs distances start at 0 and grow by hops") {
     val d = GraphOps.qGraphBfs.fn(spark, TinyDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
