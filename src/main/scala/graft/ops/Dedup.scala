@@ -137,22 +137,21 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** 64-bit SimHash from token votes; banded buckets + hamming<=3 verify.
-    * Rows-only (xxhash64 not portable to the oracle). */
-  val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
-    val tok = T.documents(s, d)
-      .select(col("doc_id").as("id"), explode(split(col("text"), " ")).as("tok"))
+  /** (id, simhash) per document: whitespace tokens -> xxhash64 -> one-pass
+    * SimHashAgg bit votes. */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$i")
-    }
-    val sim = tok.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(i => shiftleft(when(col(s"b$i") > 0, 1L).otherwise(0L), i))
-          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+      .groupBy("id")
+      .agg(graft.functions.SimHashAgg(xxhash64(col("tok"))).as("simhash"))
+
+  /** 64-bit SimHash from token votes; banded buckets + hamming<=3 verify.
+    * One pass via the custom SimHashAgg aggregate (per-occurrence ±1
+    * votes == count-weighted votes). Rows-only (xxhash64 not portable to
+    * the oracle); the spec pins it against the declarative 64-column
+    * formulation. */
+  val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
+    val sim = simhashes(T.documents(s, d), "doc_id", "text")
     // band value = 16-bit slice j of the simhash
     val withBands = sim.select(col("id"), col("simhash"),
         explode(array((0 until 4).map(j =>
