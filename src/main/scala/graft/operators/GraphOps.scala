@@ -203,7 +203,9 @@ object GraphOps {
     val e2 = p.select(concat(lit("brand:"), col("p_brand")).as("src"),
       concat(lit("type:"), col("p_type")).as("dst"))
     val e3 = p.select(concat(lit("type:"), col("p_type")).as("src"), lit("ROOT").as("dst"))
-    transitiveClosure(e1.union(e2).union(e3).distinct(), maxDepth = 8)
+    // fixed 3-level hierarchy: paths of length <= 4 cover it, so two
+    // doubling rounds suffice (maxDepth 4 -> rounds at 2 and 4)
+    transitiveClosure(e1.union(e2).union(e3).distinct(), maxDepth = 4)
       .orderBy("src", "dst")
   }
 
