@@ -143,7 +143,7 @@ object GraphOps {
       |  e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
       |        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
       |        AND a.l_suppkey <> b.l_suppkey GROUP BY 1, 2),
-      |  seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_acctbal > 8000),
+      |  seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_acctbal > 5000),
       |  walk(node, dd) AS (
       |    SELECT node, 0 FROM seeds
       |    UNION
@@ -151,7 +151,7 @@ object GraphOps {
       |    WHERE walk.dd < 3)
       |SELECT node AS s_suppkey, CAST(MIN(dd) AS BIGINT) AS dist_to_labeled
       |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
-    val seeds = T.supplier(s, d).filter(col("s_acctbal") > 8000)
+    val seeds = T.supplier(s, d).filter(col("s_acctbal") > 5000)
       .select(col("s_suppkey").as("node"))
     coSupplyBfs(s, d, seeds, 3)
       .groupBy("node").agg(min(col("dist")).as("dist_to_labeled"))
