@@ -20,6 +20,11 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Like [[table]] but routes names with non-standard physical types
+    * through their normalizing accessor (events: TIMESTAMP(NANOS)). */
+  def tableNormalized(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else table(spark, dir, name)
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
