@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-2 analytic capabilities (SURVEY.md §2.2/§2.3 additions): CUBE,
+  * range/interval join, deciles, running totals, correlation, histograms,
+  * date-spine gap fill, SCD2 history builds.
+  *
+  * Reference analogs: the QC rollups and per-dimension summary matrices in
+  * doc/TCRD_Build_Notes.txt and R/*.R (correlation/normalization passes),
+  * and the MySQL upsert history every loader keeps (ins_*/upd_* in
+  * loaders/TCRD.py) — re-expressed as declarative window/join plans.
+  */
+object Analytics {
+
+  /** CUBE over (region, order status): all 2^2 grouping sets in one
+    * Expand-based pass — one shuffle, not 4 separate aggregations.
+    * SQL entry point for the same Dataset-API quirk noted on q_rollup. */
+  val qCube: Q = Q(
+    "q_cube",
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE(r_name, o_orderstatus)
+      |ORDER BY region, status""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .join(T.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rn"), col("o_orderstatus").as("st"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_cube_base")
+    s.sql(
+      """SELECT COALESCE(rn, 'ALL') AS region, COALESCE(st, 'ALL') AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM graft_cube_base
+        |GROUP BY CUBE(rn, st)
+        |ORDER BY region, status""".stripMargin)
+  }
+
+  /** Range/interval join, the scale way: replicate each band onto every
+    * fixed-width bucket it overlaps, equi-join fact rows by bucket, then
+    * refine with the exact range predicate. The theta join a naive plan
+    * would use (BroadcastNestedLoop at best, cartesian at worst) becomes a
+    * hash join whose key is uniform by construction — this is how you
+    * range-join 100 TB of facts against an interval dimension. */
+  def bucketedRangeJoin(fact: DataFrame, factCol: Column, bands: DataFrame,
+                        width: Long): DataFrame = {
+    val b = bands.withColumn("bucket",
+      explode(sequence(floor(col("lo") / width).cast(LongType),
+        floor((col("hi") - lit(1e-6)) / width).cast(LongType))))
+    fact.withColumn("bucket", floor(factCol / width).cast(LongType))
+      .join(broadcast(b), Seq("bucket"))
+      .filter(factCol >= col("lo") && factCol < col("hi"))
+      .drop("bucket")
+  }
+
+  /** Orders bucketed into fixed price bands via the bucketed range join;
+    * the oracle states the same join as a plain range predicate. */
+  val qRangeJoin: Q = Q(
+    "q_range_join",
+    """SELECT band, lo, hi, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |JOIN (SELECT r // 50000 AS band, CAST(r AS DOUBLE) AS lo,
+      |             CAST(r + 50000 AS DOUBLE) AS hi
+      |      FROM range(0, 600000, 50000) t(r)) bands
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band, lo, hi
+      |ORDER BY band""".stripMargin) { (s, d) =>
+    val bands = s.range(0, 12).select(col("id").as("band"),
+      dbl(col("id") * 50000).as("lo"), dbl((col("id") + 1) * 50000).as("hi"))
+    bucketedRangeJoin(T.orders(s, d), col("o_totalprice"), bands, 50000L)
+      .groupBy("band", "lo", "hi")
+      .agg(count(lit(1)).as("n_orders"),
+        sumDbl(dec2(col("o_totalprice"))).as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** NTILE decile summary per segment (rank-normalization passes in
+    * R/gtex_process.R): tie-broken total order so tiles are deterministic. */
+  val qNtile: Q = Q(
+    "q_ntile",
+    """SELECT c_mktsegment, tile, COUNT(*) AS cnt,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM (SELECT c_mktsegment, o_totalprice,
+      |        NTILE(10) OVER (PARTITION BY c_mktsegment
+      |                        ORDER BY o_totalprice, o_orderkey) AS tile
+      |      FROM orders JOIN customer ON o_custkey = c_custkey)
+      |GROUP BY c_mktsegment, tile
+      |ORDER BY c_mktsegment, tile""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    T.orders(s, d)
+      .join(broadcast(T.customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("tile", lng(ntile(10).over(w)))
+      .groupBy("c_mktsegment", "tile")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("c_mktsegment", "tile")
+  }
+
+  /** Running total per entity (cumulative spend per customer over time) —
+    * one shuffle on the partition key; the running sum is exact decimal. */
+  val qRunningTotal: Q = Q(
+    "q_running_total",
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        dbl(sum(dec2(col("o_totalprice"))).over(w)).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Pearson correlation per group from exact decimal moment sums (the
+    * R-script correlation passes, e.g. R/process-CCLE.R): the five sums are
+    * order-independent decimals; the r formula is one fixed-shape double
+    * computation per group. */
+  val qCorr: Q = Q(
+    "q_corr",
+    """WITH m AS (SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r,
+      |  CAST(n AS BIGINT) AS cnt
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val x = dec2(col("l_quantity")); val y = dec2(col("l_extendedprice"))
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(dbl(count(lit(1))).as("n"),
+        sumDbl(x).as("sx"), sumDbl(y).as("sy"),
+        sumDbl(x * y).as("sxy"), sumDbl(x * x).as("sxx"), sumDbl(y * y).as("syy"))
+      .select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r"),
+        lng(col("n")).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Fixed-width histogram with per-group shares — a single map-side
+    * bucketing expression, no per-bucket scan. */
+  val qHistogram: Q = Q(
+    "q_histogram",
+    """WITH h AS (SELECT l_returnflag,
+      |    CAST(floor(l_quantity / 5.0) AS BIGINT) AS bucket, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, bucket, cnt,
+      |  round(CAST(cnt AS DOUBLE) /
+      |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS DOUBLE), 6) AS share
+      |FROM h ORDER BY l_returnflag, bucket""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("l_returnflag")
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), lng(floor(col("l_quantity") / 5.0)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share", round(dbl(col("cnt")) / dbl(sum(col("cnt")).over(w)), 6))
+      .orderBy("l_returnflag", "bucket")
+  }
+
+  /** Calendar-spine gap fill: generate the full month range between the
+    * data's min and max, left-join actual monthly counts, zero-fill. The
+    * spine is generated (a few hundred rows at any scale), never scanned. */
+  val qDateSpine: Q = Q(
+    "q_date_spine",
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS cnt
+      |           FROM orders GROUP BY 1),
+      |  r AS (SELECT MIN(mon) AS lo, MAX(mon) AS hi FROM m),
+      |  spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mon FROM r)
+      |SELECT strftime(spine.mon, '%Y-%m') AS month,
+      |  CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders
+      |FROM spine LEFT JOIN m ON spine.mon = m.mon
+      |ORDER BY month""".stripMargin) { (s, d) =>
+    val monthly = T.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = monthly.agg(min("mon").as("lo"), max("mon").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("mon"))
+    spine.join(monthly, Seq("mon"), "left")
+      .select(date_format(col("mon"), "yyyy-MM").as("month"),
+        lng(coalesce(col("cnt"), lit(0))).as("n_orders"))
+      .orderBy("month")
+  }
+
+  /** SCD2 history build (the MySQL ins/upd history every loader maintains,
+    * loaders/TCRD.py): order each entity's change events, valid_from = ts,
+    * valid_to = next change, open interval = current. Times are exact
+    * integer microseconds (engine-independent). */
+  val qScd2: Q = Q(
+    "q_scd2",
+    """SELECT user_id, event_id, epoch_us(ts) AS valid_from,
+      |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_us(ts), event_id) AS valid_to,
+      |  (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts), event_id) IS NULL) AS is_current,
+      |  value
+      |FROM events WHERE event_type = 'signup'
+      |ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    T.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("valid_from"), col("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"), col("value"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(qCube, qRangeJoin, qNtile, qRunningTotal, qCorr,
+    qHistogram, qDateSpine, qScd2)
+}
