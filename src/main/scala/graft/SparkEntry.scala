@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Events.all ++
       operators.AsofJoin.all ++
       ops.TextAnalysis.all ++
+      ops.TextAnalysis2.all ++
       ops.Dedup.all ++
       ops.Similarity.all ++
       ops.Multimodal.all ++
