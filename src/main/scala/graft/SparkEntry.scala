@@ -12,6 +12,7 @@ object SparkEntry {
       operators.Analytics.all ++
       operators.Scoring.all ++
       operators.GraphOps.all ++
+      operators.GraphOps2.all ++
       operators.Events.all ++
       operators.AsofJoin.all ++
       ops.TextAnalysis.all ++
