@@ -66,5 +66,26 @@ object Events {
       .orderBy("day", "event_type")
   }
 
-  val all: Seq[Q] = Seq(qSessionize, qTumblingWindow)
+  /** Event-time sliding window (1 day, sliding 6 h): each event lands in
+    * exactly windowDur/slide = 4 windows. Spark's window() generates the
+    * window set map-side; the oracle replicates each event across the 4
+    * epoch-aligned starts. Streaming twin: StreamingOps.slidingCounts. */
+  val qSlidingWindow: Q = Q(
+    "q_sliding_window",
+    """SELECT ws AS window_start_us, event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT (epoch_us(ts) // 21600000000 - k) * 21600000000 AS ws,
+      |             event_type, value
+      |      FROM events CROSS JOIN range(0, 4) t(k))
+      |GROUP BY ws, event_type
+      |ORDER BY window_start_us, event_type""".stripMargin) { (s, d) =>
+    T.events(s, d)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sumDbl(dec2(col("value"))).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("window_start_us", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(qSessionize, qTumblingWindow, qSlidingWindow)
 }

@@ -101,5 +101,46 @@ object Similarity {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 
-  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh)
+  /** IVF-style ANN (the other 100 TB path, complementing LSH): a coarse
+    * quantizer (K centroids) partitions the corpus into cells; each vector
+    * is assigned to its nearest centroid once (one broadcast pass over the
+    * corpus — K ≪ n); probes search only their nProbe nearest cells via a
+    * hash join on cell id. Centroids here are the first K corpus vectors
+    * (deterministic stand-in for a k-means fit — at scale you'd fit on a
+    * sample and broadcast the model the same way). Rows-only: the spec
+    * cross-validates recall against brute force. */
+  val qAnnIvf: Q = Q.rowsOnly("q_ann_ivf") { (s, d) =>
+    val k = 16; val nProbe = 4
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // one pass: score each vector against all K centroids, keep argmax
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorFunctions.cosineSim(col("v"), col("cv")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    // probes visit their nProbe nearest cells
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val probeCells = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorFunctions.cosineSim(col("qv"), col("cv")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val cands = assigned
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFunctions.cosineSim(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("rnk", lng(rank().over(w)))
+      .filter(col("rnk") <= 5)
+      .orderBy("query_id", "rnk", "neighbor_id")
+  }
+
+  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf)
 }

@@ -66,6 +66,16 @@ object Tables {
       .schema(schema)
       .csv(path)
 
+  /** JSON-lines ingest with an explicit schema (same never-infer rule as
+    * CSV). PERMISSIVE mode keeps malformed lines as nulls instead of
+    * failing a 100 TB job on one bad record; route them to a quarantine
+    * sink via the _corrupt_record column if the schema declares one. */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .json(path)
+
   /** Partitioned parquet sink: partition column choice is the scale lever
     * (keep per-partition file counts bounded; low-cardinality keys only). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =

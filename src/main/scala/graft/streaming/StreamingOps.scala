@@ -29,6 +29,15 @@ object StreamingOps {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Sliding event-time window counts; mirrors Events.qSlidingWindow. */
+  def slidingCounts(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sumDbl(dec2(col("value"))).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
   /** Exactly-once event de-dup inside the watermark horizon. */
   def dedupEvents(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermarkDelay)

@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{Analytics, GraphOps2}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Targeted specs for the round-2 operators (the oracle gate covers their
+  * end-to-end results; these pin the algorithmic building blocks). */
+class Round2OpsSpec extends SparkSpec {
+
+  test("bucketedRangeJoin equals the naive range join on non-uniform bands") {
+    import spark.implicits._
+    val orders = graft.sources.Tables.orders(spark, TinyDir)
+    // deliberately non-uniform: middle band spans several 50k buckets
+    val bands = Seq((0L, 0.0, 30000.0), (1L, 30000.0, 150000.0), (2L, 150000.0, 600000.0))
+      .toDF("band", "lo", "hi")
+    val fast = Analytics.bucketedRangeJoin(orders, col("o_totalprice"), bands, 50000L)
+      .select("o_orderkey", "band")
+    val naive = orders.crossJoin(bands)
+      .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .select("o_orderkey", "band")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() === orders.count()) // bands partition the domain
+  }
+
+  test("pagerankInt: star center outranks leaves, exact integer ranks") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val pr = GraphOps2.pagerankInt(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(1L) === 150000000000L + 85L * 2000000000000L / 100L) // two full contribs
+    assert(pr(2L) === 150000000000L + 85L * 500000000000L / 100L) // half of center's rank
+    assert(pr(2L) === pr(3L))
+    assert(pr(1L) > pr(2L))
+  }
+
+  test("connectedComponents labels min id per component") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = GraphOps2.connectedComponents(edges, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("IVF ANN recalls most of the brute-force top-5") {
+    val brute = ops.Similarity.qAnnTopk.fn(spark, SmallDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ops.Similarity.qAnnIvf.fn(spark, SmallDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
+  }
+
+  test("readJsonLines: explicit schema, malformed lines survive as nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val f = dir.resolve("part0.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "name": "alpha"}
+        |{"id": 2, "name": "beta"}
+        |not json at all
+        |{"id": 4}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = graft.sources.Tables.readJsonLines(spark, f.toString, schema)
+    val rows = df.collect()
+    assert(rows.length === 4)
+    assert(rows.count(r => !r.isNullAt(0)) === 3) // the corrupt line is all-null
+    assert(df.filter(col("id") === 4).head().isNullAt(1))
+  }
+
+  test("streaming sliding window matches batch semantics (4 windows/event)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "event_type", "value", "ts")
+    val q = StreamingOps.slidingCounts(df)
+      .writeStream.format("memory").queryName("slide").outputMode("append").start()
+    try {
+      mem.addData((1L, "click", 2.0, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, "click", 1.0, ts("2024-01-05 00:00:00"))) // advance watermark
+      q.processAllAvailable()
+      mem.addData((3L, "click", 1.0, ts("2024-01-09 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT window_start_us, cnt FROM slide WHERE cnt > 0").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).filter(_._1 <= ts("2024-01-01 10:00:00").getTime * 1000)
+      // event at 10:00 on Jan 1 belongs to starts 18:00/Dec31 .. 06:00/Jan1 (4 windows)
+      assert(got.count(_._2 == 1L) === 4, s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("entropy of a uniform-token doc is log2(n_distinct)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_entropy_probe")
+    // reuse the production expression shape via a direct computation
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val n = tf.groupBy("doc_id").agg(sum("c").as("n"))
+    val ent = tf.join(n, "doc_id")
+      .withColumn("term", (col("c") / col("n")) * log2(col("n") / col("c")))
+      .groupBy("doc_id").agg(round(sum("term"), 6).as("entropy"))
+      .head().getDouble(1)
+    assert(ent === 2.0)
+  }
+}
