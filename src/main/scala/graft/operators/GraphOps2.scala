@@ -5,7 +5,6 @@ import graft.sources.{Tables => T}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Round-2 graph analytics (SURVEY.md §2.3 additions): PageRank-style
   * importance propagation and connected components. Reference analogs: the
@@ -29,32 +28,44 @@ object GraphOps2 {
     * partitioning. At cluster scale: edges hash-partitioned by src once,
     * ranks co-partitioned, iterations reuse the same exchange. */
   def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val e = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) truncates the LOGICAL plan each round, not
+    // just the RDD lineage — without it every round's plan embeds the
+    // previous round's, and Catalyst itself becomes the bottleneck. On a
+    // cluster use a reliable checkpoint dir instead (executor loss).
+    val e = e0Checkpoint(edges.select("src", "dst"))
+    val deg = e0Checkpoint(e.groupBy("src").agg(count(lit(1)).as("d")))
     var pr = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
     for (_ <- 1 to iters) {
-      pr = e.join(pr, col("src") === col("node"))
-        .select(col("dst"), expr("pr div d").as("contrib"))
-        .groupBy("dst").agg(sum(col("contrib")).as("s"))
-        .select(col("dst").as("node"),
-          (lit(PrTeleport) + expr("(85 * s) div 100")).as("pr"))
+      // per-node contribution first (node-sized join), then one edge join:
+      // the rank/degree tables stay broadcast-sized relative to the edges
+      val contrib = pr.join(deg, col("node") === col("src"))
+        .select(col("src").as("csrc"), expr("pr div d").as("contrib"))
+      pr = e0Checkpoint(
+        e.join(contrib, col("src") === col("csrc"))
+          .groupBy("dst").agg(sum(col("contrib")).as("s"))
+          .select(col("dst").as("node"),
+            (lit(PrTeleport) + expr("(85 * s) div 100")).as("pr")))
     }
     pr
   }
 
+  /** Eager localCheckpoint: materializes and swaps the logical plan for a
+    * LogicalRDD — constant-size plans across iterative rounds. */
+  private def e0Checkpoint(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** PageRank over the bipartite part<->supplier incidence graph — the
     * quadratic co-supply projection is never materialized (same trick as
     * coSupplyBfs); the graph is the distinct (part, supplier) list in both
-    * directions. Oracle = the same three iterations unrolled in SQL. */
+    * directions. Node ids are integer-encoded (2·part / 2·supplier+1):
+    * long shuffle keys hash and compare far cheaper than strings at
+    * billions of edges. Oracle = the same three iterations unrolled. */
   val qPagerank: Q = Q(
     "q_pagerank",
     """WITH e AS (
-      |  SELECT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
-      |         's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
       |  FROM lineitem GROUP BY 1, 2
       |  UNION ALL
-      |  SELECT 's:' || CAST(l_suppkey AS VARCHAR),
-      |         'p:' || CAST(l_partkey AS VARCHAR)
+      |  SELECT 2 * l_suppkey + 1, 2 * l_partkey
       |  FROM lineitem GROUP BY 1, 2),
       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
       |p0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
@@ -65,43 +76,55 @@ object GraphOps2 {
       |p3 AS (SELECT e.dst AS node, CAST(150000000000 + (85 * SUM(p2.pr // deg.d)) // 100 AS BIGINT) AS pr
       |       FROM e JOIN deg USING (src) JOIN p2 ON p2.node = e.src GROUP BY e.dst)
       |SELECT node, pr FROM p3 ORDER BY node""".stripMargin) { (s, d) =>
+    // checkpoint the incidence list before symmetrizing: the union refers
+    // to it twice, and an uncached reference would re-run the distinct
     val ps = T.lineitem(s, d)
-      .select(concat(lit("p:"), col("l_partkey")).as("p"),
-        concat(lit("s:"), col("l_suppkey")).as("sup"))
-      .distinct()
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
+      .distinct().localCheckpoint(true)
     val edges = ps.select(col("p").as("src"), col("sup").as("dst"))
       .union(ps.select(col("sup").as("src"), col("p").as("dst")))
     pagerankInt(edges, 3).orderBy("node")
   }
 
-  /** Min-label propagation connected components: labels start as node ids
-    * and each round take the min over the neighborhood; converged when no
-    * label changes (checked per round — at cluster scale you'd run
-    * ceil(log2 diameter) fixed rounds of the pointer-doubling variant
-    * instead). Edges must be symmetric. */
+  /** Connected components by iterated min-contraction: each round maps
+    * every node to min(self, neighbors), rewrites the edge set through the
+    * mapping (dropping self-loops), and composes the mapping into the
+    * node→label table. The working graph SHRINKS geometrically — dense
+    * clusters collapse in one round, chains halve — so unlike plain label
+    * propagation the per-round cost falls as it converges (empty edge set
+    * = done). Every round is eagerly localCheckpoint'ed: iterative plans
+    * must be truncated or Catalyst itself becomes the bottleneck (plan
+    * size, stats estimation). On a cluster, use a reliable checkpoint dir.
+    * Edges are symmetrized internally; the input is checkpointed first so
+    * an expensive pair-generation is never re-run. */
   def connectedComponents(edges: DataFrame, maxIters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e0 = e0Checkpoint(edges.select(col("src"), col("dst")))
+    var e = e0Checkpoint(e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct())
+    var comp = e0Checkpoint(e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var it = 0
-    var changed = true
-    while (changed && it < maxIters) {
-      val nbrMin = e.join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node2")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, col("node") === col("node2"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).limit(1).count() > 0
-      labels = next
+    var nEdges = e.count()
+    while (nEdges > 0 && it < maxIters) {
+      // m: node -> min(self, neighbors) over the current (symmetric) graph
+      val m = e0Checkpoint(e.groupBy(col("src").as("mn"))
+        .agg(min(col("dst")).as("mv"))
+        .select(col("mn"), least(col("mn"), col("mv")).as("ml")))
+      // compose the contraction into the original-node mapping
+      comp = e0Checkpoint(comp
+        .join(m, col("lbl") === col("mn"), "left")
+        .select(col("node"), coalesce(col("ml"), col("lbl")).as("lbl")))
+      // rewrite edges through the contraction, drop collapsed self-loops
+      e = e0Checkpoint(e
+        .join(m.select(col("mn").as("src"), col("ml").as("ls")), "src")
+        .join(m.select(col("mn").as("dst"), col("ml").as("ld")), "dst")
+        .select(col("ls").as("src"), col("ld").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+      nEdges = e.count()
       it += 1
     }
-    e.unpersist()
-    labels
+    comp
   }
 
   /** Near-duplicate clustering: connected components over the
@@ -134,7 +157,7 @@ object GraphOps2 {
     val pairs = a.join(b, col("id_a") < col("id_b"))
       .filter(round(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")), 6) >= 0.38)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val comp = connectedComponents(pairs, 10)
+    val comp = connectedComponents(pairs, 20)
     val w = Window.partitionBy("component")
     T.embeddings(s, d).select(col("vec_id"))
       .join(comp, col("vec_id") === col("node"), "left")
