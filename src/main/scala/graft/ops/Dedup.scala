@@ -45,16 +45,36 @@ object Dedup {
       .orderBy("survivor_id")
   }
 
+  /** Distinct word n-gram shingles hashed to int64: (id, sh: long).
+    * Joins/groupBys key on 8-byte longs instead of ~25-byte trigram
+    * strings — at corpus scale that halves-or-better every shuffle in the
+    * dedup pipeline. xxhash64 collisions are vanishing at any realistic
+    * vocabulary (p ≈ v²/2^65), and the oracle cross-check would surface
+    * one as a hash mismatch. */
+  def wordShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val toks = col("__toks")
+    val sh = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64(concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    ).otherwise(array(xxhash64(col("__text"))))
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"),
+        split(col(textCol), " ").as("__toks"))
+      .select(col("id"), explode(array_distinct(sh)).as("sh"))
+  }
+
   /** Exact Jaccard>=t pair join with SSJoin prefix filtering: shingles are
     * globally ordered by document frequency (rarest first); a doc of n
     * shingles only indexes its first n-ceil(t*n)+1 — if J(A,B)>=t the
     * prefixes must share a shingle, so the candidate join touches the rare
-    * tail of the distribution instead of every posting list. Verification
-    * computes |A∩B| via array_intersect on the collected sets, only for
-    * candidates. Identical output to the naive all-pairs join. */
+    * tail of the distribution instead of every posting list. Candidates
+    * then pass the length filter (J>=t forces min(|A|,|B|) >= t*max — a
+    * lossless prune) before verification computes |A∩B| via
+    * array_intersect on the collected (hashed) sets. Identical output to
+    * the naive all-pairs join. */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
-    val sh = wordShingles(docs, idCol, textCol, n)
+    val sh = wordShingleHashes(docs, idCol, textCol, n)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // one groupBy builds the df-ordered shingle list, from which both the
     // full set (verification) and the rare-first prefix (candidate keys)
@@ -67,10 +87,15 @@ object Dedup {
         size(col("arr")).as("nsh"))
       .withColumn("plen", (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
       .withColumn("prefix", slice(col("set"), lit(1), col("plen")))
-    val prefix = profiles.select(col("id"), explode(col("prefix")).as("sh"))
-    val cand = prefix.select(col("id").as("id_a"), col("sh"))
-      .join(prefix.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      // referenced by both the candidate and the verification branch —
+      // materialize once (doc-count-sized, tiny next to the shingle table)
+      .localCheckpoint(true)
+    val prefix = profiles.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
+    val cand = prefix.select(col("id").as("id_a"), col("nsh").as("na"), col("sh"))
+      .join(prefix.select(col("id").as("id_b"), col("nsh").as("nb"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
+      .filter(dbl(least(col("na"), col("nb"))) >=
+        lit(threshold) * dbl(greatest(col("na"), col("nb"))))
       .select("id_a", "id_b").distinct()
     val sets = profiles.select(col("id"), col("set"), col("nsh"))
     cand
