@@ -22,6 +22,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // runtime row-group pruning for large shuffle joins: inject a bloom
+      // filter built from the selective side into the big side's scan —
+      // at 100 TB this skips whole row groups before the shuffle
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
   }
 
