@@ -87,5 +87,63 @@ object Events {
       .orderBy("window_start_us", "event_type")
   }
 
-  val all: Seq[Q] = Seq(qSessionize, qTumblingWindow, qSlidingWindow)
+  /** Ordered funnel analysis: per user, the first time of each funnel
+    * stage; a stage counts only if it happens at-or-after the previous
+    * stage's first time. One shuffle (user aggregation) computes every
+    * stage's first-timestamp via conditional min — no per-stage scan or
+    * self-join. */
+  val qFunnel: Q = Q(
+    "q_funnel",
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t1,
+      |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t2,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t3
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |  CAST(COUNT(CASE WHEN t1 IS NOT NULL THEN 1 END) AS BIGINT) AS n_signup,
+      |  CAST(COUNT(CASE WHEN t1 IS NOT NULL AND t2 >= t1 THEN 1 END) AS BIGINT) AS n_click,
+      |  CAST(COUNT(CASE WHEN t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2 THEN 1 END) AS BIGINT) AS n_purchase
+      |FROM f""".stripMargin) { (s, d) =>
+    val f = T.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("t1"),
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t2"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t3"))
+    f.agg(
+      lng(count(when(col("t1").isNotNull, 1))).as("n_signup"),
+      lng(count(when(col("t1").isNotNull && col("t2") >= col("t1"), 1))).as("n_click"),
+      lng(count(when(col("t1").isNotNull && col("t2") >= col("t1") && col("t3") >= col("t2"), 1)))
+        .as("n_purchase"))
+  }
+
+  /** Cohort retention: users grouped by first-activity week, counted by
+    * weeks-since-cohort for every active week. Two shuffles total (user
+    * firsts, then cohort cells) — the classic retention matrix without a
+    * per-cohort pass. Weeks are integer epoch-day divisions (engine-
+    * independent; no WEEK() locale semantics). */
+  val qRetention: Q = Q(
+    "q_retention",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id)
+      |SELECT cohort_wk, CAST(act.wk - cohort_wk AS BIGINT) AS weeks_later,
+      |  COUNT(*) AS n_users
+      |FROM act JOIN first USING (user_id)
+      |GROUP BY cohort_wk, weeks_later
+      |ORDER BY cohort_wk, weeks_later""".stripMargin) { (s, d) =>
+    val act = T.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    act.join(first, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_later"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "weeks_later")
+  }
+
+  val all: Seq[Q] = Seq(qSessionize, qTumblingWindow, qSlidingWindow,
+    qFunnel, qRetention)
 }

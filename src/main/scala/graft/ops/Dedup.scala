@@ -87,6 +87,8 @@ object Dedup {
         size(col("arr")).as("nsh"))
       .withColumn("plen", (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
       .withColumn("prefix", slice(col("set"), lit(1), col("plen")))
+      // value-sorted copy for the merge-walk intersect count
+      .withColumn("vset", sort_array(col("set")))
       // referenced by both the candidate and the verification branch —
       // materialize once (doc-count-sized, tiny next to the shingle table)
       .localCheckpoint(true)
@@ -97,11 +99,12 @@ object Dedup {
       .filter(dbl(least(col("na"), col("nb"))) >=
         lit(threshold) * dbl(greatest(col("na"), col("nb"))))
       .select("id_a", "id_b").distinct()
-    val sets = profiles.select(col("id"), col("set"), col("nsh"))
+    val sets = profiles.select(col("id"), col("vset"), col("nsh"))
     cand
-      .join(sets.select(col("id").as("id_a"), col("set").as("sa"), col("nsh").as("na")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("set").as("sb"), col("nsh").as("nb")), "id_b")
-      .withColumn("n_common", lng(size(array_intersect(col("sa"), col("sb")))))
+      .join(sets.select(col("id").as("id_a"), col("vset").as("sa"), col("nsh").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("vset").as("sb"), col("nsh").as("nb")), "id_b")
+      .withColumn("n_common",
+        graft.functions.SetFunctions.intersectCountSorted(col("sa"), col("sb")))
       .withColumn("jaccard",
         round(dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")), 6))
       .filter(col("jaccard") >= threshold)

@@ -95,6 +95,24 @@ class Round2OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intersect_count_sorted matches size(array_intersect) incl. codegen path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("fast", graft.functions.SetFunctions.intersectCountSorted(col("a"), col("b")))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))).cast("long"))
+    assert(df.filter(col("fast") =!= col("ref")).count() === 0)
+    // empty-array edge
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(graft.functions.SetFunctions.intersectCountSorted(col("a"), col("b")))
+    assert(e.head().getLong(0) === 0L)
+  }
+
   test("entropy of a uniform-token doc is log2(n_distinct)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
