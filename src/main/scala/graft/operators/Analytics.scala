@@ -232,6 +232,50 @@ object Analytics {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** One-pass data-quality profile: row count, null count, exact distinct
+    * count, min/max per profiled column — the QC gate every ingest runs
+    * (python/csv2sql.py sanity checks, TCRD build-notes audits). One scan,
+    * one aggregation (Spark expands multi-distinct internally); min/max
+    * are canonicalized to strings via DECIMAL so engines render equally. */
+  val qProfile: Q = Q(
+    "q_profile",
+    """WITH a AS (SELECT COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_name,
+      |    CAST(COUNT(DISTINCT c_name) AS BIGINT) AS nd_name,
+      |    CAST(MIN(c_name) AS VARCHAR) AS mn_name, CAST(MAX(c_name) AS VARCHAR) AS mx_name,
+      |    CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_seg,
+      |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nd_seg,
+      |    CAST(MIN(c_mktsegment) AS VARCHAR) AS mn_seg, CAST(MAX(c_mktsegment) AS VARCHAR) AS mx_seg,
+      |    CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_bal,
+      |    CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS nd_bal,
+      |    CAST(CAST(MIN(c_acctbal) AS DECIMAL(12,2)) AS VARCHAR) AS mn_bal,
+      |    CAST(CAST(MAX(c_acctbal) AS DECIMAL(12,2)) AS VARCHAR) AS mx_bal
+      |  FROM customer)
+      |SELECT * FROM (
+      |  SELECT 'c_name' AS col_name, n_rows, nn_name AS n_nulls, nd_name AS n_distinct,
+      |         mn_name AS min_val, mx_name AS max_val FROM a
+      |  UNION ALL
+      |  SELECT 'c_mktsegment', n_rows, nn_seg, nd_seg, mn_seg, mx_seg FROM a
+      |  UNION ALL
+      |  SELECT 'c_acctbal', n_rows, nn_bal, nd_bal, mn_bal, mx_bal FROM a)
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    def prof(c: String, canon: Column => Column) = Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      canon(min(col(c))).cast(StringType).as(s"mn_$c"),
+      canon(max(col(c))).cast(StringType).as(s"mx_$c"))
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      prof("c_name", identity) ++ prof("c_mktsegment", identity) ++
+      prof("c_acctbal", _.cast(DecimalType(12, 2)))
+    val a = T.customer(s, d).agg(aggs.head, aggs.tail: _*)
+    val rows = Seq("c_name", "c_mktsegment", "c_acctbal").map { c =>
+      a.select(lit(c).as("col_name"), col("n_rows"),
+        col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"))
+    }
+    rows.reduce(_.union(_)).orderBy("col_name")
+  }
+
   val all: Seq[Q] = Seq(qCube, qRangeJoin, qNtile, qRunningTotal, qCorr,
-    qHistogram, qDateSpine, qScd2)
+    qHistogram, qDateSpine, qScd2, qProfile)
 }
