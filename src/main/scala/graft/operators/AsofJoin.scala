@@ -78,5 +78,37 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(qAsofJoin)
+  /** As-of join with a tolerance: a prior match only counts if it is
+    * within 1 hour — stale context is dropped, the row survives with a
+    * sentinel. Same single-shuffle plan; the tolerance is a post-carry
+    * filter, not a different join. */
+  val qAsofTolerance: Q = Q(
+    "q_asof_tolerance",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS ctus, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT user_id, epoch_us(ts) AS ptus, event_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ptus,
+      |  CASE WHEN p.ptus - c.ctus <= 3600000000 THEN c.click_id ELSE -1 END AS last_click_id,
+      |  CASE WHEN p.ptus - c.ctus <= 3600000000 THEN p.ptus - c.ctus ELSE -1 END AS gap_us
+      |FROM p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ptus >= c.ctus
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val tolUs = 3600L * 1000 * 1000
+    val ev = T.events(s, d).withColumn("tus", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("tus").as("ctus"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus").as("ptus"))
+    leftAsof(purchases, clicks, "user_id", "ptus", "ctus", Seq("click_id"))
+      .withColumn("gap", col("ptus") - col("asof_time"))
+      .select(col("event_id"), col("user_id"), col("ptus"),
+        when(col("gap") <= tolUs, col("click_id")).otherwise(-1L).as("last_click_id"),
+        when(col("gap") <= tolUs, col("gap")).otherwise(-1L).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(qAsofJoin, qAsofTolerance)
 }
