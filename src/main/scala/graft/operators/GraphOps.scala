@@ -5,7 +5,6 @@ import graft.functions.Exact._
 import graft.sources.{Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Graph-shaped capabilities of the reference (SURVEY.md §2.3): KEGG
   * pathway distances and nearest-Tclin search, PPI edge normalization.
@@ -24,9 +23,10 @@ object GraphOps {
     * @return (node, dist) minimum hop count, nodes within maxHops only
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoints: constant-size plans across hops (PLANS.md r2)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var visited = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = visited
     var hop = 1
     var done = false
@@ -35,10 +35,10 @@ object GraphOps {
         .select(col("E.dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(hop.toLong))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+        visited = visited.union(next).localCheckpoint(true)
         frontier = next
       }
       hop += 1
@@ -63,11 +63,12 @@ object GraphOps {
     * materializes) never exists. At 100 TB this is the difference between
     * a shuffle of the fact table and a shuffle of its square. */
   def coSupplyBfs(s: SparkSession, d: String, sources: DataFrame, maxHops: Int): DataFrame = {
+    // eager localCheckpoints: constant-size plans across hops (PLANS.md r2)
     val ps = T.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct().localCheckpoint(true)
     var visited = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = visited.select("node")
     var hop = 1
     var done = false
@@ -79,15 +80,14 @@ object GraphOps {
           col("pk") === col("fpk"))
         .select(col("sk").as("node")).distinct()
       val next = nbrs.join(visited, Seq("node"), "left_anti")
-        .withColumn("dist", lit(hop.toLong)).persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("dist", lit(hop.toLong)).localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+        visited = visited.union(next).localCheckpoint(true)
         frontier = next.select("node")
       }
       hop += 1
     }
-    ps.unpersist()
     visited
   }
 
@@ -166,8 +166,12 @@ object GraphOps {
     * Reference analog: ancestor closure over parent-child ontologies
     * (loaders/load-Ontologies.py, python/obo.py). */
   def transitiveClosure(edges: DataFrame, maxDepth: Int): DataFrame = {
+    // eager localCheckpoint per round: the doubling self-join references
+    // the closure THREE times (join x2 + union), so without plan
+    // truncation the logical plan grows 3^rounds (see PLANS.md round 2)
     var closure = edges.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    var nPaths = closure.count()
     var depth = 1
     var grew = true
     while (depth < maxDepth && grew) {
@@ -176,8 +180,10 @@ object GraphOps {
         .select(col("l.src").as("src"), col("r.dst").as("dst"))
         .union(closure)
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      grew = doubled.count() > closure.count()
+        .localCheckpoint(true)
+      val n = doubled.count()
+      grew = n > nPaths
+      nPaths = n
       closure = doubled
       depth *= 2
     }

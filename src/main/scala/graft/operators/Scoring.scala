@@ -244,6 +244,21 @@ object Scoring {
       .orderBy("l_suppkey")
   }
 
+  /** Approximate per-group quantiles via percentile_approx (the mergeable
+    * KLL-style sketch): the 100 TB path where the exact per-group sort of
+    * q_percentile is unaffordable. Rows-only (sketch internals aren't
+    * oracle-portable); the spec bounds the estimate against the exact
+    * percentile. */
+  val qApproxQuantile: Q = Q.rowsOnly("q_approx_quantile") { (s, d) =>
+    T.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),
+        percentile(col("o_totalprice"), lit(0.5)).as("exact_median"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(qCdf, qGaussianCdf, qConsensusMode, qTau, qTdl,
-    qTinxNovelty, qTinxImportance, qPubscore, qSketchDistinct)
+    qTinxNovelty, qTinxImportance, qPubscore, qSketchDistinct, qApproxQuantile)
 }

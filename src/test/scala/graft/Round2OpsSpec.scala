@@ -113,6 +113,16 @@ class Round2OpsSpec extends SparkSpec {
     assert(e.head().getLong(0) === 0L)
   }
 
+  test("approx quantile sketch stays within 5% of the exact median") {
+    val rows = operators.Scoring.qApproxQuantile.fn(spark, SmallDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getDouble(1); val exact = r.getDouble(2)
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact for ${r.getString(0)}")
+    }
+  }
+
   test("entropy of a uniform-token doc is log2(n_distinct)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
