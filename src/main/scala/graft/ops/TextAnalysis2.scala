@@ -142,5 +142,48 @@ object TextAnalysis2 {
       .orderBy("c_custkey")
   }
 
-  val all: Seq[Q] = Seq(qEntropy, qReadability, qTfidf, qStratifiedSample)
+  /** Corpus text normalization (the cleaning pass before dedup/training):
+    * lowercase, collapse whitespace runs, strip non-printable/control
+    * bytes, trim — all codegen'd regexp_replace, pure map-side. Emits a
+    * changed flag and both lengths so the pass is auditable. */
+  val qTextNormalize: Q = Q(
+    "q_text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1F]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+      |  CAST(length(text) AS BIGINT) AS raw_len,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1F]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len,
+      |  (trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1F]', '', 'g'), ' +', ' ', 'g')) <> text) AS changed
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[\\x00-\\x1F]", ""), " +", " "))
+    T.documents(s, d)
+      .select(col("doc_id"), norm.as("norm_text"),
+        lng(length(col("text"))).as("raw_len"),
+        lng(length(norm)).as("norm_len"),
+        (norm =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  /** Pattern redaction (PII-style scrub): mask email-shaped and long-digit
+    * tokens, count replacements — the standard pre-training scrub pass,
+    * again pure codegen regex at scan speed. */
+  val qRedact: Q = Q(
+    "q_redact",
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '\d{6,}', '<NUM>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\d{6,}')) AS BIGINT) AS n_long_nums
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    T.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          "\\d{6,}", "<NUM>").as("redacted"),
+        lng(regexp_count(col("text"), lit(emailPat))).as("n_emails"),
+        lng(regexp_count(col("text"), lit("\\d{6,}"))).as("n_long_nums"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qEntropy, qReadability, qTfidf, qStratifiedSample,
+    qTextNormalize, qRedact)
 }
