@@ -26,7 +26,6 @@ object GraftSession {
       // filter built from the selective side into the big side's scan —
       // at 100 TB this skips whole row groups before the shuffle
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
   }
 
