@@ -17,6 +17,7 @@ object SparkEntry {
       operators.AsofJoin.all ++
       ops.TextAnalysis.all ++
       ops.TextAnalysis2.all ++
+      ops.CorpusQuality.all ++
       ops.Dedup.all ++
       ops.Similarity.all ++
       ops.Multimodal.all ++

@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators (SURVEY.md §2.4): intra-document repetition,
+  * per-source health rollups, a keep/drop filter chain with reasons, and
+  * benchmark decontamination — the quality gates of a pre-training data
+  * pipeline, all shuffle-minimal (per-doc metrics are one explode +
+  * groupBy; source stats aggregate once).
+  */
+object CorpusQuality {
+
+  /** Intra-doc repetition: top-bigram share and distinct-bigram ratio —
+    * high top-share / low distinct-ratio = boilerplate or spam. */
+  val qRepetition: Q = Q(
+    "q_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |  bg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS bigram
+      |         FROM toks, unnest(range(1, len(tok))) AS t(i)),
+      |  cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac,
+      |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_frac
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = col("__toks")
+    val bigrams = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array(lit("")))).as("bigram"))
+      .filter(col("bigram") =!= "")
+    bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        round(dbl(max(col("c"))) / dbl(sum(col("c"))), 6).as("top_bigram_frac"),
+        round(dbl(count(lit(1))) / dbl(sum(col("c"))), 6).as("distinct_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source corpus health: volume, mean length, language spread,
+    * exact-duplicate rate — the per-provider QC dashboard. */
+  val qSourceStats: Q = Q(
+    "q_source_stats",
+    """SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  round(CAST(SUM(CAST(n_chars AS DECIMAL(14,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_chars,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sumDbl(col("n_chars").cast(org.apache.spark.sql.types.DecimalType(14, 2)))
+          / dbl(count(lit(1))), 4).as("mean_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(lit(1.0) - dbl(countDistinct(md5(col("text")))) / dbl(count(lit(1))), 6)
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
+  /** Keep/drop filter chain with a first-failure reason — the auditable
+    * form of a corpus filter (what was dropped, and why, per rule). Pure
+    * map-side; rules are ordered and the reason is the FIRST violated. */
+  val qFilterPipeline: Q = Q(
+    "q_filter_pipeline",
+    """SELECT doc_id,
+      |  CASE WHEN lang <> 'en' THEN 'lang'
+      |       WHEN n_chars < 100 THEN 'too_short'
+      |       WHEN n_chars > 5000 THEN 'too_long'
+      |       WHEN len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|to|in)\b')) = 0 THEN 'no_stopwords'
+      |       ELSE 'keep' END AS verdict
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"),
+        when(col("lang") =!= "en", "lang")
+          .when(col("n_chars") < 100, "too_short")
+          .when(col("n_chars") > 5000, "too_long")
+          .when(regexp_count(lower(col("text")),
+            lit("\\b(the|a|an|of|and|or|to|in)\\b")) === 0, "no_stopwords")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: corpus documents sharing any trigram with
+    * the probe/benchmark set (here: doc_id < 5), with the shared-shingle
+    * count. The probe shingle set is tiny and broadcast; the corpus
+    * shuffles once on the shingle hash — the standard n-gram-overlap
+    * decontamination join at corpus scale. */
+  val qContamination: Q = Q(
+    "q_contamination",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |  sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |         FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |  probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 5)
+      |SELECT sh.doc_id, COUNT(*) AS n_shared
+      |FROM sh JOIN probe USING (sh)
+      |WHERE sh.doc_id >= 5
+      |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = Dedup.wordShingleHashes(T.documents(s, d), "doc_id", "text", 3)
+    val probe = sh.filter(col("id") < 5).select("sh").distinct()
+    sh.filter(col("id") >= 5)
+      .join(broadcast(probe), "sh")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qRepetition, qSourceStats, qFilterPipeline, qContamination)
+}
