@@ -26,6 +26,7 @@ object GraftSession {
       // filter built from the selective side into the big side's scan —
       // at 100 TB this skips whole row groups before the shuffle
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.debug.maxToStringFields", "200")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
   }
 
