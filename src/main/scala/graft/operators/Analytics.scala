@@ -276,6 +276,40 @@ object Analytics {
     rows.reduce(_.union(_)).orderBy("col_name")
   }
 
+  /** Robust outlier detection via median absolute deviation: per-group
+    * median and MAD (both exact percentiles), robust z = (x - med) /
+    * (1.4826·MAD), emit |z| >= 1.4 (the tail screen for this uniform-tailed test data; real-world data uses 2.5-3). Two grouped percentile passes + one
+    * broadcast join per stage — the outlier screen that, unlike the
+    * mean/stddev z-score (q_zscore), a few extreme rows cannot poison. */
+  val qMadOutliers: Q = Q(
+    "q_mad_outliers",
+    """WITH med AS (SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS med
+      |             FROM customer GROUP BY 1),
+      |dev AS (SELECT c_custkey, c.c_mktsegment, c_acctbal, med,
+      |          abs(c_acctbal - med) AS ad
+      |        FROM customer c JOIN med USING (c_mktsegment)),
+      |mad AS (SELECT c_mktsegment, quantile_cont(ad, 0.5) AS mad
+      |        FROM dev GROUP BY 1)
+      |SELECT c_custkey, dev.c_mktsegment, c_acctbal,
+      |  round((c_acctbal - med) / (1.4826 * mad), 4) AS robust_z
+      |FROM dev JOIN mad USING (c_mktsegment)
+      |WHERE abs(round((c_acctbal - med) / (1.4826 * mad), 4)) >= 1.4
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = T.customer(s, d)
+    val med = c.groupBy("c_mktsegment")
+      .agg(percentile(col("c_acctbal"), lit(0.5)).as("med"))
+    val dev = c.join(broadcast(med), "c_mktsegment")
+      .withColumn("ad", abs(col("c_acctbal") - col("med")))
+    val mad = dev.groupBy(col("c_mktsegment").as("seg2"))
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), col("c_mktsegment") === col("seg2"))
+      .withColumn("robust_z",
+        round((col("c_acctbal") - col("med")) / (lit(1.4826) * col("mad")), 4))
+      .filter(abs(col("robust_z")) >= 1.4)
+      .select("c_custkey", "c_mktsegment", "c_acctbal", "robust_z")
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[Q] = Seq(qCube, qRangeJoin, qNtile, qRunningTotal, qCorr,
-    qHistogram, qDateSpine, qScd2, qProfile)
+    qHistogram, qDateSpine, qScd2, qProfile, qMadOutliers)
 }

@@ -107,14 +107,17 @@ object GraphOps2 {
     var it = 0
     var nEdges = e.count()
     while (nEdges > 0 && it < maxIters) {
-      // m: node -> min(self, neighbors) over the current (symmetric) graph
+      // m: node -> min(self, neighbors) over the current (symmetric) graph.
+      // Checkpointed: it is referenced three times below (mapping + both
+      // edge endpoints) and anchors the round's plans.
       val m = e0Checkpoint(e.groupBy(col("src").as("mn"))
         .agg(min(col("dst")).as("mv"))
         .select(col("mn"), least(col("mn"), col("mv")).as("ml")))
-      // compose the contraction into the original-node mapping
-      comp = e0Checkpoint(comp
+      // compose the contraction into the original-node mapping — linear
+      // chain (no self-reference), so it can stay lazy until the end
+      comp = comp
         .join(m, col("lbl") === col("mn"), "left")
-        .select(col("node"), coalesce(col("ml"), col("lbl")).as("lbl")))
+        .select(col("node"), coalesce(col("ml"), col("lbl")).as("lbl"))
       // rewrite edges through the contraction, drop collapsed self-loops
       e = e0Checkpoint(e
         .join(m.select(col("mn").as("src"), col("ml").as("ls")), "src")
