@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{AsofJoin, GraphOps2, MergeOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.Prop.forAll
+
+/** Property tests: distributed operators against exact in-memory
+  * reference implementations on random inputs. Spark job submission is
+  * expensive, so each property runs a reduced-but-meaningful number of
+  * cases; seeds are fixed by scalacheck's deterministic default
+  * parameters plus our own generators' structure. */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, n: Int = 12): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("connectedComponents equals union-find on random graphs") {
+    import spark.implicits._
+    val genEdges = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    check(forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        // reference union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(k => k -> find(k)).toMap
+        val got = GraphOps2.connectedComponents(edges.toDF("src", "dst"), 30)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want
+      }
+    })
+  }
+
+  test("pagerankInt equals an exact in-memory integer replica") {
+    import spark.implicits._
+    val genEdges = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(2, 50)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield {
+      val clean = edges.filter(e => e._1 != e._2).distinct
+      // symmetrize so every node has out-degree >= 1 (the op's contract)
+      (clean ++ clean.map(_.swap)).distinct
+    }
+    check(forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val iters = 3
+        val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+        var pr = deg.keys.map(_ -> 1000000000000L).toMap
+        for (_ <- 1 to iters) {
+          val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+          edges.foreach { case (s, t) => in(t) += pr(s) / deg(s) }
+          pr = in.map { case (k, s) => k -> (150000000000L + 85L * s / 100L) }.toMap
+        }
+        val got = GraphOps2.pagerankInt(edges.toDF("src", "dst"), iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == pr
+      }
+    }, n = 8)
+  }
+
+  test("leftAsof equals brute-force latest-prior lookup") {
+    import spark.implicits._
+    val genData = for {
+      probes <- Gen.listOfN(15, for {
+        k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      builds <- Gen.listOfN(10, for {
+        k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 50L); v <- Gen.choose(0L, 99L)
+      } yield (k, t, v))
+    } yield (probes.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+      // one row per (key, time): keep max v deterministically
+      builds.groupBy(b => (b._1, b._2)).map(_._2.maxBy(_._3)).toList)
+    check(forAll(genData) { case (probes, builds) =>
+      probes.isEmpty || builds.isEmpty || {
+        val want = probes.map { case (id, k, t) =>
+          val cands = builds.filter(b => b._1 == k && b._2 <= t)
+          id -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+        }.toMap
+        val l = probes.toDF("id", "k", "lt")
+        val r = builds.toDF("k", "rt", "v")
+        val got = AsofJoin.leftAsof(l, r, "k", "lt", "rt", Seq("v"))
+          .collect().map(row => row.getLong(0) ->
+            (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+        got == want
+      }
+    }, n = 10)
+  }
+
+  test("upsert equals last-writer-wins map semantics") {
+    import spark.implicits._
+    val genRow = for {
+      k <- Gen.choose(0L, 5L); ver <- Gen.choose(0L, 9L); v <- Gen.alphaStr.map(_.take(4))
+    } yield (k, ver, v)
+    val gen = for {
+      base <- Gen.listOfN(8, genRow)
+      upd <- Gen.listOfN(8, genRow)
+    } yield (
+      // unique key per side, deterministic survivor: max (ver, value)
+      base.groupBy(_._1).map(_._2.maxBy(r => (r._2, r._3))).toList,
+      upd.groupBy(_._1).map(_._2.maxBy(r => (r._2, r._3))).toList)
+    check(forAll(gen) { case (base, upd) =>
+      base.isEmpty || upd.isEmpty || {
+        val want = (base.map(r => r._1 -> (r._2, r._3, 0)) ++
+          upd.map(r => r._1 -> (r._2, r._3, 1)))
+          .groupBy(_._1)
+          .map { case (k, vs) =>
+            // higher version wins; updates win ties (src=1 > src=0)
+            val (_, (ver, v, _)) = vs.maxBy { case (_, (ver, _, src)) => (ver, src) }
+            k -> (ver, v)
+          }
+        val got = MergeOps.upsert(base.toDF("k", "ver", "v"),
+            upd.toDF("k", "ver", "v"), "k", "ver")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+        got == want
+      }
+    }, n = 10)
+  }
+}
