@@ -80,4 +80,25 @@ object Tables {
     * (keep per-partition file counts bounded; low-cardinality keys only). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Schema-evolving parquet read: union the schemas of all files
+    * (mergeSchema), so a dataset whose producers added columns over time
+    * reads as one table with nulls where absent. Costs a footer pass over
+    * every file — turn it on only for evolving datasets. */
+  def readParquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Small-file compaction: rewrite a parquet dataset into files of
+    * roughly `targetRowsPerFile`. The 100 TB hygiene job — metadata
+    * pressure and task-per-tiny-file overhead are what actually kill
+    * long-lived datasets; repartition count derives from the real row
+    * count, not a guess. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetRowsPerFile: Long): Long = {
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(files).write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

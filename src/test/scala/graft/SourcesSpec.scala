@@ -24,6 +24,31 @@ class SourcesSpec extends SparkSpec {
     assert(rows.length == 2 && rows(1).getString(1) == "EGFR" && rows(1).getDouble(2) == 7.25)
   }
 
+  test("readParquetMerged unions evolving schemas with nulls for absent columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toFile.getAbsolutePath
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir + "/gen1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(dir + "/gen2")
+    val df = Tables.readParquetMerged(spark, dir + "/gen1", dir + "/gen2")
+    assert(df.columns.toSet == Set("id", "v1", "v2"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2")) == 9.5)
+  }
+
+  test("compact rewrites a many-file dataset into row-bounded files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    (1L to 100L).toDF("id").repartition(20).write.parquet(dir + "/in")
+    val inFiles = new java.io.File(dir + "/in").listFiles.count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 20)
+    val n = Tables.compact(spark, dir + "/in", dir + "/out", targetRowsPerFile = 50)
+    assert(n == 100)
+    val outFiles = new java.io.File(dir + "/out").listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 2)
+    assert(spark.read.parquet(dir + "/out").count() == 100)
+  }
+
   test("writePartitioned lays out parquet by partition key and round-trips") {
     val out = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath + "/nations"
     val n = Tables.nation(spark, TinyDir)
