@@ -30,4 +30,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("l_orderkey"), plan) // no stray fact scan
     assert(plan.contains("ReadSchema: struct<c_custkey"), plan)
   }
+
+  test("range join: bucket equi-join, never a nested-loop") {
+    val plan = executed(operators.Analytics.qRangeJoin)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cube: one Expand pass, not per-grouping-set rescans") {
+    val plan = executed(operators.Analytics.qCube)
+    // formatted AQE output prints the final and the initial plan, so each
+    // physical operator can appear twice — the guard is: Expand present,
+    // and no more Expands/scans than those two printings imply
+    assert("\\(\\d+\\) Expand".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("Expand"), plan)
+    assert("Location: InMemoryFileIndex \\[file:[^\\]]*orders\\.parquet"
+      .r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("tfidf: document-frequency join broadcasts (corpus never reshuffles for it)") {
+    val plan = executed(ops.TextAnalysis2.qTfidf)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("contamination: probe shingles broadcast against the corpus scan") {
+    val plan = executed(ops.CorpusQuality.qContamination)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
