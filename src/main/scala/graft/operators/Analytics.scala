@@ -310,6 +310,28 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** Ranked substring search (the tcrd_app.py search endpoint shape):
+    * exact match beats prefix beats contains, ties broken by key — a
+    * full-scan LIKE at this grain; at warehouse scale the same ranking
+    * runs over an inverted token index (see q_dict_tag's tokenization). */
+  val qSearch: Q = Q(
+    "q_search",
+    """SELECT p_partkey, p_name,
+      |  CAST(CASE WHEN p_name = 'bolt' THEN 0
+      |       WHEN p_name LIKE 'bolt%' THEN 1
+      |       ELSE 2 END AS BIGINT) AS relevance
+      |FROM part WHERE p_name LIKE '%bolt%'
+      |ORDER BY relevance, p_partkey LIMIT 50""".stripMargin) { (s, d) =>
+    T.part(s, d)
+      .filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"), col("p_name"),
+        lng(when(col("p_name") === "bolt", 0)
+          .when(col("p_name").like("bolt%"), 1)
+          .otherwise(2)).as("relevance"))
+      .orderBy("relevance", "p_partkey")
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(qCube, qRangeJoin, qNtile, qRunningTotal, qCorr,
-    qHistogram, qDateSpine, qScd2, qProfile, qMadOutliers)
+    qHistogram, qDateSpine, qScd2, qProfile, qMadOutliers, qSearch)
 }
