@@ -148,7 +148,9 @@ object Dedup {
     * ScalaTest spec cross-validates against exact Jaccard. */
   val qDedupMinhash: Q = Q.rowsOnly("q_dedup_minhash") { (s, d) =>
     val k = 64; val bands = 16; val rows = k / bands
-    val sh = wordShingles(T.documents(s, d), "doc_id", "text", 3)
+    // hashed shingles: the minhash only needs a stable shingle identity,
+    // and 8-byte keys shuffle/aggregate cheaper than trigram strings
+    val sh = wordShingleHashes(T.documents(s, d), "doc_id", "text", 3)
     val sig = minhashSignatures(sh, k)
     val banded = sig.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
