@@ -184,6 +184,35 @@ object TextAnalysis2 {
       .orderBy("doc_id")
   }
 
+  /** Deterministic weighted sampling (A-ES weighted reservoir, the data-
+    * mixing primitive: longer/better docs drawn more often): priority =
+    * u^(1/w) with u a Knuth-multiplicative-hash uniform — pure integer
+    * math + one fixed-shape pow, so the "random" draw is reproducible on
+    * any engine and any partitioning; top-k priorities per stratum win.
+    * One window shuffle on the stratum key. */
+  val qWeightedSample: Q = Q(
+    "q_weighted_sample",
+    """WITH p AS (
+      |  SELECT doc_id, source, n_chars,
+      |    round(pow(CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0,
+      |              1.0 / CAST(n_chars AS DOUBLE)), 10) AS priority
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, priority, rn FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |                               ORDER BY priority DESC, doc_id) AS rn
+      |  FROM p)
+      |WHERE rn <= 3
+      |ORDER BY source, rn""".stripMargin) { (s, d) =>
+    val u = dbl(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))) / lit(4294967296.0)
+    val p = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(pow(u, lit(1.0) / dbl(col("n_chars"))), 10).as("priority"))
+    val w = Window.partitionBy("source").orderBy(col("priority").desc, col("doc_id"))
+    p.withColumn("rn", lng(row_number().over(w)))
+      .filter(col("rn") <= 3)
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[Q] = Seq(qEntropy, qReadability, qTfidf, qStratifiedSample,
-    qTextNormalize, qRedact)
+    qTextNormalize, qRedact, qWeightedSample)
 }
