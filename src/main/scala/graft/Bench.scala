@@ -26,13 +26,29 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of output and parses the
+    // JSON line out of that tail — a line longer than ~1880 chars gets its
+    // head cut off and fails to parse (it did in r1/r2). Emit per-query
+    // times at 3-decimal precision and, if the line still exceeds the
+    // budget, drop the FASTEST queries from the map (keeping a count of
+    // omissions) so the headline + slow tail always parse.
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val failedPart =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedPart}""")
+    def line(qs: Seq[(String, Double, Boolean)], omitted: Int): String = {
+      val m = qs.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val om = if (omitted == 0) "" else s""","omitted_fast":$omitted"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m,"sf":"$sfDir"$om$failedPart}"""
+    }
+    val bySlow = results.sortBy(-_._2)
+    var keep = bySlow.length
+    var out = line(bySlow.take(keep).sortBy(_._1), bySlow.length - keep)
+    while (out.length > 1880 && keep > 1) {
+      keep -= 1
+      out = line(bySlow.take(keep).sortBy(_._1), bySlow.length - keep)
+    }
+    println(out)
     spark.stop()
   }
 }

@@ -57,9 +57,15 @@ object Analytics {
     * range-join 100 TB of facts against an interval dimension. */
   def bucketedRangeJoin(fact: DataFrame, factCol: Column, bands: DataFrame,
                         width: Long): DataFrame = {
+    // replicate through floor(hi/w) inclusive — the exact range refine
+    // below filters the (at most one) spurious boundary bucket; an epsilon
+    // trick would silently drop matches when hi sits fractionally above a
+    // bucket boundary. greatest() keeps degenerate (hi < lo) bands on
+    // their lo bucket instead of feeding sequence() a descending range.
     val b = bands.withColumn("bucket",
       explode(sequence(floor(col("lo") / width).cast(LongType),
-        floor((col("hi") - lit(1e-6)) / width).cast(LongType))))
+        greatest(floor(col("lo") / width).cast(LongType),
+          floor(col("hi") / width).cast(LongType)))))
     fact.withColumn("bucket", floor(factCol / width).cast(LongType))
       .join(broadcast(b), Seq("bucket"))
       .filter(factCol >= col("lo") && factCol < col("hi"))

@@ -23,10 +23,14 @@ object GraphOps2 {
   val PrTeleport: Long = 150000000000L // 0.15
 
   /** Fixed-iteration integer PageRank over a directed edge list where every
-    * node has outdegree >= 1 (symmetric graphs qualify). One shuffle per
-    * iteration (the dst aggregation); the degree join reuses the edge
-    * partitioning. At cluster scale: edges hash-partitioned by src once,
-    * ranks co-partitioned, iterations reuse the same exchange. */
+    * node has outdegree >= 1 (the node set is taken from edge sources).
+    * Nodes with in-degree 0 (e.g. the head of a directed chain) receive no
+    * contributions but KEEP their teleport rank every round — the rank
+    * table is anchored on the full node set via a left join, so source-only
+    * nodes never drop out of the result. One shuffle per iteration (the dst
+    * aggregation); the degree join reuses the edge partitioning. At cluster
+    * scale: edges hash-partitioned by src once, ranks co-partitioned,
+    * iterations reuse the same exchange. */
   def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
     // localCheckpoint (eager) truncates the LOGICAL plan each round, not
     // just the RDD lineage — without it every round's plan embeds the
@@ -40,11 +44,13 @@ object GraphOps2 {
       // the rank/degree tables stay broadcast-sized relative to the edges
       val contrib = pr.join(deg, col("node") === col("src"))
         .select(col("src").as("csrc"), expr("pr div d").as("contrib"))
+      val sums = e.join(contrib, col("src") === col("csrc"))
+        .groupBy("dst").agg(sum(col("contrib")).as("s"))
       pr = e0Checkpoint(
-        e.join(contrib, col("src") === col("csrc"))
-          .groupBy("dst").agg(sum(col("contrib")).as("s"))
-          .select(col("dst").as("node"),
-            (lit(PrTeleport) + expr("(85 * s) div 100")).as("pr")))
+        deg.select(col("src").as("node"))
+          .join(sums, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(PrTeleport) + expr("(85 * coalesce(s, 0)) div 100")).as("pr")))
     }
     pr
   }
@@ -69,12 +75,18 @@ object GraphOps2 {
       |  FROM lineitem GROUP BY 1, 2),
       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
       |p0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
-      |p1 AS (SELECT e.dst AS node, CAST(150000000000 + (85 * SUM(p0.pr // deg.d)) // 100 AS BIGINT) AS pr
+      |s1 AS (SELECT e.dst, SUM(p0.pr // deg.d) AS s
       |       FROM e JOIN deg USING (src) JOIN p0 ON p0.node = e.src GROUP BY e.dst),
-      |p2 AS (SELECT e.dst AS node, CAST(150000000000 + (85 * SUM(p1.pr // deg.d)) // 100 AS BIGINT) AS pr
+      |p1 AS (SELECT deg.src AS node, CAST(150000000000 + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS pr
+      |       FROM deg LEFT JOIN s1 ON s1.dst = deg.src),
+      |s2 AS (SELECT e.dst, SUM(p1.pr // deg.d) AS s
       |       FROM e JOIN deg USING (src) JOIN p1 ON p1.node = e.src GROUP BY e.dst),
-      |p3 AS (SELECT e.dst AS node, CAST(150000000000 + (85 * SUM(p2.pr // deg.d)) // 100 AS BIGINT) AS pr
-      |       FROM e JOIN deg USING (src) JOIN p2 ON p2.node = e.src GROUP BY e.dst)
+      |p2 AS (SELECT deg.src AS node, CAST(150000000000 + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS pr
+      |       FROM deg LEFT JOIN s2 ON s2.dst = deg.src),
+      |s3 AS (SELECT e.dst, SUM(p2.pr // deg.d) AS s
+      |       FROM e JOIN deg USING (src) JOIN p2 ON p2.node = e.src GROUP BY e.dst),
+      |p3 AS (SELECT deg.src AS node, CAST(150000000000 + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS pr
+      |       FROM deg LEFT JOIN s3 ON s3.dst = deg.src)
       |SELECT node, pr FROM p3 ORDER BY node""".stripMargin) { (s, d) =>
     // checkpoint the incidence list before symmetrizing: the union refers
     // to it twice, and an uncached reference would re-run the distinct
@@ -127,6 +139,11 @@ object GraphOps2 {
       nEdges = e.count()
       it += 1
     }
+    // a non-empty residual graph means the labels are only partially
+    // merged — returning them silently would hand callers wrong components
+    require(nEdges == 0,
+      s"connectedComponents did not converge after $maxIters rounds " +
+        s"($nEdges contracted edges remain); raise maxIters")
     comp
   }
 

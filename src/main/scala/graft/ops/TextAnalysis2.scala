@@ -194,7 +194,7 @@ object TextAnalysis2 {
     "q_weighted_sample",
     """WITH p AS (
       |  SELECT doc_id, source, n_chars,
-      |    round(pow(CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0,
+      |    round(pow(CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0,
       |              1.0 / CAST(n_chars AS DOUBLE)), 10) AS priority
       |  FROM documents)
       |SELECT doc_id, source, n_chars, priority, rn FROM (
@@ -203,7 +203,12 @@ object TextAnalysis2 {
       |  FROM p)
       |WHERE rn <= 3
       |ORDER BY source, rn""".stripMargin) { (s, d) =>
-    val u = dbl(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))) / lit(4294967296.0)
+    // mask the id to 31 bits BEFORE the Knuth multiply: (2^31-1)*2654435761
+    // ≈ 5.7e18 provably fits int64 on every engine, whereas an unmasked
+    // doc_id over ~3.47e9 overflows — Spark would wrap while DuckDB raises,
+    // breaking the "reproducible on any engine" determinism claim at scale.
+    val u = dbl(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))) / lit(4294967296.0)
     val p = T.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"),
         round(pow(u, lit(1.0) / dbl(col("n_chars"))), 10).as("priority"))

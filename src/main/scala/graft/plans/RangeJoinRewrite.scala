@@ -79,11 +79,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 x1.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
             val bl = Alias(bucketOf(x1, w), "__graft_bucket_l")()
             val newLeft = Project(left.output :+ bl, left)
-            // replicate each interval row onto every bucket it overlaps;
-            // degenerate/empty intervals still emit their lo bucket
+            // replicate each interval row onto every bucket it overlaps,
+            // through floor(hi/w) inclusive: when hi lies exactly on a
+            // bucket boundary that last bucket holds no matches, but the
+            // retained exact range predicate filters it — an epsilon trick
+            // (floor((hi-eps)/w)) instead drops legitimate matches when hi
+            // is fractionally above a boundary. Degenerate/empty intervals
+            // (hi < lo) still emit their lo bucket via Greatest.
             val start = bucketOf(lo, w)
-            val stop = Greatest(Seq(start,
-              bucketOf(Subtract(Cast(hi, DoubleType), Literal(1e-9, DoubleType)), w)))
+            val stop = Greatest(Seq(start, bucketOf(hi, w)))
             val genOut = AttributeReference("__graft_bucket_r", LongType, nullable = true)()
             // Sequence is TimeZoneAwareExpression: it only reports resolved
             // once a zone is bound (irrelevant for longs, required anyway)

@@ -62,9 +62,21 @@ object StreamingOps {
     updates.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val cur = new org.apache.hadoop.fs.Path(snapshotDir)
+        val prev = new org.apache.hadoop.fs.Path(snapshotDir + "_prev")
+        val next = new org.apache.hadoop.fs.Path(snapshotDir + "_next")
+        // resolve the FS from the snapshot path itself (the default FS may
+        // be a different scheme entirely)
+        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // "no snapshot yet" is decided by an existence check, not a
+        // catch-all: a transient read/IO failure must propagate (retried by
+        // the stream), never be treated as an empty base — that would
+        // silently rebuild the snapshot from one batch. _prev is the
+        // recovery point if a previous swap died between its two renames.
         val base =
-          try spark.read.parquet(snapshotDir)
-          catch { case _: Throwable => batch.limit(0) }
+          if (fs.exists(cur)) spark.read.parquet(snapshotDir)
+          else if (fs.exists(prev)) spark.read.parquet(snapshotDir + "_prev")
+          else batch.limit(0)
         // dedup within the batch first (micro-batches can carry multiple
         // versions of one key), then merge into the snapshot
         val w = org.apache.spark.sql.expressions.Window
@@ -73,14 +85,13 @@ object StreamingOps {
           .filter(col("__rn") === 1).drop("__rn")
         graft.operators.MergeOps.upsert(base, batchLatest, key, versionCol)
           .write.mode("overwrite").parquet(snapshotDir + "_next")
-        // atomic-ish swap: write next, then replace (a table format makes
-        // this a real atomic commit)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val cur = new org.apache.hadoop.fs.Path(snapshotDir)
-        val next = new org.apache.hadoop.fs.Path(snapshotDir + "_next")
-        fs.delete(cur, true)
+        // swap via rename-to-backup: at every instant either cur or prev
+        // holds a complete snapshot (a table format makes this a real
+        // atomic commit; the plan shape is the same)
+        fs.delete(prev, true)
+        if (fs.exists(cur)) { fs.rename(cur, prev); () }
         fs.rename(next, cur)
+        fs.delete(prev, true)
         ()
       }
 
