@@ -170,12 +170,16 @@ object GraphOps2 {
       |  COUNT(*) OVER (PARTITION BY COALESCE(comp.component, emb.vec_id)) AS cluster_size
       |FROM embeddings emb LEFT JOIN comp ON comp.node = emb.vec_id
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.functions.VectorFunctions.dotProduct
+    // norms precomputed once per vector; the O(pairs) scan is dot-only
+    // (same fold order — bit-identical to the fused cosine and the oracle)
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     val pairs = a.join(b, col("id_a") < col("id_b"))
-      .filter(round(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")), 6) >= 0.38)
+      .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val comp = connectedComponents(pairs, 20)
     val w = Window.partitionBy("component")

@@ -211,13 +211,19 @@ object Dedup {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import graft.functions.VectorFunctions.dotProduct
+    // precompute each norm ONCE per vector (n sqrt's) instead of twice per
+    // pair (n^2): the O(pairs) loop then does only the dot product — same
+    // left-fold accumulation order, so results stay bit-identical to the
+    // fused form and to the oracle (which also precomputes norms)
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos",
-        round(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")), 6))
+        round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= 0.38)
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
