@@ -14,7 +14,10 @@ object SparkEntry {
       operators.GraphOps.all ++
       operators.GraphOps2.all ++
       operators.Events.all ++
+      operators.Events2.all ++
+      operators.LoaderOps.all ++
       operators.AsofJoin.all ++
+      ops.Retrieval.all ++
       ops.TextAnalysis.all ++
       ops.TextAnalysis2.all ++
       ops.CorpusQuality.all ++

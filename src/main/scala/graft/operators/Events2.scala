@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 time-series operators over the events stream: rolling windows,
+  * attribution touches, volume-anomaly screens, inter-event gaps. The
+  * reference analog is the year-series / trend passes
+  * (loaders/load-GeneRIF_Years.py, doc/TCRD_Build_Notes.txt volume QC);
+  * the shapes are the standard event-warehouse ones.
+  *
+  * Timestamps are compared in exact integer microseconds (unix_micros /
+  * epoch_us); every derived double is fixed-shape from exact integer or
+  * decimal sums (SURVEY.md §5).
+  */
+object Events2 {
+
+  /** 7-day rolling mean/sum per event type over daily aggregates. Two
+    * cheap shuffles (daily rollup, then a per-type window over ~days rows
+    * — the windowed table is already reduced, so the window input is tiny
+    * relative to the event stream no matter the scale). */
+  val qRollingStats: Q = Q(
+    "q_rolling_stats",
+    """WITH daily AS (
+      |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(12,2))) AS dsum
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, cnt, CAST(dsum AS DOUBLE) AS sum_value,
+      |  round(CAST(SUM(cnt) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS ma7_cnt,
+      |  CAST(SUM(dsum) OVER w AS DOUBLE) AS sum7_value
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"), sum(dec2(col("value"))).as("dsum"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .select(col("event_type"), col("day"), col("cnt"), dbl(col("dsum")).as("sum_value"),
+        round(dbl(sum(col("cnt")).over(w)) / dbl(count(lit(1)).over(w)), 6).as("ma7_cnt"),
+        dbl(sum(col("dsum")).over(w)).as("sum7_value"))
+      .orderBy("event_type", "day")
+  }
+
+  /** First/last-touch attribution per user: the first and last event (by
+    * time, event-id tie-break) plus totals, via two ranking passes in ONE
+    * user-partitioned shuffle. */
+  val qFirstLastTouch: Q = Q(
+    "q_first_last_touch",
+    """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS ra,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rd
+      |  FROM events)
+      |SELECT user_id,
+      |  MAX(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+      |  MAX(CASE WHEN ra = 1 THEN tus END) AS first_tus,
+      |  MAX(CASE WHEN rd = 1 THEN event_type END) AS last_type,
+      |  MAX(CASE WHEN rd = 1 THEN tus END) AS last_tus,
+      |  COUNT(*) AS n_events
+      |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"), col("event_id"))
+    val wa = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val wd = Window.partitionBy("user_id").orderBy(col("tus").desc, col("event_id").desc)
+    ev.withColumn("ra", row_number().over(wa))
+      .withColumn("rd", row_number().over(wd))
+      .groupBy("user_id")
+      .agg(max(when(col("ra") === 1, col("event_type"))).as("first_type"),
+        max(when(col("ra") === 1, col("tus"))).as("first_tus"),
+        max(when(col("rd") === 1, col("event_type"))).as("last_type"),
+        max(when(col("rd") === 1, col("tus"))).as("last_tus"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Daily-volume anomaly screen: flag days whose count exceeds the
+    * type's mean + 2·stddev. Mean/stddev come from exact integer sums
+    * (Σc, Σc² as BIGINT), so the flag threshold is the identical double on
+    * every engine — no streaming-variance float drift. */
+  val qAnomalyDays: Q = Q(
+    "q_anomaly_days",
+    """WITH daily AS (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS s,
+      |  CAST(SUM(cnt * cnt) AS BIGINT) AS s2 FROM daily GROUP BY 1)
+      |SELECT d.event_type, d.day, d.cnt,
+      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_cnt,
+      |  round(sqrt(CAST(n * s2 - s * s AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS sd_cnt,
+      |  (CAST(d.cnt AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |    + 2.0 * (sqrt(CAST(n * s2 - s * s AS DOUBLE)) / CAST(n AS DOUBLE))) AS is_anomaly
+      |FROM daily d JOIN st USING (event_type)
+      |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val st = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+    val mean = dbl(col("s")) / dbl(col("n"))
+    val sd = sqrt(dbl(col("n") * col("s2") - col("s") * col("s"))) / dbl(col("n"))
+    daily.join(broadcast(st), "event_type")
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(mean, 4).as("mean_cnt"), round(sd, 4).as("sd_cnt"),
+        (dbl(col("cnt")) > mean + lit(2.0) * sd).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Per-user inter-event gap statistics (lag diff in exact integer
+    * micros, average as a final rounded double): the activity-cadence QC
+    * used before sessionization thresholds are chosen. */
+  val qGapStats: Q = Q(
+    "q_gap_stats",
+    """WITH g AS (SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, COUNT(gap) AS n_gaps, MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+      |  round(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE), 2) AS avg_gap_us
+      |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    T.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(col("gap")).as("n_gaps"), min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"),
+        round(dbl(sum(col("gap"))) / dbl(count(col("gap"))), 2).as("avg_gap_us"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(qRollingStats, qFirstLastTouch, qAnomalyDays, qGapStats)
+}

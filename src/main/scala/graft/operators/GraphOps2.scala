@@ -190,5 +190,40 @@ object GraphOps2 {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qConnectedComponents)
+  /** Triangle enumeration over the near-dup pair graph (a < b < c, each
+    * triangle once): the clustering-coefficient primitive for PPI-style
+    * graphs (loaders/load-BioPlexPPIs.py communities). Edge-edge-edge hash
+    * joins on the oriented edge list — no per-node adjacency blowup; at
+    * scale the standard refinement is joining the lower-degree endpoint
+    * first, which AQE's join reorder approximates from runtime stats. */
+  val qTriangleCount: Q = Q(
+    "q_triangle_count",
+    """WITH ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ee),
+      |e AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |      WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38)
+      |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      |ORDER BY a, b, c""".stripMargin) { (s, d) =>
+    import graft.functions.VectorFunctions.dotProduct
+    val emb = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // checkpoint: the oriented edge list anchors three join inputs below
+    val e = a.join(b, col("id_a") < col("id_b"))
+      .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
+    val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = e.select(col("src").as("b2"), col("dst").as("c"))
+    val e3 = e.select(col("src").as("a3"), col("dst").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+      .orderBy("a", "b", "c")
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qConnectedComponents, qTriangleCount)
 }

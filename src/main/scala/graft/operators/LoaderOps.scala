@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse-maintenance operators: the reference's loaders are all
+  * "diff the incoming release against the warehouse, then ins/upd/del"
+  * (loaders/TCRD.py ins_/upd_ helpers) plus build-notes referential
+  * audits (doc/TCRD_Build_Notes.txt QC). These are their set-based Spark
+  * forms — one full-outer join / one left join per audit edge instead of
+  * row-at-a-time cursor loops.
+  */
+object LoaderOps {
+
+  /** Snapshot delta detection: classify every key across two table
+    * versions as insert / delete / update in ONE full-outer join on the
+    * key — the loader-diff primitive. The two "releases" are carved
+    * deterministically out of `orders` (old: keys with k%10 != 3; new:
+    * keys with k%10 != 7, prices bumped 5% where k%13 = 0) so the diff is
+    * reproducible. All price math is DECIMAL-exact (SURVEY.md §5); at
+    * scale this is a single co-partitioned shuffle on the key. */
+  val qDeltaDetect: Q = Q(
+    "q_delta_detect",
+    """WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+      |old AS (SELECT o_orderkey AS k, p FROM o WHERE o_orderkey % 10 <> 3),
+      |nw AS (SELECT o_orderkey AS k,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN CAST(p * CAST(1.05 AS DECIMAL(3,2)) AS DECIMAL(16,4))
+      |       ELSE CAST(p AS DECIMAL(16,4)) END AS p
+      |  FROM o WHERE o_orderkey % 10 <> 7)
+      |SELECT COALESCE(old.k, nw.k) AS o_orderkey,
+      |  CASE WHEN old.k IS NULL THEN 'insert' WHEN nw.k IS NULL THEN 'delete' ELSE 'update' END AS change,
+      |  CAST(old.p AS DOUBLE) AS old_price, CAST(nw.p AS DOUBLE) AS new_price
+      |FROM old FULL JOIN nw ON old.k = nw.k
+      |WHERE old.k IS NULL OR nw.k IS NULL OR old.p <> nw.p
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = T.orders(s, d).select(col("o_orderkey"), dec2(col("o_totalprice")).as("p"))
+    val old = o.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey").as("k_old"), col("p").as("old_p"))
+    val nw = o.filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey").as("k_new"),
+        when(col("o_orderkey") % 13 === 0,
+          (col("p") * lit(1.05).cast(DecimalType(3, 2))).cast(DecimalType(16, 4)))
+          .otherwise(col("p").cast(DecimalType(16, 4))).as("new_p"))
+    old.join(nw, col("k_old") === col("k_new"), "full_outer")
+      .filter(col("k_old").isNull || col("k_new").isNull || col("old_p") =!= col("new_p"))
+      .select(coalesce(col("k_old"), col("k_new")).as("o_orderkey"),
+        when(col("k_old").isNull, "insert").when(col("k_new").isNull, "delete")
+          .otherwise("update").as("change"),
+        dbl(col("old_p")).as("old_price"), dbl(col("new_p")).as("new_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** One referential-integrity audit edge: child LEFT JOIN parent on the
+    * FK, count rows and orphans. */
+  private def fkEdge(label: String, child: DataFrame, ck: Column,
+                     parent: DataFrame, pk: Column): DataFrame =
+    child.join(parent, ck === pk, "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(pk.isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(label).as("fk"), col("n_rows"), col("n_orphans"))
+
+  /** Referential-integrity audit over every FK edge of the star schema —
+    * the build-notes QC pass, as six independent left-join aggregates
+    * unioned (each runs in parallel; the dim sides broadcast). A non-zero
+    * orphan count is the "dangling xref" signal the reference checks for
+    * after each load. */
+  val qFkIntegrity: Q = Q(
+    "q_fk_integrity",
+    """SELECT * FROM (
+      |SELECT 'customer.c_nationkey->nation' AS fk, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |UNION ALL
+      |SELECT 'lineitem.l_orderkey->orders', COUNT(*), CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey->part', COUNT(*), CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey->supplier', COUNT(*), CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer', COUNT(*), CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'supplier.s_nationkey->nation', COUNT(*), CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey)
+      |ORDER BY fk""".stripMargin) { (s, d) =>
+    val nation = broadcast(T.nation(s, d))
+    fkEdge("customer.c_nationkey->nation",
+        T.customer(s, d), col("c_nationkey"), nation, col("n_nationkey"))
+      .union(fkEdge("lineitem.l_orderkey->orders",
+        T.lineitem(s, d), col("l_orderkey"), T.orders(s, d), col("o_orderkey")))
+      .union(fkEdge("lineitem.l_partkey->part",
+        T.lineitem(s, d), col("l_partkey"), T.part(s, d), col("p_partkey")))
+      .union(fkEdge("lineitem.l_suppkey->supplier",
+        T.lineitem(s, d), col("l_suppkey"), T.supplier(s, d), col("s_suppkey")))
+      .union(fkEdge("orders.o_custkey->customer",
+        T.orders(s, d), col("o_custkey"), T.customer(s, d), col("c_custkey")))
+      .union(fkEdge("supplier.s_nationkey->nation",
+        T.supplier(s, d), col("s_nationkey"), nation, col("n_nationkey")))
+      .orderBy("fk")
+  }
+
+  val all: Seq[Q] = Seq(qDeltaDetect, qFkIntegrity)
+}

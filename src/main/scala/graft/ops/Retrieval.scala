@@ -1,0 +1,210 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-3 retrieval / corpus-statistics operators: BM25 ranking, vocab
+  * coverage (BPE prep), bigram language-model tables, co-occurrence PMI,
+  * fuzzy entity matching, and sketch-based heavy hitters. Reference
+  * analogs: the text-mining/search passes (tcrd_app.py search endpoint,
+  * python/grant_tagger.py term matching, TIN-X publication scoring);
+  * vocab/LM/PMI are the LLM-data-pipeline mandate.
+  *
+  * Tokenization convention matches TextAnalysis: single-space split,
+  * mirrored by string_split(text, ' ') in the oracles.
+  */
+object Retrieval {
+
+  private def toks(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.documents(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+
+  /** BM25 (k1=1.2, b=0.75, Lucene-style idf) for a fixed 3-term query,
+    * top-20 docs. Everything reduces before it joins: tf/df/dl are
+    * aggregates, the length norm joins doc-level tables, and the per-term
+    * scores are summed as DECIMAL(18,6) so the total is order-independent.
+    * At scale: one token-shuffle for tf, df and the global stats broadcast.
+    */
+  val qBm25: Q = Q(
+    "q_bm25",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token IN ('join','hash','scan') GROUP BY 1, 2),
+      |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id, tf.token,
+      |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS s
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN st)
+      |SELECT doc_id, n_terms, score, rn FROM (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score,
+      |    ROW_NUMBER() OVER (ORDER BY SUM(CAST(s AS DECIMAL(18,6))) DESC, doc_id) AS rn
+      |  FROM sc GROUP BY doc_id)
+      |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+    val tk = toks(s, d)
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+    val tf = tk.filter(col("token").isin("join", "hash", "scan"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val score = round(
+      log(lit(1.0) + (dbl(col("n_docs")) - dbl(col("df")) + 0.5) / (dbl(col("df")) + 0.5))
+        * (dbl(col("tf")) * 2.2)
+        / (dbl(col("tf")) + lit(1.2) *
+            (lit(0.25) + lit(0.75) * dbl(col("dl")) * dbl(col("n_docs")) / dbl(col("total")))), 6)
+    val sc = tf.join(dl, "doc_id").join(broadcast(dfT), "token").crossJoin(broadcast(st))
+      .select(col("doc_id"), score.cast(DecimalType(18, 6)).as("sdec"))
+    val agg = sc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("sdec")).as("ssum"))
+    agg.withColumn("rn",
+        row_number().over(Window.orderBy(col("ssum").desc, col("doc_id"))).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("doc_id"), col("n_terms"), dbl(col("ssum")).as("score"), col("rn"))
+      .orderBy("rn")
+  }
+
+  /** Vocabulary with counts, rank, and cumulative corpus coverage — the
+    * "how big a vocab covers X% of tokens" BPE-prep table. The global
+    * window runs over the already-aggregated vocab (tiny relative to the
+    * corpus), so the single-partition rank is not a scale concern. */
+  val qVocabCoverage: Q = Q(
+    "q_vocab_coverage",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+      |r AS (SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk FROM c)
+      |SELECT token, cnt, rnk,
+      |  round(CAST(SUM(cnt) OVER (ORDER BY rnk) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+      |FROM r CROSS JOIN tot ORDER BY rnk""".stripMargin) { (s, d) =>
+    val c = toks(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = c.agg(sum(col("cnt")).as("total"))
+    val r = c.withColumn("rnk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+    r.crossJoin(broadcast(tot))
+      .withColumn("coverage",
+        round(dbl(sum(col("cnt")).over(Window.orderBy("rnk"))) / dbl(col("total")), 6))
+      .select("token", "cnt", "rnk", "coverage")
+      .orderBy("rnk")
+  }
+
+  /** Bigram language-model table: top-3 continuations per token with MLE
+    * probabilities. Adjacency comes from a per-doc position window (one
+    * doc-partitioned shuffle), counts from one token-pair shuffle. */
+  val qBigramLm: Q = Q(
+    "q_bigram_lm",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |pos AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS ord FROM toks),
+      |big AS (SELECT doc_id, t AS cur, LEAD(t) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt FROM pos),
+      |bc AS (SELECT cur, nxt, COUNT(*) AS cnt FROM big WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |cc AS (SELECT cur, CAST(SUM(cnt) AS BIGINT) AS ctot FROM bc GROUP BY 1)
+      |SELECT cur, nxt, cnt, round(CAST(cnt AS DOUBLE) / CAST(ctot AS DOUBLE), 6) AS prob, rn FROM (
+      |  SELECT bc.cur, bc.nxt, bc.cnt, ctot,
+      |    ROW_NUMBER() OVER (PARTITION BY bc.cur ORDER BY bc.cnt DESC, bc.nxt) AS rn
+      |  FROM bc JOIN cc USING (cur))
+      |WHERE rn <= 3 ORDER BY cur, rn""".stripMargin) { (s, d) =>
+    val pos = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("ord", "t")))
+    val big = pos
+      .withColumn("nxt",
+        lead(col("t"), 1).over(Window.partitionBy("doc_id").orderBy("ord")))
+      .filter(col("nxt").isNotNull)
+    val bc = big.groupBy(col("t").as("cur"), col("nxt")).agg(count(lit(1)).as("cnt"))
+    val cc = bc.groupBy("cur").agg(sum(col("cnt")).as("ctot"))
+    bc.join(cc, "cur")
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("cur").orderBy(col("cnt").desc, col("nxt"))).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("cur"), col("nxt"), col("cnt"),
+        round(dbl(col("cnt")) / dbl(col("ctot")), 6).as("prob"), col("rn"))
+      .orderBy("cur", "rn")
+  }
+
+  /** Pointwise mutual information over doc-level co-occurrence of the
+    * top-40 vocabulary terms (the term-association mining behind
+    * TIN-X-style importance). Presence sets are distinct-token lists; the
+    * pair join is restricted to the broadcast top-40 so the candidate
+    * space is bounded regardless of corpus size. */
+  val qCooccurPmi: Q = Q(
+    "q_cooccur_pmi",
+    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |top AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1 ORDER BY c DESC, t LIMIT 40),
+      |ft AS (SELECT doc_id, toks.t, c FROM toks JOIN top USING (t)),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |pairs AS (SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS cab
+      |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2)
+      |SELECT ta, tb, cab,
+      |  round(ln(CAST(cab AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6) AS pmi
+      |FROM pairs JOIN top ca ON ca.t = pairs.ta JOIN top cb ON cb.t = pairs.tb CROSS JOIN nd
+      |ORDER BY pmi DESC, ta, tb LIMIT 100""".stripMargin) { (s, d) =>
+    val tkd = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t")).distinct()
+    val top = tkd.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(40)
+    val ft = tkd.join(broadcast(top.select("t")), "t")
+    val nd = T.documents(s, d).agg(count(lit(1)).as("n"))
+    val pairs = ft.select(col("doc_id"), col("t").as("ta"))
+      .join(ft.select(col("doc_id"), col("t").as("tb")), "doc_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("cab"))
+    pairs
+      .join(broadcast(top.select(col("t").as("ta"), col("c").as("ca"))), "ta")
+      .join(broadcast(top.select(col("t").as("tb"), col("c").as("cb"))), "tb")
+      .crossJoin(broadcast(nd))
+      .select(col("ta"), col("tb"), col("cab"),
+        round(log(dbl(col("cab")) * dbl(col("n")) / (dbl(col("ca")) * dbl(col("cb")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("ta"), col("tb")).limit(100)
+  }
+
+  /** Fuzzy entity matching with blocking: probe strings against the
+    * part-type vocabulary, candidates restricted to a shared first
+    * character and a ±2 length band (the classic blocking keys — at scale
+    * the block key is the shuffle/broadcast key and the edit distance
+    * runs only within blocks), matches at Levenshtein ≤ 2. Reference
+    * analog: HGNC/synonym reconciliation (loaders/load-HGNC.py). */
+  val qEntityMatch: Q = Q(
+    "q_entity_match",
+    """WITH probes AS (SELECT * FROM (VALUES ('STANDRD'), ('LRGE'), ('MEDIMU'), ('PROMOO'), ('ECONMY'), ('SMAL')) p(probe)),
+      |types AS (SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part GROUP BY 1)
+      |SELECT probe, p_type AS matched, CAST(levenshtein(probe, p_type) AS BIGINT) AS dist, n_parts
+      |FROM probes JOIN types
+      |  ON substr(probe, 1, 1) = substr(p_type, 1, 1)
+      |  AND abs(length(probe) - length(p_type)) <= 2
+      |  AND levenshtein(probe, p_type) <= 2
+      |ORDER BY probe, dist, matched""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val probes = Seq("STANDRD", "LRGE", "MEDIMU", "PROMOO", "ECONMY", "SMAL").toDF("probe")
+    val types = T.part(s, d).groupBy("p_type").agg(count(lit(1)).as("n_parts"))
+    types.join(broadcast(probes),
+        substring(col("probe"), 1, 1) === substring(col("p_type"), 1, 1) &&
+          abs(length(col("probe")) - length(col("p_type"))) <= 2 &&
+          levenshtein(col("probe"), col("p_type")) <= 2)
+      .select(col("probe"), col("p_type").as("matched"),
+        lng(levenshtein(col("probe"), col("p_type"))).as("dist"), col("n_parts"))
+      .orderBy("probe", "dist", "matched")
+  }
+
+  /** Heavy hitters via Count-Min Sketch: a mergeable fixed-size sketch
+    * built in one distributed pass (this is the 100 TB shape — the exact
+    * groupBy here exists only to label the true top-20 and let the spec
+    * bound the estimation error; at scale you keep ONLY the sketch).
+    * Rows-only: sketch internals aren't SQL-portable. */
+  val qHeavyHitters: Q = Q.rowsOnly("q_heavy_hitters") { (s, d) =>
+    import s.implicits._
+    val tk = toks(s, d)
+    val cms = tk.stat.countMinSketch("token", 0.0001, 0.99, 42)
+    val top = tk.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(20).collect()
+    top.toSeq
+      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+      .toDF("token", "exact_cnt", "cms_est")
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  val all: Seq[Q] = Seq(qBm25, qVocabCoverage, qBigramLm, qCooccurPmi,
+    qEntityMatch, qHeavyHitters)
+}

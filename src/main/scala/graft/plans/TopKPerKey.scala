@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator extension (SURVEY.md §2.5 / §7 r2): top-k rows per key.
@@ -43,6 +43,12 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    // no keys = GLOBAL top-k (a row_number() over an un-partitioned window):
+    // ClusteredDistribution(Nil) is illegal — the final pass must see all
+    // partial heaps on one partition, i.e. AllTuples. The partial pass still
+    // prunes each input partition to k rows first, so the single-partition
+    // exchange moves O(k * partitions), not the full input.
+    else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override def outputPartitioning = child.outputPartitioning

@@ -81,6 +81,16 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** ORC read/write: second columnar format (same pushdown/pruning
+    * contract as parquet — predicate pushdown via ORC's min/max stripes,
+    * column projection via the reader schema). Interop surface for
+    * warehouses whose upstream emits ORC. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Schema-evolving parquet read: union the schemas of all files
     * (mergeSchema), so a dataset whose producers added columns over time
     * reads as one table with nulls where absent. Costs a footer pass over

@@ -95,6 +95,25 @@ object StreamingOps {
         ()
       }
 
+  /** Stream-stream inner join with an event-time interval bound: pair each
+    * left event with right events for the same key whose timestamp falls in
+    * [left.ts - maxGap, left.ts] (the click↔impression attribution shape).
+    * Both sides are watermarked, so Spark buffers only the interval's worth
+    * of state per key and reclaims it as the watermark advances — the state
+    * store is bounded at any input volume. Column names must be disjoint
+    * except the key; the right side's ts column is `rightTs`. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                          maxGap: String = "30 minutes",
+                          watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r = right.withColumnRenamed(key, s"r_$key").withColumnRenamed("ts", "r_ts")
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r, col(key) === col(s"r_$key") &&
+      col("r_ts") >= col("ts") - expr(s"INTERVAL $maxGap") &&
+      col("r_ts") <= col("ts"))
+      .drop(s"r_$key")
+  }
+
   /** Streaming sessionization with a 30-min inactivity gap: custom state
     * via flatMapGroupsWithState + event-time timeout. A session is emitted
     * once the watermark passes its last event + gap. */

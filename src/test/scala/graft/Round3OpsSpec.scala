@@ -1,0 +1,201 @@
+package graft
+
+import graft.operators.{Events2, GraphOps2, LoaderOps}
+import graft.ops.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the round-3 operators (beyond the DuckDB oracle
+  * hash checks that AllQueriesSpec + Verify already run). */
+class Round3OpsSpec extends SparkSpec {
+
+  test("delta detect classifies inserts/deletes/updates consistently with the carve rule") {
+    val rows = LoaderOps.qDeltaDetect.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val change = r.getString(1)
+      // old excludes k%10==3, new excludes k%10==7, prices bump where k%13==0
+      if (k % 10 == 3) assert(change == "insert", s"key $k")
+      else if (k % 10 == 7) assert(change == "delete", s"key $k")
+      else { assert(change == "update"); assert(k % 13 == 0, s"key $k") }
+      if (change == "insert") assert(r.isNullAt(2) && !r.isNullAt(3))
+      if (change == "delete") assert(!r.isNullAt(2) && r.isNullAt(3))
+      if (change == "update") assert(!r.isNullAt(2) && !r.isNullAt(3))
+    }
+  }
+
+  test("fk integrity audits every edge of the star schema with zero orphans on clean data") {
+    val rows = LoaderOps.qFkIntegrity.fn(spark, TinyDir).collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(r.getLong(2) == 0L, s"orphans on ${r.getString(0)}"))
+  }
+
+  test("rolling 7-day mean equals the naive per-row recomputation") {
+    val rows = Events2.qRollingStats.fn(spark, TinyDir).collect()
+      .groupBy(_.getString(0)).values
+    rows.foreach { series =>
+      val byDay = series.sortBy(_.getString(1))
+      byDay.zipWithIndex.foreach { case (r, i) =>
+        val window = byDay.slice(math.max(0, i - 6), i + 1)
+        val expect = BigDecimal(window.map(_.getLong(2)).sum) / window.length
+        assert(math.abs(r.getDouble(4) - expect.toDouble) < 1e-6, s"day ${r.getString(1)}")
+      }
+    }
+  }
+
+  test("first/last touch agrees with a direct min/max by (ts, event_id)") {
+    val ev = graft.sources.Tables.events(spark, TinyDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"), col("event_id"))
+      .collect().groupBy(_.getLong(0))
+    val got = Events2.qFirstLastTouch.fn(spark, TinyDir).collect()
+    got.foreach { r =>
+      val evs = ev(r.getLong(0)).sortBy(e => (e.getLong(2), e.getLong(3)))
+      assert(r.getString(1) == evs.head.getString(1))
+      assert(r.getLong(2) == evs.head.getLong(2))
+      assert(r.getString(3) == evs.last.getString(1))
+      assert(r.getLong(4) == evs.last.getLong(2))
+      assert(r.getLong(5) == evs.length.toLong)
+    }
+  }
+
+  test("anomaly screen keeps every day and only flags above mean + 2 sd") {
+    val rows = Events2.qAnomalyDays.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, mean, sd, flag) = (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      // rounded mean/sd reported; flag computed pre-rounding — allow the 4dp slack
+      if (flag) assert(cnt > mean + 2 * sd - 1e-3)
+      else assert(cnt <= mean + 2 * sd + 1e-3)
+    }
+  }
+
+  test("gap stats: min <= avg <= max and gaps counted per user") {
+    val rows = Events2.qGapStats.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) <= r.getDouble(4) + 0.01)
+      assert(r.getDouble(4) <= r.getLong(3) + 0.01)
+    }
+  }
+
+  test("bm25 ranks are contiguous from 1 and scores non-increasing") {
+    val rows = Retrieval.qBm25.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.zipWithIndex.foreach { case (r, i) => assert(r.getLong(3) == i + 1L) }
+    rows.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi.getDouble(2) >= lo.getDouble(2))
+      case _ =>
+    }
+  }
+
+  test("vocab coverage is monotone and ends at 1.0") {
+    val rows = Retrieval.qVocabCoverage.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(3) <= b.getDouble(3) + 1e-9)
+        assert(a.getLong(1) >= b.getLong(1)) // counts non-increasing by rank
+      case _ =>
+    }
+    assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-6)
+  }
+
+  test("bigram LM probabilities: top-3 per token, each prob in (0,1], MLE denominator consistent") {
+    val rows = Retrieval.qBigramLm.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      g.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+    }
+  }
+
+  test("PMI pairs are ordered (ta < tb) and scores descending") {
+    val rows = Retrieval.qCooccurPmi.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getString(0) < r.getString(1)))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) >= b.getDouble(3))
+      case _ =>
+    }
+  }
+
+  test("entity match: every probe finds its intended type within distance 2") {
+    val rows = Retrieval.qEntityMatch.fn(spark, TinyDir).collect()
+    val matched = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(matched("STANDRD") == "STANDARD")
+    assert(matched("LRGE") == "LARGE")
+    assert(matched("ECONMY") == "ECONOMY")
+    assert(matched("SMAL") == "SMALL")
+    rows.foreach(r => assert(r.getLong(2) <= 2))
+  }
+
+  test("count-min sketch estimates bound the exact counts from above within eps * total") {
+    val rows = Retrieval.qHeavyHitters.fn(spark, TinyDir).collect()
+    assert(rows.length == 20)
+    val total = graft.sources.Tables.documents(spark, TinyDir)
+      .select(explode(split(col("text"), " ")).as("t")).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS must never under-count (${r.getString(0)})")
+      assert(est <= exact + (0.0001 * total).toLong + 1, s"CMS error above bound (${r.getString(0)})")
+    }
+  }
+
+  test("triangles are oriented a<b<c and all three edges are near-dup pairs") {
+    val tris = GraphOps2.qTriangleCount.fn(spark, TinyDir).collect()
+    val edges = graft.ops.Dedup.qDedupEmbed.fn(spark, TinyDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    tris.foreach { t =>
+      val (a, b, c) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      assert(a < b && b < c)
+      assert(edges((a, b)) && edges((b, c)) && edges((a, c)))
+    }
+  }
+
+  test("global top-k: row_number over an un-partitioned window plans and matches sort+limit") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, (i * 37 % 101).toLong)).toDF("id", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v").desc, col("id"))
+    graft.plans.TopKRewrite.install(spark)
+    val got = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = df.orderBy(col("v").desc, col("id")).limit(7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.sameElements(expect.sorted))
+  }
+
+  test("ORC roundtrip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = graft.sources.Tables.nation(spark, TinyDir)
+    graft.sources.Tables.writeOrc(src, dir + "/nation_orc")
+    val back = graft.sources.Tables.readOrc(spark, dir + "/nation_orc")
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("stream-stream interval join pairs events within the gap, drops the rest") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val views = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = graft.streaming.StreamingOps.intervalJoinStreams(
+      clicks.toDF().toDF("user_id", "click_id", "ts"),
+      views.toDF().toDF("user_id", "view_id", "ts"), "user_id")
+    val q = joined.select("click_id", "view_id")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      views.addData((1L, 100L, ts("2024-01-01 10:00:00")), (1L, 101L, ts("2024-01-01 09:00:00")),
+        (2L, 200L, ts("2024-01-01 10:05:00")))
+      clicks.addData((1L, 1L, ts("2024-01-01 10:10:00")), (2L, 2L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT click_id, view_id FROM ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // click 1 pairs with view 100 (10 min prior) but NOT 101 (70 min prior)
+      assert(got == Set((1L, 100L), (2L, 200L)))
+    } finally q.stop()
+  }
+}
