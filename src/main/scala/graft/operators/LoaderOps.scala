@@ -106,5 +106,25 @@ object LoaderOps {
       .orderBy("fk")
   }
 
-  val all: Seq[Q] = Seq(qDeltaDetect, qFkIntegrity)
+  /** Deterministic string aggregation: per-group sorted roster string —
+    * the reference's "assemble a target's description/synonym list from
+    * its member rows" pattern (loaders/load-HGNC.py synonym lists; every
+    * `GROUP_CONCAT` in tcrd_app.py). collect_list is order-nondeterministic
+    * under parallelism, so the array is sorted before joining — identical
+    * output on any partitioning, matching string_agg(... ORDER BY). */
+  val qStringAgg: Q = Q(
+    "q_string_agg",
+    """SELECT n_name, COUNT(*) AS n_suppliers,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS roster
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    T.supplier(s, d)
+      .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        concat_ws(",", array_sort(collect_list(col("s_name")))).as("roster"))
+      .orderBy("n_name")
+  }
+
+  val all: Seq[Q] = Seq(qDeltaDetect, qFkIntegrity, qStringAgg)
 }

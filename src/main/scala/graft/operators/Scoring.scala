@@ -259,6 +259,39 @@ object Scoring {
       .orderBy("o_orderpriority")
   }
 
+  /** Quantile normalization across groups (R/gtex_process.R,
+    * R/hpm_level.R: force every tissue's expression distribution onto the
+    * common reference distribution): rank within group, reference value =
+    * mean at that rank across groups, every value mapped to its rank's
+    * reference. Two shuffles (group-rank window, rank aggregation) — the
+    * rank join carries only (rank, value) pairs. Decimal-exact reference
+    * means (SURVEY.md §5). */
+  val qQuantileNorm: Q = Q(
+    "q_quantile_norm",
+    """WITH r AS (SELECT c_mktsegment AS seg, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey) AS rnk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |ref AS (SELECT rnk, round(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS qnorm
+      |  FROM r GROUP BY rnk)
+      |SELECT seg, o_orderkey, CAST(p AS DOUBLE) AS price, qnorm
+      |FROM r JOIN ref USING (rnk) ORDER BY seg, rnk""".stripMargin) { (s, d) =>
+    import graft.functions.Exact._
+    val w = Window.partitionBy("seg").orderBy("o_totalprice", "o_orderkey")
+    val r = T.orders(s, d)
+      .join(broadcast(T.customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+        col("o_totalprice"), dec2(col("o_totalprice")).as("p"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    val ref = r.groupBy("rnk")
+      .agg(round(dbl(sum(col("p"))) / dbl(count(lit(1))), 6).as("qnorm"))
+    r.join(ref, "rnk")
+      .select(col("seg"), col("o_orderkey"), dbl(col("p")).as("price"), col("qnorm"), col("rnk"))
+      .orderBy("seg", "rnk")
+      .drop("rnk")
+  }
+
   val all: Seq[Q] = Seq(qCdf, qGaussianCdf, qConsensusMode, qTau, qTdl,
-    qTinxNovelty, qTinxImportance, qPubscore, qSketchDistinct, qApproxQuantile)
+    qTinxNovelty, qTinxImportance, qPubscore, qSketchDistinct, qApproxQuantile,
+    qQuantileNorm)
 }

@@ -205,6 +205,31 @@ object Retrieval {
       .orderBy(col("exact_cnt").desc, col("token"))
   }
 
+  /** Training-sequence packing (concat-then-chunk, the standard LLM
+    * pretraining shape): docs concatenate per source in doc_id order and
+    * cut at a 2048-token boundary; each doc gets its sequence index and
+    * intra-sequence offset from ONE running-sum window over exact integer
+    * token counts. At scale the partition key is the source/shard (bounded
+    * window partitions), and the result drives the actual byte-level
+    * packing job. */
+  val qSeqPack: Q = Q(
+    "q_seq_pack",
+    """WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+      |c AS (SELECT doc_id, source, tokens,
+      |  CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+      |SELECT doc_id, source, tokens, (cum - tokens) // 2048 AS seq_id, (cum - tokens) % 2048 AS seq_offset
+      |FROM c ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        lng(size(split(col("text"), " "))).as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("tokens"),
+        ((col("cum") - col("tokens")) / 2048).cast("long").as("seq_id"),
+        ((col("cum") - col("tokens")) % 2048).as("seq_offset"))
+      .orderBy("source", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(qBm25, qVocabCoverage, qBigramLm, qCooccurPmi,
-    qEntityMatch, qHeavyHitters)
+    qEntityMatch, qHeavyHitters, qSeqPack)
 }

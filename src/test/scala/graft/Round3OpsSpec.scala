@@ -165,6 +165,70 @@ class Round3OpsSpec extends SparkSpec {
     assert(got.sorted.sameElements(expect.sorted))
   }
 
+  test("approx-distinct rewrite: off by default (exact), on → HLL within rsd, filters untouched") {
+    import spark.implicits._
+    graft.plans.ApproxDistinctRewrite.install(spark)
+    val df = (1 to 20000).map(i => (i % 7, (i % 997).toLong)).toDF("g", "x")
+    df.createOrReplaceTempView("adr_t")
+    val exact = spark.sql("SELECT g, COUNT(DISTINCT x) AS d FROM adr_t GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    try {
+      spark.conf.set("spark.graft.approxDistinct.enabled", "true")
+      val approx = spark.sql("SELECT g, COUNT(DISTINCT x) AS d FROM adr_t GROUP BY g ORDER BY g")
+      assert(approx.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+      val got = approx.collect().map(r => (r.getInt(0), r.getLong(1)))
+      exact.zip(got).foreach { case ((g1, e), (g2, a)) =>
+        assert(g1 == g2)
+        assert(math.abs(a - e).toDouble / e <= 0.15, s"group $g1: exact=$e approx=$a")
+      }
+      // FILTER-qualified distinct must be left exact
+      val filtered = spark.sql(
+        "SELECT COUNT(DISTINCT x) FILTER (WHERE x < 100) FROM adr_t")
+      assert(!filtered.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+    } finally spark.conf.set("spark.graft.approxDistinct.enabled", "false")
+    val off = spark.sql("SELECT g, COUNT(DISTINCT x) AS d FROM adr_t GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(off.sameElements(exact))
+  }
+
+  test("string agg roster is sorted and matches the group count") {
+    val rows = LoaderOps.qStringAgg.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val names = r.getString(2).split(",").toSeq
+      assert(names.length.toLong == r.getLong(1))
+      assert(names == names.sorted)
+    }
+  }
+
+  test("quantile normalization: same rank across groups maps to the same reference value") {
+    val rows = graft.operators.Scoring.qQuantileNorm.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    // output is ordered (seg, rank), so the i-th row of each segment is
+    // that segment's rank-(i+1) value: every segment at the same rank must
+    // share one reference value — the defining property of quantile norm
+    val bySeg = rows.groupBy(_.getString(0)).values.map(_.map(_.getDouble(3)))
+    val maxLen = bySeg.map(_.length).max
+    (0 until maxLen).foreach { i =>
+      val refs = bySeg.flatMap(s => if (i < s.length) Some(s(i)) else None).toSet
+      assert(refs.size == 1, s"rank ${i + 1} maps to ${refs.size} reference values")
+    }
+  }
+
+  test("sequence packing: offsets stay inside the budget and cumsum is consistent") {
+    val rows = graft.ops.Retrieval.qSeqPack.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).values.foreach { docs =>
+      var cum = 0L
+      docs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == cum / 2048)
+        assert(r.getLong(4) == cum % 2048)
+        assert(r.getLong(4) >= 0 && r.getLong(4) < 2048)
+        cum += r.getLong(2)
+      }
+    }
+  }
+
   test("ORC roundtrip preserves rows and schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.sources.Tables.nation(spark, TinyDir)
