@@ -9,6 +9,7 @@ object SparkEntry {
   /** Every implemented checklist entry, one Q per SURVEY.md §2 row. */
   val allQ: Seq[Q] =
     operators.Relational.all ++
+      operators.Relational2.all ++
       operators.Analytics.all ++
       operators.Scoring.all ++
       operators.GraphOps.all ++

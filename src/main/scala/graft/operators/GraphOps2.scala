@@ -39,18 +39,22 @@ object GraphOps2 {
     val e = e0Checkpoint(edges.select("src", "dst"))
     val deg = e0Checkpoint(e.groupBy("src").agg(count(lit(1)).as("d")))
     var pr = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // per-node contribution first (node-sized join), then one edge join:
       // the rank/degree tables stay broadcast-sized relative to the edges
       val contrib = pr.join(deg, col("node") === col("src"))
         .select(col("src").as("csrc"), expr("pr div d").as("contrib"))
       val sums = e.join(contrib, col("src") === col("csrc"))
         .groupBy("dst").agg(sum(col("contrib")).as("s"))
-      pr = e0Checkpoint(
+      val next =
         deg.select(col("src").as("node"))
           .join(sums, col("node") === col("dst"), "left")
           .select(col("node"),
-            (lit(PrTeleport) + expr("(85 * coalesce(s, 0)) div 100")).as("pr")))
+            (lit(PrTeleport) + expr("(85 * coalesce(s, 0)) div 100")).as("pr"))
+      // each round references pr ONCE, so the plan grows linearly (not the
+      // geometric self-referencing case) — checkpointing every other round
+      // still bounds it while halving the materializations
+      pr = if (i % 2 == 0 || i == iters) e0Checkpoint(next) else next
     }
     pr
   }
@@ -120,11 +124,12 @@ object GraphOps2 {
     var nEdges = e.count()
     while (nEdges > 0 && it < maxIters) {
       // m: node -> min(self, neighbors) over the current (symmetric) graph.
-      // Checkpointed: it is referenced three times below (mapping + both
-      // edge endpoints) and anchors the round's plans.
-      val m = e0Checkpoint(e.groupBy(col("src").as("mn"))
+      // Referenced three times below but rooted directly at the
+      // checkpointed e, so recomputing its one small shuffle per use is
+      // cheaper than a third materialization per round.
+      val m = e.groupBy(col("src").as("mn"))
         .agg(min(col("dst")).as("mv"))
-        .select(col("mn"), least(col("mn"), col("mv")).as("ml")))
+        .select(col("mn"), least(col("mn"), col("mv")).as("ml"))
       // compose the contraction into the original-node mapping — linear
       // chain (no self-reference), so it can stay lazy until the end
       comp = comp
