@@ -58,4 +58,39 @@ class PlanShapeSpec extends SparkSpec {
     val plan = executed(ops.CorpusQuality.qContamination)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("entity match: blocking key is a hash-join key, not a nested loop over the vocab") {
+    val plan = executed(ops.Retrieval.qEntityMatch)
+    // the substring block equality is extractable → BroadcastHashJoin with
+    // the levenshtein/length refinements as join-condition residue
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bm25: global top-20 runs through the TopKPerKey heap-prune, not a full sort") {
+    graft.plans.TopKRewrite.install(spark) // GraftSession installs this; the bare test session doesn't
+    val plan = executed(ops.Retrieval.qBm25)
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
+  test("min-cost supplier: all equi hash joins, no nested loop") {
+    val plan = executed(operators.Relational2.qMinCostSupplier)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("seq pack: reads only the three needed document columns") {
+    val plan = executed(ops.Retrieval.qSeqPack)
+    assert(plan.contains("ReadSchema: struct<doc_id"), plan)
+    assert(!plan.contains("n_chars"), plan)
+    assert(!plan.contains("lang"), plan)
+  }
+
+  test("delta detect: one full-outer join on the key, scans read two columns") {
+    val plan = executed(operators.LoaderOps.qDeltaDetect)
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("o_orderdate"), plan) // pruned
+  }
 }

@@ -133,4 +133,56 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 10)
   }
+
+  test("pagerankInt keeps source-only nodes at the teleport floor (directed chains)") {
+    import spark.implicits._
+    // a directed chain a->b->c->…: the head has in-degree 0 and must stay
+    // in the rank table at exactly the teleport rank every iteration
+    val genChain = Gen.choose(3, 12)
+    check(forAll(genChain) { n =>
+      val edges = (0L until n.toLong).sliding(2).map(p => (p(0), p(1))).toList
+      val got = GraphOps2.pagerankInt(edges.toDF("src", "dst"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // nodes with out-degree >= 1 are 0..n-2; head keeps teleport-only rank
+      got.keySet == (0L until (n - 1).toLong).toSet &&
+        got(0L) == 150000000000L + 0L // teleport + 85% of zero contributions
+    }, n = 6)
+  }
+
+  test("sequence packing equals a sequential fold over each source") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("a", "b", "c")
+        toks <- Gen.choose(1, 4000)
+      } yield (src, toks))
+    } yield rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t.toLong) }
+    check(forAll(gen) { rows =>
+      rows.isEmpty || {
+        val docs = rows.map { case (id, src, toks) =>
+          (id, src, Seq.fill(toks.toInt)("x").mkString(" "))
+        }.toDF("doc_id", "source", "text")
+        docs.createOrReplaceTempView("prop_seqpack_docs")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        val got = docs.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("tokens"))
+          .withColumn("cum", sum(col("tokens")).over(w))
+          .select(col("doc_id"),
+            ((col("cum") - col("tokens")) / 2048).cast("long").as("seq_id"),
+            ((col("cum") - col("tokens")) % 2048).as("off"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val want = rows.groupBy(_._2).values.flatMap { g =>
+          var cum = 0L
+          g.sortBy(_._1).map { case (id, _, toks) =>
+            val r = id -> (cum / 2048, cum % 2048)
+            cum += toks
+            r
+          }
+        }.toMap
+        got == want
+      }
+    }, n = 8)
+  }
 }
