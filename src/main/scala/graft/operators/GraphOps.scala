@@ -245,6 +245,34 @@ object GraphOps {
       .orderBy("n_name")
   }
 
+  /** Subtree sizes over the ontology closure: distinct descendants per
+    * node (the "how many terms live under this ancestor" rollup the
+    * reference derives from its OBO closures — loaders/load-Ontologies.py,
+    * python/obo.py). One aggregation over the already-computed closure. */
+  val qSubtreeCounts: Q = Q(
+    "q_subtree_counts",
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT 'part:' || CAST(p_partkey AS VARCHAR) AS src, 'brand:' || p_brand AS dst FROM part
+      |  UNION SELECT DISTINCT 'brand:' || p_brand, 'type:' || p_type FROM part
+      |  UNION SELECT DISTINCT 'type:' || p_type, 'ROOT' FROM part),
+      |walk(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT walk.src, edges.dst FROM walk JOIN edges ON edges.src = walk.dst)
+      |SELECT dst AS node, COUNT(DISTINCT src) AS n_descendants
+      |FROM walk GROUP BY dst ORDER BY node""".stripMargin) { (s, d) =>
+    val p = T.part(s, d)
+    val e1 = p.select(concat(lit("part:"), col("p_partkey")).as("src"),
+      concat(lit("brand:"), col("p_brand")).as("dst"))
+    val e2 = p.select(concat(lit("brand:"), col("p_brand")).as("src"),
+      concat(lit("type:"), col("p_type")).as("dst"))
+    val e3 = p.select(concat(lit("type:"), col("p_type")).as("src"), lit("ROOT").as("dst"))
+    transitiveClosure(e1.union(e2).union(e3).distinct(), maxDepth = 4)
+      .groupBy(col("dst").as("node"))
+      .agg(countDistinct(col("src")).as("n_descendants"))
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(qEdgeDedup, qGraphBfs, qNearestLabeled, qOrthoRollup,
-    qTransitiveClosure)
+    qTransitiveClosure, qSubtreeCounts)
 }

@@ -126,5 +126,36 @@ object LoaderOps {
       .orderBy("n_name")
   }
 
-  val all: Seq[Q] = Seq(qDeltaDetect, qFkIntegrity, qStringAgg)
+  /** Source-priority attribute reconciliation: when many sources propose
+    * a value for the same entity attribute, keep the highest-priority
+    * source's value with a total tie-break — the reference's xref dedup
+    * rule (loaders/load-UniProtXRefs.py: one row per (target, type,
+    * value), best source wins). One candidate-build join tree + one
+    * entity-keyed window shuffle. */
+  val qSourcePriority: Q = Q(
+    "q_source_priority",
+    """WITH cand AS (SELECT DISTINCT l_partkey AS pk, s_suppkey AS sk, n_name, n_nationkey % 4 AS prio
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT pk AS partkey, n_name AS origin, CAST(prio AS BIGINT) AS priority, n_cand
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY prio, n_name, sk) AS rn,
+      |        COUNT(*) OVER (PARTITION BY pk) AS n_cand FROM cand)
+      |WHERE rn = 1 ORDER BY partkey""".stripMargin) { (s, d) =>
+    val cand = T.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(T.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("pk"), col("s_suppkey").as("sk"),
+        col("n_name"), (col("n_nationkey") % 4).as("prio"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pk")
+    cand
+      .withColumn("rn", row_number().over(w.orderBy(col("prio"), col("n_name"), col("sk"))))
+      .withColumn("n_cand", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("pk").as("partkey"), col("n_name").as("origin"),
+        lng(col("prio")).as("priority"), col("n_cand"))
+      .orderBy("partkey")
+  }
+
+  val all: Seq[Q] = Seq(qDeltaDetect, qFkIntegrity, qStringAgg, qSourcePriority)
 }
