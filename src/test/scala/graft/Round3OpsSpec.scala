@@ -240,6 +240,28 @@ class Round3OpsSpec extends SparkSpec {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("streaming windowed distinct: per-day sketch counts match exact cardinality on small data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingOps.windowedDistinct(
+        mem.toDF().toDF("user_id", "ts"), "user_id")
+      .writeStream.format("memory").queryName("wdist").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+        (2L, ts("2024-01-01 12:00:00")), (3L, ts("2024-01-02 09:00:00")))
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-05 00:00:00"))) // advance watermark past both days
+      q.processAllAvailable()
+      val got = spark.sql("SELECT day, approx_distinct, n_events FROM wdist")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // HLL is exact at tiny cardinalities
+      assert(got("2024-01-01") == ((2L, 3L)))
+      assert(got("2024-01-02") == ((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the gap, drops the rest") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
