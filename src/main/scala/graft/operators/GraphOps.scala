@@ -267,9 +267,12 @@ object GraphOps {
     val e2 = p.select(concat(lit("brand:"), col("p_brand")).as("src"),
       concat(lit("type:"), col("p_type")).as("dst"))
     val e3 = p.select(concat(lit("type:"), col("p_type")).as("src"), lit("ROOT").as("dst"))
+    // the closure emits DISTINCT (src, dst) pairs by construction, so a
+    // plain count per ancestor equals COUNT(DISTINCT src) without the
+    // extra expand/dedup shuffle a distinct-aggregate would add
     transitiveClosure(e1.union(e2).union(e3).distinct(), maxDepth = 4)
       .groupBy(col("dst").as("node"))
-      .agg(countDistinct(col("src")).as("n_descendants"))
+      .agg(count(lit(1)).as("n_descendants"))
       .orderBy("node")
   }
 

@@ -140,13 +140,15 @@ object LoaderOps {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY prio, n_name, sk) AS rn,
       |        COUNT(*) OVER (PARTITION BY pk) AS n_cand FROM cand)
       |WHERE rn = 1 ORDER BY partkey""".stripMargin) { (s, d) =>
-    val cand = T.lineitem(s, d).select("l_partkey", "l_suppkey")
+    // distinct FIRST on the two long keys (supplier→nation is functional,
+    // so deduping before the dim joins is equivalent and the shuffle
+    // carries 16 bytes/row instead of strings)
+    val cand = T.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
       .join(broadcast(T.supplier(s, d).select("s_suppkey", "s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-      .select(col("l_partkey").as("pk"), col("s_suppkey").as("sk"),
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
         col("n_name"), (col("n_nationkey") % 4).as("prio"))
-      .distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("pk")
     cand
       .withColumn("rn", row_number().over(w.orderBy(col("prio"), col("n_name"), col("sk"))))
