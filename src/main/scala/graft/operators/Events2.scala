@@ -131,5 +131,39 @@ object Events2 {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(qRollingStats, qFirstLastTouch, qAnomalyDays, qGapStats)
+  /** Per-group OLS trend slope over the daily series, from exact integer
+    * moments (n, Σx, Σy, Σxy, Σx²) — the closed-form fit as one
+    * aggregation, no iterative solver. Reference analog: year-series
+    * trends (loaders/load-GeneRIF_Years.py). The doubles are a fixed
+    * final-scalar shape, so results are engine-identical. */
+  val qTrendSlope: Q = Q(
+    "q_trend_slope",
+    """WITH daily AS (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |x AS (SELECT event_type, cnt, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS xi FROM daily),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xi) AS BIGINT) AS sx,
+      |  CAST(SUM(cnt) AS BIGINT) AS sy, CAST(SUM(xi * cnt) AS BIGINT) AS sxy, CAST(SUM(xi * xi) AS BIGINT) AS sxx
+      |  FROM x GROUP BY 1)
+      |SELECT event_type, n AS n_days,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val x = daily.withColumn("xi",
+      row_number().over(Window.partitionBy("event_type").orderBy("day")).cast("long"))
+    val m = x.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"), sum(col("cnt")).as("sy"),
+        sum(col("xi") * col("cnt")).as("sxy"), sum(col("xi") * col("xi")).as("sxx"))
+    val slope = dbl(col("n") * col("sxy") - col("sx") * col("sy")) /
+      dbl(col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("event_type"), col("n").as("n_days"),
+        round(slope, 6).as("slope"),
+        round((dbl(col("sy")) - slope * dbl(col("sx"))) / dbl(col("n")), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(qRollingStats, qFirstLastTouch, qAnomalyDays, qGapStats,
+    qTrendSlope)
 }
