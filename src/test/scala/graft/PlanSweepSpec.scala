@@ -1,0 +1,37 @@
+package graft
+
+/** Global plan hygiene sweep: NO query may plan a CartesianProduct, and
+  * BroadcastNestedLoopJoin is allowed only where it is the documented
+  * design (small-side brute-force baselines whose scale path is a separate
+  * query). Planning only — no execution — so the sweep is cheap and runs
+  * on every build. A new query that accidentally drops an equi-key fails
+  * here before it burns a benchmark round. */
+class PlanSweepSpec extends SparkSpec {
+
+  /** Brute-force-by-design: non-equi pair scans kept as small-N baselines
+    * (the LSH/IVF/bucketed variants are their scale paths). */
+  private val bnljByDesign = Set(
+    "q_ann_topk",          // tiny probe set broadcast against corpus
+    "q_dedup_embed",       // exact O(n^2) baseline for q_dedup_minhash/lsh
+    "q_connected_components", // pair gen shares q_dedup_embed's scan
+    "q_triangle_count",    // same near-dup pair generation
+    "q_dedup_ngram",       // candidate pair join refined by Jaccard
+    "q_date_spine",        // spine x 1-row bounds (constant-size side)
+    "q_histogram",         // rows x 1-row global min/max (constant side)
+    // "attach global stats to every row": crossJoin of a broadcast
+    // single-row (or K-row centroid/top-N) aggregate — the nested loop's
+    // build side is constant-size, i.e. a broadcast variable in plan form
+    "q_bm25", "q_vocab_coverage", "q_cooccur_pmi", "q_tfidf", "q_ann_ivf"
+  )
+
+  SparkEntry.allQ.foreach { q =>
+    test(s"${q.name}: no cartesian product, no surprise nested-loop join") {
+      val plan = q.fn(spark, TinyDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
+      if (!bnljByDesign(q.name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a BroadcastNestedLoopJoin — lost an equi-key?")
+      }
+    }
+  }
+}
