@@ -38,7 +38,9 @@ object GraphOps {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint(true)
+        // visited is a flat union of already-checkpointed hop frontiers —
+        // the plan stays constant-depth without re-materializing it
+        visited = visited.union(next)
         frontier = next
       }
       hop += 1
@@ -83,7 +85,8 @@ object GraphOps {
         .withColumn("dist", lit(hop.toLong)).localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint(true)
+        // flat union of checkpointed frontiers — no re-materialization
+        visited = visited.union(next)
         frontier = next.select("node")
       }
       hop += 1

@@ -120,5 +120,42 @@ object Relational2 {
       .orderBy("partkey")
   }
 
-  val all: Seq[Q] = Seq(qSetOps, qGroupingSets, qAboveAvg, qMinCostSupplier)
+  /** Chi-square contingency terms for a 2-way categorical table: observed
+    * vs expected under independence, per-cell contribution. The
+    * enrichment-statistics shape the reference applies to family/TDL
+    * cross-tabs (doc/TCRD_Build_Notes.txt QC; load-DrugableEpigenomeTDLInfos
+    * groupings). Margins come from exact integer sums; expected/chi² are
+    * fixed-shape final doubles, so cross-engine identical. */
+  val qChiSquare: Q = Q(
+    "q_chi_square",
+    """WITH obs AS (SELECT c_mktsegment AS seg, o_orderstatus AS status, COUNT(*) AS o
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |rm AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS rs FROM obs GROUP BY 1),
+      |cm AS (SELECT status, CAST(SUM(o) AS BIGINT) AS cs FROM obs GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+      |SELECT seg, status, o AS observed,
+      |  round(CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected,
+      |  round(pow(CAST(o AS DOUBLE) - CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE), 2)
+      |    / (CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS chi2_term
+      |FROM obs JOIN rm USING (seg) JOIN cm USING (status) CROSS JOIN tot
+      |ORDER BY seg, status""".stripMargin) { (s, d) =>
+    val obs = T.orders(s, d)
+      .join(broadcast(T.customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("o"))
+    val rm = obs.groupBy("seg").agg(sum(col("o")).as("rs"))
+    val cm = obs.groupBy("status").agg(sum(col("o")).as("cs"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val expected = dbl(col("rs")) * dbl(col("cs")) / dbl(col("n"))
+    obs.join(broadcast(rm), "seg").join(broadcast(cm), "status")
+      .crossJoin(broadcast(tot))
+      .select(col("seg"), col("status"), col("o").as("observed"),
+        round(expected, 6).as("expected"),
+        round(pow(dbl(col("o")) - expected, 2) / expected, 6).as("chi2_term"))
+      .orderBy("seg", "status")
+  }
+
+  val all: Seq[Q] = Seq(qSetOps, qGroupingSets, qAboveAvg, qMinCostSupplier,
+    qChiSquare)
 }

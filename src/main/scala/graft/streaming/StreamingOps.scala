@@ -20,6 +20,11 @@ object StreamingOps {
   /** One open-or-closing session in per-user state. */
   case class St(firstId: Long, start: Long, last: Long, n: Long)
 
+  case class TEv(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  case class FunnelOut(user_id: Long, converted: Boolean, stages_reached: Int, duration_us: Long)
+  /** Per-user funnel progress: stages completed so far + first/last ts. */
+  case class FSt(reached: Int, first: Long, last: Long)
+
   /** Tumbling event-time window counts; mirrors Events.qTumblingWindow. */
   def tumblingCounts(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     events
@@ -128,6 +133,51 @@ object StreamingOps {
       col("r_ts") >= col("ts") - expr(s"INTERVAL $maxGap") &&
       col("r_ts") <= col("ts"))
       .drop(s"r_$key")
+  }
+
+  /** Streaming funnel: track each user's ordered progression through the
+    * stage list with one small state record (stage index + first/last
+    * event time). A conversion row is emitted the moment the final stage
+    * completes (state is then dropped); users whose state times out past
+    * the watermark emit an abandoned row with how far they got — the
+    * streaming twin of Events.qFunnel. State per key is O(1), reclaimed on
+    * conversion or timeout, so the store stays bounded at any user count.
+    */
+  def funnelStream(events: Dataset[TEv], stages: Seq[String],
+                   timeoutMs: Long = 3600L * 1000,
+                   watermarkDelay: String = "10 minutes"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, rows: Iterator[TEv], state: GroupState[FSt]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        return Iterator(FunnelOut(userId, converted = false, st.reached, st.last - st.first))
+      }
+      var st = state.getOption.getOrElse(FSt(0, Long.MaxValue, Long.MinValue))
+      val out = scala.collection.mutable.ListBuffer[FunnelOut]()
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+      for (e <- evs if st.reached < stages.length) {
+        val tus = e.ts.getTime * 1000
+        if (e.event_type == stages(st.reached)) {
+          st = FSt(st.reached + 1, math.min(st.first, tus), math.max(st.last, tus))
+          if (st.reached == stages.length) {
+            out += FunnelOut(userId, converted = true, st.reached, st.last - st.first)
+          }
+        }
+      }
+      if (st.reached >= stages.length || st.reached == 0) state.remove()
+      else {
+        state.update(st)
+        state.setTimeoutTimestamp(st.last / 1000 + timeoutMs)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
   /** Streaming sessionization with a 30-min inactivity gap: custom state

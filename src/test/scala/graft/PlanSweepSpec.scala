@@ -21,7 +21,8 @@ class PlanSweepSpec extends SparkSpec {
     // "attach global stats to every row": crossJoin of a broadcast
     // single-row (or K-row centroid/top-N) aggregate — the nested loop's
     // build side is constant-size, i.e. a broadcast variable in plan form
-    "q_bm25", "q_vocab_coverage", "q_cooccur_pmi", "q_tfidf", "q_ann_ivf"
+    "q_bm25", "q_vocab_coverage", "q_cooccur_pmi", "q_tfidf", "q_ann_ivf",
+    "q_chi_square"
   )
 
   SparkEntry.allQ.foreach { q =>

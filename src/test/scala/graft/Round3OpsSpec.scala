@@ -262,6 +262,35 @@ class Round3OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: conversion emitted on final stage, abandonment on timeout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+    val evs = mem.toDF().toDF("user_id", "event_type", "ts")
+      .as[graft.streaming.StreamingOps.TEv]
+    val q = graft.streaming.StreamingOps.funnelStream(
+        evs, Seq("signup", "click", "purchase"), timeoutMs = 3600L * 1000)
+      .writeStream.format("memory").queryName("funl").outputMode("append").start()
+    try {
+      // user 1 converts in order; user 2 stalls after signup+click
+      mem.addData(
+        (1L, "signup", ts("2024-01-01 10:00:00")), (1L, "click", ts("2024-01-01 10:05:00")),
+        (1L, "purchase", ts("2024-01-01 10:10:00")),
+        (2L, "signup", ts("2024-01-01 10:00:00")), (2L, "click", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // advance watermark far past user 2's timeout
+      mem.addData((9L, "view", ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((9L, "view", ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, converted, stages_reached, duration_us FROM funl")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getLong(3))).toSet
+      assert(got.contains((1L, true, 3, 600L * 1000 * 1000)))
+      assert(got.contains((2L, false, 2, 120L * 1000 * 1000)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the gap, drops the rest") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
