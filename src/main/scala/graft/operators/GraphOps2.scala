@@ -195,6 +195,50 @@ object GraphOps2 {
       .orderBy("vec_id")
   }
 
+  /** End-to-end near-dup resolution: the keep/drop decision a corpus
+    * pipeline actually consumes. Survivor per cluster = the min doc id
+    * (exactly the component label min-propagation converges to), every
+    * other member maps to it. Composes the pair graph + components +
+    * survivor pick in one plan — the full "dedup the corpus" reduction
+    * (SURVEY §2.4), not just the pair list. */
+  val qDedupClusterPick: Q = Q(
+    "q_dedup_cluster_pick",
+    """WITH RECURSIVE ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ee),
+      |  pairs AS (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |    FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |    WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38),
+      |  e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |  reach(node, lbl) AS (
+      |    SELECT DISTINCT src, src FROM e
+      |    UNION
+      |    SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node),
+      |  comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+      |SELECT emb.vec_id,
+      |  COALESCE(comp.component, emb.vec_id) AS survivor_id,
+      |  (emb.vec_id = COALESCE(comp.component, emb.vec_id)) AS keep
+      |FROM embeddings emb LEFT JOIN comp ON comp.node = emb.vec_id
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.functions.VectorFunctions.dotProduct
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = connectedComponents(pairs, 20)
+    T.embeddings(s, d).select(col("vec_id"))
+      .join(comp, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("survivor_id"),
+        (col("vec_id") === coalesce(col("lbl"), col("vec_id"))).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Triangle enumeration over the near-dup pair graph (a < b < c, each
     * triangle once): the clustering-coefficient primitive for PPI-style
     * graphs (loaders/load-BioPlexPPIs.py communities). Edge-edge-edge hash
@@ -230,5 +274,6 @@ object GraphOps2 {
       .orderBy("a", "b", "c")
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qConnectedComponents, qTriangleCount)
+  val all: Seq[Q] = Seq(qPagerank, qConnectedComponents, qDedupClusterPick,
+    qTriangleCount)
 }

@@ -14,6 +14,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_ann_topk",          // tiny probe set broadcast against corpus
     "q_dedup_embed",       // exact O(n^2) baseline for q_dedup_minhash/lsh
     "q_connected_components", // pair gen shares q_dedup_embed's scan
+    "q_dedup_cluster_pick", // same near-dup pair generation
     "q_triangle_count",    // same near-dup pair generation
     "q_dedup_ngram",       // candidate pair join refined by Jaccard
     "q_date_spine",        // spine x 1-row bounds (constant-size side)

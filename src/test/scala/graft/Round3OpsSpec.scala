@@ -142,6 +142,18 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup cluster pick: survivors are kept cluster minima, drops map to a kept survivor") {
+    val rows = GraphOps2.qDedupClusterPick.fn(spark, TinyDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val keepSet = rows.filter(_._3).map(_._1).toSet
+    rows.foreach { case (id, survivor, keep) =>
+      assert(keep == (id == survivor))
+      assert(survivor <= id) // survivor is the min id of the cluster
+      assert(keepSet(survivor), s"survivor $survivor of $id must itself be kept")
+    }
+  }
+
   test("triangles are oriented a<b<c and all three edges are near-dup pairs") {
     val tris = GraphOps2.qTriangleCount.fn(spark, TinyDir).collect()
     val edges = graft.ops.Dedup.qDedupEmbed.fn(spark, TinyDir).collect()
