@@ -167,6 +167,24 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The 100 TB dedup path END TO END: MinHash/LSH candidate pairs (no
+    * O(n²) stage) → connected components → min-id survivor per cluster →
+    * keep/drop decision for every document. The exact-cosine twin
+    * (GraphOps2.qDedupClusterPick) is the oracle-checked baseline; this is
+    * the shape that actually runs on a corpus — every stage is a bounded
+    * hash shuffle. Rows-only (seeded hashes aren't SQL-portable); the spec
+    * checks the decision's structural invariants. */
+  val qDedupMinhashPick: Q = Q.rowsOnly("q_dedup_minhash_pick") { (s, d) =>
+    val pairs = qDedupMinhash.fn(s, d).select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = graft.operators.GraphOps2.connectedComponents(pairs, 20)
+    T.documents(s, d).select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("survivor_id"),
+        (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** (id, simhash) per document: whitespace tokens -> xxhash64 -> one-pass
     * SimHashAgg bit votes. */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -229,5 +247,6 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupEmbed)
+  val all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash,
+    qDedupMinhashPick, qDedupSimhash, qDedupEmbed)
 }

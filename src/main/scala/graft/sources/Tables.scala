@@ -81,6 +81,16 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Range-partitioned, sorted parquet write: rows land in files whose
+    * min/max column statistics are tight and disjoint, so a filtered read
+    * later skips whole files/row-groups on the sort key — the 1-D data
+    * layout lever for a 100 TB table scanned by key ranges (the reference
+    * equivalent: MySQL clustered index order). */
+  def writeSorted(df: DataFrame, path: String, sortCol: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** ORC read/write: second columnar format (same pushdown/pruning
     * contract as parquet — predicate pushdown via ORC's min/max stripes,
     * column projection via the reader schema). Interop surface for

@@ -241,6 +241,38 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash cluster pick: keep/drop decision has the survivor invariants") {
+    val rows = graft.ops.Dedup.qDedupMinhashPick.fn(spark, TinyDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val keepSet = rows.filter(_._3).map(_._1).toSet
+    rows.foreach { case (id, survivor, keep) =>
+      assert(keep == (id == survivor))
+      assert(survivor <= id)
+      assert(keepSet(survivor))
+    }
+    // every doc gets exactly one decision
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
+  test("sorted write produces disjoint per-file key ranges (file-skipping layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/orders"
+    graft.sources.Tables.writeSorted(
+      graft.sources.Tables.orders(spark, TinyDir), dir, "o_orderkey", 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, "file key ranges must be disjoint")
+      case _ =>
+    }
+  }
+
   test("ORC roundtrip preserves rows and schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.sources.Tables.nation(spark, TinyDir)
