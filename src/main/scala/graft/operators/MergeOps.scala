@@ -31,6 +31,29 @@ object MergeOps {
       .drop("__src", "__rn")
   }
 
+  /** Incremental aggregate maintenance: fold a delta batch into an
+    * existing (cnt, per-column sums) rollup WITHOUT recomputing from the
+    * full fact table — the nightly-load refresh of a 100 TB table's
+    * summary: cost is O(delta + touched groups), not O(history). The
+    * aggregate must be algebraic (count/sum here; avg derives as
+    * sum/cnt downstream). `baseAgg` columns: keys ++ ("cnt" +: sumCols);
+    * delta rows are raw facts. Deletions fold in as negative deltas
+    * (pass `negate=true`). Groups whose count reaches zero drop out. */
+  def incrementalAgg(baseAgg: DataFrame, delta: DataFrame, keys: Seq[String],
+                     sumCols: Seq[String], negate: Boolean = false): DataFrame = {
+    val sign = if (negate) lit(-1L) else lit(1L)
+    val deltaAgg = delta.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+    val signedDelta = ("cnt" +: sumCols).foldLeft(deltaAgg)((df, c) =>
+      df.withColumn(c, col(c) * sign))
+    baseAgg.unionByName(signedDelta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+      .filter(col("cnt") > 0)
+  }
+
   /** Soft-delete variant: update rows with `deleteFlag` true remove the
     * key from the result entirely (the loaders' delete-then-reload step). */
   def upsertWithDeletes(base: DataFrame, updates: DataFrame, key: String,

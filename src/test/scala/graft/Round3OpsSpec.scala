@@ -273,6 +273,21 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental aggregate maintenance equals full recompute, including negative deltas") {
+    import spark.implicits._
+    val facts1 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)).toDF("id", "g", "v")
+    val facts2 = Seq((4L, "a", 7L), (5L, "c", 2L)).toDF("id", "g", "v")
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("v"))
+    val base = full(facts1)
+    val inc = graft.operators.MergeOps.incrementalAgg(base, facts2, Seq("g"), Seq("v"))
+    val want = full(facts1.union(facts2))
+    assert(inc.orderBy("g").collect().toSeq == want.orderBy("g").collect().toSeq)
+    // retract facts2 again: back to the base rollup, group c disappears
+    val retracted = graft.operators.MergeOps.incrementalAgg(inc, facts2, Seq("g"), Seq("v"), negate = true)
+    assert(retracted.orderBy("g").collect().toSeq == base.orderBy("g").collect().toSeq)
+  }
+
   test("ORC roundtrip preserves rows and schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.sources.Tables.nation(spark, TinyDir)
