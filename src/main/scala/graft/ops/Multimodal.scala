@@ -97,6 +97,48 @@ object Multimodal {
     }
   }
 
+  val batchSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("batch_id", LongType, nullable = false),
+    StructField("batch_size", LongType, nullable = false),
+    StructField("slot", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  /** Micro-batching for model inference: rows are grouped into batches of
+    * ≤ `batchSize` WITHIN each partition — the real pipeline stacks each
+    * group into one tensor and calls the model ONCE per batch (GPU
+    * amortization), never once per row and never via driver collect. The
+    * per-row "score" is the stubbed model output (deterministic in the
+    * payload bytes); batch ids encode (partition, batch index) so lineage
+    * is debuggable. Batch composition legitimately depends on the
+    * partitioning — scores do not. */
+  def batchedInfer(binDf: DataFrame, idCol: String, binCol: String,
+                   batchSize: Int = 8): DataFrame = {
+    val enc = RowEncoder.encoderFor(batchSchema)
+    binDf.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        // a real pipeline would load the model HERE, once per partition
+        it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+          // ... and run ONE forward pass for the whole `batch` here
+          batch.zipWithIndex.map { case (r, slot) =>
+            val bytes = r.getAs[Array[Byte]](1)
+            val score = DecodeStub.features(bytes)._1.toDouble % 97 / 97.0
+            Row(r.getLong(0), pid * 1000000L + bi, batch.size.toLong, slot.toLong, score)
+          }
+        }
+      }(enc)
+  }
+
+  /** Rows-only (batch composition is partitioning-dependent; per-doc
+    * scores are not — the spec pins both properties). */
+  val qModalityBatch: Q = Q.rowsOnly("q_modality_batch") { (s, d) =>
+    batchedInfer(
+      T.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload")
+      .orderBy("doc_id")
+  }
+
   /** Rows-only: per-doc frame counts + first-frame fingerprint (binary
     * frame payloads aren't oracle-comparable; spec checks the slicing). */
   val qFrameSample: Q = Q.rowsOnly("q_frame_sample") { (s, d) =>
@@ -124,5 +166,5 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qMultimodalFeatures, qFrameSample)
+  val all: Seq[Q] = Seq(qMultimodalFeatures, qFrameSample, qModalityBatch)
 }

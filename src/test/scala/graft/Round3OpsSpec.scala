@@ -288,6 +288,21 @@ class Round3OpsSpec extends SparkSpec {
     assert(retracted.orderBy("g").collect().toSeq == base.orderBy("g").collect().toSeq)
   }
 
+  test("inference batching: batches bounded, scores partitioning-invariant, every doc scored once") {
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    def run(parts: Int) = graft.ops.Multimodal
+      .batchedInfer(docs.repartition(parts), "doc_id", "payload", batchSize = 8)
+      .collect()
+    val a = run(3); val b = run(7)
+    assert(a.length == b.length && a.length == docs.count())
+    a.foreach(r => assert(r.getLong(2) <= 8 && r.getLong(3) < r.getLong(2)))
+    // model scores must not depend on how rows were batched/partitioned
+    val sa = a.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val sb = b.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(sa == sb)
+  }
+
   test("ORC roundtrip preserves rows and schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.sources.Tables.nation(spark, TinyDir)
