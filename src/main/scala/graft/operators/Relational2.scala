@@ -156,6 +156,32 @@ object Relational2 {
       .orderBy("seg", "status")
   }
 
+  /** Top-3 order values per segment via the custom mergeable TopKAgg
+    * (bounded k-heap per group, map-side partials — the exchange carries
+    * ≤ k longs per group per partition instead of every row; see
+    * functions/TopKAgg.scala). Values in exact integer cents; the oracle
+    * states the same result as a window rank. */
+  val qTopkAgg: Q = Q(
+    "q_topk_agg",
+    """WITH j AS (SELECT c_mktsegment AS seg,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT seg, rnk, CAST(cents AS DOUBLE) / 100 AS price
+      |FROM (SELECT seg, cents, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents DESC) AS rnk FROM j)
+      |WHERE rnk <= 3 ORDER BY seg, rnk""".stripMargin) { (s, d) =>
+    val j = T.orders(s, d)
+      .join(broadcast(T.customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    j.groupBy("seg")
+      .agg(graft.functions.TopKAgg(col("cents"), 3).as("top"))
+      .select(col("seg"), posexplode(col("top")).as(Seq("pos", "cents")))
+      .select(col("seg"), (col("pos") + 1).cast("long").as("rnk"),
+        (dbl(col("cents")) / 100).as("price"))
+      .orderBy("seg", "rnk")
+  }
+
   val all: Seq[Q] = Seq(qSetOps, qGroupingSets, qAboveAvg, qMinCostSupplier,
-    qChiSquare)
+    qChiSquare, qTopkAgg)
 }

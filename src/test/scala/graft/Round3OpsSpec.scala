@@ -303,6 +303,20 @@ class Round3OpsSpec extends SparkSpec {
     assert(sa == sb)
   }
 
+  test("TopKAgg equals sort-limit per group and is partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1 to 5000).map(i => ((i % 13).toLong, ((i * 7919) % 4001).toLong))
+    def run(parts: Int) = rows.toDF("g", "v").repartition(parts)
+      .groupBy("g").agg(graft.functions.TopKAgg(col("v"), 5).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val a = run(2); val b = run(11)
+    assert(a == b)
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted(Ordering[Long].reverse).take(5)
+    }
+    a.foreach { case (g, top) => assert(top == want(g), s"group $g") }
+  }
+
   test("ORC roundtrip preserves rows and schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val src = graft.sources.Tables.nation(spark, TinyDir)
