@@ -36,10 +36,14 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val failedPart =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+    // Locale-pinned formatting: the f"" interpolator honors the JVM default
+    // locale, and a comma-decimal locale would emit invalid JSON.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(qs: Seq[(String, Double, Boolean)], omitted: Int): String = {
-      val m = qs.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val m = qs.map { case (k, v, _) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
       val om = if (omitted == 0) "" else s""","omitted_fast":$omitted"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m,"sf":"$sfDir"$om$failedPart}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$m,"sf":"$sfDir"$om$failedPart}"""
     }
     val bySlow = results.sortBy(-_._2)
     var keep = bySlow.length

@@ -145,8 +145,8 @@ object Events2 {
       |  CAST(SUM(cnt) AS BIGINT) AS sy, CAST(SUM(xi * cnt) AS BIGINT) AS sxy, CAST(SUM(xi * xi) AS BIGINT) AS sxx
       |  FROM x GROUP BY 1)
       |SELECT event_type, n AS n_days,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-      |  round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
       |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
     val daily = T.events(s, d)
       .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
@@ -156,8 +156,12 @@ object Events2 {
     val m = x.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"), sum(col("cnt")).as("sy"),
         sum(col("xi") * col("cnt")).as("sxy"), sum(col("xi") * col("xi")).as("sxx"))
-    val slope = dbl(col("n") * col("sxy") - col("sx") * col("sy")) /
-      dbl(col("n") * col("sxx") - col("sx") * col("sx"))
+    // A single-day group has sxx·n == sx² (zero divisor): DuckDB's IEEE
+    // division would yield inf while Spark's Divide yields NULL, so both
+    // sides pin the degenerate case to NULL (when(n>1) here, NULLIF above).
+    val slope = when(col("n") > 1,
+      dbl(col("n") * col("sxy") - col("sx") * col("sy")) /
+        dbl(col("n") * col("sxx") - col("sx") * col("sx")))
     m.select(col("event_type"), col("n").as("n_days"),
         round(slope, 6).as("slope"),
         round((dbl(col("sy")) - slope * dbl(col("sx"))) / dbl(col("n")), 6).as("intercept"))

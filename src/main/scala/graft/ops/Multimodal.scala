@@ -130,12 +130,16 @@ object Multimodal {
       }(enc)
   }
 
-  /** Rows-only (batch composition is partitioning-dependent; per-doc
-    * scores are not — the spec pins both properties). */
+  /** Rows-only. The registered output emits only the partition-INVARIANT
+    * columns (doc_id, score): batch lineage (batch_id/batch_size/slot)
+    * legitimately depends on the physical partitioning, so exposing it here
+    * would make cross-parallelism verify dumps flake by design. The lineage
+    * columns stay on [[batchedInfer]] and its spec. */
   val qModalityBatch: Q = Q.rowsOnly("q_modality_batch") { (s, d) =>
     batchedInfer(
       T.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")),
       "doc_id", "payload")
+      .select(col("doc_id"), col("score"))
       .orderBy("doc_id")
   }
 

@@ -169,7 +169,12 @@ object StreamingOps {
       if (st.reached >= stages.length || st.reached == 0) state.remove()
       else {
         state.update(st)
-        state.setTimeoutTimestamp(st.last / 1000 + timeoutMs)
+        // Clamp to the current watermark: st.last only advances on stage
+        // MATCHES, so a user emitting non-stage events can leave st.last
+        // behind the watermark — an unclamped timeout below the watermark
+        // throws and kills the query.
+        state.setTimeoutTimestamp(
+          math.max(st.last / 1000 + timeoutMs, state.getCurrentWatermarkMs() + 1))
       }
       out.iterator
     }
@@ -210,7 +215,10 @@ object StreamingOps {
       } else {
         state.update(sessions)
         val lastUs = sessions.head.last
-        state.setTimeoutTimestamp(lastUs / 1000 + gapUs / 1000)
+        // Same watermark clamp as funnelStream: a timeout at-or-below the
+        // current watermark is an IllegalArgumentException.
+        state.setTimeoutTimestamp(
+          math.max(lastUs / 1000 + gapUs / 1000, state.getCurrentWatermarkMs() + 1))
       }
       out.iterator
     }
