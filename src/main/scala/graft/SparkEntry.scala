@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Events2.all ++
       operators.LoaderOps.all ++
       operators.AsofJoin.all ++
+      operators.IngestOps.all ++
       ops.Retrieval.all ++
       ops.TextAnalysis.all ++
       ops.TextAnalysis2.all ++

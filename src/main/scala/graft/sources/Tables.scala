@@ -76,6 +76,54 @@ object Tables {
       .schema(schema)
       .json(path)
 
+  /** XML ingest via Spark 4's native XML source: `rowTag` names the
+    * repeated record element, the schema is explicit (inference is a full
+    * extra pass — never at 100 TB), and malformed records land in
+    * `_corrupt_record` instead of failing the job (quarantine them with a
+    * filter, same contract as [[readJsonLines]]). Record splitting is
+    * distributed: the reader locates rowTag boundaries inside file splits,
+    * so one giant XML dump parallelizes across tasks. Reference analog:
+    * the XML loader family — lxml over full UniProt/NCBI/PubMed dumps
+    * (loaders/load-UniProt.py:108, load-NCBIGene.py, load-PubMed.py). */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+              schema: StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .load(path)
+  }
+
+  /** XML sink (round-trip surface for the XML interop path). */
+  def writeXml(df: DataFrame, path: String, rowTag: String,
+               rootTag: String): Unit =
+    df.write.mode("overwrite").format("xml")
+      .option("rowTag", rowTag).option("rootTag", rootTag).save(path)
+
+  /** OBO/stanza-format text ingest (python/obo.py, loaders/load-Ontologies.py):
+    * reading with a custom record separator (`lineSep` = "\n[Term]") makes
+    * each row one whole stanza, and Hadoop's record reader resolves
+    * separator occurrences across split boundaries — so a multi-GB ontology
+    * file parses fully distributed, no wholeTextFiles single-task read.
+    * Rows are trimmed at the next non-Term stanza header ("[Typedef]" etc.)
+    * and non-stanza preamble rows (the OBO header) drop out as rows with no
+    * id. Returns (term_id, name, parents) with one row per [Term]. */
+  def readOboTerms(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("lineSep", "\n[Term]").text(path)
+      // keep only the current stanza: cut at the next "[X]" header, if any
+      .select(substring_index(col("value"), "\n[", 1).as("stanza"))
+      .select(
+        regexp_extract(col("stanza"), """(?m)^id: (\S+)""", 1).as("term_id"),
+        regexp_extract(col("stanza"), """(?m)^name: (.*)$""", 1).as("name"),
+        expr("""regexp_extract_all(stanza, '(?m)^is_a: (\\S+)', 1)""").as("parents"))
+      .filter(col("term_id") =!= "")
+  }
+
   /** Partitioned parquet sink: partition column choice is the scale lever
     * (keep per-partition file counts bounded; low-cardinality keys only). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =

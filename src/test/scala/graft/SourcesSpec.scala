@@ -63,6 +63,81 @@ class SourcesSpec extends SparkSpec {
     assert(one.count() == n.filter(col("n_regionkey") === 0).count())
   }
 
+  test("readXml parses rowTag records with explicit schema and quarantines corrupt records") {
+    val dir = Files.createTempDirectory("graft_xml").toFile
+    val f = new java.io.File(dir, "targets.xml")
+    val w = new java.io.PrintWriter(f)
+    w.println("<targets>")
+    w.println("  <target><id>1</id><sym>DRD2</sym><score>3.5</score></target>")
+    w.println("  <target><id>2</id><sym>EGFR &amp; friends</sym><score>7.25</score></target>")
+    w.println("  <target><id>oops</id><sym>BAD</sym><score>not_a_number</score></target>")
+    w.println("</targets>")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("sym", StringType),
+      StructField("score", DoubleType)))
+    // cache before projecting the corrupt column alone: Spark disallows
+    // corrupt-record-only queries straight off the raw source
+    val df = Tables.readXml(spark, f.getAbsolutePath, rowTag = "target", schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull).orderBy("id").collect()
+    assert(good.length == 2)
+    assert(good(1).getString(1) == "EGFR & friends" && good(1).getDouble(2) == 7.25)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    df.unpersist()
+  }
+
+  test("writeXml/readXml round-trips typed rows including nested structs") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_xmlrt").toFile.getAbsolutePath + "/docs"
+    val src = Seq((1L, "a<b&c", 2.5), (2L, "plain", -1.0)).toDF("id", "txt", "v")
+    Tables.writeXml(src, out, rowTag = "doc", rootTag = "docs")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType),
+      StructField("v", DoubleType)))
+    val back = Tables.readXml(spark, out, rowTag = "doc", schema)
+      .select("id", "txt", "v").orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(1) == "a<b&c" && back(0).getDouble(2) == 2.5)
+  }
+
+  test("readOboTerms splits stanzas on [Term] records and extracts id/name/is_a edges") {
+    val dir = Files.createTempDirectory("graft_obo").toFile
+    val f = new java.io.File(dir, "onto.obo")
+    val w = new java.io.PrintWriter(f)
+    w.print(
+      """format-version: 1.2
+        |ontology: test
+        |
+        |[Term]
+        |id: GO:0001
+        |name: root term
+        |
+        |[Term]
+        |id: GO:0002
+        |name: middle term
+        |is_a: GO:0001 ! root term
+        |
+        |[Term]
+        |id: GO:0003
+        |name: leaf term
+        |is_a: GO:0002 ! middle term
+        |is_a: GO:0001 ! root term
+        |
+        |[Typedef]
+        |id: part_of
+        |name: part of
+        |""".stripMargin)
+    w.close()
+    val terms = Tables.readOboTerms(spark, f.getAbsolutePath)
+    val rows = terms.orderBy("term_id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(0)).toSeq == Seq("GO:0001", "GO:0002", "GO:0003"))
+    assert(rows(1).getString(1) == "middle term")
+    assert(rows(0).getSeq[String](2).isEmpty)
+    assert(rows(1).getSeq[String](2) == Seq("GO:0001"))
+    assert(rows(2).getSeq[String](2) == Seq("GO:0002", "GO:0001"))
+  }
+
   test("events nanos timestamps normalize to microsecond precision") {
     val e = Tables.events(spark, TinyDir)
     assert(e.schema("ts").dataType == TimestampType)
