@@ -69,9 +69,17 @@ object Retrieval {
   }
 
   /** Vocabulary with counts, rank, and cumulative corpus coverage — the
-    * "how big a vocab covers X% of tokens" BPE-prep table. The global
-    * window runs over the already-aggregated vocab (tiny relative to the
-    * corpus), so the single-partition rank is not a scale concern. */
+    * "how big a vocab covers X% of tokens" BPE-prep table, as a
+    * DISTRIBUTED two-pass prefix sum. A vocabulary obeys Heaps' law (10⁸+
+    * terms at 100 TB), so a global `ROW_NUMBER() OVER (ORDER BY …)` — one
+    * task sorting the whole table — is a scale killer. Instead:
+    * range-partition by the global order, compute rank/cumsum locally per
+    * range (windows partitioned by partition id, so every window task is
+    * bounded), and add per-partition offsets derived from a P-row stats
+    * table (P = partition count) joined in broadcast. The offset prefix
+    * itself is a triangular self-join over those P rows — no
+    * single-partition window anywhere. Output is boundary-invariant:
+    * local rank + offset = global rank wherever the range cuts fall. */
   val qVocabCoverage: Q = Q(
     "q_vocab_coverage",
     """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -81,14 +89,31 @@ object Retrieval {
       |SELECT token, cnt, rnk,
       |  round(CAST(SUM(cnt) OVER (ORDER BY rnk) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
       |FROM r CROSS JOIN tot ORDER BY rnk""".stripMargin) { (s, d) =>
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val c = toks(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
     val tot = c.agg(sum(col("cnt")).as("total"))
-    val r = c.withColumn("rnk",
-      row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
-    r.crossJoin(broadcast(tot))
-      .withColumn("coverage",
-        round(dbl(sum(col("cnt")).over(Window.orderBy("rnk"))) / dbl(col("total")), 6))
-      .select("token", "cnt", "rnk", "coverage")
+    // pass 1: range-partition on the global order; stamp the partition id
+    val parted = c.repartitionByRange(nParts, col("cnt").desc, col("token"))
+      .withColumn("pid", spark_partition_id().cast("long"))
+    // P-row per-partition stats → exclusive offsets via triangular join
+    val pstats = parted.groupBy("pid")
+      .agg(count(lit(1)).as("p_rows"), sum(col("cnt")).as("p_sum"))
+    val offsets = pstats.as("a")
+      .join(pstats.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.p_rows")), lit(0L)).as("rank_off"),
+        coalesce(sum(col("b.p_sum")), lit(0L)).as("sum_off"))
+    // pass 2: partition-local rank + cumsum (bounded window tasks), plus
+    // the broadcast offsets — global rank/coverage with no global sort
+    val wLocal = Window.partitionBy("pid").orderBy(col("cnt").desc, col("token"))
+    parted
+      .withColumn("lrnk", row_number().over(wLocal).cast("long"))
+      .withColumn("lcum", sum(col("cnt")).over(wLocal))
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("cnt"),
+        (col("lrnk") + col("rank_off")).as("rnk"),
+        round(dbl(col("lcum") + col("sum_off")) / dbl(col("total")), 6).as("coverage"))
       .orderBy("rnk")
   }
 

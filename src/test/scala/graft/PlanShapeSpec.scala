@@ -74,6 +74,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("vocab coverage: no unpartitioned window over the vocabulary (distributed prefix sum)") {
+    val df = ops.Retrieval.qVocabCoverage.fn(spark, TinyDir)
+    df.collect()
+    // every Window in the plan must be partitioned — an empty partition
+    // spec is the single-task global sort this operator exists to avoid
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: unwrap(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: unwrap(r.child)
+        case o => o +: o.children.flatMap(unwrap)
+      }
+    val windows = unwrap(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      windows.map(w => w.partitionSpec).mkString("; "))
+  }
+
   test("min-cost supplier: all equi hash joins, no nested loop") {
     val plan = executed(operators.Relational2.qMinCostSupplier)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
