@@ -242,9 +242,10 @@ object GraphOps2 {
   /** Triangle enumeration over the near-dup pair graph (a < b < c, each
     * triangle once): the clustering-coefficient primitive for PPI-style
     * graphs (loaders/load-BioPlexPPIs.py communities). Edge-edge-edge hash
-    * joins on the oriented edge list — no per-node adjacency blowup; at
-    * scale the standard refinement is joining the lower-degree endpoint
-    * first, which AQE's join reorder approximates from runtime stats. */
+    * joins on the oriented edge list — no per-node adjacency blowup. This
+    * form is the small-N oracle baseline (its pair generation is the
+    * cosine BNLJ); the 100 TB path is [[qTriangleLsh]]: LSH candidate
+    * pairs + degree-ordered orientation. */
   val qTriangleCount: Q = Q(
     "q_triangle_count",
     """WITH ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -274,6 +275,45 @@ object GraphOps2 {
       .orderBy("a", "b", "c")
   }
 
+  /** Triangle enumeration at corpus scale: the SAME edge-edge-edge shape as
+    * [[qTriangleCount]], but (a) fed from MinHash/LSH candidate pairs — no
+    * O(n²) cosine stage anywhere — and (b) degree-ordered: each edge is
+    * oriented from its lower-(degree, id) endpoint to the higher, so wedges
+    * fan out on the SMALL adjacency lists (Σ oriented-out-deg² = O(m^1.5)
+    * worst case, vs Σ raw-deg² which a hub node makes quadratic). Every
+    * triangle closes exactly once. Rows-only (seeded minhash isn't
+    * SQL-portable); the spec cross-validates against exact triangles over
+    * the same pair graph. */
+  val qTriangleLsh: Q = Q.rowsOnly("q_triangle_lsh") { (s, d) =>
+    val pairs = graft.ops.Dedup.qDedupMinhash.fn(s, d).select("id_a", "id_b")
+    val deg = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // total order by (degree, id); orient edges low → high
+    val ranked = pairs
+      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        struct(col("da").as("dg"), col("id_a").as("nid")).as("ra"),
+        struct(col("db").as("dg"), col("id_b").as("nid")).as("rb"))
+    // oriented edge list carries the dst rank for the wedge ordering;
+    // checkpointed: it anchors all three join inputs below
+    val e = ranked.select(
+        when(col("ra") < col("rb"), col("id_a")).otherwise(col("id_b")).as("src"),
+        when(col("ra") < col("rb"), col("id_b")).otherwise(col("id_a")).as("dst"),
+        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rdst"))
+      .localCheckpoint(true)
+    // wedge (u→v, u→w) with rank(v) < rank(w); close with oriented v→w
+    val e1 = e.select(col("src").as("u"), col("dst").as("v"), col("rdst").as("rv"))
+    val e2 = e.select(col("src").as("u"), col("dst").as("w"), col("rdst").as("rw"))
+    val e3 = e.select(col("src").as("v"), col("dst").as("w"))
+    e1.join(e2, "u").filter(col("rv") < col("rw"))
+      .join(e3, Seq("v", "w"))
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+      .orderBy("a", "b", "c")
+  }
+
   val all: Seq[Q] = Seq(qPagerank, qConnectedComponents, qDedupClusterPick,
-    qTriangleCount)
+    qTriangleCount, qTriangleLsh)
 }

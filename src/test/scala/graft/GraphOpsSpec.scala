@@ -47,4 +47,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(d(1L) == 0L)
     assert(d.values.forall(v => v >= 0 && v <= 3))
   }
+
+  test("LSH triangle twin equals exact triangle enumeration over the same pair graph") {
+    // exact reference: brute-force every a<b<c combination over the LSH
+    // candidate edges (fine at spec scale; the operator under test never
+    // materializes per-node adjacency this way)
+    val pairs = graft.ops.Dedup.qDedupMinhash.fn(spark, TinyDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = for {
+      (a, b) <- pairs
+      (b2, c) <- pairs if b2 == b && pairs.contains((a, c))
+    } yield (a, b, c)
+    val got = graft.operators.GraphOps2.qTriangleLsh.fn(spark, TinyDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+    assert(got.forall { case (a, b, c) => a < b && b < c })
+  }
 }
