@@ -19,6 +19,7 @@ object SparkEntry {
       operators.LoaderOps.all ++
       operators.AsofJoin.all ++
       operators.IngestOps.all ++
+      operators.ProvenanceOps.all ++
       ops.Retrieval.all ++
       ops.TextAnalysis.all ++
       ops.TextAnalysis2.all ++

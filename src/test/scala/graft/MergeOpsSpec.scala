@@ -42,4 +42,26 @@ class MergeOpsSpec extends SparkSpec {
     assert(merged.count() == base.count())
     assert(merged.filter(col("c_name") === upper(col("c_name"))).count() >= 10)
   }
+
+  test("provenance ledger: tracked writes record rows + order-independent fingerprint") {
+    import spark.implicits._
+    import graft.operators.ProvenanceOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_prov").toFile.getAbsolutePath
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "txt")
+    ProvenanceOps.writeWithProvenance(v1, s"$dir/data", col("txt"),
+      "docs", "unit-test", loadedAtUs = 1000L, provDir = s"$dir/prov")
+    // same content, different row order/partitioning -> same fingerprint
+    val v1shuffled = v1.orderBy(col("id").desc).repartition(3)
+    ProvenanceOps.record(v1shuffled, col("txt"), "docs", "unit-test", 2000L, s"$dir/prov")
+    // one row's content changes (same row count) -> fingerprint must move
+    val v2 = Seq((1L, "alpha"), (2L, "CHANGED"), (3L, "gamma")).toDF("id", "txt")
+    ProvenanceOps.record(v2, col("txt"), "docs", "unit-test", 3000L, s"$dir/prov")
+    val led = ProvenanceOps.ledger(spark, s"$dir/prov")
+      .orderBy("loaded_at_us").collect()
+    assert(led.length == 3)
+    assert(led.forall(_.getLong(led.head.fieldIndex("n_rows")) == 3L))
+    val fps = led.map(_.getLong(led.head.fieldIndex("content_fp")))
+    assert(fps(0) == fps(1), "order/partitioning must not change the fingerprint")
+    assert(fps(0) != fps(2), "content change with equal counts must change the fingerprint")
+  }
 }
