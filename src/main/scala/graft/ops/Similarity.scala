@@ -101,20 +101,77 @@ object Similarity {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 
+  /** Deterministic spherical k-means codebook, fit on a hash-sample:
+    *  - sample = rows with xxhash64(id) ≡ 0 (mod sampleMod) — reproducible,
+    *    bounded, no full-corpus pass per iteration;
+    *  - init = the K sample vectors with smallest (xxhash64(id, 7), id) —
+    *    a seeded pseudo-random draw, not data-order-dependent;
+    *  - `iters` Lloyd rounds: assign sample to nearest centroid by cosine
+    *    (broadcast K×dim model), recompute centroids as per-dimension
+    *    means in EXACT decimal (order/partitioning-invariant — the
+    *    codebook, and so every downstream cell id, is bit-stable);
+    *  - empty cells keep their previous centroid.
+    * The model (K·dim doubles) collects to the driver and broadcasts —
+    * model-fit-sized, independent of corpus scale. */
+  def fitKmeansCodebook(vecs: DataFrame, k: Int, iters: Int = 4,
+                        sampleMod: Int = 4): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val sample = vecs.select(col("id"), col("v"))
+      .filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
+      .localCheckpoint(true)
+    var cents: Array[Array[Double]] = sample
+      .orderBy(xxhash64(col("id"), lit(7)), col("id")).limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cid", "cv")
+      val wA = Window.partitionBy("id").orderBy(col("ccos").desc, col("cid"))
+      val assigned = sample.crossJoin(broadcast(centsDf))
+        .withColumn("ccos", VectorFunctions.cosineSim(col("v"), col("cv")))
+        .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+        .select(col("cid"), col("v"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast(DecimalType(38, 18))) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, i) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val c = prev.clone()
+            rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+            c
+          case None => prev // empty cell: keep previous centroid
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF-style ANN (the other 100 TB path, complementing LSH): a coarse
     * quantizer (K centroids) partitions the corpus into cells; each vector
     * is assigned to its nearest centroid once (one broadcast pass over the
     * corpus — K ≪ n); probes search only their nProbe nearest cells via a
-    * hash join on cell id. Centroids here are the first K corpus vectors
-    * (deterministic stand-in for a k-means fit — at scale you'd fit on a
-    * sample and broadcast the model the same way). Rows-only: the spec
-    * cross-validates recall against brute force. */
+    * hash join on cell id. The quantizer is a real (deterministic,
+    * fixed-seed, fixed-iteration) k-means fit on a hash-sample — see
+    * [[fitKmeansCodebook]] — so cells track the data distribution instead
+    * of whatever the first K corpus vectors happened to be (skewed data
+    * would otherwise pile into one giant cell: bad recall AND a skewed
+    * shuffle). Rows-only: the spec cross-validates recall against brute
+    * force, including on a skewed synthetic corpus. */
   val qAnnIvf: Q = Q.rowsOnly("q_ann_ivf") { (s, d) =>
-    val k = 16; val nProbe = 4
+    val k = 16; val nProbe = 6
     val corpus = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents = corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val codebook = fitKmeansCodebook(
+      corpus.select(col("vec_id").as("id"), col("v")), k)
+    import s.implicits._
+    val cents = codebook.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cid", "cv")
     // one pass: score each vector against all K centroids, keep argmax
     val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     val assigned = corpus.crossJoin(broadcast(cents))
