@@ -251,7 +251,15 @@ object GraphOps {
   /** Subtree sizes over the ontology closure: distinct descendants per
     * node (the "how many terms live under this ancestor" rollup the
     * reference derives from its OBO closures — loaders/load-Ontologies.py,
-    * python/obo.py). One aggregation over the already-computed closure. */
+    * python/obo.py). One aggregation over the already-computed closure.
+    *
+    * Node ids are dictionary-encoded to int64 (xxhash64 of the label)
+    * BEFORE the closure: every doubling self-join then shuffles/compares
+    * 8-byte longs instead of ~20-byte label strings — the same encoding
+    * lever pagerank uses. Labels rejoin only at the final (ancestor-count
+    * sized) aggregate. A hash collision would collapse two nodes and
+    * surface as an oracle hash mismatch (same vanishing-probability
+    * argument as Dedup.wordShingleHashes). */
   val qSubtreeCounts: Q = Q(
     "q_subtree_counts",
     """WITH RECURSIVE edges AS (
@@ -270,12 +278,18 @@ object GraphOps {
     val e2 = p.select(concat(lit("brand:"), col("p_brand")).as("src"),
       concat(lit("type:"), col("p_type")).as("dst"))
     val e3 = p.select(concat(lit("type:"), col("p_type")).as("src"), lit("ROOT").as("dst"))
+    val labeled = e1.union(e2).union(e3).distinct()
+    val encoded = labeled.select(xxhash64(col("src")).as("src"), xxhash64(col("dst")).as("dst"))
+    // ancestor labels for the final decode join: one small distinct table
+    val dict = labeled.select(col("dst").as("node"), xxhash64(col("dst")).as("h")).distinct()
     // the closure emits DISTINCT (src, dst) pairs by construction, so a
     // plain count per ancestor equals COUNT(DISTINCT src) without the
     // extra expand/dedup shuffle a distinct-aggregate would add
-    transitiveClosure(e1.union(e2).union(e3).distinct(), maxDepth = 4)
-      .groupBy(col("dst").as("node"))
+    transitiveClosure(encoded, maxDepth = 4)
+      .groupBy(col("dst").as("h"))
       .agg(count(lit(1)).as("n_descendants"))
+      .join(dict, "h")
+      .select(col("node"), col("n_descendants"))
       .orderBy("node")
   }
 
