@@ -35,4 +35,18 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Streaming state-store posture for long-running stateful queries
+    * (dedup-within-watermark, sessionization, funnels): RocksDB keeps
+    * per-key state off-heap and on local disk with incremental
+    * checkpointing — the default HDFS-backed store holds every key on the
+    * executor heap, which at firehose key cardinality is an OOM, not a
+    * tuning problem. Changelog checkpointing ships per-batch deltas
+    * instead of full SST snapshots. Apply to the builder of any streaming
+    * job; batch plans are unaffected. */
+  def withRocksDbState(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
 }

@@ -59,10 +59,27 @@ object StreamingOps {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("approx_distinct"), col("n_events"))
 
-  /** Exactly-once event de-dup inside the watermark horizon. */
+  /** Exactly-once event de-dup inside the watermark horizon.
+    * NOTE: plain dropDuplicates keys state FOREVER (every id ever seen) —
+    * use [[dedupEventsWithinWatermark]] on an unbounded stream. */
   def dedupEvents(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
+
+  /** De-dup with RECLAIMED state: dropDuplicatesWithinWatermark keeps each
+    * key only until the watermark passes its event time, so the state
+    * store stays bounded at firehose cardinality (vs dropDuplicates, whose
+    * state grows with every distinct id ever seen). Duplicates are
+    * guaranteed dropped only while they arrive within the watermark delay
+    * of the first occurrence — exactly the replay/at-least-once-source
+    * window, which is the contract a 100 TB pipeline actually needs.
+    * Survives restarts via the checkpointed state store; pair with
+    * [[graft.GraftSession.withRocksDbState]] on a cluster so state spills
+    * to disk instead of sitting on-heap. */
+  def dedupEventsWithinWatermark(events: DataFrame,
+                                 watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment: a stream joined against a static dimension
     * — Spark broadcasts the dim per micro-batch (re-read each batch, so a
