@@ -338,6 +338,69 @@ object Analytics {
       .limit(50)
   }
 
+  /** The serving-layer "search page" in one plan (tcrd_app.py's target
+    * listing: ranked hits + per-facet counts + total, paginated): one scan
+    * computes the hit set; from it, (a) page 2 of ranked results (ranks
+    * 11-20), (b) top-5 facet counts for two dimensions, (c) the total hit
+    * count — unioned into one sectioned result, the payload a search API
+    * returns per request. Facets aggregate the FULL hit set (as a real
+    * facet panel does), not just the visible page. */
+  val qFacetSearch: Q = Q(
+    "q_facet_search",
+    """WITH hits AS (
+      |  SELECT p_partkey, p_name, p_brand, p_type,
+      |    CAST(CASE WHEN p_name = 'bolt' THEN 0
+      |         WHEN p_name LIKE 'bolt%' THEN 1 ELSE 2 END AS BIGINT) AS relevance
+      |  FROM part WHERE p_name LIKE '%bolt%'),
+      |page AS (
+      |  SELECT 'hits' AS section, p_name AS label, rnk, p_partkey AS n FROM (
+      |    SELECT p_partkey, p_name,
+      |      ROW_NUMBER() OVER (ORDER BY relevance, p_partkey) AS rnk
+      |    FROM hits)
+      |  WHERE rnk BETWEEN 11 AND 20),
+      |fb AS (
+      |  SELECT 'facet:brand' AS section, p_brand AS label,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p_brand) AS rnk,
+      |    COUNT(*) AS n
+      |  FROM hits GROUP BY p_brand QUALIFY rnk <= 5),
+      |ft AS (
+      |  SELECT 'facet:type' AS section, p_type AS label,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p_type) AS rnk,
+      |    COUNT(*) AS n
+      |  FROM hits GROUP BY p_type QUALIFY rnk <= 5),
+      |tot AS (SELECT 'total' AS section, '' AS label, CAST(0 AS BIGINT) AS rnk, COUNT(*) AS n FROM hits)
+      |SELECT section, label, rnk, n FROM
+      |  (SELECT * FROM page UNION ALL SELECT * FROM fb
+      |   UNION ALL SELECT * FROM ft UNION ALL SELECT * FROM tot)
+      |ORDER BY section, rnk""".stripMargin) { (s, d) =>
+    val hits = T.part(s, d)
+      .filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        lng(when(col("p_name") === "bolt", 0)
+          .when(col("p_name").like("bolt%"), 1)
+          .otherwise(2)).as("relevance"))
+      // the hit set feeds four branches below — materialize once
+      .localCheckpoint(true)
+    val page = hits
+      .withColumn("rnk",
+        row_number().over(Window.orderBy("relevance", "p_partkey")).cast("long"))
+      .filter(col("rnk") >= 11 && col("rnk") <= 20)
+      .select(lit("hits").as("section"), col("p_name").as("label"),
+        col("rnk"), col("p_partkey").as("n"))
+    def facet(c: String): DataFrame =
+      hits.groupBy(col(c).as("label")).agg(count(lit(1)).as("n"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("n").desc, col("label"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(lit(s"facet:${c.stripPrefix("p_")}").as("section"),
+          col("label"), col("rnk"), col("n"))
+    val tot = hits.agg(count(lit(1)).as("n"))
+      .select(lit("total").as("section"), lit("").as("label"),
+        lit(0L).as("rnk"), col("n"))
+    page.unionByName(facet("p_brand")).unionByName(facet("p_type")).unionByName(tot)
+      .orderBy("section", "rnk")
+  }
+
   val all: Seq[Q] = Seq(qCube, qRangeJoin, qNtile, qRunningTotal, qCorr,
-    qHistogram, qDateSpine, qScd2, qProfile, qMadOutliers, qSearch)
+    qHistogram, qDateSpine, qScd2, qProfile, qMadOutliers, qSearch, qFacetSearch)
 }
