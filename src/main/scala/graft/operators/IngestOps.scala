@@ -103,10 +103,17 @@ object IngestOps {
         expr("""regexp_extract_all(stanza, '(?m)^is_a: (\\S+)', 1)""").as("parents"))
       .filter(col("src") =!= "")
     val edges = parsed.select(col("src"), explode(col("parents")).as("dst")).distinct()
+    // dictionary-encode term ids to int64 before the closure (the same
+    // lever as qSubtreeCounts: doubling self-joins shuffle 8-byte longs,
+    // labels rejoin only at the ancestor-count-sized final aggregate)
+    val encoded = edges.select(xxhash64(col("src")).as("src"), xxhash64(col("dst")).as("dst"))
+    val dict = edges.select(col("dst").as("node"), xxhash64(col("dst")).as("h")).distinct()
     // fixed 3-level hierarchy: two doubling rounds close it (cf. GraphOps)
-    GraphOps.transitiveClosure(edges, maxDepth = 4)
-      .groupBy(col("dst").as("node"))
+    GraphOps.transitiveClosure(encoded, maxDepth = 4)
+      .groupBy(col("dst").as("h"))
       .agg(count(lit(1)).as("n_descendants"))
+      .join(dict, "h")
+      .select(col("node"), col("n_descendants"))
       .orderBy("node")
   }
 

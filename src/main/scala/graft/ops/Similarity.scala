@@ -4,7 +4,7 @@ import graft.Q
 import graft.functions.Exact._
 import graft.functions.VectorFunctions
 import graft.sources.{Tables => T}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,23 +101,36 @@ object Similarity {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 
+  /** Nearest-centroid id for a vector column, as ONE map-side expression:
+    * the codebook is inlined as a literal array of (cid, centroid) structs,
+    * scored with the same codegen cosine, and the argmax is array_max over
+    * (ccos, -cid) structs — best cosine wins, ties to the LOWEST cid. No
+    * row blowup, no window shuffle: assignment costs one projection,
+    * which is what lets the corpus-wide pass scale. */
+  def nearestCell(v: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorFunctions.cosineSim(v, array(c.map(lit): _*)).as("ccos"),
+        lit(-i.toLong).as("negCid"))
+    }
+    -array_max(array(scored: _*)).getField("negCid")
+  }
+
   /** Deterministic spherical k-means codebook, fit on a hash-sample:
     *  - sample = rows with xxhash64(id) ≡ 0 (mod sampleMod) — reproducible,
     *    bounded, no full-corpus pass per iteration;
     *  - init = the K sample vectors with smallest (xxhash64(id, 7), id) —
     *    a seeded pseudo-random draw, not data-order-dependent;
     *  - `iters` Lloyd rounds: assign sample to nearest centroid by cosine
-    *    (broadcast K×dim model), recompute centroids as per-dimension
-    *    means in EXACT decimal (order/partitioning-invariant — the
-    *    codebook, and so every downstream cell id, is bit-stable);
+    *    ([[nearestCell]] — a pure projection), recompute centroids as
+    *    per-dimension means in EXACT decimal (order/partitioning-invariant
+    *    — the codebook, and so every downstream cell id, is bit-stable);
     *  - empty cells keep their previous centroid.
     * The model (K·dim doubles) collects to the driver and broadcasts —
     * model-fit-sized, independent of corpus scale. */
   def fitKmeansCodebook(vecs: DataFrame, k: Int, iters: Int = 4,
                         sampleMod: Int = 4): Array[Array[Double]] = {
     import org.apache.spark.sql.types.DecimalType
-    val spark = vecs.sparkSession
-    import spark.implicits._
     val sample = vecs.select(col("id"), col("v"))
       .filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
       .localCheckpoint(true)
@@ -125,20 +138,16 @@ object Similarity {
       .orderBy(xxhash64(col("id"), lit(7)), col("id")).limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
-      val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toSeq.toDF("cid", "cv")
-      val wA = Window.partitionBy("id").orderBy(col("ccos").desc, col("cid"))
-      val assigned = sample.crossJoin(broadcast(centsDf))
-        .withColumn("ccos", VectorFunctions.cosineSim(col("v"), col("cv")))
-        .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
-        .select(col("cid"), col("v"))
+      // assignment is a pure projection (see nearestCell) — the only
+      // shuffle per Lloyd round is the (cid, pos) mean aggregation
+      val assigned = sample.select(nearestCell(col("v"), cents).as("cid"), col("v"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg((sum(col("x").cast(DecimalType(38, 18))) / count(lit(1)))
           .cast("double").as("m"))
         .collect()
-      val byCell = means.groupBy(_.getInt(0))
+      val byCell = means.groupBy(_.getLong(0).toInt)
       cents = cents.zipWithIndex.map { case (prev, i) =>
         byCell.get(i) match {
           case Some(rows) =>
@@ -172,13 +181,10 @@ object Similarity {
     import s.implicits._
     val cents = codebook.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
       .toSeq.toDF("cid", "cv")
-    // one pass: score each vector against all K centroids, keep argmax
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("ccos", VectorFunctions.cosineSim(col("v"), col("cv")))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    // corpus assignment is a pure projection — one map-side argmax over
+    // the inlined codebook, no row blowup, no window shuffle
+    val assigned = corpus
+      .select(col("vec_id"), col("v"), nearestCell(col("v"), codebook).as("cell"))
     // probes visit their nProbe nearest cells
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
     val probeCells = corpus.filter(col("vec_id") < 10)

@@ -80,14 +80,8 @@ class Round2OpsSpec extends SparkSpec {
     // assign the full corpus to fitted cells: the dominant cluster must
     // split across multiple cells OR at minimum every real cluster center
     // must map to a distinct cell (no all-in-one-cell collapse)
-    val cents = codebook.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
-      .toSeq.toDF("cid", "cv")
-    val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("ccos").desc, col("cid"))
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("ccos", graft.functions.VectorFunctions.cosineSim(col("v"), col("cv")))
-      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
-      .select(col("id"), col("cid"))
+    val assigned = corpus
+      .select(col("id"), ops.Similarity.nearestCell(col("v"), codebook).as("cid"))
     val cellOf = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val clusterCells = Seq(0L to 399L, 400L to 479L, 480L to 499L)
       .map(_.map(cellOf).groupBy(identity).maxBy(_._2.size)._1)
