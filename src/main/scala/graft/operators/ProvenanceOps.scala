@@ -47,12 +47,19 @@ object ProvenanceOps {
         lit(loadedAtUs).as("loaded_at_us"), col("n_rows"), col("content_fp"))
       .write.mode("append").parquet(provDir)
 
-  /** Tracked write: data lands at `path`, its ledger row at `provDir`. */
+  /** Tracked write: data lands at `path`, its ledger row at `provDir`.
+    * The fingerprint pass reads back what was actually PERSISTED at
+    * `path`, not the incoming plan — if any upstream of `df` is
+    * nondeterministic (sampling, partition-id-derived values, a source
+    * that changed between jobs), the ledger still describes the bytes on
+    * disk. `content` must therefore be expressed over column NAMES
+    * (`col("text")`), which re-resolve against the read-back schema. */
   def writeWithProvenance(df: DataFrame, path: String, content: Column,
                           dataset: String, source: String, loadedAtUs: Long,
                           provDir: String): Unit = {
     df.write.mode("overwrite").parquet(path)
-    record(df, content, dataset, source, loadedAtUs, provDir)
+    val persisted = df.sparkSession.read.parquet(path)
+    record(persisted, content, dataset, source, loadedAtUs, provDir)
   }
 
   /** Read the ledger back, latest row per dataset first. */

@@ -92,9 +92,14 @@ object Retrieval {
     val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val c = toks(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
     val tot = c.agg(sum(col("cnt")).as("total"))
-    // pass 1: range-partition on the global order; stamp the partition id
+    // pass 1: range-partition on the global order; stamp the partition id.
+    // Eagerly materialized: BOTH downstream branches (offset stats and the
+    // local-rank pass) must see the SAME range boundaries — RangePartitioner
+    // samples per exchange, so without pinning, two physical exchanges could
+    // cut at different points and offsets would not match ranks.
     val parted = c.repartitionByRange(nParts, col("cnt").desc, col("token"))
       .withColumn("pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
     // P-row per-partition stats → exclusive offsets via triangular join
     val pstats = parted.groupBy("pid")
       .agg(count(lit(1)).as("p_rows"), sum(col("cnt")).as("p_sum"))

@@ -131,12 +131,21 @@ object Similarity {
   def fitKmeansCodebook(vecs: DataFrame, k: Int, iters: Int = 4,
                         sampleMod: Int = 4): Array[Array[Double]] = {
     import org.apache.spark.sql.types.DecimalType
-    val sample = vecs.select(col("id"), col("v"))
+    val hashed = vecs.select(col("id"), col("v"))
       .filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
       .localCheckpoint(true)
+    // degenerate guards: an unlucky hash-sample (tiny corpora) falls back
+    // to the full input; an empty input is an error, never an empty
+    // codebook (nearestCell over array() would fail analysis downstream).
+    // With fewer than k sample rows the codebook is min(k, |sample|) —
+    // k is an upper bound, callers must size probes off codebook.length.
+    val sample =
+      if (hashed.isEmpty) vecs.select(col("id"), col("v")).localCheckpoint(true)
+      else hashed
     var cents: Array[Array[Double]] = sample
       .orderBy(xxhash64(col("id"), lit(7)), col("id")).limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "fitKmeansCodebook: empty input corpus")
     for (_ <- 1 to iters) {
       // assignment is a pure projection (see nearestCell) — the only
       // shuffle per Lloyd round is the (cid, pos) mean aggregation

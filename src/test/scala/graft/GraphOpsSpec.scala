@@ -52,9 +52,15 @@ class GraphOpsSpec extends SparkSpec {
     // exact reference: brute-force every a<b<c combination over the LSH
     // candidate edges (fine at spec scale; the operator under test never
     // materializes per-node adjacency this way)
+    // normalized to (min,max) so the expected set does not depend on the
+    // pair generator's orientation contract (id_a < id_b today, but the
+    // oracle side must stay correct even if that changes)
     val pairs = graft.ops.Dedup.qDedupMinhash.fn(spark, TinyDir)
       .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        (math.min(a, b), math.max(a, b))
+      }.toSet
     val expected = for {
       (a, b) <- pairs
       (b2, c) <- pairs if b2 == b && pairs.contains((a, c))
