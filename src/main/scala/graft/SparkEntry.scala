@@ -11,6 +11,7 @@ object SparkEntry {
     operators.Relational.all ++
       operators.Relational2.all ++
       operators.Analytics.all ++
+      operators.Analytics2.all ++
       operators.Scoring.all ++
       operators.GraphOps.all ++
       operators.GraphOps2.all ++

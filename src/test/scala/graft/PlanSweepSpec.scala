@@ -23,7 +23,9 @@ class PlanSweepSpec extends SparkSpec {
     // single-row (or K-row centroid/top-N) aggregate — the nested loop's
     // build side is constant-size, i.e. a broadcast variable in plan form
     "q_bm25", "q_vocab_coverage", "q_cooccur_pmi", "q_tfidf", "q_ann_ivf",
-    "q_chi_square"
+    "q_chi_square",
+    "q_skyline",           // P-row partition-stats triangular prefix join
+    "q_dist_drift"         // rows x 1-row corpus total (constant side)
   )
 
   SparkEntry.allQ.foreach { q =>
