@@ -26,6 +26,7 @@ object SparkEntry {
       ops.TextAnalysis2.all ++
       ops.CorpusQuality.all ++
       ops.Dedup.all ++
+      ops.PipelineOps.all ++
       ops.Similarity.all ++
       ops.Multimodal.all ++
       plans.TopKQueries.all

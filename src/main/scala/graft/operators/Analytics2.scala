@@ -171,5 +171,68 @@ object Analytics2 {
       .orderBy("cur", "nxt")
   }
 
-  val all: Seq[Q] = Seq(qSkyline, qAutocomplete, qDistDrift, qEventTransitions)
+  /** Serving-layer detail page (the tcrd_app.py target-detail endpoint
+    * shape): for every supplier in one nation — attributes, #distinct
+    * parts supplied, exact total revenue, a top-3 parts roster (revenue-
+    * ranked, name tie-break, rendered as one deterministic string), and
+    * the supplier's revenue rank within the nation. One lineitem
+    * aggregation feeds everything; the final rank window runs over a
+    * dim-bounded set (suppliers of one nation), never over fact rows —
+    * at 100 TB that window sees ~10²–10³ rows. */
+  val qDetailPage: Q = Q(
+    "q_detail_page",
+    """WITH sup AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |             JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_19'),
+      |rev AS (SELECT l_suppkey, l_partkey,
+      |          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |               * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(18,4)) AS prev
+      |        FROM lineitem JOIN sup ON l_suppkey = s_suppkey GROUP BY 1, 2),
+      |agg AS (SELECT l_suppkey, CAST(SUM(prev) AS DECIMAL(18,4)) AS total_rev,
+      |               COUNT(*) AS n_parts FROM rev GROUP BY 1),
+      |ranked AS (SELECT l_suppkey, prev, p_name,
+      |             ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY prev DESC, p_name) AS rn
+      |           FROM rev JOIN part ON p_partkey = l_partkey),
+      |top3 AS (SELECT l_suppkey, string_agg(p_name, '; ' ORDER BY prev DESC, p_name) AS top_parts
+      |         FROM ranked WHERE rn <= 3 GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, s.s_acctbal, a.n_parts,
+      |       CAST(a.total_rev AS DOUBLE) AS total_rev, t.top_parts,
+      |       RANK() OVER (ORDER BY a.total_rev DESC, s.s_suppkey) AS rev_rank
+      |FROM sup s JOIN agg a ON a.l_suppkey = s.s_suppkey
+      |JOIN top3 t ON t.l_suppkey = s.s_suppkey
+      |ORDER BY rev_rank, s_suppkey""".stripMargin) { (s, d) =>
+    val sup = T.supplier(s, d)
+      .join(broadcast(T.nation(s, d).filter(col("n_name") === "NATION_19")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal")
+    val rev = T.lineitem(s, d)
+      .join(broadcast(sup.select(col("s_suppkey").as("__sk"))),
+        col("l_suppkey") === col("__sk"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DecimalType(18, 4)).as("prev"))
+    val agg = rev.groupBy("l_suppkey")
+      .agg(sum(col("prev")).cast(DecimalType(18, 4)).as("total_rev"),
+        count(lit(1)).as("n_parts"))
+    val wSupp = Window.partitionBy("l_suppkey").orderBy(col("prev").desc, col("p_name"))
+    val top3 = rev
+      .join(broadcast(T.part(s, d).select(col("p_partkey"), col("p_name"))),
+        col("p_partkey") === col("l_partkey"))
+      .withColumn("rn", row_number().over(wSupp))
+      .filter(col("rn") <= 3)
+      .groupBy("l_suppkey")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct((-col("prev")).as("np"), col("p_name")))),
+        x => x.getField("p_name")), "; ").as("top_parts"))
+    // dim-bounded rank: one nation's suppliers, never fact-sized
+    val wRank = Window.orderBy(col("total_rev").desc, col("s_suppkey"))
+    sup.join(agg, col("s_suppkey") === agg("l_suppkey")).drop("l_suppkey")
+      .join(top3, col("s_suppkey") === top3("l_suppkey")).drop("l_suppkey")
+      .withColumn("rev_rank", lng(rank().over(wRank)))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_parts"),
+        dbl(col("total_rev")).as("total_rev"), col("top_parts"), col("rev_rank"))
+      .orderBy("rev_rank", "s_suppkey")
+  }
+
+  val all: Seq[Q] = Seq(qSkyline, qAutocomplete, qDistDrift, qEventTransitions,
+    qDetailPage)
 }

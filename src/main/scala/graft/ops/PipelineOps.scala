@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.Exact._
+import graft.functions.VectorFunctions
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-6 LLM-data-pipeline operators: bigram-LM perplexity scoring,
+  * incremental (cross-corpus) dedup, embedding-space clustering, and
+  * training-mix planning. Reference analogs where they exist are cited
+  * per operator; perplexity/mix/clustering are the training-data-pipeline
+  * mandate (corpus quality filtering, mixture rebalancing, semantic
+  * bucketing).
+  *
+  * Tokenization matches TextAnalysis/Retrieval: single-space split,
+  * mirrored by string_split(text, ' ') in the oracles.
+  */
+object PipelineOps {
+
+  /** Per-document bigram-LM perplexity — the classic LM-based corpus
+    * quality filter (docs whose perplexity under a corpus-level n-gram LM
+    * is extreme are boilerplate or garbage). Model = MLE bigram
+    * probabilities over the whole corpus (train == score here, so every
+    * bigram has nonzero count; a production filter would train on held-out
+    * text and smooth — the plan shape is identical).
+    *
+    * Determinism: each bigram's ln p is a fixed-shape double rounded to
+    * 6 dp, per-doc summed as DECIMAL(18,6) (order/partition-invariant),
+    * exp/divide as final scalars (the q_bm25 recipe, SURVEY §5).
+    *
+    * At scale: one doc-partitioned window for adjacency, one bigram-count
+    * shuffle for the model, two hash joins doc-bigrams⋈model (both sides
+    * shrink before joining: the model is count-aggregated), one per-doc
+    * aggregation. No global window, no collect. */
+  val qPerplexity: Q = Q(
+    "q_perplexity",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |pos AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS ord FROM toks),
+      |big AS (SELECT doc_id, t AS cur, LEAD(t) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt FROM pos),
+      |bg AS (SELECT doc_id, cur, nxt FROM big WHERE nxt IS NOT NULL),
+      |bc AS (SELECT cur, nxt, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT cur, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+      |term AS (SELECT doc_id, round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6) AS lp
+      |         FROM bg JOIN bc USING (cur, nxt) JOIN cc USING (cur)),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS s
+      |        FROM term GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |       round(-s / n_bigrams, 6) AS avg_nll,
+      |       round(exp(-s / n_bigrams), 6) AS ppl
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pos = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("ord", "t")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("ord")
+    val bg = pos.withColumn("nxt", lead(col("t"), 1).over(wDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("t").as("cur"), col("nxt"))
+    val bc = bg.groupBy("cur", "nxt").agg(count(lit(1)).as("c2"))
+    val cc = bc.groupBy("cur").agg(sum(col("c2")).cast("long").as("c1"))
+    val term = bg.join(bc, Seq("cur", "nxt")).join(cc, Seq("cur"))
+      .select(col("doc_id"), round(log(dbl(col("c2")) / dbl(col("c1"))), 6).as("lp"))
+    term.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        dbl(sum(col("lp").cast(DecimalType(18, 6)))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s") / col("n_bigrams"), 6).as("avg_nll"),
+        round(exp(-col("s") / col("n_bigrams")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental cross-corpus dedup: classify a NEW batch of documents
+    * (doc_id ≡ 0 mod 5 stands in for "today's crawl") against the BASE
+    * corpus (everything else) — 'exact' (fingerprint already in base),
+    * 'near' (3-gram Jaccard ≥ 0.5 with some base doc), or 'unique'. This
+    * is the steady-state shape of corpus dedup: the base is not re-paired
+    * against itself (that already happened), only batch×base candidates
+    * are generated.
+    *
+    * At scale: exact = hash semi-join against the base fingerprint index
+    * (broadcast/bloom-sized relative to the corpus); near = shingle-keyed
+    * equi-join where one side is the small increment, then a bounded
+    * per-pair verify. The LSH-banded variant of the same increment join is
+    * q_dedup_minhash's bands with the base pre-bucketed — the candidate
+    * key discipline is identical, so this oracle-checked form is the
+    * correctness anchor. Shingles are xxhash64'd to int64 on the Spark
+    * side ([[Dedup.wordShingleHashes]]); Jaccard is hash-invariant, so
+    * the oracle computes it on raw string shingles. */
+  val qDedupIncr: Q = Q(
+    "q_dedup_incr",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |pos AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS ord FROM toks),
+      |sh0 AS (SELECT doc_id, t || ' ' || LEAD(t, 1) OVER w || ' ' || LEAD(t, 2) OVER w AS sh
+      |        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+      |sz AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+      |fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |basefp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+      |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0),
+      |inter AS (SELECT a.doc_id AS bid, b.doc_id AS oid, COUNT(*) AS ninter
+      |          FROM sh a JOIN sh b USING (sh)
+      |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT bid,
+      |          MAX(round(CAST(ninter AS DOUBLE) / CAST(sa.nsh + sb.nsh - ninter AS DOUBLE), 6)) AS best_j
+      |        FROM inter JOIN sz sa ON sa.doc_id = inter.bid
+      |                   JOIN sz sb ON sb.doc_id = inter.oid
+      |        GROUP BY 1)
+      |SELECT b.doc_id,
+      |  CASE WHEN basefp.fp IS NOT NULL THEN 'exact'
+      |       WHEN jac.best_j >= 0.5 THEN 'near' ELSE 'unique' END AS status,
+      |  jac.best_j AS best_jaccard
+      |FROM batch b LEFT JOIN basefp ON b.fp = basefp.fp
+      |LEFT JOIN jac ON jac.bid = b.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val sh = Dedup.wordShingleHashes(docs, "doc_id", "text", 3)
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val baseFp = fp.filter(col("doc_id") % 5 =!= 0)
+      .select("fp").distinct().withColumn("hit", lit(1))
+    val batch = fp.filter(col("doc_id") % 5 === 0)
+    val bsh = sh.filter(col("id") % 5 === 0).select(col("id").as("bid"), col("sh"))
+    val osh = sh.filter(col("id") % 5 =!= 0).select(col("id").as("oid"), col("sh"))
+    val inter = bsh.join(osh, "sh").groupBy("bid", "oid").agg(count(lit(1)).as("ninter"))
+    val jac = inter
+      .join(sz.select(col("id").as("bid"), col("nsh").as("na")), "bid")
+      .join(sz.select(col("id").as("oid"), col("nsh").as("nb")), "oid")
+      .groupBy("bid")
+      .agg(max(round(dbl(col("ninter")) / dbl(col("na") + col("nb") - col("ninter")), 6))
+        .as("best_j"))
+    batch.join(baseFp, Seq("fp"), "left")
+      .join(jac.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("hit").isNotNull, "exact")
+          .when(col("best_j") >= 0.5, "near")
+          .otherwise("unique").as("status"),
+        col("best_j").as("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Training-mix planner: given relative target weights per source
+    * (here a deterministic function of the source name, standing in for a
+    * configured mixture), compute each source's token supply, the sampling
+    * rate that realizes the target share of a fixed token budget (half the
+    * corpus), capped at 1 (can't upsample without repetition), and the
+    * expected token yield. One aggregation + a broadcast of the one-row
+    * totals — the per-source table is mixture-sized, never corpus-sized. */
+  val qMixPlan: Q = Q(
+    "q_mix_plan",
+    """WITH tok AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+      |             FROM documents GROUP BY 1),
+      |w AS (SELECT source, src_tokens,
+      |        CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS DOUBLE) AS weight FROM tok),
+      |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total, CAST(SUM(weight) AS DOUBLE) AS wsum FROM w)
+      |SELECT source, src_tokens, weight,
+      |  round(least(1.0, (weight / wsum) * (0.5 * CAST(total AS DOUBLE)) / CAST(src_tokens AS DOUBLE)), 6) AS rate,
+      |  CAST(floor(least(1.0, (weight / wsum) * (0.5 * CAST(total AS DOUBLE)) / CAST(src_tokens AS DOUBLE))
+      |        * CAST(src_tokens AS DOUBLE)) AS BIGINT) AS expected_tokens
+      |FROM w CROSS JOIN tot ORDER BY source""".stripMargin) { (s, d) =>
+    val tok = T.documents(s, d).groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("src_tokens"))
+    val w = tok.withColumn("weight",
+      dbl(substring(col("source"), 4, 10).cast("int") % 4 + 1))
+    val tot = w.agg(sum(col("src_tokens")).as("total"), sum(col("weight")).as("wsum"))
+    val rateRaw = least(lit(1.0),
+      (col("weight") / col("wsum")) * (lit(0.5) * dbl(col("total"))) / dbl(col("src_tokens")))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_tokens"), col("weight"),
+        round(rateRaw, 6).as("rate"),
+        floor(rateRaw * dbl(col("src_tokens"))).cast("long").as("expected_tokens"))
+      .orderBy("source")
+  }
+
+  /** Embedding-space clustering (semantic bucketing of a corpus): fit the
+    * deterministic k-means codebook ([[Similarity.fitKmeansCodebook]] — a
+    * hash-sample fit, model-fit-sized), assign every vector map-side
+    * ([[Similarity.nearestCell]] — one projection, no row blowup), then
+    * profile each cluster: size, majority label (+share), and cohesion
+    * (mean cosine to the centroid). The mode comes from a struct-max over
+    * per-(cell,label) partials — one shuffle chain, no window. Rows-only:
+    * the codebook is not SQL-expressible; the spec cross-validates the
+    * assignment against a brute-force argmax and pins partition
+    * invariance. */
+  val qEmbedCluster: Q = Q.rowsOnly("q_embed_cluster") { (s, d) =>
+    val k = 8
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val codebook = Similarity.fitKmeansCodebook(
+      corpus.select(col("vec_id").as("id"), col("v")), k)
+    val centArr = array(codebook.map(c => array(c.map(lit): _*)): _*)
+    val assigned = corpus
+      .withColumn("cell", Similarity.nearestCell(col("v"), codebook))
+      .withColumn("ccos",
+        round(VectorFunctions.cosineSim(col("v"), element_at(centArr, (col("cell") + 1).cast("int"))), 6))
+    val byCellLabel = assigned.groupBy("cell", "label")
+      .agg(count(lit(1)).as("cl"),
+        sum(col("ccos").cast(DecimalType(18, 6))).as("csum"))
+    byCellLabel.groupBy("cell")
+      .agg(sum(col("cl")).cast("long").as("n_vecs"),
+        dbl(sum(col("csum"))).as("s"),
+        max(struct(col("cl"), (-col("label")).as("negLabel"))).as("m"))
+      .select(col("cell"), col("n_vecs"),
+        (-col("m.negLabel")).cast("long").as("top_label"),
+        round(dbl(col("m.cl")) / dbl(col("n_vecs")), 6).as("top_label_share"),
+        round(col("s") / dbl(col("n_vecs")), 6).as("cohesion"))
+      .orderBy("cell")
+  }
+
+  val all: Seq[Q] = Seq(qPerplexity, qDedupIncr, qMixPlan, qEmbedCluster)
+}

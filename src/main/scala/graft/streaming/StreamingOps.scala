@@ -245,4 +245,22 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** Native merging session windows (`session_window`): the built-in
+    * counterpart of [[sessionize]]. Spark merges overlapping gap windows
+    * in the state store and emits a session once the watermark passes its
+    * close — no hand-rolled state. Prefer this form when the per-session
+    * output is a plain aggregate (count/sum); flatMapGroupsWithState is
+    * for sessions carrying custom state (first-id, funnels). The same
+    * expression runs in batch, so the spec pins stream == batch equality.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"))
 }

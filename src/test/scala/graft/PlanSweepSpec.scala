@@ -25,7 +25,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_bm25", "q_vocab_coverage", "q_cooccur_pmi", "q_tfidf", "q_ann_ivf",
     "q_chi_square",
     "q_skyline",           // P-row partition-stats triangular prefix join
-    "q_dist_drift"         // rows x 1-row corpus total (constant side)
+    "q_dist_drift",        // rows x 1-row corpus total (constant side)
+    "q_mix_plan"           // 20-row mix table x 1-row totals (constant side)
   )
 
   SparkEntry.allQ.foreach { q =>

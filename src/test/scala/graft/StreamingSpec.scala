@@ -152,4 +152,35 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("native session_window stream matches the same expression in batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // user 7: 10:00 + 10:20 merge (gap 30m), 11:30 is a new session;
+    // user 8: one singleton session
+    val rows = Seq(
+      (7L, ts("2024-01-01 10:00:00")),
+      (7L, ts("2024-01-01 10:20:00")),
+      (7L, ts("2024-01-01 11:30:00")),
+      (8L, ts("2024-01-01 10:00:00")))
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingOps.sessionWindowCounts(mem.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("swc").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // advance the watermark past every session close so all emit
+      mem.addData((9L, ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-03 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, start_us, end_us, n_events FROM swc WHERE user_id IN (7, 8)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = StreamingOps.sessionWindowCounts(rows.toDF("user_id", "ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch.count(_._1 == 7L) == 2) // merged + separate sessions
+    } finally q.stop()
+  }
 }
