@@ -314,6 +314,59 @@ object GraphOps2 {
       .orderBy("a", "b", "c")
   }
 
+  /** Synchronous label propagation: every round, each node adopts the
+    * most frequent label among its neighbors (ties to the LOWEST label —
+    * deterministic, unlike textbook random tie-breaks). Per round: one
+    * edge⋈labels join + one (node,label) count + a struct-max argmax —
+    * no window, no collect; labels stay node-sized. Same checkpoint
+    * cadence as [[pagerankInt]] (linear chain: every other round). */
+  def labelPropagation(symEdges: DataFrame, iters: Int): DataFrame = {
+    val e = e0Checkpoint(symEdges.select("src", "dst"))
+    var l = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (i <- 1 to iters) {
+      val next = e.join(l, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
+      l = if (i % 2 == 0 || i == iters) e0Checkpoint(next) else next
+    }
+    l
+  }
+
+  /** Community detection on the co-supply graph (suppliers sharing a
+    * part) via 2 rounds of synchronous LPA — the clustering flavor the
+    * reference applies to PPI neighborhoods (loaders/load-BioPlexPPIs.py
+    * groups interacting proteins). Oracle = the same two rounds unrolled
+    * (QUALIFY argmax with the identical count-desc/label-asc tie-break).
+    */
+  val qLabelProp: Q = Q(
+    "q_label_prop",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst FROM ps a JOIN ps b
+      |      ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey GROUP BY 1, 2),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+      |c1 AS (SELECT e.dst AS node, l0.lbl, COUNT(*) AS c
+      |       FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+      |l1 AS (SELECT node, lbl FROM c1
+      |       QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1),
+      |c2 AS (SELECT e.dst AS node, l1.lbl, COUNT(*) AS c
+      |       FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+      |l2 AS (SELECT node, lbl FROM c2
+      |       QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1)
+      |SELECT node, lbl AS community FROM l2 ORDER BY node""".stripMargin) { (s, d) =>
+    val ps = T.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      .localCheckpoint(true)
+    val e = ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
+      .join(ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst")), "pk")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    labelPropagation(e, 2)
+      .select(col("node"), col("lbl").as("community"))
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(qPagerank, qConnectedComponents, qDedupClusterPick,
-    qTriangleCount, qTriangleLsh)
+    qTriangleCount, qTriangleLsh, qLabelProp)
 }

@@ -112,5 +112,48 @@ object CorpusQuality {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qRepetition, qSourceStats, qFilterPipeline, qContamination)
+  /** Cross-document boilerplate detection (the C4/RefinedWeb "remove
+    * paragraphs repeated across many pages" pass): split each doc into
+    * fixed 8-token chunks (the paragraph stand-in for this corpus), count
+    * distinct docs per chunk text, and flag chunks appearing in 2+ docs.
+    * Per-doc output: chunk counts + boilerplate share — the upstream
+    * signal for stripping headers/footers/navigation at corpus scale.
+    * Two shuffles: chunk assembly (doc-keyed) and the chunk-frequency
+    * count (chunk-keyed, uniform); the flag join keys on the same chunk
+    * hash. At 100 TB the chunk table is the big side — everything stays
+    * key-partitioned, nothing collects. */
+  val qBoilerplate: Q = Q(
+    "q_boilerplate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |pos AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS ord FROM toks),
+      |ch AS (SELECT doc_id, (ord - 1) // 8 AS chunk_id,
+      |         string_agg(t, ' ' ORDER BY ord) AS chunk
+      |       FROM pos GROUP BY 1, 2),
+      |rep AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1),
+      |flag AS (SELECT doc_id, CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END AS boiler
+      |         FROM ch JOIN rep USING (chunk))
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(boiler) AS BIGINT) AS n_boiler,
+      |  round(CAST(CAST(SUM(boiler) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS boiler_share
+      |FROM flag GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pos = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    // posexplode is 0-based, generate_subscripts 1-based: p div 8 == (ord-1)//8
+    val ch = pos
+      .groupBy(col("doc_id"), expr("p div 8").as("chunk_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("p"), col("t")))),
+        x => x.getField("t")), " ").as("chunk"))
+    val rep = ch.groupBy("chunk").agg(countDistinct(col("doc_id")).as("ndocs"))
+    ch.join(rep, "chunk")
+      .select(col("doc_id"), when(col("ndocs") >= 2, 1).otherwise(0).as("boiler"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("boiler")).cast("long").as("n_boiler"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+        round(dbl(col("n_boiler")) / dbl(col("n_chunks")), 6).as("boiler_share"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qRepetition, qSourceStats, qFilterPipeline, qContamination,
+    qBoilerplate)
 }

@@ -260,6 +260,42 @@ object Retrieval {
       .orderBy("source", "doc_id")
   }
 
+  /** Whole-document sequence packing via first-fit-decreasing — the
+    * packing model that does NOT split documents (complement of
+    * [[qSeqPack]]'s concat-then-chunk): docs bin-pack into fixed
+    * 256-token sequences, longest-first, so padding waste is provably
+    * small (every bin but at most one ends more than half full). Packing
+    * is inherently sequential per shard, so the distributed shape is:
+    * hash-partition by source, sort (source, tokens desc, doc_id) within
+    * partitions, run FFD per source inside mapPartitions — bounded state
+    * (open-bin fills for one source), no shuffle beyond the repartition,
+    * deterministic bin ids. Rows-only: greedy bin state is not
+    * SQL-expressible; the spec pins the packing invariants. */
+  val qPackBestfit: Q = Q.rowsOnly("q_pack_bestfit") { (s, d) =>
+    import s.implicits._
+    val budget = 256
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("ntok"))
+      .as[(Long, String, Int)]
+    docs
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("ntok").desc, col("doc_id"))
+      .mapPartitions { it =>
+        var curSource: String = null
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Int]
+        it.map { case (docId, source, ntok) =>
+          if (source != curSource) { curSource = source; fills.clear() }
+          var b = 0
+          while (b < fills.length && fills(b) + ntok > budget) b += 1
+          if (b == fills.length) fills += ntok else fills(b) += ntok
+          (source, b.toLong, docId, ntok)
+        }
+      }
+      .toDF("source", "bin_id", "doc_id", "tokens")
+      .orderBy("source", "bin_id", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(qBm25, qVocabCoverage, qBigramLm, qCooccurPmi,
-    qEntityMatch, qHeavyHitters, qSeqPack)
+    qEntityMatch, qHeavyHitters, qSeqPack, qPackBestfit)
 }

@@ -263,4 +263,19 @@ object StreamingOps {
       .select(col("user_id"),
         unix_micros(col("sw.start")).as("start_us"),
         unix_micros(col("sw.end")).as("end_us"), col("n_events"))
+
+  /** Windowed top-k via the custom mergeable TopKAgg: the k largest
+    * event ids per tumbling window and type, held as a k-long heap in the
+    * state store instead of all values — the same bounded-state argument
+    * as the windowed HLL distinct, applied to ranking. Also exercises
+    * that a graft TypedImperativeAggregate (partial-merge contract)
+    * composes with Structured Streaming's incremental aggregation. */
+  def windowedTopK(events: DataFrame, k: Int = 3,
+                   watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(graft.functions.TopKAgg(col("event_id"), k).as("top_ids"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("top_ids"))
 }

@@ -81,6 +81,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_pack_bestfit: every doc packed once, no bin overflows, FFD bound holds, deterministic") {
+    val budget = 256
+    val out = graft.ops.Retrieval.qPackBestfit.fn(spark, TinyDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("tokens")))
+    val nDocs = T.documents(spark, TinyDir).count()
+    assert(out.map(_._3).distinct.length.toLong == nDocs)
+    val byBin = out.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._4).sum)
+    assert(byBin.values.forall(_ <= budget), "a bin exceeds the token budget")
+    // any-fit guarantee: per source, at most one bin is <= half full,
+    // so bins < 2 * total/budget + 1
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val bins = rows.map(_._2).distinct.length
+      val total = rows.map(_._4).sum
+      assert(bins <= 2 * total / budget + 1, s"$src: $bins bins for $total tokens")
+    }
+    val again = graft.ops.Retrieval.qPackBestfit.fn(spark, TinyDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("tokens")))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("q_mix_plan: rates capped at 1 and yields never exceed supply") {
     val out = PipelineOps.qMixPlan.fn(spark, TinyDir).collect()
     assert(out.length == 20)

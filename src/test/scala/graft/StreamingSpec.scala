@@ -183,4 +183,31 @@ class StreamingSpec extends SparkSpec {
       assert(batch.count(_._1 == 7L) == 2) // merged + separate sessions
     } finally q.stop()
   }
+
+  test("streaming windowed top-k (TopKAgg) merges across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "event_type", "ts")
+    val q = StreamingOps.windowedTopK(df, k = 3)
+      .writeStream.format("memory").queryName("wtopk").outputMode("append").start()
+    try {
+      // same window split across two micro-batches: the final top-3 must
+      // reflect BOTH batches (i.e. the heap state merged incrementally)
+      mem.addData((5L, "click", ts("2024-01-01 10:00:00")),
+        (1L, "click", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      mem.addData((9L, "click", ts("2024-01-01 12:00:00")),
+        (3L, "click", ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // advance the watermark so the day-1 window closes and emits
+      mem.addData((100L, "view", ts("2024-01-05 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((101L, "view", ts("2024-01-09 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT day, event_type, top_ids FROM wtopk WHERE day = '2024-01-01'")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2))).toSet
+      assert(got == Set(("2024-01-01", "click", Seq(9L, 5L, 3L))), s"got $got")
+    } finally q.stop()
+  }
 }
