@@ -322,10 +322,16 @@ object GraphOps2 {
     * cadence as [[pagerankInt]] (linear chain: every other round). */
   def labelPropagation(symEdges: DataFrame, iters: Int): DataFrame = {
     val e = e0Checkpoint(symEdges.select("src", "dst"))
-    var l = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // round 1's "join labels" is the identity mapping (lbl = node id), so
+    // the neighbor-label stream is just the edge list relabeled — no node
+    // distinct, no first join. Node set = distinct dst (same set: edges
+    // are symmetric).
+    var l: DataFrame = null
     for (i <- 1 to iters) {
-      val next = e.join(l, col("src") === col("node"))
+      val contrib =
+        if (l == null) e.select(col("dst"), col("src").as("lbl"))
+        else e.join(l, col("src") === col("node")).select(col("dst"), col("lbl"))
+      val next = contrib
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))

@@ -54,6 +54,26 @@ object MergeOps {
       .filter(col("cnt") > 0)
   }
 
+  /** Incremental JOIN maintenance: the delta of A⋈B after delta batches
+    * land on both sides, computed WITHOUT re-joining the full tables —
+    * Δ(A⋈B) = ΔA⋈B ∪ A'⋈ΔB where A' = A∪ΔA (the standard delta-rule
+    * factorization; each term joins a delta against one full side, so
+    * the cost is O(|Δ|·match-rate), not O(|A|·|B|)). Appends only — the
+    * retraction variant composes with [[incrementalAgg]]'s negative
+    * deltas downstream. The maintained view is the union of the previous
+    * materialization and this delta; the spec pins delta-applied ==
+    * full-recompute equality.
+    *
+    * At 100 TB: ΔA and ΔB are load-batch-sized, so both terms plan as
+    * broadcast joins against the big sides; the full A⋈B never runs
+    * again after the initial materialization. */
+  def incrementalJoinDelta(baseA: DataFrame, deltaA: DataFrame,
+                           baseB: DataFrame, deltaB: DataFrame,
+                           key: String): DataFrame = {
+    val aPrime = baseA.unionByName(deltaA)
+    deltaA.join(baseB, key).unionByName(aPrime.join(deltaB, key))
+  }
+
   /** Soft-delete variant: update rows with `deleteFlag` true remove the
     * key from the result entirely (the loaders' delete-then-reload step). */
   def upsertWithDeletes(base: DataFrame, updates: DataFrame, key: String,

@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+
+import graft.functions.BloomAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file Bloom-filter skipping index (SURVEY.md §2.1 sink_bloom_index):
+  * the Spark-native analog of the reference warehouse's secondary indexes
+  * (every MySQL table in SQL/create-TCRDv6.sql carries point-lookup
+  * indexes; a data lake gets the same effect by skipping FILES, not rows).
+  *
+  * Write path: after the data lands, ONE pass keyed on input file builds a
+  * [[BloomAgg]] bloom per file (distributed aggregate — the filter never
+  * exists un-merged on the driver) and stores them in a `_bloom_index`
+  * sidecar next to the data. Sidecar size = #files × filter bytes.
+  *
+  * Read path: deserialize the sidecar (files-count-sized, driver-safe by
+  * construction — it is the file LIST, which the planner already holds),
+  * keep the files whose filter might contain the key, and scan only
+  * those. For data clustered on the key (repartition-by-key writes, the
+  * normal ingest layout), a point lookup touches ~1 file instead of all —
+  * min/max pruning can't do this for keys uncorrelated with sort order.
+  * False positives only cost an extra file scan; never correctness.
+  */
+object FileIndex {
+
+  /** Write `df` clustered by `keyCol`, then build the per-file bloom
+    * sidecar at `path/_bloom_index`. `expectedPerFile` sizes the filters
+    * (items per file, not total). */
+  def writeWithBloomIndex(df: DataFrame, path: String, keyCol: String,
+                          nFiles: Int, expectedPerFile: Long = 100000L,
+                          fpp: Double = 0.01): Unit = {
+    df.repartition(nFiles, col(keyCol)).write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(keyCol).as("k"))
+      .groupBy("file")
+      .agg(BloomAgg.agg(col("k"), expectedPerFile, fpp).as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_bloom_index")
+  }
+
+  /** Point lookup via the sidecar: scan only files whose bloom might
+    * contain `value`. Returns (matched rows, files scanned) so callers
+    * and specs can observe the skipping. */
+  def pointLookup(spark: SparkSession, path: String, keyCol: String,
+                  value: Long): (DataFrame, Seq[String]) = {
+    val candidates = spark.read.parquet(s"$path/_bloom_index")
+      .collect() // sidecar = one row per data file
+      .filter { r =>
+        BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          .mightContainLong(value)
+      }
+      .map(_.getAs[String]("file")).toSeq
+    val df =
+      if (candidates.isEmpty)
+        spark.read.parquet(path).filter(lit(false)) // schema-stable empty
+      else
+        spark.read.parquet(candidates: _*).filter(col(keyCol) === value)
+    (df, candidates)
+  }
+}

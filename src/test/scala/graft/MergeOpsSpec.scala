@@ -64,4 +64,50 @@ class MergeOpsSpec extends SparkSpec {
     assert(fps(0) == fps(1), "order/partitioning must not change the fingerprint")
     assert(fps(0) != fps(2), "content change with equal counts must change the fingerprint")
   }
+
+  test("incremental join maintenance: materialized view + delta == full recompute") {
+    import graft.operators.MergeOps
+    import graft.sources.{Tables => T}
+    val cust = T.customer(spark, TinyDir).select("c_custkey", "c_mktsegment")
+    val ord = T.orders(spark, TinyDir)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+    // "yesterday's" state: 80% of each side; today's delta: the rest
+    val baseC = cust.filter(col("c_custkey") % 5 =!= 0)
+    val deltaC = cust.filter(col("c_custkey") % 5 === 0)
+    val baseO = ord.filter(col("o_orderkey") % 5 =!= 0)
+    val deltaO = ord.filter(col("o_orderkey") % 5 === 0)
+    val view0 = baseC.join(baseO, "c_custkey") // initial materialization
+    val delta = MergeOps.incrementalJoinDelta(baseC, deltaC, baseO, deltaO, "c_custkey")
+    val maintained = view0.unionByName(delta)
+    val full = cust.join(ord, "c_custkey")
+    assert(maintained.count() == full.count())
+    assert(maintained.exceptAll(full).isEmpty && full.exceptAll(maintained).isEmpty,
+      "delta-maintained view differs from full recompute")
+  }
+
+  test("bloom file index: point lookups match full scan and skip files") {
+    import graft.sources.FileIndex
+    import graft.sources.{Tables => T}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toFile.getAbsolutePath
+    val li = T.lineitem(spark, TinyDir).select("l_suppkey", "l_orderkey", "l_extendedprice")
+    FileIndex.writeWithBloomIndex(li, s"$dir/li", "l_suppkey",
+      nFiles = 8, expectedPerFile = 10000L)
+    val nFilesTotal = spark.read.parquet(s"$dir/li")
+      .select(input_file_name()).distinct().count()
+    val keys = li.select("l_suppkey").distinct().limit(5)
+      .collect().map(_.getLong(0))
+    keys.foreach { k =>
+      val (hits, scanned) = FileIndex.pointLookup(spark, s"$dir/li", "l_suppkey", k)
+      val expected = spark.read.parquet(s"$dir/li").filter(col("l_suppkey") === k)
+      assert(hits.count() == expected.count(), s"key $k: lookup != full scan")
+      // clustered writes put each key in exactly one file; fpp=1% may add
+      // the odd false-positive file, never miss the true one
+      assert(scanned.nonEmpty && scanned.length < nFilesTotal,
+        s"key $k scanned ${scanned.length}/$nFilesTotal files — no skipping")
+    }
+    // absent key: no false negatives required, near-total skipping expected
+    val (miss, scannedMiss) = FileIndex.pointLookup(spark, s"$dir/li", "l_suppkey", -999999L)
+    assert(miss.count() == 0)
+    assert(scannedMiss.length < nFilesTotal)
+  }
 }
