@@ -24,7 +24,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // measure every query from a clean slate: iterative operators leave
+      // localCheckpoint RDD blocks behind (freed only on driver GC via the
+      // ContextCleaner); letting them accumulate across 100+ queries
+      // evicts/THRASHes later queries' storage and poisons their timings
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (name, secs, ok)
     }
     // The driver captures only the LAST 2000 chars of output and parses the
     // JSON line out of that tail — a line longer than ~1880 chars gets its

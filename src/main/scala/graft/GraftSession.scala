@@ -27,6 +27,14 @@ object GraftSession {
       // at 100 TB this skips whole row groups before the shuffle
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.debug.maxToStringFields", "200")
+      // iterative operators localCheckpoint each round; the blocks are
+      // freed by the ContextCleaner only after a driver GC notices the
+      // dead RDD handles. The default periodic-GC interval (30min) lets
+      // dead checkpoint blocks pile up across a many-query session and
+      // evict/THRASH live ones — 1min keeps storage honest. (Explicit
+      // per-query unpersist in Bench measures each plan from a clean
+      // slate; this conf covers every other long-lived session.)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
   }
 

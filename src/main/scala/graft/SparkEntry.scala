@@ -27,6 +27,7 @@ object SparkEntry {
       ops.CorpusQuality.all ++
       ops.Dedup.all ++
       ops.PipelineOps.all ++
+      ops.PipelineOps2.all ++
       ops.Similarity.all ++
       ops.Multimodal.all ++
       plans.TopKQueries.all

@@ -364,10 +364,15 @@ object GraphOps2 {
       |SELECT node, lbl AS community FROM l2 ORDER BY node""".stripMargin) { (s, d) =>
     val ps = T.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
       .localCheckpoint(true)
-    val e = ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
+    // generate each undirected edge ONCE (src < dst), dedup the halved
+    // pair stream, then mirror — same edge set as the symmetric join at
+    // half the distinct-shuffle volume (the dominant cost: per-part
+    // supplier fanout f makes f²·parts raw pairs; dedup sees f²/2)
+    val half = ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
       .join(ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst")), "pk")
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") < col("dst"))
       .select("src", "dst").distinct()
+    val e = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
     labelPropagation(e, 2)
       .select(col("node"), col("lbl").as("community"))
       .orderBy("node")

@@ -1,0 +1,221 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.Exact._
+import graft.functions.VectorFunctions
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Round-6 (session 2) LLM-data-pipeline operators:
+  *
+  *  - [[qStripBoilerplate]] — the C4/RefinedWeb *cleaning* pass: remove
+  *    cross-document repeated chunks and reassemble the cleaned text
+  *    (complements q_boilerplate, which only scores the share).
+  *  - [[qSemDedup]] — SemDeDup-style semantic dedup: k-means-cluster the
+  *    embedding space, drop near-duplicates within each cluster
+  *    (Abbas et al. 2023 "SemDeDup", public method).
+  *  - [[qBpeMerges]] — distributed BPE merge-pair training iterations
+  *    (the tokenizer-prep counterpart of q_vocab_coverage).
+  *
+  * Tokenization matches TextAnalysis/Retrieval (single-space split);
+  * chunking matches CorpusQuality.qBoilerplate (8-token fixed chunks) so
+  * the two boilerplate operators agree on what a "chunk" is.
+  */
+object PipelineOps2 {
+
+  /** C4-style boilerplate *removal*: chunks appearing in >= 2 distinct
+    * documents are dropped, the remainder is reassembled in original
+    * order. Docs that were pure boilerplate keep an empty clean_text.
+    *
+    * At scale this is the same shuffle budget as q_boilerplate (one
+    * chunk aggregation keyed on the chunk text — at 100 TB key on
+    * xxhash64(chunk) instead, same plan shape) plus one doc-keyed
+    * reassembly aggregation. No windows, no collect; chunk ids ride
+    * along in the aggregation structs so order survives without a sort
+    * of the corpus. */
+  val qStripBoilerplate: Q = Q(
+    "q_strip_boilerplate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |pos AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS ord FROM toks),
+      |ch AS (SELECT doc_id, (ord - 1) // 8 AS chunk_id,
+      |         string_agg(t, ' ' ORDER BY ord) AS chunk
+      |       FROM pos GROUP BY 1, 2),
+      |rep AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1),
+      |fl AS (SELECT doc_id, chunk_id, chunk, ndocs FROM ch JOIN rep USING (chunk))
+      |SELECT doc_id,
+      |  COALESCE(string_agg(CASE WHEN ndocs < 2 THEN chunk END, ' ' ORDER BY chunk_id), '') AS clean_text,
+      |  CAST(SUM(CASE WHEN ndocs < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      |FROM fl GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pos = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    // posexplode is 0-based, generate_subscripts 1-based: p div 8 == (ord-1)//8
+    val ch = pos
+      .groupBy(col("doc_id"), expr("p div 8").as("chunk_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("p"), col("t")))),
+        x => x.getField("t")), " ").as("chunk"))
+    val rep = ch.groupBy("chunk").agg(countDistinct(col("doc_id")).as("ndocs"))
+    // collect_list skips nulls, so the when() keeps only non-boiler chunks
+    ch.join(rep, "chunk")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(
+            when(col("ndocs") < 2, struct(col("chunk_id"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"),
+        sum(when(col("ndocs") < 2, 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("ndocs") >= 2, 1).otherwise(0)).cast("long").as("n_removed"))
+      .select("doc_id", "clean_text", "n_kept", "n_removed")
+      .orderBy("doc_id")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup that avoids the O(n²)
+    * all-pairs cosine by clustering first — pairwise comparison happens
+    * only WITHIN a k-means cell. Decision rule (deterministic): drop x
+    * iff some lower-id y in the same cell has cos(x,y) >= tau; keep
+    * otherwise. Output is the full decision table (vec_id, cell, keep).
+    *
+    * At scale: the codebook is model-sized (fit on a hash-sample,
+    * broadcast — see [[Similarity.fitKmeansCodebook]]); assignment is a
+    * map-side projection; the within-cell self-join shuffles once on the
+    * cell id and its cost is Σ|cell|² — bounded by cluster granularity
+    * (grow k with the corpus), which is exactly the SemDeDup design
+    * point. Pure near-dup pairs at even larger scale: the LSH path
+    * (q_dedup_minhash_pick) remains the no-pairs alternative.
+    *
+    * Rows-only: cell ids come from the fitted codebook (not
+    * SQL-portable); the spec re-derives every keep/drop decision from
+    * locally computed cosines. */
+  val qSemDedup: Q = Q.rowsOnly("q_semdedup") { (s, d) =>
+    val tau = 0.38
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val codebook = Similarity.fitKmeansCodebook(
+      corpus.select(col("vec_id").as("id"), col("v")), k = 8)
+    val assigned = corpus
+      .select(col("vec_id"), col("v"),
+        Similarity.nearestCell(col("v"), codebook).as("cell"),
+        sqrt(VectorFunctions.dotProduct(col("v"), col("v"))).as("nrm"))
+      .localCheckpoint(true)
+    val a = assigned.select(col("vec_id"), col("cell"), col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("cell"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("vec_id") &&
+        round(VectorFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          >= tau)
+      .select("vec_id").distinct()
+      .withColumn("drop", lit(1))
+    assigned.select("vec_id", "cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("drop").isNotNull, 0).otherwise(1).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Greedy left-to-right application of one BPE merge (l, r) -> l+r to a
+    * symbol array, as a single fold (no UDF): the accumulator carries the
+    * emitted prefix and one pending symbol; a pending `l` followed by `r`
+    * becomes the merged symbol (which, as the new pending value, can no
+    * longer match `l` — the standard non-overlapping greedy pass). */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val init = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("pend"))
+    val flush = (acc: Column) =>
+      when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend"))))
+    aggregate(
+      syms,
+      init,
+      (acc, sym) =>
+        when(acc.getField("pend") === lit(l) && sym === lit(r),
+          struct(acc.getField("out").as("out"), lit(l + r).as("pend")))
+          .otherwise(struct(flush(acc).as("out"), sym.as("pend"))),
+      acc => flush(acc))
+  }
+
+  /** Distributed BPE merge training, 3 iterations: corpus -> (word, count)
+    * -> char symbols; each round counts adjacent symbol pairs (weighted by
+    * word frequency), picks the argmax pair (ties: higher count, then
+    * lexicographic), and applies the merge corpus-wide. Output: the merge
+    * table (step, left, right, merged, pair_count) — the artifact a BPE
+    * tokenizer trainer produces.
+    *
+    * At scale: the word-frequency table (vocab-sized, not corpus-sized)
+    * is what iterates; pair counting is one explode + hash aggregation
+    * per round; the argmax is a limit(1) on an aggregated table (driver
+    * reads ONE row — model-sized, like the k-means codebook); the merge
+    * application is a pure map-side fold ([[applyMerge]]). Plans stay
+    * bounded via localCheckpoint per round (the iterative-operator
+    * discipline from PLANS.md).
+    *
+    * Rows-only: 3 unrolled BPE rounds are not reasonably SQL-portable;
+    * the spec replays reference BPE on the collected word counts. */
+  val qBpeMerges: Q = Q.rowsOnly("q_bpe_merges") { (s, d) =>
+    import s.implicits._
+    val steps = 3
+    val words = T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", split(col("w"), ""))
+      .localCheckpoint(true)
+    var cur = words
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to steps) {
+      val n = size(col("syms"))
+      val pairs = cur
+        .filter(n >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, l + r, c))
+        cur = cur.withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(true)
+      }
+    }
+    merges.result().toDF("step", "left", "right", "merged", "pair_count")
+      .orderBy("step")
+  }
+
+  /** Index-served AND search: documents containing ALL probe terms with
+    * the summed term frequency — the serving shape behind
+    * [[graft.sources.InvertedIndex]] (which persists the posting lists;
+    * this in-plan twin keeps the same aggregate→intersect semantics under
+    * the correctness gate). Reference analog: tcrd_app.py search served
+    * from MySQL indexes rather than table scans.
+    *
+    * At scale the served path reads O(terms) index rows (pushed equality
+    * filter on the sorted term column) and explodes df-bounded posting
+    * lists; the corpus is never scanned — see InvertedIndexSpec for the
+    * pushdown + equality proof. */
+  val qSearchIndexed: Q = Q(
+    "q_search_indexed",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |hit AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks
+      |        WHERE t IN ('spark', 'join') GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits
+      |FROM hit GROUP BY 1 HAVING COUNT(DISTINCT t) = 2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val terms = Seq("spark", "join")
+    val postings = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    postings.groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("nt"), sum(col("tf")).cast("long").as("n_hits"))
+      .filter(col("nt") === terms.size)
+      .select("doc_id", "n_hits")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qBpeMerges, qSearchIndexed)
+}

@@ -1,0 +1,209 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 connector for the OBO stanza format
+  * (SURVEY.md §2.5 src_dsv2) — the "write your own source" tier of the
+  * engine-extension ladder, complementing the lineSep-based
+  * [[graft.sources.Tables.readOboTerms]]:
+  *
+  *  - `spark.read.format("graft.sources.v2.OboSource").load(dir)` yields
+  *    (term_id, name, parents) rows, schema declared by the connector;
+  *  - **filter pushdown** ([[SupportsPushDownFilters]]): EqualTo /
+  *    StringStartsWith / IsNotNull on term_id or name are evaluated
+  *    inside the reader BEFORE a row is materialized — a non-matching
+  *    stanza costs one regex probe, not a full parse + row + filter;
+  *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): the
+  *    reader parses only requested fields (e.g. a term_id-only scan
+  *    never runs the is_a regex or builds the parents array);
+  *  - **partition planning**: one [[InputPartition]] per file — ontology
+  *    corpora ship as many files, so file-grain parallelism is the
+  *    natural unit (byte-range splitting of ONE huge file is what
+  *    readOboTerms' lineSep path provides; both coexist by design).
+  *
+  * Pushed filters are re-applied by Spark above the scan (they are also
+  * returned as residuals) — pushdown here is an I/O reduction, never a
+  * correctness dependency. Reference analog: python/obo.py, consumed by
+  * loaders/load-Ontologies.py / load-DTO.py.
+  */
+class OboSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OboSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new OboTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object OboSource {
+  val schema: StructType = StructType(Seq(
+    StructField("term_id", StringType),
+    StructField("name", StringType),
+    StructField("parents", ArrayType(StringType))))
+
+  private val IdRe = """(?m)^id: (\S+)""".r
+  private val NameRe = """(?m)^name: (.*)$""".r
+  private val IsaRe = """(?m)^is_a: (\S+)""".r
+
+  /** Split raw OBO file content into [Term] stanza bodies (the text after
+    * each "[Term]" header, cut at the next "[X]" header). */
+  def stanzaBodies(content: String): Iterator[String] =
+    content.split("""\[Term\]""").iterator.drop(1)
+      .map(s => s.split("""(?m)^\[""", 2)(0))
+
+  def extractId(stanza: String): String =
+    IdRe.findFirstMatchIn(stanza).map(_.group(1)).getOrElse("")
+  def extractName(stanza: String): String =
+    NameRe.findFirstMatchIn(stanza).map(_.group(1)).getOrElse("")
+  def extractParents(stanza: String): Array[String] =
+    IsaRe.findAllMatchIn(stanza).map(_.group(1)).toArray
+}
+
+class OboTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-obo:$path"
+  override def schema(): StructType = OboSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OboScanBuilder(path)
+}
+
+class OboScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = OboSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept filters the reader can evaluate on the parsed id/name; return
+    * ALL filters as residual so Spark re-applies them (pushdown is an
+    * optimization, never the only evaluation). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo(a, _) => a == "term_id" || a == "name"
+      case StringStartsWith(a, _) => a == "term_id" || a == "name"
+      case IsNotNull(a) => a == "term_id" || a == "name"
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new OboScan(path, required, pushed)
+}
+
+class OboScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-obo path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+  override def toBatch: Batch = this
+
+  /** One partition per file — listed once, on the driver. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+          .sortBy(_.toString)
+      else Array(p)
+    files.map(f => OboInputPartition(f.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OboReaderFactory(required.fieldNames, pushed)
+}
+
+case class OboInputPartition(file: String) extends InputPartition
+
+class OboReaderFactory(fieldNames: Array[String], pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new OboPartitionReader(partition.asInstanceOf[OboInputPartition].file,
+      fieldNames, pushed)
+}
+
+/** Executor-side reader: parses one file's stanzas, applies pushed filters
+  * on the cheap fields before materializing rows, and builds only the
+  * pruned columns. */
+class OboPartitionReader(file: String, fieldNames: Array[String],
+                         pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val needName = fieldNames.contains("name") ||
+    pushed.exists { case EqualTo("name", _) => true
+                    case StringStartsWith("name", _) => true
+                    case _ => false }
+  private val needParents = fieldNames.contains("parents")
+
+  private val stanzas: Iterator[(String, String)] = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    val content =
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+    OboSource.stanzaBodies(content)
+      .map(st => (OboSource.extractId(st), st))
+      .filter { case (id, _) => id.nonEmpty }
+  }
+
+  private def passes(id: String, name: => String): Boolean =
+    pushed.forall {
+      case EqualTo("term_id", v) => id == v
+      case StringStartsWith("term_id", v) => id.startsWith(v)
+      case EqualTo("name", v) => name == v
+      case StringStartsWith("name", v) => name.startsWith(v)
+      case IsNotNull(_) => true
+      case _ => true
+    }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (stanzas.hasNext) {
+      val (id, st) = stanzas.next()
+      lazy val name = OboSource.extractName(st)
+      if (passes(id, name)) {
+        val values = fieldNames.map {
+          case "term_id" => UTF8String.fromString(id)
+          case "name" => UTF8String.fromString(if (needName) name else "")
+          case "parents" =>
+            new GenericArrayData(
+              (if (needParents) OboSource.extractParents(st) else Array.empty[String])
+                .map(UTF8String.fromString(_): Any))
+        }
+        current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
