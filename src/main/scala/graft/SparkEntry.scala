@@ -21,6 +21,7 @@ object SparkEntry {
       operators.AsofJoin.all ++
       operators.IngestOps.all ++
       operators.ProvenanceOps.all ++
+      operators.Repair.all ++
       ops.Retrieval.all ++
       ops.TextAnalysis.all ++
       ops.TextAnalysis2.all ++

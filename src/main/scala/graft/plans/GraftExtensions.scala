@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => TopKRewrite)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => ApproxPercentileRewrite)
     ext.injectOptimizerRule(_ => MvRewrite)
   }
 }

@@ -133,6 +133,41 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming materialized-view maintenance: foreachBatch folds each
+    * micro-batch of raw facts into a keyed (cnt, per-column sums) rollup
+    * snapshot via [[graft.operators.MergeOps.incrementalAgg]] — the
+    * streaming leg of the MV story (MvRewrite routes queries to the MV;
+    * this keeps the MV fresh at O(batch + touched groups), never
+    * re-aggregating history). Exactly-once per micro-batch via the
+    * checkpointed batch id; crash-safe via the same rename-to-backup swap
+    * as [[upsertSink]]. At 100 TB the snapshot becomes a table-format
+    * MERGE; the plan shape (batch-sized pre-aggregate + group-keyed
+    * fold-in) is identical. */
+  def mvMaintainSink(facts: DataFrame, mvDir: String, keys: Seq[String],
+                     sumCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    facts.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cur = new org.apache.hadoop.fs.Path(mvDir)
+        val prev = new org.apache.hadoop.fs.Path(mvDir + "_prev")
+        val next = new org.apache.hadoop.fs.Path(mvDir + "_next")
+        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // empty base with the MV schema, derived from the batch itself
+        val emptyAgg = batch.limit(0).groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("cnt"), sumCols.map(c => sum(col(c)).as(c)): _*)
+        val base =
+          if (fs.exists(cur)) spark.read.parquet(mvDir)
+          else if (fs.exists(prev)) spark.read.parquet(mvDir + "_prev")
+          else emptyAgg
+        graft.operators.MergeOps.incrementalAgg(base, batch, keys, sumCols)
+          .write.mode("overwrite").parquet(mvDir + "_next")
+        fs.delete(prev, true)
+        if (fs.exists(cur)) { fs.rename(cur, prev); () }
+        fs.rename(next, cur)
+        fs.delete(prev, true)
+        ()
+      }
+
   /** Stream-stream inner join with an event-time interval bound: pair each
     * left event with right events for the same key whose timestamp falls in
     * [left.ts - maxGap, left.ts] (the click↔impression attribution shape).
