@@ -22,6 +22,7 @@ object SparkEntry {
       operators.IngestOps.all ++
       operators.ProvenanceOps.all ++
       operators.Repair.all ++
+      operators.Intervals.all ++
       ops.Retrieval.all ++
       ops.TextAnalysis.all ++
       ops.TextAnalysis2.all ++

@@ -217,5 +217,48 @@ object PipelineOps2 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qBpeMerges, qSearchIndexed)
+  /** Substring-level exact-duplicate detection: document pairs sharing at
+    * least one exact 8-token span (every sliding 8-gram, not just the
+    * chunk-aligned grid q_boilerplate uses) with the count of distinct
+    * shared spans — the span-granular exact-dedup signal of the
+    * dedup-duplicated-substrings line of work (Lee et al. 2022), the
+    * missing granularity between q_dedup_exact (whole doc) and
+    * q_dedup_ngram (Jaccard similarity).
+    *
+    * Plan: grams materialize map-side (transform over a bounded
+    * sequence), pairs come from a self-join keyed on the gram — at
+    * 100 TB key the shuffle on xxhash64(gram) int64s exactly as
+    * q_dedup_ngram hashes its shingles (Dedup.scala:54); the gram string
+    * rides only for the oracle's benefit here. Stop-word-heavy corpora
+    * cap gram document-frequency first (the df column of sink_inverted)
+    * to bound the per-gram pair fanout. */
+  val qSpanDup: Q = Q(
+    "q_span_dup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        array_to_string(l[i:i+7], ' ') AS gram
+      |      FROM toks, UNNEST(generate_series(1, len(l) - 7)) AS t(i)),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gram
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, COUNT(*) AS n_shared
+      |FROM p GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 8)
+    val g = toks
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("l")) - 7),
+        i => array_join(slice(col("l"), i, lit(8)), " "))).as("gram"))
+      .distinct()
+    val a = g.select(col("doc_id").as("id_a"), col("gram"))
+    val b = g.select(col("doc_id").as("id_b"), col("gram"))
+    a.join(b, "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qBpeMerges, qSearchIndexed,
+    qSpanDup)
 }
