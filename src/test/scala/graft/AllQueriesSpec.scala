@@ -8,7 +8,7 @@ class AllQueriesSpec extends SparkSpec {
   test("oracle map only names registered queries, all with column parity") {
     val qnames = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
-    assert(qnames.size >= 124)
+    assert(qnames.size >= 130)
   }
 
   SparkEntry.allQ.foreach { q =>
