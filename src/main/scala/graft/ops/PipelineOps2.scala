@@ -259,6 +259,47 @@ object PipelineOps2 {
       .orderBy("id_a", "id_b")
   }
 
+  /** Tokenizer apply: run the 3 learned BPE merges ([[qBpeMerges]]) over
+    * the corpus and emit the resulting token (symbol) frequency table,
+    * top-20 by count (ties: token asc) — the train→apply loop of a
+    * tokenizer pipeline in one plan. The merge table is model-sized
+    * (driver-held, like the k-means codebook); application is the same
+    * pure map-side fold per merge; counting is one explode + hash
+    * aggregation over the VOCAB-sized word table (corpus token counts
+    * weight by word frequency — the corpus itself is touched once).
+    * Rows-only: the spec replays reference BPE end-to-end. */
+  val qBpeTokenize: Q = Q.rowsOnly("q_bpe_tokenize") { (s, d) =>
+    val steps = 3
+    val words = T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", split(col("w"), ""))
+      .localCheckpoint(true)
+    var cur = words
+    for (step <- 1 to steps) {
+      val n = size(col("syms"))
+      val pairs = cur
+        .filter(n >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (best.nonEmpty) {
+        cur = cur.withColumn("syms",
+            applyMerge(col("syms"), best(0).getString(0), best(0).getString(1)))
+          .localCheckpoint(true)
+      }
+    }
+    cur.select(explode(col("syms")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qBpeMerges, qSearchIndexed,
-    qSpanDup)
+    qSpanDup, qBpeTokenize)
 }

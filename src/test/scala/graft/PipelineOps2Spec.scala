@@ -98,4 +98,41 @@ class PipelineOps2Spec extends SparkSpec {
     }
     assert(got.toSeq == expected, s"got=${got.toSeq} expected=$expected")
   }
+
+  test("q_bpe_tokenize: token counts equal reference BPE applied end-to-end") {
+    val got = PipelineOps2.qBpeTokenize.fn(spark, TinyDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 20)
+    // reference: replay 3 merges locally, then count weighted symbols
+    val wordCnt = T.documents(spark, TinyDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var syms: Seq[(Vector[String], Long)] =
+      wordCnt.toSeq.map { case (w, c) => (w.split("").toVector, c) }
+    for (_ <- 1 to 3) {
+      val pairCounts = syms.flatMap { case (ss, c) =>
+        ss.zip(ss.tail).map(p => (p, c))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (pairCounts.nonEmpty) {
+        val ((l, r), _) = pairCounts.toSeq
+          .minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        syms = syms.map { case (ss, cnt) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          (out.result(), cnt)
+        }
+      }
+    }
+    val counts = syms.flatMap { case (ss, c) => ss.map(_ -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    assert(got.toSeq == expected, s"got=${got.toSeq.take(5)} expected=${expected.take(5)}")
+  }
 }
