@@ -159,5 +159,57 @@ object LoaderOps {
       .orderBy("partkey")
   }
 
-  val all: Seq[Q] = Seq(qDeltaDetect, qFkIntegrity, qStringAgg, qSourcePriority)
+  /** Bulk ID resolution with staged fallback — the `tcrd_app.py --qfile`
+    * shape (python/tcrd_app.py:37 find_targets: resolve a FILE of query
+    * strings to targets by symbol, then synonyms/xrefs): each probe
+    * resolves at the best (lowest) stage — exact name, then first-token,
+    * then second-token — ties to the lowest key; unresolved probes come
+    * back with stage -1. Every stage is an EQUI-join of the broadcast
+    * probe set against a derived key (full name / token columns) — the
+    * LIKE-based formulation would be a nested-loop scan per probe; keyed
+    * stages make bulk resolution one hash-join pass per stage at any
+    * probe-file size, which is why real resolvers precompute synonym/xref
+    * key tables (and why sink_inverted exists). */
+  val qIdResolve: Q = Q(
+    "q_id_resolve",
+    """WITH probes(q) AS (VALUES ('large bolt'),('blue rod'),('large'),('cold'),
+      |    ('bolt'),('rod'),('widget'),('nosuchthing')),
+      |p AS (SELECT p_partkey, p_name, string_split(p_name, ' ') AS toks FROM part),
+      |m AS (
+      |  SELECT q, 0 AS stage, p_partkey, p_name FROM probes JOIN p ON p.p_name = probes.q
+      |  UNION ALL
+      |  SELECT q, 1, p_partkey, p_name FROM probes JOIN p ON p.toks[1] = probes.q
+      |  UNION ALL
+      |  SELECT q, 2, p_partkey, p_name FROM probes JOIN p ON p.toks[2] = probes.q),
+      |best AS (SELECT q, stage, p_partkey, p_name,
+      |           ROW_NUMBER() OVER (PARTITION BY q ORDER BY stage, p_partkey) AS rn
+      |         FROM m)
+      |SELECT probes.q AS query, CAST(COALESCE(b.stage, -1) AS INT) AS stage,
+      |       b.p_partkey, b.p_name
+      |FROM probes LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.q = probes.q
+      |ORDER BY query""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val probes = Seq("large bolt", "blue rod", "large", "cold",
+      "bolt", "rod", "widget", "nosuchthing").toDF("q")
+    val p = T.part(s, d).select(col("p_partkey"), col("p_name"),
+      split(col("p_name"), " ").as("toks"))
+    def stage(n: Int, key: Column): DataFrame =
+      p.join(broadcast(probes), key === col("q"))
+        .select(col("q"), lit(n).as("stage"), col("p_partkey"), col("p_name"))
+    val m = stage(0, col("p_name"))
+      .unionByName(stage(1, col("toks").getItem(0)))
+      .unionByName(stage(2, col("toks").getItem(1)))
+    val best = m.groupBy("q")
+      .agg(min(struct(col("stage"), col("p_partkey"), col("p_name"))).as("b"))
+      .select(col("q"), col("b.stage").as("stage"),
+        col("b.p_partkey").as("p_partkey"), col("b.p_name").as("p_name"))
+    probes.join(best, Seq("q"), "left")
+      .select(col("q").as("query"),
+        coalesce(col("stage"), lit(-1)).as("stage"),
+        col("p_partkey"), col("p_name"))
+      .orderBy("query")
+  }
+
+  val all: Seq[Q] = Seq(qDeltaDetect, qFkIntegrity, qStringAgg, qSourcePriority,
+    qIdResolve)
 }

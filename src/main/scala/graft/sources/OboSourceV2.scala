@@ -85,10 +85,17 @@ class OboTable(path: String) extends Table with SupportsRead {
 
 class OboScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var required: StructType = OboSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** LIMIT pushdown: each partition stops parsing after `limit` rows.
+    * Partial push (Spark keeps the global limit; we only bound per-file
+    * work — the safe contract for a multi-partition source). */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed: Boolean = true
 
   /** Accept filters the reader can evaluate on the parsed id/name; return
     * ALL filters as residual so Spark re-applies them (pushdown is an
@@ -107,15 +114,16 @@ class OboScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new OboScan(path, required, pushed)
+  override def build(): Scan = new OboScan(path, required, pushed, limit)
 }
 
-class OboScan(path: String, required: StructType, pushed: Array[Filter])
+class OboScan(path: String, required: StructType, pushed: Array[Filter],
+              limit: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-obo path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${required.catalogString}, limit=$limit"
   override def toBatch: Batch = this
 
   /** One partition per file — listed once, on the driver. */
@@ -132,24 +140,27 @@ class OboScan(path: String, required: StructType, pushed: Array[Filter])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OboReaderFactory(required.fieldNames, pushed)
+    new OboReaderFactory(required.fieldNames, pushed, limit)
 }
 
 case class OboInputPartition(file: String) extends InputPartition
 
-class OboReaderFactory(fieldNames: Array[String], pushed: Array[Filter])
+class OboReaderFactory(fieldNames: Array[String], pushed: Array[Filter],
+                       limit: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OboPartitionReader(partition.asInstanceOf[OboInputPartition].file,
-      fieldNames, pushed)
+      fieldNames, pushed, limit)
 }
 
 /** Executor-side reader: parses one file's stanzas, applies pushed filters
   * on the cheap fields before materializing rows, and builds only the
   * pruned columns. */
 class OboPartitionReader(file: String, fieldNames: Array[String],
-                         pushed: Array[Filter])
+                         pushed: Array[Filter], limit: Int)
     extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   private val needName = fieldNames.contains("name") ||
     pushed.exists { case EqualTo("name", _) => true
@@ -185,6 +196,7 @@ class OboPartitionReader(file: String, fieldNames: Array[String],
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (stanzas.hasNext) {
       val (id, st) = stanzas.next()
       lazy val name = OboSource.extractName(st)
@@ -198,6 +210,7 @@ class OboPartitionReader(file: String, fieldNames: Array[String],
                 .map(UTF8String.fromString(_): Any))
         }
         current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+        emitted += 1
         return true
       }
     }

@@ -88,6 +88,16 @@ class OboSourceV2Spec extends SparkSpec {
     assert(nParts == 2, s"expected one partition per file, got $nParts")
   }
 
+  test("limit pushdown reaches the scan and bounds the result") {
+    val df = spark.read.format(Fmt).load(dir).limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=2"), plan)
+    assert(df.collect().length == 2)
+    val unlimited = spark.read.format(Fmt).load(dir)
+    assert(unlimited.queryExecution.executedPlan.toString.contains("limit=-1"))
+    assert(unlimited.count() == 4)
+  }
+
   test("dsv2 source feeds the existing closure operator end-to-end") {
     val edges = spark.read.format(Fmt).load(dir)
       .select(col("term_id").as("src"), explode(col("parents")).as("dst"))
