@@ -85,11 +85,27 @@ class OboTable(path: String) extends Table with SupportsRead {
 
 class OboScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = OboSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var countStar = false
+
+  /** Partial COUNT(*) pushdown: each partition emits ONE pre-counted row
+    * (stanza-id probes only — no name/is_a parsing, no row
+    * materialization) and Spark sums the partials. Only when nothing
+    * else is pushed: residual filters or a limit change the count. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      pushed.isEmpty && limit < 0
+    if (ok) countStar = true
+    ok
+  }
 
   /** LIMIT pushdown: each partition stops parsing after `limit` rows.
     * Partial push (Spark keeps the global limit; we only bound per-file
@@ -114,7 +130,65 @@ class OboScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new OboScan(path, required, pushed, limit)
+  override def build(): Scan =
+    if (countStar) new OboCountScan(path) else new OboScan(path, required, pushed, limit)
+}
+
+/** COUNT(*)-pushed scan: one partial-count row per file. */
+class OboCountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType)))
+  override def description(): String = s"graft-obo path=$path, agg=count(*)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    OboScan.listFiles(path).map(f => OboInputPartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val file = partition.asInstanceOf[OboInputPartition].file
+          private var done = false
+          private var row: InternalRow = _
+          override def next(): Boolean =
+            if (done) false
+            else {
+              val n = OboScan.readContent(file) match {
+                case content => OboSource.stanzaBodies(content)
+                  .count(st => OboSource.extractId(st).nonEmpty)
+              }
+              row = new GenericInternalRow(Array[Any](n.toLong))
+              done = true
+              true
+            }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+    }
+}
+
+object OboScan {
+  /** Driver-side file listing (hidden files excluded, stable order). */
+  def listFiles(path: String): Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .sortBy(_.toString).map(_.toString)
+    else Array(path)
+  }
+
+  /** Executor-side whole-file read (stanza files are record-grain). */
+  def readContent(file: String): String = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(0, bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+  }
 }
 
 class OboScan(path: String, required: StructType, pushed: Array[Filter],
@@ -127,17 +201,8 @@ class OboScan(path: String, required: StructType, pushed: Array[Filter],
   override def toBatch: Batch = this
 
   /** One partition per file — listed once, on the driver. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath)
-          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
-          .sortBy(_.toString)
-      else Array(p)
-    files.map(f => OboInputPartition(f.toString): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    OboScan.listFiles(path).map(f => OboInputPartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OboReaderFactory(required.fieldNames, pushed, limit)
@@ -168,20 +233,10 @@ class OboPartitionReader(file: String, fieldNames: Array[String],
                     case _ => false }
   private val needParents = fieldNames.contains("parents")
 
-  private val stanzas: Iterator[(String, String)] = {
-    val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
-    val in = fs.open(p)
-    val content =
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(0, bytes)
-        new String(bytes, "UTF-8")
-      } finally in.close()
-    OboSource.stanzaBodies(content)
+  private val stanzas: Iterator[(String, String)] =
+    OboSource.stanzaBodies(OboScan.readContent(file))
       .map(st => (OboSource.extractId(st), st))
       .filter { case (id, _) => id.nonEmpty }
-  }
 
   private def passes(id: String, name: => String): Boolean =
     pushed.forall {

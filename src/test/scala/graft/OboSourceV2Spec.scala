@@ -98,6 +98,20 @@ class OboSourceV2Spec extends SparkSpec {
     assert(unlimited.count() == 4)
   }
 
+  test("COUNT(*) pushes into the scan as per-file partials; filtered counts fall back") {
+    val cnt = spark.read.format(Fmt).load(dir)
+    // force a fresh plan for the aggregate shape
+    val agg = cnt.groupBy().count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("agg=count(*)"), plan)
+    assert(agg.head().getLong(0) == 4L)
+    // a filter must disable the pushed count (residual filters change it)
+    val filtered = spark.read.format(Fmt).load(dir)
+      .filter(col("term_id") =!= "GO:0001").groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("agg=count(*)"))
+    assert(filtered.head().getLong(0) == 3L)
+  }
+
   test("dsv2 source feeds the existing closure operator end-to-end") {
     val edges = spark.read.format(Fmt).load(dir)
       .select(col("term_id").as("src"), explode(col("parents")).as("dst"))
