@@ -214,5 +214,49 @@ object Similarity {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 
-  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf)
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * single most similar corpus vector with a DIFFERENT label (the
+    * highest-cosine wrong-label neighbor is the informative negative).
+    * Baseline form: broadcast probes against the corpus with a
+    * window-rank pick (same plan family as q_ann_topk — the exact
+    * small-probe oracle); the 100 TB path swaps candidate generation for
+    * the LSH/IVF cell joins above unchanged, since the label filter is a
+    * post-candidate predicate either way. Ties to the lowest neighbor
+    * id — deterministic. */
+  val qHardNegatives: Q = Q(
+    "q_hard_negatives",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |  scored AS (
+      |    SELECT q.vec_id AS query_id, q.label AS query_label,
+      |      c.vec_id AS neighbor_id, c.label AS neighbor_label,
+      |      round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+      |    FROM n q JOIN n c ON q.vec_id <> c.vec_id AND q.label <> c.label
+      |    WHERE q.vec_id < 20)
+      |SELECT query_id, query_label, neighbor_id, neighbor_label, cos FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+      |WHERE rn = 1 ORDER BY query_id""".stripMargin) { (s, d) =>
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val probes = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"))
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        col("v").as("cv"))
+      .join(broadcast(probes),
+        col("query_id") =!= col("neighbor_id") &&
+          col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos",
+        round(VectorFunctions.cosineSim(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label", "cos")
+      .orderBy("query_id")
+  }
+
+  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf, qHardNegatives)
 }
