@@ -133,6 +133,65 @@ object StreamingOps {
         ()
       }
 
+  /** Merged as-of input: quotes (is_quote=true, qval) and events
+    * (is_quote=false, id) on one key, one event-time column. */
+  case class AsofIn(key: Long, ts: java.sql.Timestamp, is_quote: Boolean,
+                    id: Long, qval: Double)
+  case class AsofOut(key: Long, event_id: Long, event_us: Long,
+                     quote_us: Long, qval: Double, matched: Boolean)
+  /** Watermark-bounded buffers: quotes/events not yet finalized. */
+  case class AsofSt(quotes: List[(Long, Double)], events: List[(Long, Long)])
+
+  /** Streaming as-of join (the r7 candidate, done): each event gets the
+    * LATEST quote at-or-before its event time, correct under
+    * out-of-order arrival within the watermark. Both sides buffer in
+    * per-key state; an event is emitted only once the watermark passes
+    * its timestamp (no earlier quote can still arrive), and the quote
+    * buffer prunes to ONE finalized quote (the latest at-or-below the
+    * watermark — it covers every future event) plus the still-open
+    * ones — state is O(horizon), not O(stream). Batch twin:
+    * operators.AsofJoin (same latest-at-or-before semantics). */
+  def asofStream(rows: Dataset[AsofIn],
+                 watermarkDelay: String = "10 minutes"): Dataset[AsofOut] = {
+    import rows.sparkSession.implicits._
+
+    def fn(key: Long, it: Iterator[AsofIn],
+           state: GroupState[AsofSt]): Iterator[AsofOut] = {
+      val st = state.getOption.getOrElse(AsofSt(Nil, Nil))
+      val incoming = it.toSeq
+      def us(t: java.sql.Timestamp): Long = t.getTime * 1000
+      val quotes = (st.quotes ++ incoming.filter(_.is_quote)
+        .map(r => (us(r.ts), r.qval))).sortBy(_._1)
+      val events = (st.events ++ incoming.filterNot(_.is_quote)
+        .map(r => (us(r.ts), r.id))).sorted
+      val wmUs = state.getCurrentWatermarkMs() * 1000
+      val (ripe, pending) = events.partition(_._1 <= wmUs)
+      val out = ripe.map { case (tus, eid) =>
+        quotes.takeWhile(_._1 <= tus).lastOption match {
+          case Some((qts, qv)) => AsofOut(key, eid, tus, qts, qv, matched = true)
+          case None => AsofOut(key, eid, tus, 0L, 0.0, matched = false)
+        }
+      }
+      // the latest finalized quote covers all future events; newer quotes
+      // stay open until the watermark passes them
+      val kept = quotes.filter(_._1 <= wmUs).lastOption.toList ++
+        quotes.filter(_._1 > wmUs)
+      if (pending.isEmpty && kept.isEmpty) state.remove()
+      else {
+        state.update(AsofSt(kept, pending))
+        val wake =
+          if (pending.nonEmpty) pending.head._1 / 1000
+          else state.getCurrentWatermarkMs() + 24L * 3600 * 1000 // idle-state sweep
+        state.setTimeoutTimestamp(math.max(wake, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    rows.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** Streaming materialized-view maintenance: foreachBatch folds each
     * micro-batch of raw facts into a keyed (cnt, per-column sums) rollup
     * snapshot via [[graft.operators.MergeOps.incrementalAgg]] — the

@@ -78,6 +78,43 @@ class Round6OpsSpec extends SparkSpec {
     } finally spark.conf.set(ApproxPercentileRewrite.EnabledKey, "false")
   }
 
+  test("streaming as-of join: latest quote at-or-before each event, out-of-order safe") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamingOps.{AsofIn, asofStream}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsofIn]
+    val q = asofStream(mem.toDS(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      // batch 1: an early unmatched event, a quote, an event after it
+      mem.addData(
+        AsofIn(7L, ts("2024-01-01 09:00:00"), is_quote = false, id = 100L, qval = 0),
+        AsofIn(7L, ts("2024-01-01 10:00:00"), is_quote = true, id = 0L, qval = 1.0),
+        AsofIn(7L, ts("2024-01-01 10:45:00"), is_quote = false, id = 101L, qval = 0))
+      q.processAllAvailable()
+      // batch 2 arrives OUT OF ORDER: a quote BEFORE event 101's ts, and a
+      // later event — the 2h watermark delay keeps the 10:30 quote
+      // inside the lateness horizon (wm after batch 1 = 10:45 - 2h)
+      mem.addData(
+        AsofIn(7L, ts("2024-01-01 10:30:00"), is_quote = true, id = 0L, qval = 2.0),
+        AsofIn(7L, ts("2024-01-01 11:00:00"), is_quote = false, id = 102L, qval = 0))
+      q.processAllAvailable()
+      // push the watermark far past everything so all events finalize
+      mem.addData(AsofIn(8L, ts("2024-01-02 12:00:00"), is_quote = true, id = 0L, qval = 9.9))
+      q.processAllAvailable()
+      mem.addData(AsofIn(8L, ts("2024-01-03 12:00:00"), is_quote = true, id = 0L, qval = 9.9))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, quote_us, qval, matched FROM asof_out WHERE key = 7")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+      def usOf(s: String) = ts(s).getTime * 1000
+      assert(got == Set(
+        (100L, 0L, 0.0, false),                           // before any quote
+        (101L, usOf("2024-01-01 10:30:00"), 2.0, true),   // out-of-order quote wins
+        (102L, usOf("2024-01-01 10:30:00"), 2.0, true)))  // latest known quote
+    } finally q.stop()
+  }
+
   test("streaming MV maintenance: snapshot equals full batch recompute after several batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
