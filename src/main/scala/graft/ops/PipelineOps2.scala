@@ -120,7 +120,7 @@ object PipelineOps2 {
     * emitted prefix and one pending symbol; a pending `l` followed by `r`
     * becomes the merged symbol (which, as the new pending value, can no
     * longer match `l` — the standard non-overlapping greedy pass). */
-  private def applyMerge(syms: Column, l: String, r: String): Column = {
+  private[graft] def applyMerge(syms: Column, l: String, r: String): Column = {
     val init = struct(
       array().cast("array<string>").as("out"),
       lit(null).cast("string").as("pend"))

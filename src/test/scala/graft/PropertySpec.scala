@@ -185,4 +185,51 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 8)
   }
+
+  test("applyMerge fold equals greedy left-to-right reference on random symbol strings") {
+    import spark.implicits._
+    val genCase = for {
+      len <- Gen.choose(0, 12)
+      syms <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      l <- Gen.oneOf("a", "b", "c")
+      r <- Gen.oneOf("a", "b", "c")
+    } yield (syms, l, r)
+    check(forAll(genCase) { case (syms, l, r) =>
+      // reference: greedy non-overlapping left-to-right merge
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      val expect = out.result()
+      val got = Seq(syms).toDF("syms")
+        .select(graft.ops.PipelineOps2.applyMerge(
+          org.apache.spark.sql.functions.col("syms"), l, r).as("m"))
+        .head().getSeq[String](0).toVector
+      got == expect
+    }, n = 40)
+  }
+
+  test("morton8 interleave is monotone-decodable: bucket bits round-trip") {
+    import spark.implicits._
+    val genXY = for {
+      x <- Gen.choose(0L, 255L); y <- Gen.choose(0L, 255L)
+    } yield (x, y)
+    check(forAll(genXY) { case (x, y) =>
+      val z = Seq((x, y)).toDF("x", "y")
+        .select(graft.sources.ZOrder.morton8(
+          org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col("y")).as("z"))
+        .head().getLong(0)
+      // decode by de-interleaving bits
+      var dx = 0L; var dy = 0L
+      for (i <- 0 until 8) {
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      dx == x && dy == y && z >= 0 && z < (1L << 16)
+    }, n = 40)
+  }
 }
