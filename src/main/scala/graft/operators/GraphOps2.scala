@@ -378,6 +378,65 @@ object GraphOps2 {
       .orderBy("node")
   }
 
+  /** Bounded-round k-core peeling (k = 2, 3 rounds) over the near-dup
+    * graph: each round drops nodes whose degree fell below k and
+    * restricts the edge set to survivors — the dense-subgraph screen a
+    * PPI analysis runs before clustering (loaders/load-BioPlexPPIs.py
+    * neighborhoods). Rounds are FIXED (3) rather than to-convergence so
+    * the DuckDB oracle can unroll the identical computation — the
+    * production form adds the convergence guard of
+    * [[connectedComponents]]; each peel round is one degree aggregation
+    * + two semi-joins, and the edge set only shrinks, so per-round cost
+    * falls monotonically at any scale. Output: survivors of round 3 with
+    * their residual degree. */
+  val qKCore: Q = Q(
+    "q_kcore",
+    """WITH ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ee),
+      |  pairs AS (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |    FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |    WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38),
+      |  e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |         UNION SELECT id_b, id_a FROM pairs),
+      |  d1 AS (SELECT src, COUNT(*) AS c FROM e0 GROUP BY 1),
+      |  k1 AS (SELECT src FROM d1 WHERE c >= 2),
+      |  e1 AS (SELECT e0.src, e0.dst FROM e0
+      |         JOIN k1 x ON e0.src = x.src JOIN k1 y ON e0.dst = y.src),
+      |  d2 AS (SELECT src, COUNT(*) AS c FROM e1 GROUP BY 1),
+      |  k2 AS (SELECT src FROM d2 WHERE c >= 2),
+      |  e2 AS (SELECT e1.src, e1.dst FROM e1
+      |         JOIN k2 x ON e1.src = x.src JOIN k2 y ON e1.dst = y.src),
+      |  d3 AS (SELECT src, COUNT(*) AS c FROM e2 GROUP BY 1),
+      |  k3 AS (SELECT src FROM d3 WHERE c >= 2),
+      |  e3 AS (SELECT e2.src, e2.dst FROM e2
+      |         JOIN k3 x ON e2.src = x.src JOIN k3 y ON e2.dst = y.src)
+      |SELECT src AS vec_id, COUNT(*) AS degree
+      |FROM e3 GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.functions.VectorFunctions.dotProduct
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    var edges = e0Checkpoint(
+      pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    for (_ <- 1 to 3) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("src")
+      edges = e0Checkpoint(edges
+        .join(keep, "src")
+        .join(keep.select(col("src").as("dst")), "dst")
+        .select("src", "dst"))
+    }
+    edges.groupBy(col("src").as("vec_id"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(qPagerank, qConnectedComponents, qDedupClusterPick,
-    qTriangleCount, qTriangleLsh, qLabelProp)
+    qTriangleCount, qTriangleLsh, qLabelProp, qKCore)
 }

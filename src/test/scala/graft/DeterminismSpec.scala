@@ -15,7 +15,10 @@ class DeterminismSpec extends SparkSpec {
     "q_quantile_norm",    // cross-group rank join
     "q_tfidf",            // idf doubles + per-doc top-k
     "q_seq_pack",         // running sums
-    "q_topk_agg")         // custom mergeable heap aggregate
+    "q_topk_agg",         // custom mergeable heap aggregate
+    "q_ewma",             // double fold order + lag windows
+    "q_strip_boilerplate", // collect_list reassembly ordering hazard
+    "q_id_resolve")       // min-struct argmin across union stages
 
   probes.foreach { name =>
     test(s"$name is identical under 3-way and 13-way shuffles") {
