@@ -5,7 +5,9 @@ import graft.functions.Exact._
 import graft.functions.VectorFunctions
 import graft.sources.{Tables => T}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-6 (session 2) LLM-data-pipeline operators:
   *
@@ -300,6 +302,72 @@ object PipelineOps2 {
       .limit(20)
   }
 
+  /** Curriculum quality tiers: per-source quality quartiles (NTILE over
+    * the q_quality_score formula, quality-desc with doc-id tie-break)
+    * rolled up to a per-(source, tier) sampling plan — docs, token
+    * supply, mean quality, a fixed tier→weight curriculum, and the
+    * expected token yield. The "train on the best quartiles more"
+    * pass between quality scoring (q_quality_score) and mix planning
+    * (q_mix_plan).
+    *
+    * At scale: the NTILE window partitions by source (source-bounded
+    * sort, never corpus-global); the rollup is one hash aggregation.
+    * Mean quality sums DECIMAL(18,6) — order/partition-invariant. */
+  val qQualityTiers: Q = Q(
+    "q_quality_tiers",
+    """WITH q AS (SELECT doc_id, source,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens,
+      |    round(0.4 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|to|in)\b')) AS DOUBLE)
+      |                 / CAST(len(string_split(trim(text), ' ')) AS DOUBLE))
+      |        + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |                 / CAST(length(text) AS DOUBLE))
+      |        + 0.3 * least(1.0, CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 100.0), 6) AS quality
+      |  FROM documents),
+      |t AS (SELECT source, tokens, quality,
+      |        NTILE(4) OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS tier
+      |      FROM q),
+      |agg AS (SELECT source, tier, COUNT(*) AS n_docs,
+      |          CAST(SUM(tokens) AS BIGINT) AS tokens,
+      |          round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+      |        FROM t GROUP BY 1, 2)
+      |SELECT source, tier, n_docs, tokens, avg_quality,
+      |  CASE tier WHEN 1 THEN 1.0 WHEN 2 THEN 0.7 WHEN 3 THEN 0.4 ELSE 0.1 END AS sample_weight,
+      |  CAST(round(tokens * (CASE tier WHEN 1 THEN 1.0 WHEN 2 THEN 0.7 WHEN 3 THEN 0.4 ELSE 0.1 END), 0) AS BIGINT) AS expected_tokens
+      |FROM agg ORDER BY source, tier""".stripMargin) { (s, d) =>
+    import graft.ops.TextAnalysis.matches
+    val q = T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        lng(size(split(trim(col("text")), " "))).as("tokens"),
+        lng(matches(lower(col("text")), "\\b(the|a|an|of|and|or|to|in)\\b")).as("stop"),
+        lng(matches(col("text"), "[.,;:!?]")).as("punct"),
+        lng(length(col("text"))).as("chars"))
+      .withColumn("quality",
+        round(lit(0.4) * (dbl(col("stop")) / dbl(col("tokens")))
+          + lit(0.3) * (lit(1.0) - dbl(col("punct")) / dbl(col("chars")))
+          + lit(0.3) * least(lit(1.0), dbl(col("tokens")) / lit(100.0)), 6))
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    val t = q.withColumn("tier", ntile(4).over(w))
+    val weight = when(col("tier") === 1, 1.0).when(col("tier") === 2, 0.7)
+      .when(col("tier") === 3, 0.4).otherwise(0.1)
+    // the token-yield product must be DECIMAL-exact on both engines:
+    // 365 * 0.7 is 255.5 in decimal (rounds 256) but 255.4999... in
+    // binary doubles (rounds 255) — the oracle's CASE literal is DECIMAL
+    val weightDec = when(col("tier") === 1, lit(BigDecimal("1.0")))
+      .when(col("tier") === 2, lit(BigDecimal("0.7")))
+      .when(col("tier") === 3, lit(BigDecimal("0.4")))
+      .otherwise(lit(BigDecimal("0.1")))
+    t.groupBy("source", "tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).cast("long").as("tokens"),
+        round(dbl(sum(col("quality").cast(DecimalType(18, 6)))) / count(lit(1)), 6)
+          .as("avg_quality"))
+      .select(col("source"), lng(col("tier")).as("tier"), col("n_docs"), col("tokens"),
+        col("avg_quality"), weight.as("sample_weight"),
+        round(col("tokens").cast(DecimalType(18, 1)) * weightDec, 0)
+          .cast("long").as("expected_tokens"))
+      .orderBy("source", "tier")
+  }
+
   val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qBpeMerges, qSearchIndexed,
-    qSpanDup, qBpeTokenize)
+    qSpanDup, qBpeTokenize, qQualityTiers)
 }
