@@ -291,7 +291,72 @@ object Scoring {
       .drop("rnk")
   }
 
+
+  /** Release-over-release TDL transition matrix: classify every customer
+    * under the q_tdl rules twice — once on the orders visible before the
+    * release cutoff, once on everything — and count each (from, to)
+    * reclassification. This is the reference's flagship release report
+    * (doc/TCRD_Build_Notes.txt tracks Tdark→Tbio/Tchem "graduations"
+    * between TCRD versions; loaders/load-TDLs.py recomputes classes per
+    * release). Two branch aggregations over one fact scan + a key-joined
+    * transition count — the snapshot-diff shape of q_delta_detect applied
+    * to derived classifications. */
+  val qTdlTransition: Q = Q(
+    "q_tdl_transition",
+    """WITH r1 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN max_price > 495000 THEN 'Tclin'
+      |         WHEN n_orders >= 15 THEN 'Tchem'
+      |         WHEN n_orders >= 1 THEN 'Tbio'
+      |         ELSE 'Tdark' END AS tdl
+      |  FROM (
+      |    SELECT c_custkey,
+      |      CAST(COALESCE(COUNT(o_orderkey), 0) AS BIGINT) AS n_orders,
+      |      CAST(COALESCE(MAX(o_totalprice), 0) AS DOUBLE) AS max_price
+      |    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |      AND o_orderdate < TIMESTAMP '1997-01-01'
+      |    GROUP BY c_custkey)),
+      |r2 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN max_price > 495000 THEN 'Tclin'
+      |         WHEN n_orders >= 15 THEN 'Tchem'
+      |         WHEN n_orders >= 1 THEN 'Tbio'
+      |         ELSE 'Tdark' END AS tdl
+      |  FROM (
+      |    SELECT c_custkey,
+      |      CAST(COALESCE(COUNT(o_orderkey), 0) AS BIGINT) AS n_orders,
+      |      CAST(COALESCE(MAX(o_totalprice), 0) AS DOUBLE) AS max_price
+      |    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |    GROUP BY c_custkey))
+      |SELECT r1.tdl AS tdl_from, r2.tdl AS tdl_to,
+      |  COUNT(*) AS n_customers, MIN(r1.c_custkey) AS example_custkey
+      |FROM r1 JOIN r2 USING (c_custkey)
+      |GROUP BY 1, 2 ORDER BY tdl_from, tdl_to""".stripMargin) { (s, d) =>
+    def classify(filtered: Boolean): org.apache.spark.sql.DataFrame = {
+      val orders =
+        if (filtered)
+          T.orders(s, d).filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        else T.orders(s, d)
+      T.customer(s, d)
+        .join(orders, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          lng(coalesce(count(col("o_orderkey")), lit(0))).as("n_orders"),
+          dbl(coalesce(max(col("o_totalprice")), lit(0))).as("max_price"))
+        .select(col("c_custkey"),
+          when(col("max_price") > 495000, "Tclin")
+            .when(col("n_orders") >= 15, "Tchem")
+            .when(col("n_orders") >= 1, "Tbio")
+            .otherwise("Tdark").as("tdl"))
+    }
+    classify(filtered = true).withColumnRenamed("tdl", "tdl_from")
+      .join(classify(filtered = false).withColumnRenamed("tdl", "tdl_to"), "c_custkey")
+      .groupBy("tdl_from", "tdl_to")
+      .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("example_custkey"))
+      .orderBy("tdl_from", "tdl_to")
+  }
+
   val all: Seq[Q] = Seq(qCdf, qGaussianCdf, qConsensusMode, qTau, qTdl,
     qTinxNovelty, qTinxImportance, qPubscore, qSketchDistinct, qApproxQuantile,
-    qQuantileNorm)
+    qQuantileNorm, qTdlTransition)
 }
