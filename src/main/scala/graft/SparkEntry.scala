@@ -23,6 +23,7 @@ object SparkEntry {
       operators.ProvenanceOps.all ++
       operators.Repair.all ++
       operators.Intervals.all ++
+      operators.Stats.all ++
       ops.Retrieval.all ++
       ops.TextAnalysis.all ++
       ops.TextAnalysis2.all ++

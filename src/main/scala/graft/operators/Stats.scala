@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical QC operators (SURVEY.md §2.2/§2.3):
+  *
+  *  - [[qWinsorize]] — robust clipping at per-group exact percentiles,
+  *    the outlier-taming pass the reference's R preprocessing applies
+  *    before rank/level normalization (R/gtex_process.R, R/process-CCLE.R
+  *    trim before aggregating).
+  *  - [[qHhi]] — Herfindahl concentration per market: how concentrated
+  *    is revenue across suppliers — the "is this family dominated by a
+  *    few targets" screen over publication/activity counts in the
+  *    reference's QC notes.
+  *  - [[qVocabOverlap]] — pairwise source vocabulary Jaccard: which
+  *    sources share token space (cross-source near-duplication smell
+  *    before the doc-level dedup passes run).
+  */
+object Stats {
+
+  /** Winsorize order totals at the per-priority [p05, p95] exact
+    * percentiles: values outside clip to the boundary, with flags. Same
+    * percentile recipe as q_percentile/q_mad_outliers (exact
+    * interpolation — quantile_cont ↔ percentile). One grouped
+    * percentile pass + a broadcast bounds join; clipping is map-side. */
+  val qWinsorize: Q = Q(
+    "q_winsorize",
+    """WITH b AS (SELECT o_orderpriority,
+      |    quantile_cont(o_totalprice, 0.05) AS lo,
+      |    quantile_cont(o_totalprice, 0.95) AS hi
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderkey, orders.o_orderpriority, o_totalprice,
+      |  round(CASE WHEN o_totalprice < lo THEN lo
+      |             WHEN o_totalprice > hi THEN hi
+      |             ELSE o_totalprice END, 2) AS clipped,
+      |  CAST(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+      |       THEN 1 ELSE 0 END AS INT) AS was_clipped
+      |FROM orders JOIN b USING (o_orderpriority)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = T.orders(s, d)
+    val b = o.groupBy("o_orderpriority")
+      .agg(percentile(col("o_totalprice"), lit(0.05)).as("lo"),
+        percentile(col("o_totalprice"), lit(0.95)).as("hi"))
+    o.join(broadcast(b), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round(when(col("o_totalprice") < col("lo"), col("lo"))
+          .when(col("o_totalprice") > col("hi"), col("hi"))
+          .otherwise(col("o_totalprice")), 2).as("clipped"),
+        when(col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"), 1)
+          .otherwise(0).as("was_clipped"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Herfindahl-Hirschman concentration of lineitem revenue per
+    * return-flag "market": HHI = Σ share², share = supplier revenue /
+    * market revenue. Revenue sums are DECIMAL-exact; each share² term is
+    * a fixed-shape double rounded to 12 dp, then summed as
+    * DECIMAL(18,12) (order/partition-invariant — the q_perplexity
+    * recipe) and rounded to 6. Two hash aggregations, one broadcast of
+    * the market totals. */
+  val qHhi: Q = Q(
+    "q_hhi",
+    """WITH rev AS (
+      |  SELECT l_returnflag, l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+      |  FROM lineitem GROUP BY 1, 2),
+      |tot AS (SELECT l_returnflag, CAST(SUM(r) AS DOUBLE) AS t FROM rev GROUP BY 1),
+      |term AS (SELECT rev.l_returnflag,
+      |    round(pow(CAST(r AS DOUBLE) / t, 2), 12) AS sh2
+      |  FROM rev JOIN tot USING (l_returnflag))
+      |SELECT l_returnflag, COUNT(*) AS n_suppliers,
+      |  round(CAST(SUM(CAST(sh2 AS DECIMAL(18,12))) AS DOUBLE), 6) AS hhi
+      |FROM term GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val rev = T.lineitem(s, d)
+      .groupBy("l_returnflag", "l_suppkey")
+      .agg(sum(dec2(col("l_extendedprice"))).as("r"))
+    val tot = rev.groupBy(col("l_returnflag"))
+      .agg(dbl(sum(col("r"))).as("t"))
+    rev.join(broadcast(tot), "l_returnflag")
+      .select(col("l_returnflag"),
+        round(pow(dbl(col("r")) / col("t"), 2), 12).as("sh2"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(dbl(sum(col("sh2").cast(DecimalType(18, 12)))), 6).as("hhi"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pairwise source vocabulary overlap: distinct token sets per source,
+    * Jaccard for every source pair (a < b). The cross-source
+    * near-duplication smell test run before doc-level dedup. One token
+    * distinct (corpus-keyed shuffle), a vocab-sized self-join on the
+    * token, and a pair aggregation joined against the per-source sizes —
+    * source count is tiny, token sets are the big side, and nothing ever
+    * pairs DOCUMENTS (the quadratic trap this query exists to avoid). */
+  val qVocabOverlap: Q = Q(
+    "q_vocab_overlap",
+    """WITH v AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS t
+      |           FROM documents),
+      |sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY 1),
+      |common AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS c
+      |  FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, c AS n_common,
+      |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      |FROM common JOIN sz sa ON sa.source = src_a
+      |            JOIN sz sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val v = T.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .distinct()
+    val sz = v.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = v.select(col("source").as("src_a"), col("t"))
+    val b = v.select(col("source").as("src_b"), col("t"))
+    val common = a.join(b, "t")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("c").as("n_common"),
+        round(dbl(col("c")) / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap)
+}
