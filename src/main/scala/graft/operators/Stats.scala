@@ -128,5 +128,58 @@ object Stats {
       .orderBy("src_a", "src_b")
   }
 
-  val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap)
+  /** Pre-join cardinality audit: for each fact⋈dim edge, the per-side
+    * key statistics (rows, distinct keys, max per-key fanout) and the
+    * EXACT join output size — computed from the two per-key count
+    * tables, never by running the join. The 100 TB safety screen: a
+    * join whose est_join_rows explodes past its inputs gets flagged
+    * before it burns a cluster (the reference equivalent: loaders
+    * sanity-count before bulk inserts). Per edge: two key-count
+    * aggregations + one key-joined product sum — all key-cardinality
+    * sized. */
+  val qJoinAudit: Q = Q(
+    "q_join_audit",
+    """WITH lo AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      |oo AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+      |lp AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      |pp AS (SELECT p_partkey AS k, COUNT(*) AS c FROM part GROUP BY 1),
+      |e1 AS (SELECT 'lineitem-orders' AS edge,
+      |  (SELECT CAST(SUM(c) AS BIGINT) FROM lo) AS left_rows,
+      |  (SELECT COUNT(*) FROM lo) AS left_keys,
+      |  (SELECT CAST(MAX(c) AS BIGINT) FROM lo) AS left_max_fanout,
+      |  (SELECT CAST(SUM(c) AS BIGINT) FROM oo) AS right_rows,
+      |  (SELECT COUNT(*) FROM oo) AS right_keys,
+      |  (SELECT CAST(MAX(c) AS BIGINT) FROM oo) AS right_max_fanout,
+      |  (SELECT CAST(SUM(lo.c * oo.c) AS BIGINT) FROM lo JOIN oo USING (k)) AS est_join_rows),
+      |e2 AS (SELECT 'lineitem-part' AS edge,
+      |  (SELECT CAST(SUM(c) AS BIGINT) FROM lp) AS left_rows,
+      |  (SELECT COUNT(*) FROM lp) AS left_keys,
+      |  (SELECT CAST(MAX(c) AS BIGINT) FROM lp) AS left_max_fanout,
+      |  (SELECT CAST(SUM(c) AS BIGINT) FROM pp) AS right_rows,
+      |  (SELECT COUNT(*) FROM pp) AS right_keys,
+      |  (SELECT CAST(MAX(c) AS BIGINT) FROM pp) AS right_max_fanout,
+      |  (SELECT CAST(SUM(lp.c * pp.c) AS BIGINT) FROM lp JOIN pp USING (k)) AS est_join_rows)
+      |SELECT * FROM e1 UNION ALL SELECT * FROM e2 ORDER BY edge""".stripMargin) { (s, d) =>
+    def audit(edge: String, left: org.apache.spark.sql.DataFrame, lk: String,
+              right: org.apache.spark.sql.DataFrame, rk: String): org.apache.spark.sql.DataFrame = {
+      val lc = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("c"))
+      val rc = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("c2"))
+      val lStats = lc.agg(sum(col("c")).cast("long").as("left_rows"),
+        count(lit(1)).as("left_keys"), max(col("c")).cast("long").as("left_max_fanout"))
+      val rStats = rc.agg(sum(col("c2")).cast("long").as("right_rows"),
+        count(lit(1)).as("right_keys"), max(col("c2")).cast("long").as("right_max_fanout"))
+      val est = lc.join(rc, "k")
+        .agg(sum(col("c") * col("c2")).cast("long").as("est_join_rows"))
+      lStats.crossJoin(broadcast(rStats)).crossJoin(broadcast(est))
+        .select(lit(edge).as("edge"), col("left_rows"), col("left_keys"),
+          col("left_max_fanout"), col("right_rows"), col("right_keys"),
+          col("right_max_fanout"), col("est_join_rows"))
+    }
+    audit("lineitem-orders", T.lineitem(s, d), "l_orderkey", T.orders(s, d), "o_orderkey")
+      .unionByName(
+        audit("lineitem-part", T.lineitem(s, d), "l_partkey", T.part(s, d), "p_partkey"))
+      .orderBy("edge")
+  }
+
+  val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap, qJoinAudit)
 }
