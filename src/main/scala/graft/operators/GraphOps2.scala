@@ -422,15 +422,23 @@ object GraphOps2 {
     val pairs = a.join(b, col("id_a") < col("id_b"))
       .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
+    // materialize the O(n²) pair scan ONCE before mirroring — a plain
+    // union would recompute the cosine BNLJ in both branches
+    val half = e0Checkpoint(pairs)
     var edges = e0Checkpoint(
-      pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      half.union(half.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    // no per-round checkpoint: depth is FIXED at 3 and every reference
+    // roots at the checkpointed edge set, so the plan grows by a small
+    // constant factor instead of paying an eager materialization job per
+    // round (the round-3 cadence rule: checkpoint geometric growth, let
+    // bounded linear chains ride)
     for (_ <- 1 to 3) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("src")
-      edges = e0Checkpoint(edges
+      edges = edges
         .join(keep, "src")
         .join(keep.select(col("src").as("dst")), "dst")
-        .select("src", "dst"))
+        .select("src", "dst")
     }
     edges.groupBy(col("src").as("vec_id"))
       .agg(count(lit(1)).as("degree"))
