@@ -168,6 +168,41 @@ object Events2 {
       .orderBy("event_type")
   }
 
+
+  /** Day-of-week seasonality per event type: volume share by ISO weekday
+    * plus the chi-square deviation term against a uniform-week null —
+    * the weekly-cadence QC a load-monitoring report runs (the reference's
+    * build notes audit per-day load volumes). Weekday comes from pure
+    * integer epoch-day arithmetic ((days + 3) mod 7 + 1 — 1970-01-01 was
+    * a Thursday, isodow 4) so both engines agree without touching their
+    * differing dayofweek conventions. One aggregation + a broadcast of
+    * per-type totals. */
+  val qSeasonality: Q = Q(
+    "q_seasonality",
+    """WITH e AS (SELECT event_type,
+      |    (date_diff('day', TIMESTAMP '1970-01-01', ts) + 3) % 7 + 1 AS dow
+      |  FROM events),
+      |c AS (SELECT event_type, dow, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY 1)
+      |SELECT c.event_type, dow, cnt,
+      |  round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+      |  round(pow(CAST(cnt AS DOUBLE) - total / 7.0, 2) / (total / 7.0), 6) AS chi2_term
+      |FROM c JOIN t ON t.event_type = c.event_type
+      |ORDER BY c.event_type, dow""".stripMargin) { (s, d) =>
+    val e = T.events(s, d).select(col("event_type"),
+      ((datediff(col("ts"), lit("1970-01-01").cast("timestamp")).cast("long")
+        + 3) % 7 + 1).as("dow"))
+    val c = e.groupBy("event_type", "dow").agg(count(lit(1)).as("cnt"))
+    val t = c.groupBy(col("event_type").as("et"))
+      .agg(sum(col("cnt")).cast("long").as("total"))
+    c.join(broadcast(t), col("event_type") === col("et"))
+      .select(col("event_type"), col("dow"), col("cnt"),
+        round(dbl(col("cnt")) / col("total"), 6).as("share"),
+        round(pow(dbl(col("cnt")) - col("total") / lit(7.0), 2)
+          / (col("total") / lit(7.0)), 6).as("chi2_term"))
+      .orderBy("event_type", "dow")
+  }
+
   val all: Seq[Q] = Seq(qRollingStats, qFirstLastTouch, qAnomalyDays, qGapStats,
-    qTrendSlope)
+    qTrendSlope, qSeasonality)
 }
