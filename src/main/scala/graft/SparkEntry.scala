@@ -32,6 +32,7 @@ object SparkEntry {
       ops.PipelineOps.all ++
       ops.PipelineOps2.all ++
       ops.Similarity.all ++
+      ops.Sketches.all ++
       ops.Multimodal.all ++
       plans.TopKQueries.all
 

@@ -101,5 +101,67 @@ object Repair {
     }
   }
 
-  val all: Seq[Q] = Seq(qImpute, qEwma)
+  /** Linear interpolation of sentinel-missing values (k = 0, the loaders'
+    * falsy-skip convention) along each event_type's event_id axis:
+    * missing points take pv + (nv − pv)·(id − pid)/(nid − pid) between
+    * the nearest known neighbors; leading/trailing gaps clamp to the
+    * nearest known value (pandas `interpolate(limit_direction='both')`
+    * semantics — the gap-fill the reference's R series prep does before
+    * smoothing, cf. qEwma).
+    *
+    * Scale: two IGNORE NULLS running-value windows (forward + backward)
+    * partitioned by event_type — one shuffle on the series key, no
+    * self-joins, no point-by-point lookups. The interpolation arithmetic
+    * is structured identically in both engines (left-assoc * then /), so
+    * doubles fold bit-equal. */
+  val qInterpolate: Q = Q(
+    "q_interpolate",
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+      |w AS (SELECT event_id, event_type, k,
+      |  last_value(CASE WHEN k <> 0 THEN CAST(k AS DOUBLE) END IGNORE NULLS)
+      |    OVER (PARTITION BY event_type ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |  last_value(CASE WHEN k <> 0 THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY event_type ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid,
+      |  first_value(CASE WHEN k <> 0 THEN CAST(k AS DOUBLE) END IGNORE NULLS)
+      |    OVER (PARTITION BY event_type ORDER BY event_id
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |  first_value(CASE WHEN k <> 0 THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY event_type ORDER BY event_id
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nid
+      |  FROM e)
+      |SELECT event_id, event_type, k AS k_raw,
+      |  round(CASE WHEN k <> 0 THEN CAST(k AS DOUBLE)
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+      |         THEN pv + (nv - pv) * (event_id - pid) / (nid - pid)
+      |       WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS k_filled,
+      |  CAST(CASE WHEN k = 0 THEN 1 ELSE 0 END AS INT) AS was_interpolated
+      |FROM w ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = T.events(s, d).select(col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val back = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val known = when(col("k") =!= 0, col("k").cast("double"))
+    val knownId = when(col("k") =!= 0, col("event_id"))
+    val w = e
+      .withColumn("pv", last(known, ignoreNulls = true).over(back))
+      .withColumn("pid", last(knownId, ignoreNulls = true).over(back))
+      .withColumn("nv", first(known, ignoreNulls = true).over(fwd))
+      .withColumn("nid", first(knownId, ignoreNulls = true).over(fwd))
+    w.select(col("event_id"), col("event_type"), col("k").as("k_raw"),
+      round(when(col("k") =!= 0, col("k").cast("double"))
+        .when(col("pv").isNotNull && col("nv").isNotNull,
+          col("pv") + (col("nv") - col("pv")) * (col("event_id") - col("pid"))
+            / (col("nid") - col("pid")))
+        .when(col("pv").isNotNull, col("pv"))
+        .otherwise(col("nv")), 6).as("k_filled"),
+      when(col("k") === 0, 1).otherwise(0).as("was_interpolated"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(qImpute, qEwma, qInterpolate)
 }

@@ -368,6 +368,34 @@ object PipelineOps2 {
       .orderBy("source", "tier")
   }
 
+  /** RAG-style overlapping chunking: fixed 64-token windows at stride 48
+    * (25% overlap), stable (doc_id, chunk_id) keys and token offsets —
+    * the retrieval-corpus prep step between cleaning and embedding. All
+    * map-side (sequence + explode + slice over the token array; no
+    * shuffle before the output sort), so it streams at any scale and the
+    * chunk count per doc is ceil((n-64)/48)+1, never data-dependent
+    * state. Short docs yield exactly one (possibly short) chunk. */
+  val qRagChunk: Q = Q(
+    "q_rag_chunk",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id, i AS chunk_id, i*48 AS tok_offset,
+      |  CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_toks,
+      |  array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk
+      |FROM t, LATERAL (SELECT unnest(generate_series(0,
+      |  CAST(greatest(ceil((len(toks)-64)/48.0), 0) AS BIGINT))) AS i) g
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("i", explode(sequence(lit(0L),
+        greatest(ceil((size(col("toks")) - lit(64)) / lit(48.0)), lit(0)).cast("long"))))
+      .select(col("doc_id"), col("i").as("chunk_id"),
+        (col("i") * 48).as("tok_offset"),
+        lng(size(slice(col("toks"), (col("i") * 48 + 1).cast("int"), lit(64)))).as("n_toks"),
+        array_join(slice(col("toks"), (col("i") * 48 + 1).cast("int"), lit(64)), " ")
+          .as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qBpeMerges, qSearchIndexed,
-    qSpanDup, qBpeTokenize, qQualityTiers)
+    qSpanDup, qBpeTokenize, qQualityTiers, qRagChunk)
 }

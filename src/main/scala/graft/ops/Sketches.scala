@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.{KmvAgg, SampleQuantileAgg}
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Sketch-valued analytics (SURVEY.md §2.5 agg_kmv / agg_sample_quantile):
+  * fixed-size, MERGEABLE, bit-deterministic summaries as first-class
+  * aggregate values. The 100 TB posture is the point — per-source /
+  * per-group sketches are a few KB, so cross-source comparisons and
+  * incremental refreshes operate sketch-vs-sketch instead of re-scanning
+  * the corpus. Reference shape: the cross-source overlap audits and the
+  * per-dataset distribution summaries the reference's loaders/R
+  * preprocessing compute on a single node (e.g. R/gtex_process.R rank
+  * buckets, cross-xref reconciliation around loaders/TCRD.py).
+  *
+  * Both queries are rows-only at the gate (DuckDB can't replay the
+  * sketch), pinned by specs that (a) bound the estimation error against
+  * the exact answer and (b) require EXACT output equality under
+  * re-partitioning — the sketches are pure functions of the input set.
+  */
+object Sketches {
+
+  private def toks(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.documents(s, d).select(col("source"),
+      explode(split(col("text"), " ")).as("token"))
+
+  /** Pairwise source-vocabulary overlap from per-source KMV sketches:
+    * ONE pass over tokens builds a 1024-value sketch per source; every
+    * pairwise union/intersection/Jaccard estimate after that reads only
+    * sketch bytes. Contrast q_vocab_overlap (exact, token-shuffle per
+    * pair): same report at a fixed cost per SOURCE, not per token. */
+  val qSketchSetops: Q = Q.rowsOnly("q_sketch_setops") { (s, d) =>
+    val sk = toks(s, d)
+      .groupBy("source")
+      .agg(KmvAgg.agg(xxhash64(col("token")), 1024).as("sk"))
+    val est = udf((a: Array[Byte], b: Array[Byte]) => {
+      val (u, i, j) = KmvAgg.setOps(a, b)
+      (math.round(u), math.round(i), math.rint(j * 1e6) / 1e6)
+    })
+    val l = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+    val r = sk.select(col("source").as("source_b"), col("sk").as("skb"))
+    l.join(r, col("source_a") < col("source_b")) // few sources: tiny cross
+      .withColumn("e", est(col("ska"), col("skb")))
+      .select(col("source_a"), col("source_b"),
+        col("e._1").as("est_union"), col("e._2").as("est_intersect"),
+        col("e._3").as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-flag price quantiles from a deterministic 4096-row bottom-k
+    * sample (stable row hash = xxhash64(orderkey, linenumber)). The
+    * sketch column is what a daily sidecar would persist; p50/p90/p99
+    * are read off it driver-free. */
+  val qSketchQuantile: Q = Q.rowsOnly("q_sketch_quantile") { (s, d) =>
+    val q = udf((b: Array[Byte], p: Double) =>
+      math.rint(SampleQuantileAgg.quantile(b, p) * 100) / 100)
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(SampleQuantileAgg.agg(
+        xxhash64(col("l_orderkey"), col("l_linenumber")),
+        col("l_extendedprice"), 4096).as("sk"))
+      .select(col("l_returnflag"),
+        q(col("sk"), lit(0.5)).as("p50"),
+        q(col("sk"), lit(0.9)).as("p90"),
+        q(col("sk"), lit(0.99)).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(qSketchSetops, qSketchQuantile)
+}

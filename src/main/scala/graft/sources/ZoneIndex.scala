@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file zone-map sidecar (SURVEY.md §2.1 sink_zone_index): min/max/
+  * count/null-count per (file, column), written in ONE distributed pass
+  * after the data lands — the range-predicate complement to
+  * [[FileIndex]]'s point-lookup blooms.
+  *
+  * The reference warehouse leans on B-tree indexes for range scans
+  * (SQL/create-TCRDv6.sql); a data lake gets the same effect by skipping
+  * FILES whose [min, max] cannot intersect the predicate. Pruning power
+  * comes from the layout: `writeWithZoneIndex` range-clusters on the
+  * leading sort column, so its zones are near-disjoint and a selective
+  * range touches O(range/width) files. Secondary columns get zone rows
+  * too — they prune only where values correlate with the layout, which
+  * is exactly how warehouse zone maps behave (and why the sidecar keeps
+  * per-column rows instead of assuming the sort column).
+  *
+  * At 100 TB the sidecar is #files × #cols rows — planner-sized, not
+  * data-sized; reading it costs one tiny parquet scan, never a data scan.
+  */
+object ZoneIndex {
+
+  /** Range-cluster `df` on `sortCol` into `nFiles` files, then write the
+    * `_zone_index` sidecar covering `sortCol` plus `extraCols`. */
+  def writeWithZoneIndex(df: DataFrame, path: String, sortCol: String,
+                         nFiles: Int, extraCols: Seq[String] = Nil): Unit = {
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val data = spark.read.parquet(path)
+    val zones = (sortCol +: extraCols).map { c =>
+      data.select(input_file_name().as("file"), col(c))
+        .groupBy("file")
+        .agg(min(col(c)).cast("double").as("zmin"),
+          max(col(c)).cast("double").as("zmax"),
+          count(lit(1)).as("cnt"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"))
+        .withColumn("col", lit(c))
+    }.reduce(_ unionByName _)
+    zones.coalesce(1).write.mode("overwrite").parquet(s"$path/_zone_index")
+  }
+
+  /** Files whose [zmin, zmax] zone for `colName` may intersect [lo, hi].
+    * All-null zones never match a range predicate and are skipped. */
+  def candidateFiles(spark: SparkSession, path: String, colName: String,
+                     lo: Double, hi: Double): Seq[String] =
+    spark.read.parquet(s"$path/_zone_index")
+      .filter(col("col") === colName)
+      .filter(col("nulls") < col("cnt"))
+      .filter(col("zmax") >= lo && col("zmin") <= hi)
+      .select("file")
+      .collect().map(_.getString(0)).toSeq // sidecar = file list, planner-sized
+
+  /** Range scan via the sidecar: read only may-intersect files, then
+    * apply the exact predicate. Returns (rows, files scanned) so callers
+    * and specs observe the skipping. */
+  def rangeLookup(spark: SparkSession, path: String, colName: String,
+                  lo: Double, hi: Double): (DataFrame, Seq[String]) = {
+    val files = candidateFiles(spark, path, colName, lo, hi)
+    val pred: Column = col(colName) >= lo && col(colName) <= hi
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*).filter(pred)
+    (df, files)
+  }
+}

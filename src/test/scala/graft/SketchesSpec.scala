@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.{KmvAgg, SampleQuantileAgg}
+import org.apache.spark.sql.functions._
+
+/** agg_kmv / agg_sample_quantile: error bounds vs exact answers, set
+  * algebra, and the bit-determinism contract (both sketches are pure
+  * functions of the input set). */
+class SketchesSpec extends SparkSpec {
+
+  test("kmv distinct estimate is exact below k and within 15% above") {
+    import spark.implicits._
+    // 5000 distinct longs, k=512 → saturated estimator path.
+    val df = (1L to 5000L).toDF("v").repartition(7)
+    val bytes = df.agg(KmvAgg.agg(xxhash64(col("v")), 512)).head().getAs[Array[Byte]](0)
+    val est = KmvAgg.estimateDistinct(bytes)
+    assert(math.abs(est - 5000) / 5000.0 < 0.15, s"est=$est")
+    // 300 distinct < k → exact.
+    val small = (1L to 300L).toDF("v")
+    val b2 = small.agg(KmvAgg.agg(xxhash64(col("v")), 512)).head().getAs[Array[Byte]](0)
+    assert(KmvAgg.estimateDistinct(b2) == 300.0)
+  }
+
+  test("kmv set ops recover union/intersect/jaccard within 20%") {
+    import spark.implicits._
+    // A = [1, 6000], B = [3001, 9000] → |A∪B| = 9000, |A∩B| = 3000, J = 1/3.
+    val a = (1L to 6000L).toDF("v").agg(KmvAgg.agg(xxhash64(col("v")), 1024))
+      .head().getAs[Array[Byte]](0)
+    val b = (3001L to 9000L).toDF("v").agg(KmvAgg.agg(xxhash64(col("v")), 1024))
+      .head().getAs[Array[Byte]](0)
+    val (u, i, j) = KmvAgg.setOps(a, b)
+    assert(math.abs(u - 9000) / 9000.0 < 0.2, s"union=$u")
+    assert(math.abs(i - 3000) / 3000.0 < 0.2, s"intersect=$i")
+    assert(math.abs(j - 1.0 / 3) < 0.07, s"jaccard=$j")
+    // Union of a sketch with itself is itself.
+    assert(KmvAgg.union(a, a).toSeq == a.toSeq)
+  }
+
+  test("q_sketch_setops tracks the exact per-pair vocabulary overlap") {
+    val est = SparkEntry.queries("q_sketch_setops")(spark, TinyDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(est.nonEmpty)
+    val toks = graft.sources.Tables.documents(spark, TinyDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .select("source", "token").distinct().collect()
+      .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
+    for (((sa, sb), (eu, ei, ej)) <- est) {
+      val (va, vb) = (toks(sa), toks(sb))
+      val (u, i) = ((va ++ vb).size, (va & vb).size)
+      val j = i.toDouble / u
+      assert(math.abs(eu - u).toDouble / u < 0.15, s"$sa-$sb union est=$eu exact=$u")
+      assert(math.abs(ei - i).toDouble / math.max(i, 1) < 0.25,
+        s"$sa-$sb intersect est=$ei exact=$i")
+      assert(math.abs(ej - j) < 0.1, s"$sa-$sb jaccard est=$ej exact=$j")
+    }
+  }
+
+  test("q_sketch_quantile tracks exact percentiles within 5%") {
+    val est = SparkEntry.queries("q_sketch_quantile")(spark, TinyDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = graft.sources.Tables.lineitem(spark, TinyDir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((flag, (p50, p90, p99)) <- est) {
+      val ex = exact(flag)
+      assert(math.abs(p50 - ex(0)) / ex(0) < 0.05, s"$flag p50 est=$p50 exact=${ex(0)}")
+      assert(math.abs(p90 - ex(1)) / ex(1) < 0.05, s"$flag p90 est=$p90 exact=${ex(1)}")
+      assert(math.abs(p99 - ex(2)) / ex(2) < 0.05, s"$flag p99 est=$p99 exact=${ex(2)}")
+    }
+  }
+
+  test("sample_quantile sketch merge == single-pass sketch") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (i, (i * 37 % 1000).toDouble))
+    val df = rows.toDF("id", "v")
+    def sketch(d: org.apache.spark.sql.DataFrame): Array[Byte] =
+      d.agg(SampleQuantileAgg.agg(xxhash64(col("id")), col("v"), 256))
+        .head().getAs[Array[Byte]](0)
+    val whole = sketch(df)
+    val merged = SampleQuantileAgg.merge(
+      sketch(df.filter(col("id") <= 1000)), sketch(df.filter(col("id") > 1000)))
+    assert(whole.toSeq == merged.toSeq, "sidecar fold-in differs from recompute")
+  }
+
+  Seq("q_sketch_setops", "q_sketch_quantile").foreach { name =>
+    test(s"$name is bit-identical under 3-way and 13-way shuffles") {
+      val fn = SparkEntry.queries(name)
+      def run(parts: Int): Seq[String] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        try fn(spark, TinyDir).collect().map(_.toString).toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(run(3) == run(13), s"$name output depends on shuffle width")
+    }
+  }
+}
