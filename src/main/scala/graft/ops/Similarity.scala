@@ -258,5 +258,137 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf, qHardNegatives)
+  /** Deterministic product-quantization codebooks: m sub-codebooks of k
+    * centroids each, fit driver-side on a bounded hash-sample (≤4096
+    * vectors in fixed (xxhash64(id,13), id) order, so the model — and
+    * every downstream code — is bit-stable). Lloyd with EUCLIDEAN
+    * assignment per subspace (the PQ reconstruction metric; Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search"). The model
+    * is m·k·(dim/m) doubles — model-fit-sized, independent of corpus
+    * scale; at 100 TB only the sample pass touches the cluster. */
+  def fitPqCodebooks(vecs: DataFrame, m: Int, k: Int,
+                     iters: Int = 8): Array[Array[Array[Double]]] = {
+    val hashed = vecs.filter(pmod(xxhash64(col("id")), lit(4)) === 0)
+    val base = if (hashed.isEmpty) vecs else hashed
+    val sample: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id"), lit(13)), col("id")).limit(4096)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "fitPqCodebooks: empty input corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"fitPqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      // content-distinct init (Array equality is by reference)
+      var cents = pts.map(_.toVector).distinct.take(k).map(_.toArray)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val cnts = new Array[Long](cents.length)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var dist = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - cents(c)(i); dist += t * t; i += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          cnts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (prev, c) =>
+          if (cnts(c) == 0) prev // empty cell keeps its previous centroid
+          else sums(c).map(_ / cnts(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** Euclidean-argmin sub-cell code as ONE map-side expression: argmin
+    * ‖v−c‖² == argmax (dot(v,c) − ‖c‖²/2) since ‖v‖² is constant per row.
+    * Ties to the LOWEST cid (matches the driver-side fit loop's strict
+    * `<`). Same inlined-literal / array_max shape as [[nearestCell]]. */
+  def nearestSubCell(v: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (VectorFunctions.dotProduct(v, array(c.map(lit): _*))
+          - lit(c.map(x => x * x).sum / 2)).as("s"),
+        lit(-i.toLong).as("negCid"))
+    }
+    -array_max(array(scored: _*)).getField("negCid")
+  }
+
+  /** PQ-compressed ANN (the memory-bounded 100 TB path): each corpus
+    * vector is encoded ONCE into m=16 codes over k=16 centroids — 16
+    * small ints replace 64 doubles, a ~16-64× index compression — and
+    * the first-stage probe scoring is table lookups, never a
+    * probe-vector dot product: per probe, the m×k dot/norm² tables
+    * against the sub-codebooks inline as literals, and the
+    * asymmetric-distance cosine is
+    * Σⱼ dotT[j][codeⱼ] / (‖q‖·√Σⱼ nrm2T[j][codeⱼ]).
+    *
+    * Second stage is the standard exact RE-RANK (Jégou et al. 2011 §V):
+    * the ADC shortlist (top-50/probe — probe-count-sized, tiny) joins
+    * back to the corpus by id for true-cosine scoring of ≤50·|probes|
+    * rows, and the final top-10 ranks on exact cosine. At scale the
+    * full-width vector column is touched only by that candidate-keyed
+    * hash join — the corpus-wide pass reads codes alone. Encode = one
+    * projection; ADC = one projection + explode; both rank stages are
+    * TopK heap-pruned windows. Rows-only: spec cross-validates recall@10
+    * against brute force and bit-determinism across shuffle widths. */
+  val qAnnPq: Q = Q.rowsOnly("q_ann_pq") { (s, d) =>
+    val m = 16; val kCents = 16; val shortlist = 50
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val books = fitPqCodebooks(corpus.select(col("vec_id").as("id"), col("v")), m, kCents)
+    val dim = books.map(_.head.length).sum
+    val sub = dim / m
+    val encoded = corpus.select(
+      col("vec_id") +: (0 until m).map(j =>
+        nearestSubCell(slice(col("v"), j * sub + 1, sub), books(j)).as(s"c$j")): _*)
+    val probes = corpus.filter(col("vec_id") < 10)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def adcFor(q: Array[Double]): Column = {
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val dotT = Array.tabulate(m) { j =>
+        books(j).map(c => c.zip(q.slice(j * sub, (j + 1) * sub)).map { case (a, b) => a * b }.sum)
+      }
+      val nrm2T = Array.tabulate(m)(j => books(j).map(c => c.map(x => x * x).sum))
+      val num = (0 until m).map(j =>
+        element_at(array(dotT(j).map(lit): _*), (col(s"c$j") + 1).cast("int"))).reduce(_ + _)
+      val den = sqrt((0 until m).map(j =>
+        element_at(array(nrm2T(j).map(lit): _*), (col(s"c$j") + 1).cast("int"))).reduce(_ + _))
+      round(num / (lit(qn) * den), 6)
+    }
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val cands = encoded.select(col("vec_id").as("neighbor_id"),
+      explode(array(probes.map { case (qid, qv) =>
+        struct(lit(qid).as("query_id"), adcFor(qv).as("adc"))
+      }: _*)).as("x"))
+      .select(col("x.query_id").as("query_id"), col("neighbor_id"), col("x.adc").as("adc"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // exact re-rank of the tiny shortlist: candidate-keyed hash join back
+    // to the full vectors, true cosine, final top-10
+    val qvs = map(probes.flatMap { case (qid, qv) =>
+      Seq(lit(qid), array(qv.map(lit): _*))
+    }: _*)
+    val wFin = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .withColumn("cos",
+        round(VectorFunctions.cosineSim(element_at(qvs, col("query_id")), col("v")), 6))
+      .withColumn("rnk", lng(row_number().over(wFin)))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .orderBy("query_id", "rnk", "neighbor_id")
+  }
+
+  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf, qAnnPq, qHardNegatives)
 }
