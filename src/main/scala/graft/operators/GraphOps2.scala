@@ -368,10 +368,14 @@ object GraphOps2 {
     // pair stream, then mirror — same edge set as the symmetric join at
     // half the distinct-shuffle volume (the dominant cost: per-part
     // supplier fanout f makes f²·parts raw pairs; dedup sees f²/2)
-    val half = ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
-      .join(ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst")), "pk")
-      .filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
+    // materialize the halved pair stream ONCE before mirroring — a plain
+    // union would recompute the fanout join + distinct in both branches
+    // (same fix as qKCore's pair scan)
+    val half = e0Checkpoint(
+      ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
+        .join(ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst")), "pk")
+        .filter(col("src") < col("dst"))
+        .select("src", "dst").distinct())
     val e = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
     labelPropagation(e, 2)
       .select(col("node"), col("lbl").as("community"))

@@ -372,4 +372,27 @@ object StreamingOps {
       .agg(graft.functions.TopKAgg(col("event_id"), k).as("top_ids"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("top_ids"))
+
+  /** Windowed latency/quantile monitoring via the deterministic
+    * sample-quantile sketch: per window+type, the state store holds ONE
+    * bounded bottom-k sample (k (hash,value) pairs) instead of every
+    * value, merged incrementally across micro-batches — the p50/p95 SLO
+    * panel at firehose volume. Below k rows/window the sample is the
+    * whole window, so the emitted quantiles are EXACT (spec pins this);
+    * past k they carry the standard ~1/√k sampling error but stay
+    * bit-deterministic (pure function of the window's row set). */
+  def windowedQuantile(events: DataFrame, k: Int = 4096,
+                       watermarkDelay: String = "1 hour"): DataFrame = {
+    val q = udf((b: Array[Byte], p: Double) =>
+      graft.functions.SampleQuantileAgg.quantile(b, p))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(graft.functions.SampleQuantileAgg.agg(
+        xxhash64(col("event_id")), col("value").cast("double"), k).as("sk"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        round(q(col("sk"), lit(0.5)), 6).as("p50"),
+        round(q(col("sk"), lit(0.95)), 6).as("p95"))
+  }
 }

@@ -210,4 +210,33 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(("2024-01-01", "click", Seq(9L, 5L, 3L))), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming windowed quantiles (SampleQuantileAgg) merge across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "event_type", "value", "ts")
+    val q = StreamingOps.windowedQuantile(df)
+      .writeStream.format("memory").queryName("wq").outputMode("append").start()
+    try {
+      // one day-window split across two micro-batches; below k the sample
+      // is complete, so the emitted quantiles must EQUAL the exact
+      // percentile interpolation over all 5 values
+      mem.addData((1L, "click", 10.0, ts("2024-01-01 10:00:00")),
+        (2L, "click", 20.0, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      mem.addData((3L, "click", 30.0, ts("2024-01-01 12:00:00")),
+        (4L, "click", 40.0, ts("2024-01-01 13:00:00")),
+        (5L, "click", 50.0, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      mem.addData((100L, "view", 1.0, ts("2024-01-05 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((101L, "view", 1.0, ts("2024-01-09 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT day, event_type, p50, p95 FROM wq WHERE day = '2024-01-01'")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+      // exact: p50 of 10..50 = 30; p95 = 40 + 0.8*10 = 48
+      assert(got == Set(("2024-01-01", "click", 30.0, 48.0)), s"got $got")
+    } finally q.stop()
+  }
 }
