@@ -53,8 +53,11 @@ object GraphOps2 {
             (lit(PrTeleport) + expr("(85 * coalesce(s, 0)) div 100")).as("pr"))
       // each round references pr ONCE, so the plan grows linearly (not the
       // geometric self-referencing case) — checkpointing every other round
-      // still bounds it while halving the materializations
-      pr = if (i % 2 == 0 || i == iters) e0Checkpoint(next) else next
+      // still bounds it while halving the materializations. The FINAL round
+      // is never checkpointed: the caller consumes the result exactly once,
+      // so an eager materialization there is a pure extra pass over a plan
+      // that is at most two rounds deep.
+      pr = if (i % 2 == 0 && i < iters) e0Checkpoint(next) else next
     }
     pr
   }
@@ -336,7 +339,9 @@ object GraphOps2 {
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("lbl"))
-      l = if (i % 2 == 0 || i == iters) e0Checkpoint(next) else next
+      // final round deliberately NOT checkpointed (see pagerankInt): the
+      // result is consumed once and its plan is at most two rounds deep
+      l = if (i % 2 == 0 && i < iters) e0Checkpoint(next) else next
     }
     l
   }
@@ -362,8 +367,10 @@ object GraphOps2 {
       |l2 AS (SELECT node, lbl FROM c2
       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1)
       |SELECT node, lbl AS community FROM l2 ORDER BY node""".stripMargin) { (s, d) =>
+    // ps is referenced only inside the single half-pair self-join below,
+    // where both sides share one distinct-exchange (ReusedExchange) — no
+    // checkpoint needed; `half` is the reuse point that must materialize
     val ps = T.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
-      .localCheckpoint(true)
     // generate each undirected edge ONCE (src < dst), dedup the halved
     // pair stream, then mirror — same edge set as the symmetric join at
     // half the distinct-shuffle volume (the dominant cost: per-part
