@@ -142,26 +142,64 @@ object Dedup {
       .select(col("id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
+  /** MinHash signatures as a PURE PROJECTION off the text column — no
+    * explode, no shuffle: `min` is duplicate-insensitive, so the distinct
+    * + per-shingle groupBy of [[minhashSignatures]] is computing the same
+    * value the hard way. Per row: one tokenize, one shingle array, then
+    * k seeded `array_min(transform(...))` folds. Value-identical to the
+    * exploded pipeline (same `hash(xxhash64(shingle), seed)` stream), but
+    * the corpus' dominant shuffle — the (id, shingle) table — disappears,
+    * and being map-side it is also legal on a STREAMING DataFrame
+    * ([[graft.streaming.StreamingOps.nearDupStream]]). */
+  def minhashSigProjected(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 64): DataFrame = {
+    val toks = col("__toks")
+    val sh = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(kk => element_at(toks, i + kk)): _*))
+    ).otherwise(array(col("__text")))
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"),
+        split(col(textCol), " ").as("__toks"))
+      // hoist shingling AND the string hash: each shingle is built and
+      // xxhash64'd ONCE, so the k seed folds only murmur 8-byte longs
+      .select(col("id"), transform(sh, s => xxhash64(s)).as("__sh"))
+      .select(col("id"),
+        array((0 until k).map(i =>
+          array_min(transform(col("__sh"), h => hash(h, lit(i))))): _*)
+          .as("sig"))
+  }
+
+  /** LSH banding over a (id, sig) table: one row per (id, band) with the
+    * band's signature hash — the candidate-join key. Map-side. */
+  def bandSignatures(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bsig")))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+
+  /** Estimated Jaccard from two minhash signatures: agreeing fraction. */
+  def estJaccard(a: Column, b: Column, k: Int): Column =
+    dbl(aggregate(zip_with(a, b,
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)) / k
+
   /** MinHash + LSH banding: candidates share at least one of `bands` band
     * signatures; est_jaccard = matching minhash fraction. No oracle —
     * murmur3 isn't portable to DuckDB — so this is a rows-only check; the
     * ScalaTest spec cross-validates against exact Jaccard. */
   val qDedupMinhash: Q = Q.rowsOnly("q_dedup_minhash") { (s, d) =>
     val k = 64; val bands = 16; val rows = k / bands
-    // hashed shingles: the minhash only needs a stable shingle identity,
-    // and 8-byte keys shuffle/aggregate cheaper than trigram strings
-    val sh = wordShingleHashes(T.documents(s, d), "doc_id", "text", 3)
-    val sig = minhashSignatures(sh, k)
-    val banded = sig.select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bsig")))).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    // signatures are a pure projection (minhashSigProjected) — the ONLY
+    // shuffle in this whole operator is the band-bucket candidate join.
+    // Materialize them once: both join sides read the same tiny table.
+    val sig = minhashSigProjected(T.documents(s, d), "doc_id", "text", 3, k)
+      .localCheckpoint(true)
+    val banded = bandSignatures(sig, bands, rows)
     val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bsig")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dbl(aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)) / k).as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
       .groupBy("id_a", "id_b").agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("id_a", "id_b")

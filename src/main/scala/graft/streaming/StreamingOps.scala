@@ -381,6 +381,41 @@ object StreamingOps {
     * whole window, so the emitted quantiles are EXACT (spec pins this);
     * past k they carry the standard ~1/√k sampling error but stay
     * bit-deterministic (pure function of the window's row set). */
+  /** Batch side of the streaming near-dup screen: band-signature index
+    * over the historical corpus — (id, sig, band, bsig), written once
+    * (e.g. partitioned by band) and read as the static join side. */
+  def buildNearDupIndex(docs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame =
+    graft.ops.Dedup.bandSignatures(
+      graft.ops.Dedup.minhashSigProjected(docs, "doc_id", "text", 3, k),
+      bands, k / bands)
+
+  /** Streaming near-duplicate screen: incoming docs against a STATIC
+    * MinHash band index of the historical corpus — "is this scrape page
+    * already in the training set?" at ingest time, without re-running
+    * batch dedup. The stream side is a pure projection (signatures via
+    * [[graft.ops.Dedup.minhashSigProjected]] — map-side, no streaming
+    * aggregation), then a stream-static equi-join on (band, bsig); the
+    * static side partitions/broadcasts like any batch join, so a 100 TB
+    * index shards by band while each micro-batch stays tiny. A doc
+    * matching an index entry in several bands emits once
+    * (`dropDuplicates` on the pair — per-pair state; bound it in
+    * production by rotating the query per index release, or route
+    * through foreachBatch and dedup per batch). */
+  def nearDupStream(docs: DataFrame, index: DataFrame, k: Int = 64,
+                    bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val sig = graft.ops.Dedup.minhashSigProjected(docs, "doc_id", "text", 3, k)
+    val banded = graft.ops.Dedup.bandSignatures(sig, bands, k / bands)
+    banded
+      .join(index.select(col("band"), col("bsig"), col("id").as("dup_id"),
+        col("sig").as("dup_sig")), Seq("band", "bsig"))
+      .filter(col("id") =!= col("dup_id"))
+      .withColumn("est_jaccard",
+        graft.ops.Dedup.estJaccard(col("sig"), col("dup_sig"), k))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id").as("doc_id"), col("dup_id"), col("est_jaccard"))
+      .dropDuplicates("doc_id", "dup_id")
+  }
+
   def windowedQuantile(events: DataFrame, k: Int = 4096,
                        watermarkDelay: String = "1 hour"): DataFrame = {
     val q = udf((b: Array[Byte], p: Double) =>

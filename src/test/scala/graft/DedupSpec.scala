@@ -41,4 +41,21 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("id_a") >= col("id_b")).isEmpty)
     assert(p.filter(col("cos") < 0.38).isEmpty)
   }
+
+  test("projected (map-side) minhash signatures equal the exploded groupBy pipeline") {
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+    val viaShuffle = Dedup.minhashSignatures(
+        Dedup.wordShingleHashes(docs, "doc_id", "text", 3), 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val projected = Dedup.minhashSigProjected(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(projected.keySet == viaShuffle.keySet)
+    projected.foreach { case (id, sig) =>
+      assert(sig == viaShuffle(id), s"sig mismatch for doc $id")
+    }
+    // and the projection really is shuffle-free
+    val plan = Dedup.minhashSigProjected(docs, "doc_id", "text", 3, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projected minhash shuffled:\n$plan")
+  }
 }

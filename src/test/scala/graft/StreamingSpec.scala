@@ -239,4 +239,30 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(("2024-01-01", "click", 30.0, 48.0)), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming near-dup screen flags copies of indexed docs, passes fresh ones") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = graft.sources.Tables.documents(spark, TinyDir)
+    val index = StreamingOps.buildNearDupIndex(corpus).localCheckpoint(true)
+    val someDoc = corpus.select("doc_id", "text").head()
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.nearDupStream(df, index)
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      mem.addData(
+        (900001L, someDoc.getString(1)), // verbatim copy of an indexed doc
+        (900002L, "zq xv wk jn qqq pp zz yy totally novel gibberish row"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, dup_id, est_jaccard FROM neardup").collect()
+      val byDoc = got.groupBy(_.getLong(0))
+      // the copy must match its source with est_jaccard 1.0
+      assert(byDoc.contains(900001L), s"copy not flagged: ${got.mkString(",")}")
+      assert(byDoc(900001L).exists(r =>
+        r.getLong(1) == someDoc.getLong(0) && r.getDouble(2) == 1.0))
+      // the novel doc must not be flagged
+      assert(!byDoc.contains(900002L))
+    } finally q.stop()
+  }
 }
