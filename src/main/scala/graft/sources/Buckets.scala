@@ -20,5 +20,21 @@ object Buckets {
     sortBy.fold(w)(s => w.sortBy(s)).saveAsTable(table)
   }
 
+  /** External-table variant: files land at `path` (plain parquet, readable
+    * path-wise by any engine), bucket metadata under `table` in the
+    * catalog. Sizing at 100 TB: pick `buckets` so one bucket of the BIG
+    * side fits a task (e.g. ~4 GB/bucket ≈ 25k buckets); both join sides
+    * need the SAME count and key or the mismatched side shuffles. */
+  def writeBucketedExternal(df: DataFrame, table: String, path: String,
+                            key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Equi-join two same-bucketed tables on their bucket key — must plan
+    * with no Exchange on either side (asserted by BucketingSpec). */
+  def bucketJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                 key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{Bucketing, Tables}
+import graft.sources.{Buckets, Tables}
 import org.apache.spark.sql.functions._
 
 /** The bucketed layout's whole point is plan shape: a join of two
@@ -24,15 +24,15 @@ class BucketingSpec extends SparkSpec {
       .select("l_orderkey", "l_partkey", "l_extendedprice")
     val ord = Tables.orders(spark, SmallDir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
-    Bucketing.writeBucketed(li, "li_b", s"$dir/li", "l_orderkey", 8)
-    Bucketing.writeBucketed(ord, "ord_b", s"$dir/ord", "l_orderkey", 8)
+    Buckets.writeBucketedExternal(li, "li_b", s"$dir/li", "l_orderkey", 8)
+    Buckets.writeBucketedExternal(ord, "ord_b", s"$dir/ord", "l_orderkey", 8)
     try {
       // forbid broadcast so the planner's only shuffle-free option is the
       // bucket-colocated sort-merge join
       withConf(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
-        val j = Bucketing.bucketJoin(spark, "li_b", "ord_b", "l_orderkey")
+        val j = Buckets.bucketJoin(spark, "li_b", "ord_b", "l_orderkey")
         val n = j.count()
         val plan = j.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
@@ -60,10 +60,10 @@ class BucketingSpec extends SparkSpec {
     val li = Tables.lineitem(spark, TinyDir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, TinyDir)
       .select(col("o_orderkey").as("l_orderkey"))
-    Bucketing.writeBucketed(li, "li_b4", s"$dir/li", "l_orderkey", 4)
-    Bucketing.writeBucketed(ord, "ord_b2", s"$dir/ord", "l_orderkey", 2)
+    Buckets.writeBucketedExternal(li, "li_b4", s"$dir/li", "l_orderkey", 4)
+    Buckets.writeBucketedExternal(ord, "ord_b2", s"$dir/ord", "l_orderkey", 2)
     try {
-      val j = Bucketing.bucketJoin(spark, "li_b4", "ord_b2", "l_orderkey")
+      val j = Buckets.bucketJoin(spark, "li_b4", "ord_b2", "l_orderkey")
       assert(j.count() == li.join(ord, "l_orderkey").count())
     } finally {
       spark.sql("DROP TABLE IF EXISTS li_b4")
