@@ -31,6 +31,7 @@ object SparkEntry {
       ops.Dedup.all ++
       ops.PipelineOps.all ++
       ops.PipelineOps2.all ++
+      ops.PipelineOps3.all ++
       ops.Similarity.all ++
       ops.Sketches.all ++
       ops.Multimodal.all ++

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Round-6 (session 3) LLM-data-pipeline operators:
+  *
+  *  - [[qSplitLeakageSafe]] — leakage-safe train/eval split: the split
+  *    key is the NEAR-DUP CLUSTER, not the document, so two
+  *    near-duplicates can never land on opposite sides of the split
+  *    (the eval-contamination failure mode of per-doc sampling).
+  *  - [[qShardPlan]] — token-budgeted training-shard assignment: the
+  *    planning pass behind "write the corpus as ~B-token output files",
+  *    computed as a DISTRIBUTED exclusive prefix sum (no per-source
+  *    single-task window).
+  */
+object PipelineOps3 {
+
+  /** Distributed exclusive prefix sum of `valueCol` over rows ordered by
+    * (partCol, ordCol): range-partition on the global order, stamp the
+    * partition id, take per-(part, pid) subtotal offsets via a triangular
+    * self-join over the P-row stats table, and add a partition-LOCAL
+    * exclusive window — every window task is bounded by the range cut,
+    * never by a source's full row count (the q_vocab_coverage recipe,
+    * generalized to a grouped ordering). The input must be eagerly
+    * materialized so the offset and local-rank branches see the SAME
+    * range boundaries. Returns the input columns + `pre` (the exclusive
+    * running sum within partCol). */
+  def exclusivePrefixSum(df: DataFrame, partCol: String, ordCol: String,
+                         valueCol: String, nParts: Int): DataFrame = {
+    val parted = df.repartitionByRange(nParts, col(partCol), col(ordCol))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    val pstats = parted.groupBy(partCol, "__pid")
+      .agg(sum(col(valueCol)).as("__psum"))
+    val offsets = pstats.as("a")
+      .join(pstats.as("b"),
+        col(s"b.$partCol") === col(s"a.$partCol") && col("b.__pid") < col("a.__pid"),
+        "left")
+      .groupBy(col(s"a.$partCol").as(partCol), col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__psum")), lit(0L)).as("__off"))
+    val wLocal = Window.partitionBy(partCol, "__pid").orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__lpre", coalesce(sum(col(valueCol)).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq(partCol, "__pid"))
+      .withColumn("pre", col("__lpre") + col("__off"))
+      .drop("__pid", "__lpre", "__off")
+  }
+
+  /** Leakage-safe train/eval split: near-dup components (the exact
+    * cosine pair graph + connected components — q_dedup_cluster_pick's
+    * machinery) become the SPLIT UNIT; each component lands wholly in
+    * train or eval by a deterministic md5 threshold on the component id
+    * (~80/20, RNG-free, rerun-stable). Per-doc splitting leaks: a
+    * near-duplicate pair split across train/eval inflates eval scores —
+    * this operator is the guard. At 100 TB the pair graph comes from
+    * the LSH candidate path (q_dedup_minhash_pick) instead of the
+    * O(n²) baseline; the component/threshold stages are unchanged. */
+  val qSplitLeakageSafe: Q = Q(
+    "q_split_leakage_safe",
+    """WITH RECURSIVE ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ee),
+      |  pairs AS (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |    FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |    WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38),
+      |  e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |  reach(node, lbl) AS (
+      |    SELECT DISTINCT src, src FROM e
+      |    UNION
+      |    SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node),
+      |  comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+      |  lab AS (SELECT emb.vec_id, COALESCE(comp.component, emb.vec_id) AS component
+      |          FROM embeddings emb LEFT JOIN comp ON comp.node = emb.vec_id)
+      |SELECT vec_id, component,
+      |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < 'cccd'
+      |       THEN 'train' ELSE 'eval' END AS split
+      |FROM lab ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.functions.VectorFunctions.dotProduct
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = graft.operators.GraphOps2.connectedComponents(pairs, 20)
+    T.embeddings(s, d).select(col("vec_id"))
+      .join(comp, col("vec_id") === col("node"), "left")
+      .withColumn("component", coalesce(col("lbl"), col("vec_id")))
+      .select(col("vec_id"), col("component"),
+        when(substring(md5(col("component").cast(StringType)), 1, 4) < "cccd", "train")
+          .otherwise("eval").as("split"))
+      .orderBy("vec_id")
+  }
+
+  /** Token-budgeted shard plan: docs are laid out in (source, doc_id)
+    * order and cut into ~4096-token shards — shard_id = exclusive
+    * running token sum ÷ budget, so shard boundaries are stable under
+    * reruns and appends never renumber earlier shards. The running sum
+    * is [[exclusivePrefixSum]] (range partition + offset join + bounded
+    * local windows) — a corpus-sized source never becomes one window
+    * task. The writer side is `writePartitioned(df, path, Seq("source",
+    * "shard_id"))` over this plan's assignment. */
+  val qShardPlan: Q = Q(
+    "q_shard_plan",
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens FROM documents),
+      |c AS (SELECT doc_id, source, tokens,
+      |    COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM t)
+      |SELECT source, CAST(pre // 4096 AS BIGINT) AS shard_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY source, shard_id""".stripMargin) { (s, d) =>
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val t = T.documents(s, d).select(col("doc_id"), col("source"),
+      lng(size(split(trim(col("text")), " "))).as("tokens"))
+    exclusivePrefixSum(t, "source", "doc_id", "tokens", nParts)
+      .withColumn("shard_id", expr("pre div 4096"))
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "shard_id")
+  }
+
+  val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan)
+}

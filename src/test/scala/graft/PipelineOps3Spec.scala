@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.PipelineOps3
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PipelineOps3Spec extends SparkSpec {
+
+  test("leakage-safe split: a near-dup component never spans train and eval") {
+    val out = PipelineOps3.qSplitLeakageSafe.fn(spark, TinyDir)
+    val spanning = out.groupBy("component")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .filter(col("nsplits") > 1)
+    assert(spanning.isEmpty, "component assigned to both splits")
+    // both sides populated, ratio near 80/20 at this corpus size
+    val n = out.count().toDouble
+    val train = out.filter(col("split") === "train").count().toDouble
+    assert(train > 0.6 * n && train < 0.95 * n, s"train share ${train / n}")
+  }
+
+  test("leakage-safe split agrees with qDedupClusterPick components") {
+    val split = PipelineOps3.qSplitLeakageSafe.fn(spark, TinyDir)
+      .select(col("vec_id"), col("component")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pick = graft.operators.GraphOps2.qDedupClusterPick.fn(spark, TinyDir)
+      .select(col("vec_id"), col("survivor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split == pick)
+  }
+
+  test("distributed exclusive prefix sum equals the single-window form") {
+    val t = graft.sources.Tables.documents(spark, SmallDir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("tokens"))
+    val dist = PipelineOps3.exclusivePrefixSum(t, "source", "doc_id", "tokens", 7)
+      .select("doc_id", "pre").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plain = t.withColumn("pre", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select("doc_id", "pre").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == plain)
+  }
+
+  test("shard plan: shards are budget-bounded and cover every doc exactly once") {
+    val plan = PipelineOps3.qShardPlan.fn(spark, TinyDir).collect()
+    val docs = graft.sources.Tables.documents(spark, TinyDir).count()
+    assert(plan.map(_.getAs[Long]("n_docs")).sum == docs)
+    // every shard except a source's last must have crossed the budget
+    // threshold by at most one doc's tokens; all are non-empty
+    plan.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+    }
+    // shard ids are dense from 0 within each source
+    plan.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("shard_id")).sorted.toSeq
+      assert(ids == (0L until ids.length))
+    }
+  }
+}
