@@ -133,5 +133,69 @@ object PipelineOps3 {
       .orderBy("source", "shard_id")
   }
 
-  val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan)
+  /** Length-bucketed inference batching: docs are bucketed by token
+    * count (width 32), then cut into fixed-size batches of 16 INSIDE
+    * each bucket — the padding-minimization layout every batched
+    * inference / embedding job wants (a batch pads to its max length;
+    * mixing lengths wastes compute quadratically in practice). Batch
+    * numbering reuses [[exclusivePrefixSum]] with a unit weight (a
+    * distributed row_number), so a giant bucket never becomes one
+    * window task. Output is the batch manifest: size, token spread,
+    * and the padding waste actually incurred vs the batch max. */
+  val qBatchPack: Q = Q(
+    "q_batch_pack",
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens FROM documents),
+      |b AS (SELECT doc_id, tokens, tokens // 32 AS bucket FROM t),
+      |r AS (SELECT doc_id, tokens, bucket,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rn FROM b)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rn // 16 AS BIGINT) AS batch_id,
+      |  COUNT(*) AS n_docs, CAST(MAX(tokens) AS BIGINT) AS max_tokens,
+      |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(COUNT(*) * MAX(tokens) - SUM(tokens) AS BIGINT) AS pad_waste
+      |FROM r GROUP BY 1, 2 ORDER BY bucket, batch_id""".stripMargin) { (s, d) =>
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val t = T.documents(s, d).select(col("doc_id"),
+        lng(size(split(trim(col("text")), " "))).as("tokens"))
+      .withColumn("bucket", expr("tokens div 32"))
+      .withColumn("one", lit(1L))
+    exclusivePrefixSum(t, "bucket", "doc_id", "one", nParts)
+      .withColumn("batch_id", expr("pre div 16"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("tokens")).as("max_tokens"),
+        sum(col("tokens")).cast("long").as("sum_tokens"))
+      .withColumn("pad_waste", col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .orderBy("bucket", "batch_id")
+  }
+
+  /** PCA over the embedding column: dominant principal component +
+    * explained-variance share, via [[graft.functions.GramianAgg]] — the
+    * full second-moment sweep is ONE aggregation (a ~17 KB mergeable
+    * buffer; the corpus is touched once, nothing vector-sized shuffles),
+    * then the 64×64 eigenproblem is driver-side deterministic power
+    * iteration (model-sized, like the k-means codebooks). The
+    * embedding-drift / whitening primitive: watch PC1 and its variance
+    * share per corpus release. Rows-only (float covariance isn't
+    * portably exact); the spec checks the eigenpair residual and
+    * agreement with a brute-force driver PCA. */
+  val qPcaEmbed: Q = Q.rowsOnly("q_pca_embed") { (s, d) =>
+    import graft.functions.GramianAgg
+    val vecs = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = vecs.select(size(col("v"))).head.getInt(0)
+    val moments = vecs.agg(GramianAgg(col("v"), dim).as("m"))
+      .head.getSeq[Double](0).toArray
+    val (mean, cov) = GramianAgg.covariance(moments, dim)
+    val (eigval, pc1) = GramianAgg.powerIteration(cov)
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val rows = (0 until dim).map { i =>
+      (i.toLong, round6(mean(i)), round6(pc1(i)), round6(eigval), round6(eigval / trace))
+    }
+    s.createDataFrame(rows).toDF("pos", "mean", "pc1_loading", "eigval", "var_share")
+      .orderBy("pos")
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed)
 }

@@ -57,4 +57,52 @@ class PipelineOps3Spec extends SparkSpec {
       assert(ids == (0L until ids.length))
     }
   }
+
+  test("batch pack: batches capped at 16, bucket-homogeneous, waste consistent") {
+    val plan = PipelineOps3.qBatchPack.fn(spark, TinyDir).collect()
+    val docs = graft.sources.Tables.documents(spark, TinyDir).count()
+    assert(plan.map(_.getAs[Long]("n_docs")).sum == docs)
+    plan.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n >= 1 && n <= 16)
+      // waste is exactly n*max - sum, and max token spread stays inside
+      // the bucket width (32)
+      assert(r.getAs[Long]("pad_waste") ==
+        n * r.getAs[Long]("max_tokens") - r.getAs[Long]("sum_tokens"))
+      assert(r.getAs[Long]("pad_waste") < n * 32)
+    }
+  }
+
+  test("gramian-agg PCA matches brute-force driver PCA") {
+    import graft.functions.GramianAgg
+    val vecs = graft.sources.Tables.embeddings(spark, TinyDir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dim = vecs.head.length
+    val n = vecs.length.toDouble
+    // brute force: mean + covariance + power iteration, all on the driver
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j))
+    val (eigRef, pcRef) = GramianAgg.powerIteration(cov)
+    val got = ops.PipelineOps3.qPcaEmbed.fn(spark, TinyDir).collect()
+      .sortBy(_.getAs[Long]("pos"))
+    assert(got.length == dim)
+    got.foreach { r =>
+      val i = r.getAs[Long]("pos").toInt
+      assert(math.abs(r.getAs[Double]("pc1_loading") - pcRef(i)) < 1e-4,
+        s"loading at $i: ${r.getAs[Double]("pc1_loading")} vs ${pcRef(i)}")
+      assert(math.abs(r.getAs[Double]("eigval") - eigRef) < 1e-3)
+    }
+    // eigenpair residual on the distributed covariance: ||Cv - λv|| small
+    val eig = got.head.getAs[Double]("eigval")
+    val v = got.map(_.getAs[Double]("pc1_loading"))
+    val resid = (0 until dim).map { i =>
+      val cv = (0 until dim).map(j => cov(i)(j) * v(j)).sum
+      math.pow(cv - eig * v(i), 2)
+    }.sum
+    assert(math.sqrt(resid) < 1e-3, s"residual ${math.sqrt(resid)}")
+    val share = got.head.getAs[Double]("var_share")
+    assert(share > 0.0 && share <= 1.0)
+  }
 }
