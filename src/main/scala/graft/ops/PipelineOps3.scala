@@ -197,5 +197,55 @@ object PipelineOps3 {
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
-  val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed)
+  /** The corpus-export capstone: normalize → exact-dedup (min-id
+    * survivor) → quality gate → token-budgeted shards → per-shard
+    * manifest with an order-independent content fingerprint — the whole
+    * "turn the raw crawl into training shards" job as ONE declarative
+    * plan, every stage of which also ships standalone (q_text_normalize,
+    * q_dedup_exact, q_filter_pipeline, q_shard_plan,
+    * q_provenance_audit). Shuffle budget: one dedup groupBy, the prefix
+    * sum's range exchange, one manifest aggregation — nothing O(n²),
+    * nothing vector-sized, no per-source single-task window. The
+    * near-dup variants slot in between dedup and the gate (LSH pairs →
+    * components → survivors) without touching the rest of the plan. */
+  val qCorpusExport: Q = Q(
+    "q_corpus_export",
+    """WITH norm AS (SELECT doc_id, source,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1F]', '', 'g'), ' +', ' ', 'g')) AS t
+      |  FROM documents),
+      |surv AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(t)),
+      |kept AS (SELECT n.doc_id, n.source, n.t,
+      |    CAST(len(string_split(n.t, ' ')) AS BIGINT) AS tokens
+      |  FROM norm n JOIN surv USING (doc_id)
+      |  WHERE len(string_split(n.t, ' ')) BETWEEN 5 AND 5000),
+      |pre AS (SELECT doc_id, source, t, tokens,
+      |    COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM kept)
+      |SELECT source, CAST(pre // 4096 AS BIGINT) AS shard_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(('0x' || substr(md5(t), 1, 15))::BIGINT) % 4611686018427387904 AS BIGINT) AS content_fp
+      |FROM pre GROUP BY 1, 2 ORDER BY source, shard_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val norm = T.documents(s, d).select(col("doc_id"), col("source"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[\\x00-\\x1F]", ""), " +", " ")).as("t"))
+    val surv = norm.groupBy(md5(col("t"))).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kept = norm.join(surv, "doc_id")
+      .withColumn("tokens", lng(size(split(col("t"), " "))))
+      .filter(col("tokens").between(5, 5000))
+    exclusivePrefixSum(kept, "source", "doc_id", "tokens", nParts)
+      .withColumn("shard_id", expr("pre div 4096"))
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).cast("long").as("n_tokens"),
+        (sum(graft.operators.ProvenanceOps.rowFingerprint(col("t"))
+          .cast(DecimalType(38, 0))) % lit(4611686018427387904L))
+          .cast("long").as("content_fp"))
+      .orderBy("source", "shard_id")
+  }
+
+  val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed,
+    qCorpusExport)
 }

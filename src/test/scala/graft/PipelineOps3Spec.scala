@@ -73,6 +73,22 @@ class PipelineOps3Spec extends SparkSpec {
     }
   }
 
+  test("corpus export composes consistently with its standalone stages") {
+    val manifest = PipelineOps3.qCorpusExport.fn(spark, TinyDir).collect()
+    // token totals must match recomputing the stages independently
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+      .select(col("doc_id"), col("source"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[\\x00-\\x1F]", ""), " +", " ")).as("t"))
+    val surv = docs.groupBy(md5(col("t"))).agg(min("doc_id").as("doc_id")).select("doc_id")
+    val kept = docs.join(surv, "doc_id")
+      .withColumn("tokens", size(split(col("t"), " ")).cast("long"))
+      .filter(col("tokens").between(5, 5000))
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == kept.count())
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum ==
+      kept.agg(sum("tokens")).head.getLong(0))
+    manifest.foreach(r => assert(r.getAs[Long]("n_docs") > 0))
+  }
+
   test("gramian-agg PCA matches brute-force driver PCA") {
     import graft.functions.GramianAgg
     val vecs = graft.sources.Tables.embeddings(spark, TinyDir)
