@@ -74,13 +74,19 @@ object OboSource {
     IsaRe.findAllMatchIn(stanza).map(_.group(1)).toArray
 }
 
-class OboTable(path: String) extends Table with SupportsRead {
+class OboTable(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-obo:$path"
   override def schema(): StructType = OboSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OboScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new OboWriteBuilder(path, info.schema())
 }
 
 class OboScanBuilder(path: String)
@@ -273,5 +279,122 @@ class OboPartitionReader(file: String, fieldNames: Array[String],
   }
 
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------------------
+// Write path (SURVEY.md §2.5 src_dsv2, write tier): the full V2 commit
+// protocol. Each task streams its rows as [Term] stanzas into a staged
+// file and reports it in a WriterCommitMessage; the DRIVER's job commit
+// renames exactly the reported files into place (one per partition — Spark
+// commits at most one attempt per partition) and drops the staging dir, so
+// readers never observe a half-written load and a failed/zombie attempt's
+// file is simply never renamed. Truncate (SaveMode.Overwrite) removes the
+// previous part files inside the same job commit.
+// ---------------------------------------------------------------------------
+
+class OboWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      private val t = doTruncate
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new OboBatchWrite(path, schema, t)
+    }
+}
+
+case class OboCommitMessage(stagedFile: String, partitionId: Int, nTerms: Long)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class OboBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val stagingDir = s"$path/_staging"
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new OboWriterFactory(stagingDir, schema.fieldNames)
+
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    if (truncate)
+      OboScan.listFiles(path).foreach(f => fs.delete(new Path(f), false))
+    var total = 0L
+    messages.collect { case m: OboCommitMessage => m }.foreach { m =>
+      fs.rename(new Path(m.stagedFile),
+        new Path(root, f"part-${m.partitionId}%05d.obo"))
+      total += m.nTerms
+    }
+    fs.delete(new Path(stagingDir), true)
+    // informational job summary; underscore-prefixed so scans skip it
+    val out = fs.create(new Path(root, "_obo_manifest"), true)
+    try out.write(s"n_terms=$total\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = new Path(stagingDir).getFileSystem(new Configuration())
+    fs.delete(new Path(stagingDir), true)
+  }
+}
+
+class OboWriterFactory(stagingDir: String, fieldNames: Array[String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new OboDataWriter(stagingDir, fieldNames, partitionId, taskId)
+}
+
+/** Executor-side writer: streams stanzas to `_staging/part-<pid>-<tid>`;
+  * the attempt-unique task id keeps concurrent attempts from colliding.
+  * commit() hands the staged name to the driver; abort() deletes it. */
+class OboDataWriter(stagingDir: String, fieldNames: Array[String],
+                    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val file = new Path(s"$stagingDir/part-$partitionId-$taskId.obo")
+  private val fs = file.getFileSystem(new Configuration())
+  private val out = fs.create(file, true)
+  private var n = 0L
+
+  private val idIdx = fieldNames.indexOf("term_id")
+  private val nameIdx = fieldNames.indexOf("name")
+  private val parentsIdx = fieldNames.indexOf("parents")
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder("[Term]\n")
+    if (idIdx >= 0 && !row.isNullAt(idIdx))
+      sb.append("id: ").append(row.getUTF8String(idIdx).toString).append('\n')
+    if (nameIdx >= 0 && !row.isNullAt(nameIdx))
+      sb.append("name: ").append(row.getUTF8String(nameIdx).toString).append('\n')
+    if (parentsIdx >= 0 && !row.isNullAt(parentsIdx)) {
+      val arr = row.getArray(parentsIdx)
+      var i = 0
+      while (i < arr.numElements()) {
+        sb.append("is_a: ").append(arr.getUTF8String(i).toString).append('\n')
+        i += 1
+      }
+    }
+    sb.append('\n')
+    out.write(sb.toString.getBytes("UTF-8"))
+    n += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    OboCommitMessage(file.toString, partitionId, n)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(file, false)
+  }
+
   override def close(): Unit = ()
 }
