@@ -246,6 +246,69 @@ object PipelineOps3 {
       .orderBy("source", "shard_id")
   }
 
+  /** Language-ID QC audit: the declared `lang` column against the
+    * n-gram classifier's prediction (q_lang_id's exact formula) as a
+    * confusion matrix with per-cell share of the declared language —
+    * "how much of the corpus is mislabeled, and as what". One scan,
+    * one (declared, predicted) aggregation; metadata-vs-content
+    * disagreement is THE routine upstream-corpus defect this surfaces
+    * before training mixes are computed off the `lang` column. */
+  val qLangConfusion: Q = Q(
+    "q_lang_confusion",
+    """WITH p AS (SELECT doc_id, lang,
+      |  CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+      |       WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+      |       WHEN es >= fr AND es > 0 THEN 'es'
+      |       WHEN fr > 0 THEN 'fr'
+      |       ELSE 'unknown' END AS pred_lang
+      |FROM (SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS en,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|una)\b')) AS BIGINT) AS es,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b')) AS BIGINT) AS fr
+      |  FROM documents)),
+      |tot AS (SELECT lang, COUNT(*) AS n_lang FROM p GROUP BY 1)
+      |SELECT p.lang, p.pred_lang, COUNT(*) AS n_docs,
+      |  round(CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(tot.n_lang) AS DOUBLE), 6) AS share_of_declared
+      |FROM p JOIN tot USING (lang)
+      |GROUP BY p.lang, p.pred_lang ORDER BY lang, pred_lang""".stripMargin) { (s, d) =>
+    val pred = graft.ops.TextAnalysis.qLangId.fn(s, d)
+      .select(col("doc_id"), col("pred_lang"))
+    val p = T.documents(s, d).select(col("doc_id"), col("lang")).join(pred, "doc_id")
+    val tot = p.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    p.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        round(dbl(col("n_docs")) / dbl(col("n_lang")), 6).as("share_of_declared"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Cross-source exact-duplication matrix: for every (source_a ≤
+    * source_b) pair, how many identical texts they share — the "which
+    * feed is re-crawling which" QC view over the exact-dup groups. The
+    * content-hash groupBy bounds everything downstream: pairs are built
+    * per duplicate GROUP (collect_set of sources per fp, exploded
+    * twice over the ≤|sources| set), never by joining the corpus to
+    * itself. */
+  val qDupMatrix: Q = Q(
+    "q_dup_matrix",
+    """WITH g AS (SELECT md5(text) AS fp, list_sort(list_distinct(list(source))) AS srcs
+      |           FROM documents GROUP BY 1),
+      |p AS (SELECT a AS source_a, b AS source_b
+      |      FROM g, unnest(srcs) AS ua(a), unnest(srcs) AS ub(b)
+      |      WHERE a <= b)
+      |SELECT source_a, source_b, COUNT(*) AS n_shared_texts
+      |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") <= col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared_texts"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed,
-    qCorpusExport)
+    qCorpusExport, qLangConfusion, qDupMatrix)
 }
