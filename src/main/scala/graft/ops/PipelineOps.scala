@@ -190,7 +190,7 @@ object PipelineOps {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
     val codebook = Similarity.fitKmeansCodebook(
       corpus.select(col("vec_id").as("id"), col("v")), k)
-    val centArr = array(codebook.map(c => array(c.map(lit): _*)): _*)
+    val centArr = typedlit(codebook.map(_.toSeq).toSeq)
     val assigned = corpus
       .withColumn("cell", Similarity.nearestCell(col("v"), codebook))
       .withColumn("ccos",

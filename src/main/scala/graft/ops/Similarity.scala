@@ -76,7 +76,7 @@ object Similarity {
     def bandSig(b: Int) =
       (0 until bitsPerBand).map { i =>
         val p = b * bitsPerBand + i
-        val planeLit = array(planes(p).map(lit): _*)
+        val planeLit = typedlit(planes(p))
         shiftleft(when(VectorFunctions.dotProduct(col("v"), planeLit) > 0, 1L).otherwise(0L), i)
       }.reduce(_ + _)
     val signed = corpus.select(
@@ -110,7 +110,7 @@ object Similarity {
   def nearestCell(v: Column, cents: Array[Array[Double]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(
-        VectorFunctions.cosineSim(v, array(c.map(lit): _*)).as("ccos"),
+        VectorFunctions.cosineSim(v, typedlit(c)).as("ccos"),
         lit(-i.toLong).as("negCid"))
     }
     -array_max(array(scored: _*)).getField("negCid")
@@ -306,27 +306,15 @@ object Similarity {
     }
   }
 
-  /** Euclidean-argmin sub-cell code as ONE map-side expression: argmin
-    * ‖v−c‖² == argmax (dot(v,c) − ‖c‖²/2) since ‖v‖² is constant per row.
-    * Ties to the LOWEST cid (matches the driver-side fit loop's strict
-    * `<`). Same inlined-literal / array_max shape as [[nearestCell]]. */
-  def nearestSubCell(v: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        (VectorFunctions.dotProduct(v, array(c.map(lit): _*))
-          - lit(c.map(x => x * x).sum / 2)).as("s"),
-        lit(-i.toLong).as("negCid"))
-    }
-    -array_max(array(scored: _*)).getField("negCid")
-  }
-
   /** PQ-compressed ANN (the memory-bounded 100 TB path): each corpus
     * vector is encoded ONCE into m=16 codes over k=16 centroids — 16
     * small ints replace 64 doubles, a ~16-64× index compression — and
     * the first-stage probe scoring is table lookups, never a
     * probe-vector dot product: per probe, the m×k dot/norm² tables
-    * against the sub-codebooks inline as literals, and the
-    * asymmetric-distance cosine is
+    * against the sub-codebooks ride as codegen reference objects
+    * ([[graft.functions.PqEncode]]/[[graft.functions.PqAdc]] — the
+    * declarative unrolled form blew Janino's 64 KB method limit and fell
+    * back to interpreted eval), and the asymmetric-distance cosine is
     * Σⱼ dotT[j][codeⱼ] / (‖q‖·√Σⱼ nrm2T[j][codeⱼ]).
     *
     * Second stage is the standard exact RE-RANK (Jégou et al. 2011 §V):
@@ -345,9 +333,8 @@ object Similarity {
     val books = fitPqCodebooks(corpus.select(col("vec_id").as("id"), col("v")), m, kCents)
     val dim = books.map(_.head.length).sum
     val sub = dim / m
-    val encoded = corpus.select(
-      col("vec_id") +: (0 until m).map(j =>
-        nearestSubCell(slice(col("v"), j * sub + 1, sub), books(j)).as(s"c$j")): _*)
+    val encoded = corpus.select(col("vec_id"),
+      graft.functions.PqFunctions.pqEncode(col("v"), books).as("codes"))
     val probes = corpus.filter(col("vec_id") < 10)
       .select("vec_id", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -358,11 +345,7 @@ object Similarity {
         books(j).map(c => c.zip(q.slice(j * sub, (j + 1) * sub)).map { case (a, b) => a * b }.sum)
       }
       val nrm2T = Array.tabulate(m)(j => books(j).map(c => c.map(x => x * x).sum))
-      val num = (0 until m).map(j =>
-        element_at(array(dotT(j).map(lit): _*), (col(s"c$j") + 1).cast("int"))).reduce(_ + _)
-      val den = sqrt((0 until m).map(j =>
-        element_at(array(nrm2T(j).map(lit): _*), (col(s"c$j") + 1).cast("int"))).reduce(_ + _))
-      round(num / (lit(qn) * den), 6)
+      round(graft.functions.PqFunctions.pqAdc(col("codes"), dotT, nrm2T, qn), 6)
     }
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
     val cands = encoded.select(col("vec_id").as("neighbor_id"),
@@ -376,9 +359,7 @@ object Similarity {
       .select("query_id", "neighbor_id")
     // exact re-rank of the tiny shortlist: candidate-keyed hash join back
     // to the full vectors, true cosine, final top-10
-    val qvs = map(probes.flatMap { case (qid, qv) =>
-      Seq(lit(qid), array(qv.map(lit): _*))
-    }: _*)
+    val qvs = typedlit(probes.map { case (qid, qv) => qid -> qv.toSeq }.toMap)
     val wFin = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cands
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
