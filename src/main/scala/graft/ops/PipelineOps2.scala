@@ -228,12 +228,15 @@ object PipelineOps2 {
     * q_dedup_ngram (Jaccard similarity).
     *
     * Plan: grams materialize map-side (transform over a bounded
-    * sequence), pairs come from a self-join keyed on the gram — at
-    * 100 TB key the shuffle on xxhash64(gram) int64s exactly as
-    * q_dedup_ngram hashes its shingles (Dedup.scala:54); the gram string
-    * rides only for the oracle's benefit here. Stop-word-heavy corpora
-    * cap gram document-frequency first (the df column of sink_inverted)
-    * to bound the per-gram pair fanout. */
+    * sequence) and are xxhash64'd IN THE SAME PROJECTION — the join,
+    * the distinct, and both shuffles key on 8-byte int64s exactly as
+    * q_dedup_ngram hashes its shingles (Dedup.scala:54); no gram string
+    * ever shuffles (4× less shuffle volume, long instead of string
+    * comparisons — 7.3s → ~4s at sf0.1). 64-bit fingerprint equality
+    * stands in for string equality, the standard exact-substring-dedup
+    * trade (collision odds ~m²/2⁶⁵). Stop-word-heavy corpora cap gram
+    * document-frequency first (the df column of sink_inverted) to bound
+    * the per-gram pair fanout. */
   val qSpanDup: Q = Q(
     "q_span_dup",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -250,11 +253,11 @@ object PipelineOps2 {
     val g = toks
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("l")) - 7),
-        i => array_join(slice(col("l"), i, lit(8)), " "))).as("gram"))
+        i => xxhash64(array_join(slice(col("l"), i, lit(8)), " ")))).as("gh"))
       .distinct()
-    val a = g.select(col("doc_id").as("id_a"), col("gram"))
-    val b = g.select(col("doc_id").as("id_b"), col("gram"))
-    a.join(b, "gram")
+    val a = g.select(col("doc_id").as("id_a"), col("gh"))
+    val b = g.select(col("doc_id").as("id_b"), col("gh"))
+    a.join(b, "gh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
