@@ -29,6 +29,7 @@ object SparkEntry {
       ops.TextAnalysis2.all ++
       ops.CorpusQuality.all ++
       ops.Dedup.all ++
+      ops.EmbedQC.all ++
       ops.PipelineOps.all ++
       ops.PipelineOps2.all ++
       ops.PipelineOps3.all ++

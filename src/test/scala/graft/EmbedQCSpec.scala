@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.VecSumAgg
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.functions._
+
+/** agg_vecsum exactness and the embedding QC queries' invariants. */
+class EmbedQCSpec extends SparkSpec {
+
+  private def embeds = T.embeddings(spark, TinyDir)
+    .select(col("label"), col("embedding").cast("array<double>").as("v"))
+
+  test("vecsum_agg equals the declarative posexplode form, any partitioning") {
+    def viaAgg(parts: Int): Map[Int, Seq[Long]] =
+      embeds.repartition(parts)
+        .groupBy("label").agg(VecSumAgg(col("v"), 64).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val declarative = embeds
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(sum(expr("cast(round(x * 1000000) as bigint)")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (lbl, rows) =>
+        val n = rows.head.getLong(3)
+        lbl -> (n +: rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      }
+    val a3 = viaAgg(3)
+    assert(a3 == viaAgg(13), "vecsum_agg depends on partitioning")
+    assert(a3 == declarative, "vecsum_agg diverges from the declarative sums")
+  }
+
+  test("q_label_centroid: bounded scores, exhaustive labels, self-consistency") {
+    val rows = SparkEntry.queries("q_label_centroid")(spark, TinyDir).collect()
+    val nLabels = embeds.select("label").distinct().count()
+    assert(rows.length == nLabels)
+    assert(rows.map(_.getLong(1)).sum == embeds.count())
+    rows.foreach { r =>
+      val coh = r.getDouble(2); val sep = r.getDouble(4)
+      assert(coh > -1.000001 && coh < 1.000001, s"cohesion $coh out of range")
+      assert(sep > -1.000001 && sep < 1.000001, s"separation $sep out of range")
+      assert(r.getInt(0) != r.getInt(3), "nearest label must be another label")
+    }
+  }
+
+  test("q_embed_sanity: clean synthetic corpus audits clean") {
+    val rows = SparkEntry.queries("q_embed_sanity")(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, "n_wrong_dim")
+      assert(r.getLong(3) == 0L, "n_nonfinite")
+      assert(r.getLong(4) == 0L, "n_zero")
+      assert(r.getDouble(5) <= r.getDouble(6) && r.getDouble(6) <= r.getDouble(7),
+        "norm envelope min <= avg <= max")
+    }
+  }
+}
