@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.{AnnIndex, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** sink_ann_index: build/query roundtrip, equality with the in-memory
+  * IVF plan, and the on-disk partition pruning that makes it a serving
+  * structure rather than a cached query. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def corpus = T.embeddings(spark, TinyDir)
+    .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+
+  private def probes = corpus.filter(col("id") < 10)
+    .select(col("id").as("query_id"), col("v").as("qv"))
+
+  test("build lays out cell directories plus a codebook sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.build(corpus, dir, k = 8)
+    val cellDirs = new java.io.File(s"$dir/index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "no cell=* partition directories")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    assert(cb.count() <= 8 && cb.count() > 0)
+    // every corpus row landed in exactly one cell
+    assert(spark.read.parquet(s"$dir/index").count() == corpus.count())
+  }
+
+  test("query equals the equivalent in-memory coarse-then-exact plan") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.build(corpus, dir, k = 8)
+    val got = AnnIndex.query(spark, dir, probes, nProbe = 4, topK = 5)
+      .collect().map(_.toString).toSeq
+    // recompute in memory from the SAME persisted assignment (the fit is
+    // deterministic, but reading the sidecar pins independence from refit)
+    val cents = spark.read.parquet(s"$dir/codebook")
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.functions.VectorFunctions.cosineSim(col("qv"), col("cv")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= 4)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    assert(got.nonEmpty)
+    // same candidates, same rank rule — but over the FULL (unpruned)
+    // index read, so pruning in AnnIndex.query provably loses nothing
+    val expRows = spark.read.parquet(s"$dir/index")
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(graft.functions.VectorFunctions.cosineSim(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rnk", expr("cast(rank() over (partition by query_id order by cos desc, neighbor_id) as long)"))
+      .filter(col("rnk") <= 5)
+      .orderBy("query_id", "rnk", "neighbor_id")
+      .collect().map(_.toString).toSeq
+    assert(got == expRows, s"got=${got.size} exp=${expRows.size}")
+  }
+
+  test("query prunes unprobed cell directories at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.build(corpus, dir, k = 8)
+    val df = AnnIndex.query(spark, dir, probes.limit(1), nProbe = 2, topK = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(plan.contains("cell") && plan.contains(" IN "), plan.take(2000))
+  }
+}
