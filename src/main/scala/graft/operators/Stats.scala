@@ -181,5 +181,34 @@ object Stats {
       .orderBy("edge")
   }
 
-  val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap, qJoinAudit)
+  /** Join-key skew audit: the top-10 heaviest keys of a shuffle key with
+    * their row share and a per-key salt recommendation — salt_factor =
+    * ceil(cnt·P/N), the bucket count that brings the key's heaviest
+    * partition back to the average (P = 32, the session's shuffle
+    * parallelism). The output feeds [[SkewOps.saltedJoin]] directly;
+    * AQE's skew-join split handles the runtime half, this is the
+    * planning half (pre-declared salting survives plan shapes AQE can't
+    * split, e.g. aggregations). One key-count aggregation + a broadcast
+    * of the 1-row total — key-cardinality sized, never the fact table. */
+  val qSkewAudit: Q = Q(
+    "q_skew_audit",
+    """WITH c AS (SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+      |SELECT key, CAST(cnt AS BIGINT) AS cnt,
+      |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+      |  CAST(CEIL(CAST(cnt AS DOUBLE) * 32 / CAST(n AS DOUBLE)) AS BIGINT) AS salt_factor
+      |FROM c, t
+      |ORDER BY cnt DESC, key LIMIT 10""".stripMargin) { (s, d) =>
+    val c = T.lineitem(s, d).groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = c.agg(sum(col("cnt")).cast("long").as("n"))
+    c.crossJoin(broadcast(t))
+      .select(col("key"), col("cnt"),
+        round(dbl(col("cnt")) / dbl(col("n")), 6).as("share"),
+        lng(ceil(dbl(col("cnt")) * 32 / dbl(col("n")))).as("salt_factor"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap, qJoinAudit, qSkewAudit)
 }

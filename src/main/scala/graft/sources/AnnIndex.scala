@@ -41,6 +41,44 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
   }
 
+  /** Streaming ingest into a built index: assign arriving vectors
+    * (id, v) to cells with the PERSISTED codebook (cell assignment is a
+    * pure projection — [[Similarity.nearestCell]] runs legally on a
+    * streaming DataFrame) and append into the same cell-partitioned
+    * layout. The quantizer stays fixed between rebuilds — standard IVF
+    * serving practice: appends change cell populations, not cell
+    * geometry, so concurrent readers keep pruning correctly; re-fit is
+    * an offline [[build]]. Exactly-once via the file-sink commit log at
+    * `checkpointDir`. */
+  def appendStream(vectors: DataFrame, path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    val codebook = spark.read.parquet(s"$path/codebook")
+      .select("cid", "cv").orderBy("cid").collect().map(_.getSeq[Double](1).toArray)
+    vectors
+      .select(col("id"), col("v"), Similarity.nearestCell(col("v"), codebook).as("cell"))
+      .writeStream
+      .format("parquet")
+      // separate directory: the file sink's _spark_metadata commit log
+      // claims its whole directory — streaming into index/ would make
+      // readers see ONLY streamed files and lose the batch build
+      .option("path", s"$path/index_stream")
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("cell")
+      .outputMode("append")
+      .start()
+  }
+
+  /** The full index: the batch build plus any streamed appends. Both
+    * sides are cell-partitioned, so partition pruning applies to each. */
+  def readIndex(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/index")
+    val streamDir = new org.apache.hadoop.fs.Path(s"$path/index_stream")
+    val fs = streamDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(streamDir)) base.unionByName(spark.read.parquet(streamDir.toString))
+    else base
+  }
+
   /** Top-k cosine neighbors for `probes` (query_id, qv) against a built
     * index: probe cells from the codebook sidecar (model-sized, driver
     * collect is K rows), then a pruned read of ONLY those cell
@@ -60,7 +98,7 @@ object AnnIndex {
     // literal partition filters prune index directories at planning time
     val cells = probeCells.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val cands = spark.read.parquet(s"$path/index")
+    val cands = readIndex(spark, path)
       .filter(col("cell").isin(cells: _*))
       .join(broadcast(probeCells), Seq("cell"))
       .filter(col("query_id") =!= col("id"))

@@ -56,6 +56,38 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == expRows, s"got=${got.size} exp=${expRows.size}")
   }
 
+  test("streaming append lands vectors in the batch-identical cells") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("annidx_ck").toString
+    AnnIndex.build(corpus, dir, k = 8)
+    val before = AnnIndex.readIndex(spark, dir).count()
+    val newVecs = corpus.orderBy("id").limit(3).collect()
+      .map(r => (r.getLong(0) + 1000000L, r.getSeq[Double](1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val q = graft.sources.AnnIndex.appendStream(
+      mem.toDF().toDF("id", "v"), dir, ckpt)
+    try {
+      mem.addData(newVecs.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = AnnIndex.readIndex(spark, dir)
+    assert(after.count() == before + 3)
+    // streamed rows carry the same cell the batch assignment gives them
+    val codebook = spark.read.parquet(s"$dir/codebook")
+      .select("cid", "cv").orderBy("cid").collect().map(_.getSeq[Double](1).toArray)
+    val expected = newVecs.map { case (id, v) => id ->
+      spark.createDataset(Seq(v)).toDF("v")
+        .select(graft.ops.Similarity.nearestCell(col("v"), codebook).as("c"))
+        .head().getLong(0)
+    }.toMap
+    val got = after.filter(col("id") >= 1000000L)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    assert(got == expected, s"streamed cells $got != batch cells $expected")
+  }
+
   test("query prunes unprobed cell directories at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
     AnnIndex.build(corpus, dir, k = 8)
