@@ -296,6 +296,24 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Online per-label centroid maintenance: the same mergeable
+    * integer-scaled vector-sum aggregate the batch centroid audit uses
+    * (agg_vecsum / q_label_centroid) running as a streaming aggregation —
+    * per label the state store holds ONE (D+1)-long buffer, merged
+    * incrementally each micro-batch. Integer sums are associative-exact,
+    * so the streamed centroid after any micro-batch split is
+    * BIT-IDENTICAL to a batch recomputation over the same rows — no
+    * float drift between the online and offline paths, which is what
+    * makes the streamed numbers trustworthy for drift alerts. State is
+    * model-sized (labels × (D+1) longs), bounded at any stream length. */
+  def centroidStream(vectors: DataFrame, dim: Int = 64): DataFrame =
+    vectors.groupBy("label")
+      .agg(graft.functions.VecSumAgg(col("v"), dim).as("m"))
+      .select(col("label"), element_at(col("m"), 1).as("n_vecs"),
+        transform(slice(col("m"), 2, dim),
+          x => x.cast("double") / (lit(1000000.0) * element_at(col("m"), 1).cast("double")))
+          .as("centroid"))
+
   /** Streaming sessionization with a 30-min inactivity gap: custom state
     * via flatMapGroupsWithState + event-time timeout. A session is emitted
     * once the watermark passes its last event + gap. */

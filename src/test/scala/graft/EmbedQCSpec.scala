@@ -43,6 +43,29 @@ class EmbedQCSpec extends SparkSpec {
     }
   }
 
+  test("streaming centroids are bit-identical to the batch recomputation") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = embeds.limit(40).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val (b1, b2) = rows.splitAt(17)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, Seq[Double])]
+    val q = graft.streaming.StreamingOps.centroidStream(mem.toDF().toDF("label", "v"))
+      .writeStream.format("memory").queryName("cent_stream").outputMode("complete").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM cent_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSet
+    val batch = graft.streaming.StreamingOps.centroidStream(
+        spark.createDataset(rows.toIndexedSeq).toDF("label", "v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSet
+    assert(streamed == batch, "streamed centroids diverge from batch")
+  }
+
   test("q_embed_sanity: clean synthetic corpus audits clean") {
     val rows = SparkEntry.queries("q_embed_sanity")(spark, TinyDir).collect()
     assert(rows.nonEmpty)

@@ -29,6 +29,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_skyline",           // P-row partition-stats triangular prefix join
     "q_dist_drift",        // rows x 1-row corpus total (constant side)
     "q_join_audit",        // 1-row x 1-row stat blocks (constant sides)
+    "q_skew_audit",        // key counts x 1-row corpus total (constant side)
+    "q_label_centroid",    // K-row centroid table paired with itself
+                           // (model-vs-model by design; data never pairs)
     "q_mix_plan",          // 20-row mix table x 1-row totals (constant side)
     "q_sketch_setops"      // #sources-row sketch table paired with itself
                            // (sketch-vs-sketch by design; data never pairs)
