@@ -154,6 +154,52 @@ object CorpusQuality {
       .orderBy("doc_id")
   }
 
+  /** Corpus datasheet: the one-row-per-metric release card every corpus
+    * ships with (datasheets-for-datasets governance) — volume, source and
+    * language breadth, token mass, exact-dup rate, emptiness — computed
+    * in ONE scan, then unpivoted to (metric, value) rows. The three
+    * COUNT(DISTINCT …) columns plan as Spark's Expand (3× compact rows —
+    * source, lang, 16-byte md5 — into one shuffle), not three passes;
+    * everything else is plain map-side partials. No second scan, no
+    * join. */
+  val qCorpusCard: Q = Q(
+    "q_corpus_card",
+    """WITH a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+      |  CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS DOUBLE) AS n_tokens,
+      |  CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) AS n_unique,
+      |  CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty
+      |FROM documents)
+      |SELECT metric, round(value, 6) AS value FROM (
+      |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+      |  UNION ALL SELECT 'n_sources', n_sources FROM a
+      |  UNION ALL SELECT 'n_langs', n_langs FROM a
+      |  UNION ALL SELECT 'n_tokens', n_tokens FROM a
+      |  UNION ALL SELECT 'mean_doc_tokens', n_tokens / n_docs FROM a
+      |  UNION ALL SELECT 'exact_dup_rate', 1.0 - n_unique / n_docs FROM a
+      |  UNION ALL SELECT 'empty_rate', n_empty / n_docs FROM a)
+      |ORDER BY metric""".stripMargin) { (s, d) =>
+    val a = T.documents(s, d).agg(
+      dbl(count(lit(1))).as("n_docs"),
+      dbl(countDistinct(col("source"))).as("n_sources"),
+      dbl(countDistinct(col("lang"))).as("n_langs"),
+      dbl(sum(size(split(trim(col("text")), " ")))).as("n_tokens"),
+      dbl(countDistinct(md5(col("text")))).as("n_unique"),
+      dbl(sum(when(length(trim(col("text"))) === 0, 1).otherwise(0))).as("n_empty"))
+    a.select(expr(
+      """stack(7,
+        |  'n_docs', n_docs,
+        |  'n_sources', n_sources,
+        |  'n_langs', n_langs,
+        |  'n_tokens', n_tokens,
+        |  'mean_doc_tokens', n_tokens / n_docs,
+        |  'exact_dup_rate', 1.0d - n_unique / n_docs,
+        |  'empty_rate', n_empty / n_docs) AS (metric, value)""".stripMargin))
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy("metric")
+  }
+
   val all: Seq[Q] = Seq(qRepetition, qSourceStats, qFilterPipeline, qContamination,
-    qBoilerplate)
+    qBoilerplate, qCorpusCard)
 }
