@@ -113,4 +113,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("o_orderdate"), plan) // pruned
   }
+
+  test("shuffle budgets of flagship shapes are pinned") {
+    // every entry is (query, max shuffle exchanges in the executed plan):
+    // an accidental extra repartition/distinct/global-sort fails here
+    // before it doubles a 100 TB job's shuffle volume. Reused exchanges
+    // count once (they move data once).
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: unwrap(q.plan)
+        case o => o +: o.children.flatMap(unwrap)
+      }
+    val budgets = Seq(
+      ("q1_pricing_summary", 2),  // agg + output sort
+      ("q_enrich_join", 1),       // broadcast dims; output sort only
+      ("q_region_volume", 4),     // fact-fact join pair + agg + sort
+      ("q_dedup_exact", 2),       // content-hash groupBy + output sort
+      ("q_shard_plan", 5),        // range part + offsets pair + agg + sort
+      ("q_corpus_card", 3),       // distinct Expand agg pair + tiny sort
+      ("q_skew_audit", 2))        // key-count agg (+TakeOrdered, no sort)
+    budgets.foreach { case (name, cap) =>
+      val df = SparkEntry.queries(name)(spark, TinyDir)
+      df.collect()
+      val shuffles = unwrap(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.distinct
+      info(s"$name: ${shuffles.size} shuffle exchange(s)")
+      assert(shuffles.size <= cap,
+        s"$name shuffles ${shuffles.size} > budget $cap:\n" +
+          shuffles.map(_.outputPartitioning).mkString("\n"))
+    }
+  }
 }
