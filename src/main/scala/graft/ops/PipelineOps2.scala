@@ -264,6 +264,70 @@ object PipelineOps2 {
       .orderBy("id_a", "id_b")
   }
 
+  /** Maximal shared-span extents per near-identical doc pair: the actual
+    * output granularity of exact-substring dedup (Lee et al. 2022) — not
+    * "how many grams match" ([[qSpanDup]]) but WHERE the copied regions
+    * are and how long. Shared 8-gram start positions (in the left doc)
+    * merge into maximal extents by the classic interval-merge window:
+    * break when pos exceeds the running max end, prefix-sum the breaks
+    * into extent ids, aggregate extent bounds. Per pair: extent count,
+    * longest extent, total covered tokens — the "40% of doc A is a
+    * verbatim lift from doc B" signal that drives span-level REMOVAL
+    * (vs whole-doc dedup's drop decision).
+    *
+    * Scale: the gram join keys on xxhash64 int64s like qSpanDup; the
+    * merge windows partition by (id_a, id_b) — bounded by a doc-pair's
+    * gram count, never corpus-sized. */
+  val qSpanExtents: Q = Q(
+    "q_span_extents",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |g AS (SELECT doc_id, i AS pos, array_to_string(l[i:i+7], ' ') AS gram
+      |      FROM toks, UNNEST(generate_series(1, len(l) - 7)) AS t(i)
+      |      WHERE len(l) >= 8),
+      |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pos
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |m AS (SELECT id_a, id_b, pos,
+      |        CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (PARTITION BY id_a, id_b
+      |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |        THEN 1 ELSE 0 END AS brk
+      |      FROM p),
+      |grp AS (SELECT id_a, id_b, pos,
+      |        SUM(brk) OVER (PARTITION BY id_a, id_b ORDER BY pos
+      |          ROWS UNBOUNDED PRECEDING) AS gid
+      |      FROM m),
+      |sp AS (SELECT id_a, id_b, gid, MIN(pos) AS s, MAX(pos) + 8 AS e
+      |       FROM grp GROUP BY 1, 2, 3)
+      |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(MAX(e - s) AS BIGINT) AS longest_tokens,
+      |  CAST(SUM(e - s) AS BIGINT) AS covered_tokens
+      |FROM sp GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 8)
+    val g = toks.select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("l")) - 7),
+        i => xxhash64(array_join(slice(col("l"), i, lit(8)), " ")))).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
+    val p = g.select(col("doc_id").as("id_a"), col("pos"), col("gh"))
+      .join(g.select(col("doc_id").as("id_b"), col("gh")), "gh")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "pos").distinct()
+    val wPrev = Window.partitionBy("id_a", "id_b").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("id_a", "id_b").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("brk",
+        when(col("pos") > coalesce(max(col("pos") + 8).over(wPrev), lit(-1)), 1).otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(wCum))
+      .groupBy("id_a", "id_b", "gid")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 8).as("e"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_spans"),
+        lng(max(col("e") - col("s"))).as("longest_tokens"),
+        lng(sum(col("e") - col("s"))).as("covered_tokens"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Tokenizer apply: run the 3 learned BPE merges ([[qBpeMerges]]) over
     * the corpus and emit the resulting token (symbol) frequency table,
     * top-20 by count (ties: token asc) — the train→apply loop of a
@@ -400,5 +464,5 @@ object PipelineOps2 {
   }
 
   val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qBpeMerges, qSearchIndexed,
-    qSpanDup, qBpeTokenize, qQualityTiers, qRagChunk)
+    qSpanDup, qSpanExtents, qBpeTokenize, qQualityTiers, qRagChunk)
 }

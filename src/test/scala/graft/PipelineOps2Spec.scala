@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
   * BPE merge-table equivalence vs a reference implementation. */
 class PipelineOps2Spec extends SparkSpec {
 
+  test("q_span_extents: pair set matches q_span_dup; extents cover at least the grams") {
+    val dup = SparkEntry.queries("q_span_dup")(spark, TinyDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ext = SparkEntry.queries("q_span_extents")(spark, TinyDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(ext.keySet == dup.keySet, "pair sets diverge between gram count and extent views")
+    ext.foreach { case (pair, (nSpans, longest, covered)) =>
+      assert(nSpans >= 1 && longest >= 8 && covered >= longest,
+        s"$pair extents inconsistent: $nSpans/$longest/$covered")
+      // n distinct shared grams can't exceed covered positions (each gram
+      // start is a distinct covered position) and implies a span
+      assert(dup(pair) <= covered, s"$pair grams ${dup(pair)} > covered $covered")
+    }
+  }
+
   test("q_strip_boilerplate: clean text = non-repeated chunks in order; counts consistent") {
     val out = PipelineOps2.qStripBoilerplate.fn(spark, TinyDir).collect()
     val docs = T.documents(spark, TinyDir)
