@@ -210,5 +210,67 @@ object Stats {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap, qJoinAudit, qSkewAudit)
+  /** Pairwise Jensen-Shannon divergence between per-source token
+    * distributions over the global top-40 vocabulary — the domain-shift
+    * matrix (which feeds changed dialect vs last release / vs each
+    * other). JS over a fixed shared support handles zeros (unlike KL)
+    * and is symmetric and bounded [0, 1] in log2.
+    *
+    * Shape: one token-count shuffle builds the global top-V (broadcast),
+    * one (source, token) count, then everything is model-sized — the
+    * S×V grid with zero fill, a V-keyed pair join, and the per-pair term
+    * sum. Terms are rounded to 12 dp and summed as DECIMAL (the
+    * q_entropy recipe), so the matrix is partition-order exact. At very
+    * large source counts, block the pair join by source-pair ranges —
+    * the grid side stays model-sized regardless of corpus bytes. */
+  val qSourceDivergence: Q = Q(
+    "q_source_divergence",
+    """WITH tk AS (SELECT source, token FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''),
+      |topv AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM tk GROUP BY 1)
+      |         ORDER BY c DESC, token LIMIT 40),
+      |st AS (SELECT source, token, COUNT(*) AS c FROM tk JOIN topv USING (token) GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+      |grid AS (SELECT t.source, v.token,
+      |           CAST(COALESCE(st.c, 0) AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+      |         FROM tot t CROSS JOIN topv v
+      |         LEFT JOIN st ON st.source = t.source AND st.token = v.token),
+      |pr AS (SELECT a.source AS src_a, b.source AS src_b, a.p AS pa, b.p AS pb
+      |       FROM grid a JOIN grid b ON a.token = b.token AND a.source < b.source),
+      |term AS (SELECT src_a, src_b, CAST(round(
+      |    CASE WHEN pa > 0 THEN pa / 2 * log2(pa / ((pa + pb) / 2)) ELSE 0 END +
+      |    CASE WHEN pb > 0 THEN pb / 2 * log2(pb / ((pa + pb) / 2)) ELSE 0 END,
+      |  12) AS DECIMAL(18,12)) AS trm FROM pr)
+      |SELECT src_a, src_b, round(CAST(SUM(trm) AS DOUBLE), 6) AS js_divergence
+      |FROM term GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val v = 40
+    val tk = T.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val topv = tk.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(v).select("token")
+    val st = tk.join(broadcast(topv), "token")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val tot = st.groupBy("source").agg(sum(col("c")).cast("long").as("n"))
+    val grid = tot.crossJoin(broadcast(topv))
+      .join(st, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        (dbl(coalesce(col("c"), lit(0L))) / dbl(col("n"))).as("p"))
+    val pr = grid.select(col("source").as("src_a"), col("token"), col("p").as("pa"))
+      .join(grid.select(col("source").as("src_b"), col("token"), col("p").as("pb")), "token")
+      .filter(col("src_a") < col("src_b"))
+    val m = (col("pa") + col("pb")) / 2
+    val term = round(
+      when(col("pa") > 0, col("pa") / 2 * log2(col("pa") / m)).otherwise(0.0) +
+        when(col("pb") > 0, col("pb") / 2 * log2(col("pb") / m)).otherwise(0.0),
+      12).cast(DecimalType(18, 12))
+    pr.select(col("src_a"), col("src_b"), term.as("trm"))
+      .groupBy("src_a", "src_b")
+      .agg(round(dbl(sum(col("trm"))), 6).as("js_divergence"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap, qJoinAudit, qSkewAudit,
+    qSourceDivergence)
 }

@@ -32,6 +32,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_skew_audit",        // key counts x 1-row corpus total (constant side)
     "q_label_centroid",    // K-row centroid table paired with itself
                            // (model-vs-model by design; data never pairs)
+    "q_source_divergence", // S-row totals x top-40 vocab grid (model-sized)
     "q_mix_plan",          // 20-row mix table x 1-row totals (constant side)
     "q_sketch_setops"      // #sources-row sketch table paired with itself
                            // (sketch-vs-sketch by design; data never pairs)
