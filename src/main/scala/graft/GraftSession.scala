@@ -44,6 +44,40 @@ object GraftSession {
     s
   }
 
+  /** Cluster deployment posture: the conf deltas between this repo's
+    * local[CPUS] harness and a real 100 TB / 1000-executor run. Returned
+    * as a map (apply to a builder, or `--conf` them) so the numbers are
+    * CODE, not tribal knowledge:
+    *
+    *  - shuffle partitions ≈ 2× total cores — every task slot busy, tasks
+    *    still big enough to amortize scheduling; AQE coalesces the light
+    *    stages back down, so over-partitioning is the safe side;
+    *  - 256 MB advisory post-shuffle partition size — at petabyte shuffle
+    *    volume, the 64 MB default makes millions of reducers whose
+    *    PER-PARTITION overhead dominates; AQE splits skew above it;
+    *  - 256 MB file-split size so scan tasks match reducer weight
+    *    (footer/open overhead amortized, still parallel enough);
+    *  - speculation on: at 1000 executors a straggling node is a
+    *    certainty per job, and every graft operator is idempotent
+    *    (pure transformations + atomic commit sinks), so re-attempts
+    *    are safe;
+    *  - reliable checkpoint dir: iterative operators localCheckpoint
+    *    per round on executors — fine until an executor dies mid-round;
+    *    on a cluster point the same call sites at `checkpointDir` via
+    *    sc.setCheckpointDir + Dataset.checkpoint (the operators keep
+    *    their cadence, only the storage target changes);
+    *  - Kryo with registrationRequired=false: the custom aggregates ship
+    *    long[]/double[] buffers — Kryo halves their wire size vs Java
+    *    serialization. */
+  def clusterConf(totalCores: Int, checkpointDir: String): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> (totalCores * 2).toString,
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (256L << 20).toString,
+    "spark.sql.files.maxPartitionBytes" -> (256L << 20).toString,
+    "spark.speculation" -> "true",
+    "spark.speculation.multiplier" -> "3",
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
+    "spark.checkpoint.dir" -> checkpointDir)
+
   /** Streaming state-store posture for long-running stateful queries
     * (dedup-within-watermark, sessionization, funnels): RocksDB keeps
     * per-key state off-heap and on local disk with incremental
