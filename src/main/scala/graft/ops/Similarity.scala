@@ -371,5 +371,26 @@ object Similarity {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 
-  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf, qAnnPq, qHardNegatives)
+  /** ANN index evaluation as a QUERY: per-probe recall@5 of the LSH
+    * candidate path against the exact brute-force top-5 — the
+    * measure-before-serving harness (tune bands/bits/nProbe on a sample,
+    * read recall as a table, then deploy). Both sides are this module's
+    * own operators; the join is per-(probe, neighbor) over k·|probes|
+    * rows — evaluation cost is probe-sized, not corpus-sized (the corpus
+    * cost is the two candidate paths themselves, each already shaped for
+    * scale). Rows-only: the LSH side's signatures aren't SQL-portable;
+    * the spec bounds mean recall from below. */
+  val qAnnEval: Q = Q.rowsOnly("q_ann_eval") { (s, d) =>
+    val exact = qAnnTopk.fn(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = qAnnLsh.fn(s, d).select(col("query_id"), col("neighbor_id"))
+    exact.join(approx.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("found"))
+      .select(col("query_id"), col("k"),
+        round(dbl(col("found")) / dbl(col("k")), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf, qAnnPq, qHardNegatives, qAnnEval)
 }

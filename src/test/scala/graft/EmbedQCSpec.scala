@@ -66,6 +66,26 @@ class EmbedQCSpec extends SparkSpec {
     assert(streamed == batch, "streamed centroids diverge from batch")
   }
 
+  test("q_ann_eval: recall equals the set intersection of its two source queries") {
+    val rows = SparkEntry.queries("q_ann_eval")(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    def sets(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, TinyDir).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = sets("q_ann_topk")
+    val lsh = sets("q_ann_lsh")
+    assert(rows.map(_.getLong(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val expected = (exact(q) & lsh.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+      assert(r.getLong(1) == exact(q).size)
+      assert(math.abs(r.getDouble(2) - expected) < 1e-9,
+        s"probe $q recall ${r.getDouble(2)} != $expected")
+    }
+    info(f"q_ann_eval mean recall@5 = ${rows.map(_.getDouble(2)).sum / rows.length}%.3f" +
+      " (random tiny-SF vectors: low recall is the honest answer)")
+  }
+
   test("q_embed_sanity: clean synthetic corpus audits clean") {
     val rows = SparkEntry.queries("q_embed_sanity")(spark, TinyDir).collect()
     assert(rows.nonEmpty)

@@ -12,6 +12,7 @@ class PlanSweepSpec extends SparkSpec {
     * (the LSH/IVF/bucketed variants are their scale paths). */
   private val bnljByDesign = Set(
     "q_ann_topk",          // tiny probe set broadcast against corpus
+    "q_ann_eval",          // composes q_ann_topk's exact side by design
     "q_hard_negatives",    // same probe-broadcast baseline, label-filtered
     "q_dedup_embed",       // exact O(n^2) baseline for q_dedup_minhash/lsh
     "q_connected_components", // pair gen shares q_dedup_embed's scan
