@@ -28,18 +28,38 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** Fit the coarse quantizer on `corpus` (id, v), assign each vector to
-    * its nearest cell map-side, and persist index + codebook sidecar. */
-  def build(corpus: DataFrame, path: String, k: Int = 16): Unit = {
+    * its nearest cell map-side, and persist index + codebook sidecar.
+    * Rows carry the PQ codes alongside the full vector (the FAISS IVF-PQ
+    * layout): the ADC query path scans (id, codes) ONLY — 16 bytes/row
+    * instead of 512 — and touches `v` just for the shortlist re-rank.
+    * Both models (cells, sub-codebooks) are deterministic fits persisted
+    * as sidecars, so queries never refit. */
+  def build(corpus: DataFrame, path: String, k: Int = 16,
+            pqM: Int = 16, pqK: Int = 16): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val codebook = Similarity.fitKmeansCodebook(corpus.select(col("id"), col("v")), k)
     codebook.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
       .toSeq.toDF("cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val books = Similarity.fitPqCodebooks(corpus.select(col("id"), col("v")), pqM, pqK)
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (c, cid) => (j, cid.toLong, c.toSeq) }
+    }.toSeq.toDF("j", "cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqbooks")
     corpus
-      .select(col("id"), col("v"), Similarity.nearestCell(col("v"), codebook).as("cell"))
+      .select(col("id"), col("v"),
+        graft.functions.PqFunctions.pqEncode(col("v"), books).as("codes"),
+        Similarity.nearestCell(col("v"), codebook).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
   }
+
+  /** The persisted PQ sub-codebooks, reassembled in (j, cid) order. */
+  def readPqBooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$path/pqbooks")
+      .select("j", "cid", "cv").orderBy("j", "cid").collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray))
 
   /** Streaming ingest into a built index: assign arriving vectors
     * (id, v) to cells with the PERSISTED codebook (cell assignment is a
@@ -55,8 +75,11 @@ object AnnIndex {
     val spark = vectors.sparkSession
     val codebook = spark.read.parquet(s"$path/codebook")
       .select("cid", "cv").orderBy("cid").collect().map(_.getSeq[Double](1).toArray)
+    val books = readPqBooks(spark, path)
     vectors
-      .select(col("id"), col("v"), Similarity.nearestCell(col("v"), codebook).as("cell"))
+      .select(col("id"), col("v"),
+        graft.functions.PqFunctions.pqEncode(col("v"), books).as("codes"),
+        Similarity.nearestCell(col("v"), codebook).as("cell"))
       .writeStream
       .format("parquet")
       // separate directory: the file sink's _spark_metadata commit log
@@ -107,6 +130,64 @@ object AnnIndex {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cands.withColumn("rnk", lng(rank().over(w)))
       .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk", "neighbor_id")
+  }
+
+  /** Memory-bounded top-k (the FAISS IVF-PQ serving path): the corpus-wide
+    * pass over probed cells scans (id, codes) ONLY — the full vector
+    * column is touched by nothing but the shortlist re-rank join. Stage 1
+    * scores codes with per-probe ADC lookup tables ([[graft.functions.PqAdc]],
+    * reference-object tables, codegen loop); stage 2 re-ranks the
+    * top-`shortlist` per probe with exact cosine against a second pruned
+    * read of (id, v). At 100 TB the ADC pass reads ~3% of the index bytes
+    * (16 code bytes vs 512 vector bytes per row) of nProbe/K of the
+    * corpus. */
+  def queryAdc(spark: SparkSession, path: String, probes: DataFrame,
+               nProbe: Int, topK: Int, shortlist: Int = 50): DataFrame = {
+    val cents = spark.read.parquet(s"$path/codebook")
+    val books = readPqBooks(spark, path)
+    val m = books.length
+    val sub = books.head.head.length
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val probeCells = probes
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorFunctions.cosineSim(col("qv"), col("cv")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val cells = probeCells.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val ps = probes.select("query_id", "qv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val short = readIndex(spark, path)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("id").as("neighbor_id"), explode(array(ps.map { case (qid, qv) =>
+        val qn = math.sqrt(qv.map(x => x * x).sum)
+        val dotT = Array.tabulate(m) { j =>
+          books(j).map(c => c.zip(qv.slice(j * sub, (j + 1) * sub))
+            .map { case (a, b) => a * b }.sum)
+        }
+        val nrm2T = Array.tabulate(m)(j => books(j).map(c => c.map(x => x * x).sum))
+        struct(lit(qid).as("query_id"),
+          round(graft.functions.PqFunctions.pqAdc(col("codes"), dotT, nrm2T, qn), 6).as("adc"))
+      }: _*)).as("x"))
+      .select(col("x.query_id").as("query_id"), col("neighbor_id"), col("x.adc").as("adc"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val qvs = typedlit(ps.map { case (qid, qv) => qid -> qv.toSeq }.toMap)
+    val vecs = readIndex(spark, path)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("id").as("neighbor_id"), col("v"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    vecs.join(broadcast(short), Seq("neighbor_id"))
+      .withColumn("cos",
+        round(VectorFunctions.cosineSim(element_at(qvs, col("query_id")), col("v")), 6))
+      .withColumn("rnk", lng(row_number().over(w)))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "neighbor_id", "cos", "rnk")
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 }

@@ -88,6 +88,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == expected, s"streamed cells $got != batch cells $expected")
   }
 
+  test("persisted PQ codes match re-encoding with the persisted books") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.build(corpus, dir, k = 8)
+    val books = AnnIndex.readPqBooks(spark, dir)
+    assert(books.length == 16 && books.forall(_.nonEmpty))
+    val stored = spark.read.parquet(s"$dir/index")
+      .select("id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val recomputed = corpus
+      .select(col("id"), graft.functions.PqFunctions.pqEncode(col("v"), books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored == recomputed, "stored codes diverge from re-encode")
+  }
+
+  test("queryAdc: ADC pass reads codes only; re-rank cosines are exact") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.build(corpus, dir, k = 8)
+    val df = AnnIndex.queryAdc(spark, dir, probes, nProbe = 4, topK = 5)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus-wide ADC stage scans (id, codes) — never the vector column
+    assert(plan.contains("ReadSchema: struct<id:bigint,codes:array<int>>"), plan.take(3000))
+    val byId = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.foreach { r =>
+      val expect = BigDecimal(cos(byId(r.getLong(0)), byId(r.getLong(1))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - expect) < 1e-9,
+        s"row $r exact-cosine mismatch vs $expect")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+    }
+  }
+
   test("query prunes unprobed cell directories at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
     AnnIndex.build(corpus, dir, k = 8)
