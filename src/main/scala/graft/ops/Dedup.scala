@@ -285,6 +285,46 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-source NEAR-dup sharing matrix: which feed paraphrases/
+    * re-crawls which, at Jaccard ≥ 0.5 granularity — the fuzzy
+    * complement of q_dup_matrix's byte-identical view (a source that
+    * templates another's text shows up here and not there). Pairs come
+    * from the prefix-filtered exact-Jaccard join ([[jaccardPairsPrefix]]
+    * — SSJoin, no all-pairs stage); the rollup is two doc-keyed hash
+    * joins to sources + one tiny aggregation, so the matrix costs the
+    * pair join it already shares with q_dedup_ngram. */
+  val qNearDupMatrix: Q = Q(
+    "q_near_dup_matrix",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |       FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  JOIN sz sa ON sa.doc_id = a.doc_id
+      |  JOIN sz sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING round(CAST(COUNT(*) AS DOUBLE) /
+      |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5)
+      |SELECT LEAST(sa.source, sb.source) AS source_a,
+      |  GREATEST(sa.source, sb.source) AS source_b, COUNT(*) AS n_pairs
+      |FROM pairs
+      |JOIN documents sa ON sa.doc_id = pairs.id_a
+      |JOIN documents sb ON sb.doc_id = pairs.id_b
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val pairs = jaccardPairsPrefix(T.documents(s, d), "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b")
+    val src = T.documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash,
-    qDedupMinhashPick, qDedupSimhash, qDedupEmbed)
+    qDedupMinhashPick, qDedupSimhash, qDedupEmbed, qNearDupMatrix)
 }
