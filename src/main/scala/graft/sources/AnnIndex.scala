@@ -92,6 +92,31 @@ object AnnIndex {
       .start()
   }
 
+  /** Fold the streamed append region back into the base index: read the
+    * union, rewrite cell-partitioned into `index_next`, then swap via
+    * rename-to-backup (the upsertSink pattern — at every instant either
+    * index or index_prev holds a complete copy) and drop the stream
+    * region. Run between streaming epochs (stop the append query first):
+    * the stream sink's commit log restarts cleanly in the emptied
+    * directory with a fresh `checkpointDir`. Compaction is the small-files
+    * cure — per-batch streamed files otherwise accumulate one file per
+    * (batch × cell) and scan planning degrades long before data size
+    * does. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(s"$path/index")
+    val prev = new org.apache.hadoop.fs.Path(s"$path/index_prev")
+    val next = new org.apache.hadoop.fs.Path(s"$path/index_next")
+    val stream = new org.apache.hadoop.fs.Path(s"$path/index_stream")
+    val fs = cur.getFileSystem(conf)
+    readIndex(spark, path)
+      .write.mode("overwrite").partitionBy("cell").parquet(next.toString)
+    fs.delete(prev, true)
+    if (fs.exists(cur)) { fs.rename(cur, prev); () }
+    fs.rename(next, cur)
+    fs.delete(stream, true)
+  }
+
   /** The full index: the batch build plus any streamed appends. Both
     * sides are cell-partitioned, so partition pruning applies to each. */
   def readIndex(spark: SparkSession, path: String): DataFrame = {

@@ -86,6 +86,17 @@ class AnnIndexSpec extends SparkSpec {
       .select("id", "cell").collect()
       .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
     assert(got == expected, s"streamed cells $got != batch cells $expected")
+    // compaction folds the stream region into the base and preserves rows
+    AnnIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/index_stream").exists(), "stream region not dropped")
+    val compacted = AnnIndex.readIndex(spark, dir)
+    assert(compacted.count() == before + 3)
+    assert(compacted.filter(col("id") >= 1000000L)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap == expected,
+      "compaction moved rows across cells")
+    // the index still serves: pruned query over the compacted layout
+    assert(AnnIndex.query(spark, dir, probes, nProbe = 4, topK = 5).count() > 0)
   }
 
   test("persisted PQ codes match re-encoding with the persisted books") {
