@@ -5,6 +5,7 @@ import graft.functions.Exact._
 import graft.sources.{Tables => T}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication family for a training-data pipeline (SURVEY.md §2.4).
   *
@@ -285,6 +286,45 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Dedup calibration harness: exact-Jaccard pairs (ground truth at
+    * threshold 0.3) bucketed by true similarity, with LSH candidate
+    * recall and MinHash estimation error per bucket — the table you read
+    * BEFORE choosing bands/rows/threshold for a corpus (the S-curve
+    * p = 1−(1−j^r)^b made empirical: 16×4 banding finds essentially all
+    * j ≥ 0.8 pairs, about half at j = 0.5). Ground truth is the
+    * prefix-filtered SSJoin — no all-pairs stage; candidates and
+    * estimates come from the same projected signatures q_dedup_minhash
+    * serves. Error aggregation rides rounded-decimal sums so the table
+    * is partition-order exact. Rows-only (seeded hashes aren't
+    * SQL-portable); the spec pins the high-bucket recall the banding
+    * math guarantees. */
+  val qDedupCalibration: Q = Q.rowsOnly("q_dedup_calibration") { (s, d) =>
+    val k = 64; val bands = 16; val rows = k / bands
+    val exact = jaccardPairsPrefix(T.documents(s, d), "doc_id", "text", 3, 0.3)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sig = minhashSigProjected(T.documents(s, d), "doc_id", "text", 3, k)
+      .localCheckpoint(true)
+    val banded = bandSignatures(sig, bands, rows)
+    val cand = banded.select(col("band"), col("bsig"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("bsig"), col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("band", "bsig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), estJaccard(col("sig_a"), col("sig_b"), k).as("est"))
+      .groupBy("id_a", "id_b").agg(max(col("est")).as("est"))
+    val joined = exact.join(cand, Seq("id_a", "id_b"), "left")
+      .withColumn("bucket", (floor(col("jaccard") * 10) / 10).cast("double"))
+      .withColumn("err",
+        round(abs(coalesce(col("est"), col("jaccard")) - col("jaccard")), 6)
+          .cast(DecimalType(18, 6)))
+    joined.groupBy("bucket")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("est")).as("n_found"),
+        round(dbl(count(col("est"))) / dbl(count(lit(1))), 6).as("recall"),
+        round(dbl(sum(when(col("est").isNotNull, col("err")))) /
+          dbl(greatest(count(col("est")), lit(1L))), 6).as("mean_abs_err"))
+      .orderBy("bucket")
+  }
+
   /** Cross-source NEAR-dup sharing matrix: which feed paraphrases/
     * re-crawls which, at Jaccard ≥ 0.5 granularity — the fuzzy
     * complement of q_dup_matrix's byte-identical view (a source that
@@ -326,5 +366,6 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash,
-    qDedupMinhashPick, qDedupSimhash, qDedupEmbed, qNearDupMatrix)
+    qDedupMinhashPick, qDedupSimhash, qDedupEmbed, qNearDupMatrix,
+    qDedupCalibration)
 }

@@ -31,6 +31,21 @@ class DedupSpec extends SparkSpec {
     assert(exact.isEmpty || hit / exact.size >= 0.6, s"recall too low: $hit/${exact.size}")
   }
 
+  test("q_dedup_calibration: buckets well-formed, high-similarity recall near 1") {
+    val rows = Dedup.qDedupCalibration.fn(spark, TinyDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bucket = r.getDouble(0)
+      val (nExact, nFound) = (r.getLong(1), r.getLong(2))
+      val (recall, err) = (r.getDouble(3), r.getDouble(4))
+      assert(bucket >= 0.3 && bucket <= 1.0)
+      assert(nFound <= nExact && recall >= 0.0 && recall <= 1.0)
+      assert(err >= 0.0 && err <= 0.5, s"bucket $bucket mean_abs_err $err")
+      // the 16x4 banding S-curve: p(candidate) = 1-(1-j^4)^16 >= 0.996 at j >= 0.8
+      if (bucket >= 0.8) assert(recall >= 0.9, s"bucket $bucket recall $recall")
+    }
+  }
+
   test("simhash near-dup hamming bound holds") {
     val p = Dedup.qDedupSimhash.fn(spark, TinyDir).collect()
     p.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
