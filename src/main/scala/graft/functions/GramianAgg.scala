@@ -129,6 +129,47 @@ object GramianAgg {
     (mean, cov)
   }
 
+  /** Deterministic Gaussian elimination with partial pivoting for a small
+    * dense system Ax = b (model-sized: D ≤ a few hundred, driver-side —
+    * the same posture as [[powerIteration]] and the k-means fits).
+    * Mutates copies; ties in pivot choice break to the lowest row index,
+    * so the result is bit-reproducible for identical inputs. */
+  def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val d = b0.length
+    val a = a0.map(_.clone())
+    val b = b0.clone()
+    var col = 0
+    while (col < d) {
+      var p = col
+      var r = col + 1
+      while (r < d) { if (math.abs(a(r)(col)) > math.abs(a(p)(col))) p = r; r += 1 }
+      require(math.abs(a(p)(col)) > 1e-12, s"singular system at column $col")
+      if (p != col) { val t = a(p); a(p) = a(col); a(col) = t
+        val tb = b(p); b(p) = b(col); b(col) = tb }
+      var i = col + 1
+      while (i < d) {
+        val f = a(i)(col) / a(col)(col)
+        if (f != 0.0) {
+          var j = col
+          while (j < d) { a(i)(j) -= f * a(col)(j); j += 1 }
+          b(i) -= f * b(col)
+        }
+        i += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](d)
+    var i = d - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < d) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
   /** Deterministic power iteration: dominant eigenpair of a symmetric
     * matrix. Fixed uniform init, fixed iteration count, sign pinned so
     * the largest-|loading| coordinate is positive. */

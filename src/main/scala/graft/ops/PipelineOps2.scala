@@ -463,6 +463,81 @@ object PipelineOps2 {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Span-level dedup REMOVAL (the step after [[qSpanExtents]] detects):
+    * rebuild each document's text with every 8-gram span that also
+    * appears in a LOWER-id document stripped out — the keep-first policy
+    * of exact-substring dedup (Lee et al. 2022), emitting the cleaned
+    * corpus rather than a report. Overlapping hits merge into maximal
+    * extents first, so mid-span tokens are cut exactly once.
+    *
+    * Scale: a position is covered iff min(doc_id) over docs containing
+    * its gram is smaller than its own doc — so the pair join of
+    * qSpanExtents collapses to ONE per-gram aggregation (gh → min doc,
+    * 8-byte uniform keys) plus one hash join back; no doc-pair fanout at
+    * any duplication rate. Interval merging windows per doc (bounded by
+    * doc length, never corpus-sized), extents collapse to a per-doc
+    * array, and the rebuild is a map-side filter-with-index HOF over the
+    * token array — the corpus text itself never shuffles token-by-token. */
+  val qSpanStrip: Q = Q(
+    "q_span_strip",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |g AS (SELECT doc_id, i AS pos, array_to_string(l[i:i+7], ' ') AS gram
+      |      FROM toks, UNNEST(generate_series(1, len(l) - 7)) AS t(i)
+      |      WHERE len(l) >= 8),
+      |mn AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+      |hit AS (SELECT g.doc_id AS id, g.pos FROM g JOIN mn USING (gram)
+      |        WHERE mn.first_doc < g.doc_id),
+      |m AS (SELECT id, pos,
+      |        CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (PARTITION BY id
+      |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |        THEN 1 ELSE 0 END AS brk FROM hit),
+      |grp AS (SELECT id, pos, SUM(brk) OVER (PARTITION BY id ORDER BY pos
+      |          ROWS UNBOUNDED PRECEDING) AS gid FROM m),
+      |sp AS (SELECT id, gid, MIN(pos) AS s, MAX(pos) + 8 AS e FROM grp GROUP BY 1, 2),
+      |tok2 AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+      |         FROM toks),
+      |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok2 t
+      |         WHERE NOT EXISTS (SELECT 1 FROM sp c
+      |           WHERE c.id = t.doc_id AND t.pos >= c.s AND t.pos < c.e))
+      |SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+      |  CAST(d.n_tok - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM (SELECT doc_id, len(l) AS n_tok FROM toks) d
+      |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+      |             COUNT(*) AS n_kept FROM kept GROUP BY 1) k USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    val g = toks.filter(size(col("l")) >= 8)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("l")) - 7),
+        i => xxhash64(array_join(slice(col("l"), i, lit(8)), " ")))).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
+    val firstDoc = g.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+    val hit = g.join(firstDoc, "gh")
+      .filter(col("first_doc") < col("doc_id"))
+      .select(col("doc_id").as("id"), col("pos"))
+    val wPrev = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ext = hit
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("pos") + 8).over(wPrev), lit(-1)), 1).otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(wCum))
+      .groupBy("id", "gid")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 8).as("e"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ext"))
+    toks.join(ext, toks("doc_id") === ext("id"), "left")
+      .withColumn("kept", filter(col("l"), (tok, i) =>
+        !exists(coalesce(col("ext"), array().cast("array<struct<s:int,e:int>>")),
+          e => (i + 1 >= e.getField("s")) && (i + 1 < e.getField("e")))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        lng(size(col("l")) - size(col("kept"))).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qBpeMerges, qSearchIndexed,
-    qSpanDup, qSpanExtents, qBpeTokenize, qQualityTiers, qRagChunk)
+    qSpanDup, qSpanExtents, qBpeTokenize, qQualityTiers, qRagChunk, qSpanStrip)
 }

@@ -309,6 +309,54 @@ object PipelineOps3 {
       .orderBy("source_a", "source_b")
   }
 
+  /** Supervised linear probe: closed-form ridge regression of the label
+    * on the embedding — the standard "how linearly decodable is this
+    * signal from the representation" diagnostic, and the one-scan way to
+    * train a linear quality scorer over a 100 TB corpus. Appending y to
+    * the vector makes ONE [[graft.functions.GramianAgg]] pass produce
+    * every sufficient statistic (X'X, X'y, Σy, Σy², n as the augmented
+    * covariance); the (D+1)² buffer is mergeable and model-sized, so the
+    * corpus is touched once and nothing vector-sized shuffles. The D×D
+    * ridge solve `(cov_XX + λI) w = cov_Xy` is driver-side deterministic
+    * Gaussian elimination ([[graft.functions.GramianAgg.solve]]) — the
+    * same model-sized-driver-work posture as q_pca_embed's eigenpair.
+    * Output: per-dimension weights, intercept, and train R². Rows-only
+    * (float moments aren't portably exact); the spec checks exact-linear
+    * recovery, R² bounds, and partition invariance. */
+  val qLinearProbe: Q = Q.rowsOnly("q_linear_probe") { (s, d) =>
+    val vecs = T.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("x"),
+        col("label").cast("double").as("y"))
+    linearProbe(vecs, lambda = 1e-3)
+  }
+
+  /** Core of [[qLinearProbe]]: ridge-regress `y` on array column `x`.
+    * Factored out so specs can drive crafted data through the identical
+    * path. */
+  private[graft] def linearProbe(vecs: DataFrame, lambda: Double): DataFrame = {
+    import graft.functions.GramianAgg
+    val s = vecs.sparkSession
+    val dim = vecs.select(size(col("x"))).head.getInt(0)
+    val aug = vecs.select(concat(col("x"), array(col("y"))).as("z"))
+    val moments = aug.agg(GramianAgg(col("z"), dim + 1).as("m"))
+      .head.getSeq[Double](0).toArray
+    val (mean, cov) = GramianAgg.covariance(moments, dim + 1)
+    val a = Array.tabulate(dim, dim)((i, j) =>
+      cov(i)(j) + (if (i == j) lambda else 0.0))
+    val b = Array.tabulate(dim)(i => cov(i)(dim))
+    val w = GramianAgg.solve(a, b)
+    val intercept = mean(dim) - (0 until dim).map(i => w(i) * mean(i)).sum
+    val varY = cov(dim)(dim)
+    // SSE/n on centered data: var_y - 2 w·cov_Xy + w'cov_XX w
+    val sseOverN = varY -
+      2.0 * (0 until dim).map(i => w(i) * b(i)).sum +
+      (for (i <- 0 until dim; j <- 0 until dim) yield w(i) * cov(i)(j) * w(j)).sum
+    val r2 = if (varY > 0) 1.0 - sseOverN / varY else 0.0
+    val rows = (0 until dim).map(i => (f"w_$i%03d", round6(w(i)))) ++
+      Seq(("intercept", round6(intercept)), ("r2", round6(r2)))
+    s.createDataFrame(rows).toDF("term", "value").orderBy("term")
+  }
+
   val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed,
-    qCorpusExport, qLangConfusion, qDupMatrix)
+    qCorpusExport, qLangConfusion, qDupMatrix, qLinearProbe)
 }

@@ -151,4 +151,32 @@ class PipelineOps2Spec extends SparkSpec {
     val expected = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
     assert(got.toSeq == expected, s"got=${got.toSeq.take(5)} expected=${expected.take(5)}")
   }
+
+  test("span strip matches a string-gram brute force (keep-first policy)") {
+    // independent driver-side re-derivation with STRING 8-grams — also
+    // cross-checks the xxhash64 gram-fingerprint substitution
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector)
+      .sortBy(_._1)
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    for ((id, toks) <- docs; i <- 0 to toks.length - 8) {
+      val g = toks.slice(i, i + 8).mkString(" ")
+      if (!firstDoc.contains(g) || firstDoc(g) > id) firstDoc(g) = id
+    }
+    val expected = docs.map { case (id, toks) =>
+      val covered = Array.fill(toks.length)(false)
+      for (i <- 0 to toks.length - 8) {
+        val g = toks.slice(i, i + 8).mkString(" ")
+        if (firstDoc(g) < id) (i until i + 8).foreach(covered(_) = true)
+      }
+      val kept = toks.indices.filterNot(covered).map(toks)
+      (id, kept.mkString(" "), (toks.length - kept.length).toLong)
+    }.toSeq
+    val got = ops.PipelineOps2.qSpanStrip.fn(spark, TinyDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the strip must actually fire on this corpus
+    assert(expected.exists(_._3 > 0), "no spans stripped — corpus assumption broken")
+  }
 }

@@ -121,4 +121,53 @@ class PipelineOps3Spec extends SparkSpec {
     val share = got.head.getAs[Double]("var_share")
     assert(share > 0.0 && share <= 1.0)
   }
+
+  test("linear probe recovers an exact linear relationship") {
+    import spark.implicits._
+    // y = 2*x0 - 3*x1 + 1 exactly; with near-zero ridge the probe must
+    // recover the generating weights and R² ≈ 1
+    val rows = (0 until 60).map { i =>
+      val x0 = (i % 7).toDouble; val x1 = (i % 5).toDouble
+      (Seq(x0, x1), 2.0 * x0 - 3.0 * x1 + 1.0)
+    }
+    val df = rows.toDF("x", "y")
+    val got = ops.PipelineOps3.linearProbe(df, lambda = 1e-9).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("w_000") - 2.0) < 1e-4, s"w0 ${got("w_000")}")
+    assert(math.abs(got("w_001") + 3.0) < 1e-4, s"w1 ${got("w_001")}")
+    assert(math.abs(got("intercept") - 1.0) < 1e-4, s"b ${got("intercept")}")
+    assert(got("r2") > 0.9999, s"r2 ${got("r2")}")
+  }
+
+  test("linear probe on real embeddings: bounded R², partition-invariant, matches driver solve") {
+    import graft.functions.GramianAgg
+    val base = graft.sources.Tables.embeddings(spark, TinyDir)
+      .select(col("embedding").cast("array<double>").as("x"),
+        col("label").cast("double").as("y"))
+    val one = ops.PipelineOps3.linearProbe(base.coalesce(1), 1e-3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val many = ops.PipelineOps3.linearProbe(base.repartition(8), 1e-3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(one.keySet == many.keySet)
+    one.foreach { case (k, v) =>
+      assert(math.abs(v - many(k)) < 1e-5, s"$k drifts across partitionings: $v vs ${many(k)}")
+    }
+    val r2 = one("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2")
+    // independent driver-side solve over collected rows
+    val data = base.collect().map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val dim = data.head._1.length
+    val n = data.length.toDouble
+    val mx = Array.tabulate(dim)(i => data.map(_._1(i)).sum / n)
+    val my = data.map(_._2).sum / n
+    val covXX = Array.tabulate(dim, dim)((i, j) =>
+      data.map(d => d._1(i) * d._1(j)).sum / n - mx(i) * mx(j) +
+        (if (i == j) 1e-3 else 0.0))
+    val covXy = Array.tabulate(dim)(i => data.map(d => d._1(i) * d._2).sum / n - mx(i) * my)
+    val wRef = GramianAgg.solve(covXX, covXy)
+    (0 until dim).foreach { i =>
+      assert(math.abs(one(f"w_$i%03d") - wRef(i)) < 1e-4,
+        s"w_$i: ${one(f"w_$i%03d")} vs ${wRef(i)}")
+    }
+  }
 }
