@@ -76,7 +76,14 @@ object GraftSession {
     "spark.speculation" -> "true",
     "spark.speculation.multiplier" -> "3",
     "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
-    "spark.checkpoint.dir" -> checkpointDir)
+    "spark.checkpoint.dir" -> checkpointDir,
+    // cost-based optimization: catalog tables ANALYZEd after each load
+    // (the loaders' natural commit hook) give the optimizer real row
+    // counts + column NDV/min/max — join reorder and build-side choice
+    // stop guessing from file sizes. CboSpec pins the propagation.
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true",
+    "spark.sql.statistics.histogram.enabled" -> "true")
 
   /** Streaming state-store posture for long-running stateful queries
     * (dedup-within-watermark, sessionization, funnels): RocksDB keeps

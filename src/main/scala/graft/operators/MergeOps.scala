@@ -83,4 +83,53 @@ object MergeOps {
       updates, key, versionCol)
     merged.filter(!col(deleteFlag))
   }
+
+  /** Targeted physical delete (right-to-be-forgotten / retention purge)
+    * over a `partitionBy(partCol)` parquet table: rewrite ONLY the
+    * partitions that contain doomed keys; every other partition's files
+    * are left byte-identical on disk. At 100 TB this is the difference
+    * between rewriting gigabytes and rewriting the table — the same
+    * touched-file-only contract a Delta/Iceberg DELETE compiles to,
+    * expressed on plain parquet.
+    *
+    * Mechanics: (1) a column-pruned semi-join finds touched partition
+    * values (doomed side broadcast — delete batches are small by nature);
+    * (2) surviving rows of ONLY those partitions rewrite via dynamic
+    * partition overwrite (untouched partitions are not in the written
+    * data, so the committer never looks at them); (3) partitions whose
+    * every row was doomed — which dynamic overwrite would silently leave
+    * stale — are dropped explicitly. The rewrite is localCheckpoint-
+    * materialized first because it reads the same files it replaces; on a
+    * cluster, stage to a sibling dir and swap (the Tables.compact
+    * pattern) for the same effect without block-store residency.
+    *
+    * Returns the touched partition values (feed them to
+    * ProvenanceOps.record for the deletion audit trail). */
+  def deleteByKey(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                  partCol: String, keyCol: String,
+                  doomed: DataFrame): Seq[String] = {
+    val t = spark.read.parquet(tableDir)
+    val touched = t.select(partCol, keyCol)
+      .join(broadcast(doomed), Seq(keyCol), "left_semi")
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val survivors = t.filter(col(partCol).cast("string").isin(touched: _*))
+        .join(broadcast(doomed), Seq(keyCol), "left_anti")
+        .select(t.columns.map(col): _*)
+        .localCheckpoint(true)
+      val kept = survivors.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(tableDir)
+      val fs = new org.apache.hadoop.fs.Path(tableDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(kept).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(tableDir, s"$partCol=$p"), true)
+        ()
+      }
+    }
+    touched
+  }
 }

@@ -110,4 +110,33 @@ class MergeOpsSpec extends SparkSpec {
     assert(miss.count() == 0)
     assert(scannedMiss.length < nFilesTotal)
   }
+
+  test("deleteByKey rewrites only touched partitions; untouched files stay byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toFile.getAbsolutePath
+    val table = s"$dir/t"
+    val rows = for (p <- 0 to 3; i <- 0 to 9) yield (s"s$p", p * 100L + i, s"v$p$i")
+    rows.toDF("src", "id", "v").repartition(4)
+      .write.partitionBy("src").parquet(table)
+    def listing(p: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$table/src=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSeq.sorted
+    }
+    val before0 = listing("s0"); val before2 = listing("s2")
+    // doomed: two keys in s1, every key of s3 (full-partition wipe), one absent key
+    val doomed = (Seq(101L, 105L, 999999L) ++ (300L to 309L)).toDF("id")
+    val touched = MergeOps.deleteByKey(spark, table, "src", "id", doomed)
+    assert(touched == Seq("s1", "s3"))
+    // untouched partitions: same files, same mtimes, same bytes
+    assert(listing("s0") == before0, "s0 files were rewritten")
+    assert(listing("s2") == before2, "s2 files were rewritten")
+    // fully-doomed partition directory is gone (dynamic overwrite alone
+    // would have left it stale)
+    assert(!new java.io.File(s"$table/src=s3").exists(), "s3 dir survived")
+    // surviving contents are exactly original minus doomed
+    val got = spark.read.parquet(table).select("id").collect().map(_.getLong(0)).toSet
+    val expected = rows.map(_._2).toSet -- Set(101L, 105L) -- (300L to 309L).toSet
+    assert(got == expected)
+  }
 }
