@@ -1,0 +1,73 @@
+package graft
+
+import graft.sources.Versioned
+
+class VersionedSpec extends SparkSpec {
+
+  private def snapshot(dir: String, v: Int): Map[Long, (String, Long)] =
+    Versioned.readVersion(spark, dir, v).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("v"), r.getAs[Long]("ver"))).toMap
+
+  test("versioned commits: time travel, snapshot isolation, partition-level file sharing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver").toFile.getAbsolutePath
+    assert(Versioned.latestVersion(spark, dir) == 0)
+
+    // v1: two partitions
+    val v1 = Versioned.commit(spark, dir,
+      Seq(("p0", 1L, "a", 1L), ("p0", 2L, "b", 1L), ("p1", 3L, "c", 1L))
+        .toDF("part", "id", "v", "ver"),
+      "part", "id", "ver")
+    assert(v1 == 1)
+
+    // hold a reader on v1 across later commits (isolation)
+    val readerV1 = Versioned.readVersion(spark, dir, 1)
+
+    // v2: update one key in p1, open a new partition p2 — p0 untouched
+    val v2 = Versioned.commit(spark, dir,
+      Seq(("p1", 3L, "c2", 2L), ("p2", 4L, "d", 1L)).toDF("part", "id", "v", "ver"),
+      "part", "id", "ver")
+    assert(v2 == 2 && Versioned.latestVersion(spark, dir) == 2)
+
+    // v3: stale update loses, fresh insert lands in p0
+    Versioned.commit(spark, dir,
+      Seq(("p1", 3L, "stale", 1L), ("p0", 5L, "e", 1L)).toDF("part", "id", "v", "ver"),
+      "part", "id", "ver")
+
+    assert(snapshot(dir, 1) ==
+      Map(1L -> ("a", 1L), 2L -> ("b", 1L), 3L -> ("c", 1L)))
+    assert(snapshot(dir, 2) ==
+      Map(1L -> ("a", 1L), 2L -> ("b", 1L), 3L -> ("c2", 2L), 4L -> ("d", 1L)))
+    assert(snapshot(dir, 3) ==
+      Map(1L -> ("a", 1L), 2L -> ("b", 1L), 3L -> ("c2", 2L), 4L -> ("d", 1L),
+        5L -> ("e", 1L)))
+
+    // structural sharing: v2 still points p0 at the files v1 wrote, and
+    // the v2 data dir holds ONLY the partitions v2 touched
+    val m1 = Versioned.readManifest(spark, dir, 1)
+    val m2 = Versioned.readManifest(spark, dir, 2)
+    assert(m2("p0") == m1("p0"), "untouched partition was rewritten")
+    assert(m2("p1") != m1("p1"))
+    val v2Dirs = new java.io.File(s"$dir/data/v2").listFiles()
+      .map(_.getName).filter(_.startsWith("__p=")).sorted.toSeq
+    assert(v2Dirs == Seq("__p=p1", "__p=p2"), s"v2 wrote $v2Dirs")
+
+    // the held v1 reader still sees the v1 snapshot after two commits
+    assert(readerV1.count() == 3)
+
+    // time-travel diff v1 -> v2: the changed row and the new row
+    val diff = Versioned.changedBetween(spark, dir, 1, 2).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    assert(diff == Set((3L, "c2"), (4L, "d")))
+  }
+
+  test("versioned commit rejects manifest-unsafe partition values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver2").toFile.getAbsolutePath
+    val bad = Seq(("a/b", 1L, "x", 1L)).toDF("part", "id", "v", "ver")
+    intercept[IllegalArgumentException] {
+      Versioned.commit(spark, dir, bad, "part", "id", "ver")
+    }
+  }
+}
