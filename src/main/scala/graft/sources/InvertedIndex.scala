@@ -40,10 +40,13 @@ object InvertedIndex {
 
   /** AND-semantics lookup: documents containing ALL `terms`, with the
     * summed term frequency. Reads only the probed index rows (equality
-    * filter pushed to the parquet scan), explodes their postings, and
-    * intersects via a count-of-terms aggregate — no corpus scan. */
+    * filter pushed to the parquet scan) of the base index AND any
+    * uncompacted delta regions, explodes their postings, and intersects
+    * via a count-of-terms aggregate — no corpus scan. Region union is
+    * transparent here because the aggregate is per doc: a term split
+    * across base and delta rows still lands on the same doc keys. */
   def lookupAll(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
-    val hits = spark.read.parquet(path)
+    val hits = readRegions(spark, path)
       .filter(col("term").isin(terms: _*))
       .select(col("term"), explode(col("postings")).as("p"))
       .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
@@ -51,5 +54,66 @@ object InvertedIndex {
       .agg(countDistinct(col("term")).as("nt"), sum(col("tf")).cast("long").as("n_hits"))
       .filter(col("nt") === terms.distinct.size)
       .select("doc_id", "n_hits")
+  }
+
+  private def hfs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deltaDirs(spark: SparkSession, path: String): Seq[String] = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path + "_delta")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** Base + delta regions as one relation. */
+  def readRegions(spark: SparkSession, path: String): DataFrame = {
+    val all = path +: deltaDirs(spark, path)
+    all.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** Incremental maintenance for NEW documents: index only the delta
+    * batch (its own term aggregation — cost O(delta), the corpus is
+    * never re-scanned) into a fresh region under `<path>_delta/`. Terms
+    * the delta shares with the base simply exist in two regions until
+    * [[compact]] folds them; every read path merges per doc, so queries
+    * are correct throughout. Updates/deletes of already-indexed docs are
+    * NOT expressible by appending (postings would need tombstones) —
+    * route those through a rebuild or a versioned snapshot
+    * ([[Versioned]]). Same region discipline as the ANN index's streamed
+    * appends (AnnIndex.scala). */
+  def appendDelta(spark: SparkSession, path: String, deltaDocs: DataFrame,
+                  nBuckets: Int = 8): String = {
+    val n = deltaDirs(spark, path).size + 1
+    val region = f"${path}_delta/r$n%05d"
+    write(deltaDocs, region, nBuckets)
+    region
+  }
+
+  /** Fold all delta regions into the base: one term-keyed re-aggregation
+    * of base+deltas (df sums, posting lists concatenate sorted), staged
+    * next to the live index and swapped via rename-to-backup — readers
+    * see the old or the new index, never a half-written one. */
+  def compact(spark: SparkSession, path: String, nBuckets: Int = 8): Unit = {
+    if (deltaDirs(spark, path).isEmpty) return
+    val merged = readRegions(spark, path)
+      .select(col("term"), explode(col("postings")).as("p"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("p"))).as("postings"))
+      .repartition(nBuckets, col("term"))
+      .sortWithinPartitions("term")
+      .localCheckpoint(true)
+    val fs = hfs(spark, path)
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val prev = new org.apache.hadoop.fs.Path(path + "_prevc")
+    val next = new org.apache.hadoop.fs.Path(path + "_nextc")
+    merged.write.mode("overwrite").parquet(next.toString)
+    fs.delete(prev, true)
+    if (fs.exists(cur)) { fs.rename(cur, prev); () }
+    require(fs.rename(next, cur), s"compaction swap failed for $path")
+    fs.delete(prev, true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "_delta"), true)
+    ()
   }
 }

@@ -104,6 +104,43 @@ object Versioned {
     spark.read.parquet(paths: _*)
   }
 
+  /** Retention: drop snapshots older than the last `keepLast`, then
+    * delete every partition dir no surviving manifest references —
+    * including orphans from crashed commits. Runs driver-side over
+    * manifest metadata only (O(versions × partitions) strings, no data
+    * scan); deletion is partition-dir granular, matching the commit
+    * granularity. Readers of retained versions are untouched. */
+  def vacuum(spark: SparkSession, tableDir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val fs = hfs(spark, tableDir)
+    val latest = latestVersion(spark, tableDir)
+    if (latest == 0) return
+    val keep = (math.max(1, latest - keepLast + 1) to latest).toSeq
+    val referenced = keep.flatMap(v =>
+      readManifest(spark, tableDir, v).values)
+      .map(r => new Path(r).toUri.getPath).toSet
+    (1 until keep.head).foreach { v =>
+      fs.delete(new Path(tableDir, s"manifest/v$v.manifest"), false)
+      ()
+    }
+    val dataRoot = new Path(tableDir, "data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).filter(_.isDirectory).foreach { vd =>
+        fs.listStatus(vd.getPath).filter(_.isDirectory).foreach { pd =>
+          if (!referenced.contains(pd.getPath.toUri.getPath)) {
+            fs.delete(pd.getPath, true)
+            ()
+          }
+        }
+        // only commit markers (_SUCCESS) left → the version holds no data
+        if (!fs.listStatus(vd.getPath).exists(_.isDirectory)) {
+          fs.delete(vd.getPath, true)
+          ()
+        }
+      }
+    }
+  }
+
   /** Time-travel diff: rows added or changed between two snapshots
     * (per-key latest state; `exceptAll` on full rows). Deletions don't
     * exist in upsert-only history; compose with MergeOps.deleteByKey

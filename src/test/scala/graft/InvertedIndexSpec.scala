@@ -53,4 +53,29 @@ class InvertedIndexSpec extends SparkSpec {
       .filter(_._2 > 0).toMap
     assert(got == expect)
   }
+
+  test("incremental delta + compaction: lookups equal a from-scratch full build throughout") {
+    val docs = T.documents(spark, TinyDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") < 250)
+    val delta = docs.filter(col("doc_id") >= 250)
+    val d = Files.createTempDirectory("invidx_incr").toString
+    val incrPath = s"$d/incr"; val fullPath = s"$d/full"
+    InvertedIndex.write(base, incrPath)
+    InvertedIndex.appendDelta(spark, incrPath, delta)
+    InvertedIndex.write(docs, fullPath)
+    val terms = Seq("window", "the")
+    def m(p: String) = InvertedIndex.lookupAll(spark, p, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // pre-compaction: region-merged reads already serve correct results
+    assert(m(incrPath) == m(fullPath))
+    // post-compaction: one region again, identical index content
+    InvertedIndex.compact(spark, incrPath)
+    assert(!new java.io.File(incrPath + "_delta").exists(), "delta region survived compact")
+    assert(m(incrPath) == m(fullPath))
+    val a = spark.read.parquet(incrPath).orderBy("term")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Any](2)))
+    val b = spark.read.parquet(fullPath).orderBy("term")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Any](2)))
+    assert(a.sameElements(b), "compacted index differs from full rebuild")
+  }
 }

@@ -62,6 +62,33 @@ class VersionedSpec extends SparkSpec {
     assert(diff == Set((3L, "c2"), (4L, "d")))
   }
 
+  test("vacuum drops expired snapshots and unreferenced partition dirs, keeps live ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toFile.getAbsolutePath
+    Versioned.commit(spark, dir,
+      Seq(("p0", 1L, "a", 1L), ("p1", 2L, "b", 1L)).toDF("part", "id", "v", "ver"),
+      "part", "id", "ver")
+    Versioned.commit(spark, dir,
+      Seq(("p1", 2L, "b2", 2L)).toDF("part", "id", "v", "ver"),
+      "part", "id", "ver")
+    Versioned.commit(spark, dir,
+      Seq(("p1", 2L, "b3", 3L)).toDF("part", "id", "v", "ver"),
+      "part", "id", "ver")
+    // orphan from a "crashed commit": a data dir no manifest references
+    val orphan = new java.io.File(s"$dir/data/v9/__p=px")
+    orphan.mkdirs()
+    Versioned.vacuum(spark, dir, keepLast = 1)
+    // v1/v2 manifests gone, v3 alive and correct
+    assert(!new java.io.File(s"$dir/manifest/v1.manifest").exists())
+    assert(!new java.io.File(s"$dir/manifest/v2.manifest").exists())
+    assert(snapshot(dir, 3) == Map(1L -> ("a", 1L), 2L -> ("b3", 3L)))
+    // v3 references v1's p0 files — they must survive; v2's p1 rewrite and
+    // the orphan must not
+    assert(new java.io.File(s"$dir/data/v1/__p=p0").exists(), "shared p0 deleted")
+    assert(!new java.io.File(s"$dir/data/v2").exists(), "expired v2 data survived")
+    assert(!orphan.exists(), "orphan dir survived")
+  }
+
   test("versioned commit rejects manifest-unsafe partition values") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ver2").toFile.getAbsolutePath
