@@ -434,6 +434,41 @@ object StreamingOps {
       .dropDuplicates("doc_id", "dup_id")
   }
 
+  /** Streaming CDC into the time-traveled table: each micro-batch commits
+    * one [[graft.sources.Versioned]] version (upsert semantics, only
+    * batch-touched partitions rewritten) — the streamed table keeps its
+    * full snapshot history, so downstream consumers can time-travel and
+    * diff load points while the stream runs. A `_last_batch` marker makes
+    * replayed micro-batches (restart after a crash between commit and
+    * checkpoint) skip; the residual window — crash between manifest
+    * rename and marker write — re-commits a CONTENT-IDENTICAL version
+    * (upsert of the same delta is a content no-op), never a torn or
+    * double-applied one. */
+  def versionedCommitSink(updates: DataFrame, tableDir: String, partCol: String,
+                          key: String, versionCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(tableDir, "manifest/_last_batch")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val last =
+          if (!fs.exists(marker)) -1L
+          else {
+            val in = fs.open(marker)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+            finally in.close()
+          }
+        if (bid > last) {
+          graft.sources.Versioned.commit(spark, tableDir, batch, partCol, key, versionCol)
+          val tmp = new org.apache.hadoop.fs.Path(tableDir, "manifest/._last_batch.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(bid.toString.getBytes("UTF-8")) finally out.close()
+          fs.delete(marker, false)
+          fs.rename(tmp, marker)
+          ()
+        }
+      }
+
   def windowedQuantile(events: DataFrame, k: Int = 4096,
                        watermarkDelay: String = "1 hour"): DataFrame = {
     val q = udf((b: Array[Byte], p: Double) =>

@@ -89,6 +89,30 @@ class VersionedSpec extends SparkSpec {
     assert(!orphan.exists(), "orphan dir survived")
   }
 
+  test("streaming CDC sink: each micro-batch commits a time-travelable version") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vstream").toFile.getAbsolutePath
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String, Long)]
+    val df = mem.toDF().toDF("part", "id", "v", "ver")
+    val q = graft.streaming.StreamingOps
+      .versionedCommitSink(df, dir, "part", "id", "ver").start()
+    try {
+      mem.addData(("p0", 1L, "a", 1L), ("p1", 2L, "b", 1L))
+      q.processAllAvailable()
+      mem.addData(("p1", 2L, "b2", 2L), ("p2", 3L, "c", 1L))
+      q.processAllAvailable()
+      assert(Versioned.latestVersion(spark, dir) == 2)
+      assert(snapshot(dir, 1) == Map(1L -> ("a", 1L), 2L -> ("b", 1L)))
+      assert(snapshot(dir, 2) ==
+        Map(1L -> ("a", 1L), 2L -> ("b2", 2L), 3L -> ("c", 1L)))
+      // structural sharing held under streaming: v2 never rewrote p0
+      val m1 = Versioned.readManifest(spark, dir, 1)
+      val m2 = Versioned.readManifest(spark, dir, 2)
+      assert(m2("p0") == m1("p0"))
+    } finally q.stop()
+  }
+
   test("versioned commit rejects manifest-unsafe partition values") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ver2").toFile.getAbsolutePath
