@@ -538,6 +538,89 @@ object PipelineOps2 {
       .orderBy("doc_id")
   }
 
+  /** Measure-after-treatment audit for [[qSpanStrip]]: shared-8-gram
+    * (doc, position) incidence before vs after the strip, as one
+    * (metric, value) card — the evidence that span-level dedup actually
+    * removed the cross-doc duplication it targeted. `post` counts only
+    * NEWLY-FORMED shared grams (cut edges joining previously-separated
+    * tokens, or a later doc becoming the new first owner) — the
+    * irreducible residue of one-pass span dedup; production pipelines
+    * iterate the pass until this metric is ~0 (each pass is the same
+    * plan). Scale: two runs of the strip/gram machinery (per-gram
+    * min-doc aggregation, int64 keys) + two count aggregates — no new
+    * shuffle shapes. */
+  val qStripAudit: Q = Q(
+    "q_strip_audit",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |g AS (SELECT doc_id, i AS pos, array_to_string(l[i:i+7], ' ') AS gram
+      |      FROM toks, UNNEST(generate_series(1, len(l) - 7)) AS t(i)
+      |      WHERE len(l) >= 8),
+      |mn AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+      |hit AS (SELECT g.doc_id AS id, g.pos FROM g JOIN mn USING (gram)
+      |        WHERE mn.first_doc < g.doc_id),
+      |m AS (SELECT id, pos,
+      |        CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (PARTITION BY id
+      |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |        THEN 1 ELSE 0 END AS brk FROM hit),
+      |grp AS (SELECT id, pos, SUM(brk) OVER (PARTITION BY id ORDER BY pos
+      |          ROWS UNBOUNDED PRECEDING) AS gid FROM m),
+      |sp AS (SELECT id, gid, MIN(pos) AS s, MAX(pos) + 8 AS e FROM grp GROUP BY 1, 2),
+      |tok2 AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+      |         FROM toks),
+      |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok2 t
+      |         WHERE NOT EXISTS (SELECT 1 FROM sp c
+      |           WHERE c.id = t.doc_id AND t.pos >= c.s AND t.pos < c.e)),
+      |clean AS (SELECT doc_id, list(tok ORDER BY pos) AS l FROM kept GROUP BY 1),
+      |g2 AS (SELECT doc_id, array_to_string(l[i:i+7], ' ') AS gram
+      |       FROM clean, UNNEST(generate_series(1, len(l) - 7)) AS t(i)
+      |       WHERE len(l) >= 8),
+      |mn2 AS (SELECT gram, MIN(doc_id) AS first_doc FROM g2 GROUP BY 1)
+      |SELECT metric, val FROM (
+      |  SELECT 'pre_dup_positions' AS metric,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS val, 0 AS o
+      |  UNION ALL SELECT 'post_dup_positions',
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM g2 JOIN mn2 USING (gram)
+      |     WHERE mn2.first_doc < g2.doc_id), 1
+      |  UNION ALL SELECT 'tokens_removed',
+      |    (SELECT CAST(SUM(e - s) AS BIGINT) FROM sp), 2) ORDER BY o""".stripMargin) { (s, d) =>
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    def gramHashes(t: DataFrame): DataFrame = t
+      .filter(size(col("l")) >= 8)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("l")) - 7),
+        i => xxhash64(array_join(slice(col("l"), i, lit(8)), " ")))).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
+    def dupPositions(g: DataFrame): DataFrame = g
+      .join(g.groupBy("gh").agg(min(col("doc_id")).as("first_doc")), "gh")
+      .filter(col("first_doc") < col("doc_id"))
+      .select(col("doc_id").as("id"), col("pos"))
+    val hit = dupPositions(gramHashes(toks)).localCheckpoint(true)
+    val wPrev = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sp = hit
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("pos") + 8).over(wPrev), lit(-1)), 1).otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(wCum))
+      .groupBy("id", "gid")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 8).as("e"))
+    val ext = sp.groupBy("id").agg(collect_list(struct(col("s"), col("e"))).as("ext"))
+    val clean = toks.join(ext, toks("doc_id") === ext("id"), "left")
+      .select(col("doc_id"), filter(col("l"), (tok, i) =>
+        !exists(coalesce(col("ext"), array().cast("array<struct<s:int,e:int>>")),
+          e => (i + 1 >= e.getField("s")) && (i + 1 < e.getField("e")))).as("l"))
+    val pre = hit.agg(count(lit(1)).as("v"))
+      .select(lit("pre_dup_positions").as("metric"), lng(col("v")).as("val"), lit(0).as("o"))
+    val post = dupPositions(gramHashes(clean)).agg(count(lit(1)).as("v"))
+      .select(lit("post_dup_positions").as("metric"), lng(col("v")).as("val"), lit(1).as("o"))
+    val removed = sp.agg(sum(col("e") - col("s")).as("v"))
+      .select(lit("tokens_removed").as("metric"), lng(col("v")).as("val"), lit(2).as("o"))
+    pre.unionByName(post).unionByName(removed).orderBy("o").select("metric", "val")
+  }
+
   val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qBpeMerges, qSearchIndexed,
-    qSpanDup, qSpanExtents, qBpeTokenize, qQualityTiers, qRagChunk, qSpanStrip)
+    qSpanDup, qSpanExtents, qBpeTokenize, qQualityTiers, qRagChunk, qSpanStrip,
+    qStripAudit)
 }

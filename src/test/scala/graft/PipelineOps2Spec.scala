@@ -179,4 +179,45 @@ class PipelineOps2Spec extends SparkSpec {
     // the strip must actually fire on this corpus
     assert(expected.exists(_._3 > 0), "no spans stripped — corpus assumption broken")
   }
+
+  test("q_strip_audit: pre/post/removed match a string-gram brute force") {
+    // same driver-side re-derivation as the strip spec, with STRING grams
+    // (cross-checks the xxhash64 substitution on all three metrics)
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector)
+      .sortBy(_._1)
+    def dupPositions(corpus: Seq[(Long, Vector[String])]): Seq[(Long, Int)] = {
+      val firstDoc = scala.collection.mutable.Map[String, Long]()
+      for ((id, toks) <- corpus; i <- 0 to toks.length - 8) {
+        val g = toks.slice(i, i + 8).mkString(" ")
+        if (!firstDoc.contains(g) || firstDoc(g) > id) firstDoc(g) = id
+      }
+      for {
+        (id, toks) <- corpus
+        i <- 0 to toks.length - 8
+        if firstDoc(toks.slice(i, i + 8).mkString(" ")) < id
+      } yield (id, i)
+    }
+    val pre = dupPositions(docs)
+    // keep-first strip: positions covered by any duplicated gram drop out
+    var removed = 0L
+    val cleaned = docs.map { case (id, toks) =>
+      val covered = Array.fill(toks.length)(false)
+      pre.collect { case (d, i) if d == id => i }
+        .foreach(i => (i until i + 8).foreach(covered(_) = true))
+      removed += covered.count(identity)
+      id -> toks.indices.filterNot(covered).map(toks).toVector
+    }
+    val post = dupPositions(cleaned)
+    val got = ops.PipelineOps2.qStripAudit.fn(spark, TinyDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "pre_dup_positions" -> pre.size.toLong,
+      "post_dup_positions" -> post.size.toLong,
+      "tokens_removed" -> removed),
+      s"got=$got pre=${pre.size} post=${post.size} removed=$removed")
+    assert(pre.nonEmpty, "audit vacuous — no shared grams in corpus")
+    assert(post.size < pre.size, "strip did not reduce duplication")
+  }
 }
