@@ -456,6 +456,72 @@ object GraphOps2 {
       .orderBy("vec_id")
   }
 
+  /** Hop-bounded weighted single-source shortest paths by distributed
+    * min-plus relaxation (Bellman-Ford): each round extends every settled
+    * tentative distance across one edge and folds the candidates back
+    * with an exact integer MIN — after H rounds the table holds the true
+    * min-cost over all ≤H-hop paths. This is the WEIGHTED twin of
+    * [[GraphOps.bfsDistances]] (reference: loaders/load-KEGGDistances.py
+    * networkx shortest_path_length, which hop-count BFS cannot express
+    * once edges carry costs). Scale shape: the edge list checkpoints
+    * once and each round is ONE shuffle (the dst-keyed MIN aggregation);
+    * the distance table stays node-sized — at cluster scale, pre-partition
+    * edges by src and the per-round join becomes co-partitioned. Exact
+    * long arithmetic — no float drift under any partitioning. */
+  def ssspInt(edges: DataFrame, sources: DataFrame, hops: Int): DataFrame = {
+    val e = e0Checkpoint(edges.select(col("src"), col("dst"), col("w")))
+    var dist = e0Checkpoint(sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    for (h <- 1 to hops) {
+      val cand = e.join(dist, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.union(cand)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      // same cadence as pagerankInt: each round references dist once
+      // (linear growth), so checkpoint every other round and never the
+      // last — the caller's single consumption pays no extra pass
+      dist = if (h % 2 == 0 && h < hops) e0Checkpoint(next) else next
+    }
+    dist
+  }
+
+  /** Weighted pathway distance from the hub supplier (node 2·0+1) over
+    * the part↔supplier incidence graph, edge cost = min shipped quantity
+    * per (part, supplier) — the KEGG "distance to target" table with real
+    * edge weights, bounded at 4 relaxation rounds. Oracle = the same four
+    * rounds unrolled (min-plus is exact integer algebra, so Spark and
+    * DuckDB agree bit-for-bit). */
+  val qShortestPath: Q = Q(
+    "q_shortest_path",
+    """WITH ps AS (SELECT 2 * l_partkey AS p, 2 * l_suppkey + 1 AS s,
+      |              CAST(MIN(l_quantity) AS BIGINT) AS w
+      |            FROM lineitem GROUP BY 1, 2),
+      |e AS (SELECT p AS src, s AS dst, w FROM ps
+      |      UNION ALL SELECT s, p, w FROM ps),
+      |d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+      |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+      |  SELECT * FROM d0 UNION ALL
+      |  SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.node) GROUP BY 1),
+      |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+      |  SELECT * FROM d1 UNION ALL
+      |  SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.node) GROUP BY 1),
+      |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+      |  SELECT * FROM d2 UNION ALL
+      |  SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.node) GROUP BY 1),
+      |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+      |  SELECT * FROM d3 UNION ALL
+      |  SELECT e.dst, d3.dist + e.w FROM d3 JOIN e ON e.src = d3.node) GROUP BY 1)
+      |SELECT node, dist FROM d4 ORDER BY node""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ps = T.lineitem(s, d)
+      .groupBy((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+      .localCheckpoint(true)
+    val edges = ps.select(col("p").as("src"), col("sup").as("dst"), col("w"))
+      .union(ps.select(col("sup").as("src"), col("p").as("dst"), col("w")))
+    ssspInt(edges, Seq(1L).toDF("node"), 4).orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(qPagerank, qConnectedComponents, qDedupClusterPick,
-    qTriangleCount, qTriangleLsh, qLabelProp, qKCore)
+    qTriangleCount, qTriangleLsh, qLabelProp, qKCore, qShortestPath)
 }

@@ -48,6 +48,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(d.values.forall(v => v >= 0 && v <= 3))
   }
 
+  test("weighted sssp: cheaper multi-hop path beats direct edge; hop bound honored") {
+    import spark.implicits._
+    // a -> z direct costs 10; a -> b -> c -> z costs 3; d unreachable
+    val edges = Seq(
+      (1L, 9L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 9L, 1L),
+      (5L, 6L, 1L)).toDF("src", "dst", "w")
+    val at3 = graft.operators.GraphOps2.ssspInt(edges, Seq(1L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 9L -> 3L))
+    // with only 2 relaxation rounds the 3-hop path is not yet visible:
+    // z's best ≤2-hop cost is the direct edge
+    val at2 = graft.operators.GraphOps2.ssspInt(edges, Seq(1L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at2(9L) == 10L && at2(3L) == 2L)
+  }
+
   test("LSH triangle twin equals exact triangle enumeration over the same pair graph") {
     // exact reference: brute-force every a<b<c combination over the LSH
     // candidate edges (fine at spec scale; the operator under test never
