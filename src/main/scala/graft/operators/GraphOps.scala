@@ -4,6 +4,7 @@ import graft.Q
 import graft.functions.Exact._
 import graft.sources.{Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph-shaped capabilities of the reference (SURVEY.md §2.3): KEGG
@@ -114,6 +115,56 @@ object GraphOps {
         greatest(col("sa"), col("sb")).as("s2"))
       .agg(count(lit(1)).as("n_shared_parts"))
       .orderBy("s1", "s2")
+  }
+
+  /** Interaction-profile similarity: top-3 most similar suppliers per
+    * supplier by Jaccard of their part sets — the "nodes with similar
+    * neighborhoods" screen PPI pipelines run on interaction profiles
+    * (STRING-style neighborhood similarity over the BioPlex/Reactome
+    * graphs, loaders/load-STRINGDB.py edges). Scale shape: common
+    * neighbors come from ONE incidence-list wedge join keyed on the
+    * shared part (work ∝ Σ per-part degree², the wedge count — never a
+    * supplier×supplier scan; a degree cap / salting handles hub parts),
+    * set sizes are one count aggregation, and the Jaccard is a pure
+    * projection over the pair table: c / (|A| + |B| − c). The per-node
+    * top-3 window runs on the pair table (co-neighbor-bounded), not the
+    * corpus — and the rnk≤3 filter is the shape rule_topk_rewrite
+    * heap-prunes. The unrounded Jaccard (two exact longs, one IEEE
+    * division) orders identically in any engine; ties break on nbr id. */
+  val qNodeJaccard: Q = Q(
+    "q_node_jaccard",
+    """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |deg AS (SELECT sk, COUNT(*) AS d FROM ps GROUP BY 1),
+      |pairs AS (SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS common
+      |          FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
+      |sym AS (SELECT s1 AS node, s2 AS nbr, common FROM pairs
+      |        UNION ALL SELECT s2, s1, common FROM pairs),
+      |scored AS (SELECT node, nbr, common,
+      |    CAST(common AS DOUBLE) / (dn.d + dm.d - common) AS jac,
+      |    ROW_NUMBER() OVER (PARTITION BY node
+      |      ORDER BY CAST(common AS DOUBLE) / (dn.d + dm.d - common) DESC, nbr) AS rnk
+      |  FROM sym JOIN deg dn ON dn.sk = sym.node JOIN deg dm ON dm.sk = sym.nbr)
+      |SELECT node, nbr, common, round(jac, 6) AS jaccard, rnk
+      |FROM scored WHERE rnk <= 3 ORDER BY node, rnk""".stripMargin) { (s, d) =>
+    val ps = T.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val deg = ps.groupBy("sk").agg(count(lit(1)).as("d"))
+    val pairs = ps.select(col("pk"), col("sk").as("s1"))
+      .join(ps.select(col("pk"), col("sk").as("s2")), "pk")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
+    val sym = pairs.select(col("s1").as("node"), col("s2").as("nbr"), col("common"))
+      .union(pairs.select(col("s2").as("node"), col("s1").as("nbr"), col("common")))
+    val scored = sym
+      .join(broadcast(deg.select(col("sk").as("node"), col("d").as("dn"))), "node")
+      .join(broadcast(deg.select(col("sk").as("nbr"), col("d").as("dm"))), "nbr")
+      .withColumn("jac", dbl(col("common")) / (col("dn") + col("dm") - col("common")))
+    val w = Window.partitionBy("node").orderBy(col("jac").desc, col("nbr"))
+    scored.withColumn("rnk", lng(row_number().over(w)))
+      .filter(col("rnk") <= 3)
+      .select(col("node"), col("nbr"), col("common"),
+        round(col("jac"), 6).as("jaccard"), col("rnk"))
+      .orderBy("node", "rnk")
   }
 
   /** Bounded BFS distances from one node (loaders/load-KEGGDistances.py
@@ -293,6 +344,6 @@ object GraphOps {
       .orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(qEdgeDedup, qGraphBfs, qNearestLabeled, qOrthoRollup,
-    qTransitiveClosure, qSubtreeCounts)
+  val all: Seq[Q] = Seq(qEdgeDedup, qNodeJaccard, qGraphBfs, qNearestLabeled,
+    qOrthoRollup, qTransitiveClosure, qSubtreeCounts)
 }

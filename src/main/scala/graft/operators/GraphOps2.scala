@@ -66,6 +66,39 @@ object GraphOps2 {
     * LogicalRDD — constant-size plans across iterative rounds. */
   private def e0Checkpoint(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Personalized PageRank: [[pagerankInt]] with the restart mass pinned
+    * to a seed set instead of spread uniformly — rank flows OUT of the
+    * seeds through the graph and decays with distance, which is the
+    * "related entities" score serving layers rank by (the reference walks
+    * KEGG neighborhoods around a target for exactly this). Same integer
+    * algebra as pagerankInt (exact long sums, partition-invariant), same
+    * one-shuffle-per-round shape; the only change is the teleport column:
+    * PrTeleport·1[node ∈ seeds], carried on the anchored node table. */
+  def pprInt(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val e = e0Checkpoint(edges.select("src", "dst"))
+    val deg = e0Checkpoint(e.groupBy("src").agg(count(lit(1)).as("d")))
+    val anchored = e0Checkpoint(
+      deg.select(col("src").as("node"))
+        .join(seeds.select(col("node")).distinct().withColumn("one", lit(1L)),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("one"), lit(0L)).as("is_seed")))
+    var pr = anchored.select(col("node"), (col("is_seed") * PrScale).as("pr"))
+    for (i <- 1 to iters) {
+      val contrib = pr.join(deg, col("node") === col("src"))
+        .select(col("src").as("csrc"), expr("pr div d").as("contrib"))
+      val sums = e.join(contrib, col("src") === col("csrc"))
+        .groupBy("dst").agg(sum(col("contrib")).as("s"))
+      val next = anchored
+        .join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("is_seed") * PrTeleport +
+            expr("(85 * coalesce(s, 0)) div 100")).as("pr"))
+      // pagerankInt's cadence: linear plan growth, never checkpoint last
+      pr = if (i % 2 == 0 && i < iters) e0Checkpoint(next) else next
+    }
+    pr
+  }
+
   /** PageRank over the bipartite part<->supplier incidence graph — the
     * quadratic co-supply projection is never materialized (same trick as
     * coSupplyBfs); the graph is the distinct (part, supplier) list in both
@@ -522,6 +555,47 @@ object GraphOps2 {
     ssspInt(edges, Seq(1L).toDF("node"), 4).orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qConnectedComponents, qDedupClusterPick,
+  /** Top-50 entities related to the hub supplier (node 2·1+1) by
+    * personalized PageRank over the part↔supplier incidence graph, 3
+    * rounds — the "related targets" panel a serving layer ranks from a
+    * seed's graph neighborhood. Oracle = the same three integer rounds
+    * unrolled (exact long algebra, bit-equal across engines). */
+  val qPpr: Q = Q(
+    "q_ppr",
+    """WITH e AS (
+      |  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+      |  FROM lineitem GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 2 * l_suppkey + 1, 2 * l_partkey
+      |  FROM lineitem GROUP BY 1, 2),
+      |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+      |n AS (SELECT src AS node,
+      |        CASE WHEN src = 3 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_seed
+      |      FROM deg),
+      |p0 AS (SELECT node, is_seed * 1000000000000 AS pr FROM n),
+      |s1 AS (SELECT e.dst, SUM(p0.pr // deg.d) AS s
+      |       FROM e JOIN deg USING (src) JOIN p0 ON p0.node = e.src GROUP BY e.dst),
+      |p1 AS (SELECT n.node, CAST(n.is_seed * 150000000000 + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS pr
+      |       FROM n LEFT JOIN s1 ON s1.dst = n.node),
+      |s2 AS (SELECT e.dst, SUM(p1.pr // deg.d) AS s
+      |       FROM e JOIN deg USING (src) JOIN p1 ON p1.node = e.src GROUP BY e.dst),
+      |p2 AS (SELECT n.node, CAST(n.is_seed * 150000000000 + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS pr
+      |       FROM n LEFT JOIN s2 ON s2.dst = n.node),
+      |s3 AS (SELECT e.dst, SUM(p2.pr // deg.d) AS s
+      |       FROM e JOIN deg USING (src) JOIN p2 ON p2.node = e.src GROUP BY e.dst),
+      |p3 AS (SELECT n.node, CAST(n.is_seed * 150000000000 + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS pr
+      |       FROM n LEFT JOIN s3 ON s3.dst = n.node)
+      |SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 50""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ps = T.lineitem(s, d)
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
+      .distinct().localCheckpoint(true)
+    val edges = ps.select(col("p").as("src"), col("sup").as("dst"))
+      .union(ps.select(col("sup").as("src"), col("p").as("dst")))
+    pprInt(edges, Seq(3L).toDF("node"), 3)
+      .orderBy(col("pr").desc, col("node")).limit(50)
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qPpr, qConnectedComponents, qDedupClusterPick,
     qTriangleCount, qTriangleLsh, qLabelProp, qKCore, qShortestPath)
 }

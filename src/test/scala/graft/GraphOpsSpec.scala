@@ -64,6 +64,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(at2(9L) == 10L && at2(3L) == 2L)
   }
 
+  test("personalized pagerank: mass concentrates at the seed and decays with distance") {
+    import spark.implicits._
+    // symmetric path 1-2-3-4-5 plus a disconnected pair 8-9; seed = 1
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L),
+      (4L, 5L), (5L, 4L), (8L, 9L), (9L, 8L)).toDF("src", "dst")
+    // 4 rounds (even): on a bipartite path the power iteration alternates
+    // parity, so compare nodes within a parity class, not adjacent ones
+    val pr = graft.operators.GraphOps2.pprInt(edges, Seq(1L).toDF("node"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(1L) == pr.values.max)                    // seed holds the most mass
+    assert(pr(8L) == 0L && pr(9L) == 0L)               // unreachable: exactly zero
+    assert(pr(1L) > pr(3L) && pr(3L) > pr(5L) && pr(5L) > 0L) // odd-parity decay
+    assert(pr(2L) > pr(4L) && pr(4L) > 0L)                    // even-parity decay
+  }
+
+  test("node jaccard equals brute-force set computation; top-3 per node honored") {
+    val ps = graft.sources.Tables.lineitem(spark, TinyDir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sets = ps.groupBy(_._2).map { case (sk, xs) => sk -> xs.map(_._1).toSet }
+    // expected: per node, all neighbors sharing >=1 part, scored by exact
+    // Jaccard, top-3 by (jac desc, nbr asc)
+    val expected = sets.keys.flatMap { n =>
+      sets.keys.filter(_ != n)
+        .map { m => (m, sets(n).intersect(sets(m)).size) }
+        .filter(_._2 > 0)
+        .map { case (m, c) =>
+          (m, c, c.toDouble / (sets(n).size + sets(m).size - c)) }
+        .toSeq.sortBy { case (m, _, j) => (-j, m) }
+        .take(3).zipWithIndex
+        .map { case ((m, c, j), i) => (n, m, c.toLong, i + 1L) }
+    }.toSet
+    val got = GraphOps.qNodeJaccard.fn(spark, TinyDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+  }
+
   test("LSH triangle twin equals exact triangle enumeration over the same pair graph") {
     // exact reference: brute-force every a<b<c combination over the LSH
     // candidate edges (fine at spec scale; the operator under test never
