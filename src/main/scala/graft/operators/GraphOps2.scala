@@ -38,14 +38,15 @@ object GraphOps2 {
     // cluster use a reliable checkpoint dir instead (executor loss).
     val e = e0Checkpoint(edges.select("src", "dst"))
     val deg = e0Checkpoint(e.groupBy("src").agg(count(lit(1)).as("d")))
+    // degree folded into the edge table ONCE: each round then needs a
+    // single edge⋈rank join (the per-edge `pr div d` replicates a value
+    // that is constant per src — pure ALU, no extra shuffle), instead of
+    // a rank⋈degree join followed by the edge join every round.
+    val ed = e0Checkpoint(e.join(deg, "src"))
     var pr = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
     for (i <- 1 to iters) {
-      // per-node contribution first (node-sized join), then one edge join:
-      // the rank/degree tables stay broadcast-sized relative to the edges
-      val contrib = pr.join(deg, col("node") === col("src"))
-        .select(col("src").as("csrc"), expr("pr div d").as("contrib"))
-      val sums = e.join(contrib, col("src") === col("csrc"))
-        .groupBy("dst").agg(sum(col("contrib")).as("s"))
+      val sums = ed.join(pr, col("src") === col("node"))
+        .groupBy("dst").agg(sum(expr("pr div d")).as("s"))
       val next =
         deg.select(col("src").as("node"))
           .join(sums, col("node") === col("dst"), "left")
@@ -77,6 +78,8 @@ object GraphOps2 {
   def pprInt(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     val e = e0Checkpoint(edges.select("src", "dst"))
     val deg = e0Checkpoint(e.groupBy("src").agg(count(lit(1)).as("d")))
+    // same degree-folded edge table as pagerankInt: one join per round
+    val ed = e0Checkpoint(e.join(deg, "src"))
     val anchored = e0Checkpoint(
       deg.select(col("src").as("node"))
         .join(seeds.select(col("node")).distinct().withColumn("one", lit(1L)),
@@ -84,10 +87,8 @@ object GraphOps2 {
         .select(col("node"), coalesce(col("one"), lit(0L)).as("is_seed")))
     var pr = anchored.select(col("node"), (col("is_seed") * PrScale).as("pr"))
     for (i <- 1 to iters) {
-      val contrib = pr.join(deg, col("node") === col("src"))
-        .select(col("src").as("csrc"), expr("pr div d").as("contrib"))
-      val sums = e.join(contrib, col("src") === col("csrc"))
-        .groupBy("dst").agg(sum(col("contrib")).as("s"))
+      val sums = ed.join(pr, col("src") === col("node"))
+        .groupBy("dst").agg(sum(expr("pr div d")).as("s"))
       val next = anchored
         .join(sums, col("node") === col("dst"), "left")
         .select(col("node"),

@@ -357,6 +357,46 @@ object PipelineOps3 {
     s.createDataFrame(rows).toDF("term", "value").orderBy("term")
   }
 
+  /** Per-epoch deterministic training order: each epoch permutes the
+    * corpus by md5(epoch:doc_id) — a different, rerun-stable shuffle per
+    * epoch (what a dataloader needs so epoch 2 isn't epoch 1's order, yet
+    * any worker can recompute its slice without coordination). The global
+    * position is [[exclusivePrefixSum]] with unit weight partitioned by
+    * epoch — a DISTRIBUTED row number: range-partition on the hash order,
+    * bounded local windows, broadcast offsets. No single-task global sort
+    * anywhere, so the layout pass scales to corpus size; shards are fixed
+    * 64-doc cuts of the position (the dataloader's file-per-shard map).
+    * The hash key carries a zero-padded doc id suffix so the order is a
+    * TOTAL order in both engines even under (vanishing) md5-prefix ties. */
+  val qEpochShuffle: Q = Q(
+    "q_epoch_shuffle",
+    """WITH ep AS (SELECT CAST(0 AS BIGINT) AS epoch UNION ALL SELECT CAST(1 AS BIGINT)),
+      |t AS (SELECT epoch, doc_id,
+      |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+      |      || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS h
+      |  FROM documents CROSS JOIN ep),
+      |r AS (SELECT epoch, doc_id, h,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h) - 1 AS pos
+      |  FROM t)
+      |SELECT epoch, doc_id, pos, CAST(pos // 64 AS BIGINT) AS shard_id
+      |FROM r ORDER BY epoch, pos""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val epochs = Seq(0L, 1L).toDF("epoch")
+    val t = T.documents(s, d).select(col("doc_id"))
+      .crossJoin(broadcast(epochs))
+      .select(col("epoch"), col("doc_id"),
+        concat(
+          md5(concat(col("epoch").cast(StringType), lit(":"),
+            col("doc_id").cast(StringType))),
+          lpad(col("doc_id").cast(StringType), 12, "0")).as("h"),
+        lit(1L).as("one"))
+    exclusivePrefixSum(t, "epoch", "h", "one", nParts)
+      .select(col("epoch"), col("doc_id"), col("pre").as("pos"),
+        expr("pre div 64").as("shard_id"))
+      .orderBy("epoch", "pos")
+  }
+
   val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed,
-    qCorpusExport, qLangConfusion, qDupMatrix, qLinearProbe)
+    qCorpusExport, qLangConfusion, qDupMatrix, qLinearProbe, qEpochShuffle)
 }

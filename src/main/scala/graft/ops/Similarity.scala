@@ -392,5 +392,55 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf, qAnnPq, qHardNegatives, qAnnEval)
+  /** Corpus-wide k-nearest-neighbor graph (k=4) with a mutuality flag —
+    * the standard input to graph-based semantic clustering and kNN-dedup
+    * (a mutual edge is the high-precision "really similar" signal;
+    * one-directional edges are hub artifacts). Shape: score each UNORDERED
+    * pair once (a<b) and mirror — half the dot products of the naive
+    * directed scan; per-node top-k is a window the topk rewrite rule
+    * heap-prunes; mutuality is one equi self-join of the k·n-row top-k
+    * list on the reversed key (never the full pair table). The all-pairs
+    * scan is the small-N oracle baseline (same family as q_dedup_embed);
+    * at 100 TB candidate generation swaps to the LSH band join
+    * (q_ann_lsh) or the IVF cell join (q_ann_ivf) unchanged — top-k and
+    * mutuality stages only ever see candidate edges. */
+  val qKnnGraph: Q = Q(
+    "q_knn_graph",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |  p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |          round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      |        FROM n a JOIN n b ON a.vec_id < b.vec_id),
+      |  sym AS (SELECT id_a AS node, id_b AS nbr, cos FROM p
+      |          UNION ALL SELECT id_b, id_a, cos FROM p),
+      |  r AS (SELECT node, nbr, cos,
+      |          ROW_NUMBER() OVER (PARTITION BY node ORDER BY cos DESC, nbr) AS rnk
+      |        FROM sym),
+      |  k AS (SELECT node, nbr, cos, rnk FROM r WHERE rnk <= 4)
+      |SELECT k.node AS node, k.nbr AS nbr, k.cos AS cos, k.rnk AS rnk,
+      |  (m.node IS NOT NULL) AS mutual
+      |FROM k LEFT JOIN k m ON m.node = k.nbr AND m.nbr = k.node
+      |ORDER BY k.node, k.rnk""".stripMargin) { (s, d) =>
+    val e = withNorms(T.embeddings(s, d), "vec_id", "embedding")
+    val a = e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val p = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+    val sym = p.select(col("id_a").as("node"), col("id_b").as("nbr"), col("cos"))
+      .union(p.select(col("id_b").as("node"), col("id_a").as("nbr"), col("cos")))
+    val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))
+    val k = sym.withColumn("rnk", lng(row_number().over(w)))
+      .filter(col("rnk") <= 4)
+      .localCheckpoint(true) // two consumers below: never re-run the pair scan
+    val m = k.select(col("node").as("m_node"), col("nbr").as("m_nbr"), lit(1).as("m_hit"))
+    k.join(m, col("nbr") === col("m_node") && col("node") === col("m_nbr"), "left")
+      .select(col("node"), col("nbr"), col("cos"), col("rnk"),
+        col("m_hit").isNotNull.as("mutual"))
+      .orderBy("node", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf, qAnnPq, qHardNegatives,
+    qAnnEval, qKnnGraph)
 }

@@ -15,6 +15,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_ann_eval",          // composes q_ann_topk's exact side by design
     "q_hard_negatives",    // same probe-broadcast baseline, label-filtered
     "q_dedup_embed",       // exact O(n^2) baseline for q_dedup_minhash/lsh
+    "q_knn_graph",         // same exact pair-scan baseline (LSH/IVF = scale path)
     "q_connected_components", // pair gen shares q_dedup_embed's scan
     "q_kcore",             // same near-dup pair generation
     "q_dedup_cluster_pick", // same near-dup pair generation
