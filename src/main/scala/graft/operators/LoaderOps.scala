@@ -210,6 +210,101 @@ object LoaderOps {
       .orderBy("query")
   }
 
+  /** Remap a key column through a curated patch table (old_id → new_id):
+    * one broadcast left join + coalesce — the set-based form of the
+    * reference's hand-written cross-release identity repairs
+    * (SQL/update_geneids7.sql: `UPDATE protein SET geneid = ... WHERE
+    * sym = ...` between releases). `df` must not already carry columns
+    * named old_id/new_id. The patch is curation-sized → broadcast; the
+    * fact side streams map-side, no shuffle. */
+  def patchKeys(df: DataFrame, keyCol: String, patch: DataFrame): DataFrame =
+    df.join(broadcast(patch.select("old_id", "new_id")),
+        df(keyCol) === col("old_id"), "left")
+      .withColumn(keyCol, coalesce(col("new_id"), df(keyCol)))
+      .drop("old_id", "new_id")
+
+  /** Composed stable-ID remediation — apply the patch, persist the
+    * repaired snapshot, record provenance, and re-verify FK integrity in
+    * ONE call (the full update_geneids7.sql workflow, not just the
+    * UPDATE): returns the audit metrics; throws nothing — a non-zero
+    * orphans_after is the caller's signal to NOT promote the snapshot. */
+  def remediateTracked(factNew: DataFrame, fk: String, dim: DataFrame,
+                       dimKey: String, patch: DataFrame, outPath: String,
+                       provDir: String, loadedAtUs: Long,
+                       source: String = "id_patch"): Map[String, Long] = {
+    val spark = factNew.sparkSession
+    val patched = patchKeys(factNew, fk, patch)
+    patched.write.mode("overwrite").parquet(outPath)
+    val persisted = spark.read.parquet(outPath)
+    ProvenanceOps.record(persisted, col(fk).cast("string"),
+      s"remediated:$fk", source, loadedAtUs, provDir)
+    val dimK = broadcast(dim.select(col(dimKey).as("__dk")))
+    val after = persisted.join(dimK, col(fk) === col("__dk"), "left")
+      .agg(sum(when(col("__dk").isNull, 1L).otherwise(0L))).head().getLong(0)
+    Map(
+      "patch_size" -> patch.count(),
+      "patched_fact_rows" ->
+        factNew.join(broadcast(patch), factNew(fk) === col("old_id"), "left_semi").count(),
+      "orphans_after" -> after)
+  }
+
+  /** The remediation workflow as an oracle-checked query. The scenario is
+    * the reference's release-over-release identity drift: the new release
+    * migrated every c_custkey ≡ 0 (mod 97) to key+1000000 (dim_new), the
+    * fact table still references the retired keys, and the curated patch
+    * maps old → new. Output: FK orphans before the patch (the drift), the
+    * patch's size and reach, and orphans after (must be 0 — the promote
+    * gate). Dim keys and the patch broadcast; each audit edge is one
+    * map-side join over the fact. */
+  val qIdRemediate: Q = Q(
+    "q_id_remediate",
+    """WITH patch AS (
+      |  SELECT c_custkey AS old_id, c_custkey + 1000000 AS new_id
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |dim_new AS (
+      |  SELECT CASE WHEN c_custkey % 97 = 0 THEN c_custkey + 1000000
+      |              ELSE c_custkey END AS c_custkey FROM customer),
+      |o_patched AS (
+      |  SELECT COALESCE(p.new_id, o.o_custkey) AS o_custkey
+      |  FROM orders o LEFT JOIN patch p ON o.o_custkey = p.old_id),
+      |m AS (
+      |  SELECT 'orphans_after' AS metric,
+      |    CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value
+      |  FROM o_patched o LEFT JOIN dim_new d ON o.o_custkey = d.c_custkey
+      |  UNION ALL
+      |  SELECT 'orphans_before',
+      |    CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders o LEFT JOIN dim_new d ON o.o_custkey = d.c_custkey
+      |  UNION ALL
+      |  SELECT 'patch_size', COUNT(*) FROM patch
+      |  UNION ALL
+      |  SELECT 'patched_fact_rows', COUNT(*)
+      |  FROM orders o JOIN patch p ON o.o_custkey = p.old_id)
+      |SELECT metric, value FROM m ORDER BY metric""".stripMargin) { (s, d) =>
+    val cust = T.customer(s, d)
+    val patch = cust.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("old_id"),
+        (col("c_custkey") + 1000000L).as("new_id"))
+    val dimNew = broadcast(cust.select(
+      when(col("c_custkey") % 97 === 0, col("c_custkey") + 1000000L)
+        .otherwise(col("c_custkey")).as("c_custkey")))
+    val orders = T.orders(s, d)
+    val patched = patchKeys(orders, "o_custkey", patch)
+    def orphans(label: String, fact: DataFrame): DataFrame =
+      fact.join(dimNew, fact("o_custkey") === dimNew("c_custkey"), "left")
+        .agg(sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("value"))
+        .select(lit(label).as("metric"), col("value"))
+    orphans("orphans_after", patched)
+      .unionByName(orphans("orphans_before", orders))
+      .unionByName(patch.agg(count(lit(1)).as("value"))
+        .select(lit("patch_size").as("metric"), col("value")))
+      .unionByName(orders
+        .join(broadcast(patch), col("o_custkey") === col("old_id"), "left_semi")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("patched_fact_rows").as("metric"), col("value")))
+      .orderBy("metric")
+  }
+
   val all: Seq[Q] = Seq(qDeltaDetect, qFkIntegrity, qStringAgg, qSourcePriority,
-    qIdResolve)
+    qIdResolve, qIdRemediate)
 }

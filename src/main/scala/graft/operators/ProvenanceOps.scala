@@ -90,5 +90,54 @@ object ProvenanceOps {
       .orderBy("dataset")
   }
 
-  val all: Seq[Q] = Seq(qProvenanceAudit)
+  /** The one-scan fan-out loader pattern end-to-end, verified through its
+    * ledger: parse the documents table once ([[graft.sources.FanOut]]),
+    * write three sinks (raw core, a per-doc token projection, a per-source
+    * rollup) with one provenance row each, and return the ledger. The
+    * oracle recomputes every sink's (n_rows, content_fp) directly from
+    * `documents` in SQL, so a hash match proves both the fan-out writes
+    * and the fingerprints — the composed analog of load-UniProt.py's
+    * one-parse → ins_target → N-table insert path. */
+  val qFanout: Q = Q(
+    "q_fanout",
+    """WITH st AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |fp AS (
+      |  SELECT 'doc_core' AS dataset, COUNT(*) AS n_rows,
+      |    CAST(SUM(('0x' || substr(md5(concat_ws(chr(1), doc_id, source, text)), 1, 15))::BIGINT)
+      |      % 4611686018427387904 AS BIGINT) AS content_fp
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'doc_tokens', COUNT(*),
+      |    CAST(SUM(('0x' || substr(md5(concat_ws(chr(1), doc_id, len(string_split(text, ' ')))), 1, 15))::BIGINT)
+      |      % 4611686018427387904 AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'source_stats', COUNT(*),
+      |    CAST(SUM(('0x' || substr(md5(concat_ws(chr(1), source, n_docs, n_tokens)), 1, 15))::BIGINT)
+      |      % 4611686018427387904 AS BIGINT)
+      |  FROM st)
+      |SELECT dataset, n_rows, content_fp FROM fp ORDER BY dataset""".stripMargin) { (s, d) =>
+    import graft.sources.FanOut
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fanout").toFile.getAbsolutePath
+    val parsed = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    FanOut.writeFanOut(parsed, Seq(
+      FanOut.Sink("doc_core",
+        df => df.select("doc_id", "source", "text"), s"$tmp/doc_core"),
+      FanOut.Sink("doc_tokens",
+        df => df.select("doc_id", "n_tokens"), s"$tmp/doc_tokens"),
+      FanOut.Sink("source_stats",
+        df => df.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens")), s"$tmp/source_stats")),
+      provDir = Some(s"$tmp/prov"), loadedAtUs = 1L, source = "documents")
+    s.read.parquet(s"$tmp/prov")
+      .select(col("dataset"), col("n_rows"), col("content_fp"))
+      .orderBy("dataset")
+  }
+
+  val all: Seq[Q] = Seq(qProvenanceAudit, qFanout)
 }

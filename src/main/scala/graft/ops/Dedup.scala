@@ -64,6 +64,18 @@ object Dedup {
       .select(col("id"), explode(array_distinct(sh)).as("sh"))
   }
 
+  /** Deterministic bounded hash-sample: rows whose xxhash64(id) falls in
+    * residue 0 of an adaptive modulus sized from one metadata-cheap count,
+    * so the result holds ~cap rows whatever the input size. Reproducible
+    * and partition-invariant (the filter is a pure projection); a no-op
+    * when the input already fits the cap. */
+  def boundedHashSample(df: DataFrame, idCol: String, cap: Long): DataFrame = {
+    val n = df.count()
+    val m = math.max(1L, n / math.max(1L, cap))
+    if (m <= 1L) df
+    else df.filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
+  }
+
   /** Exact Jaccard>=t pair join with SSJoin prefix filtering: shingles are
     * globally ordered by document frequency (rarest first); a doc of n
     * shingles only indexes its first n-ceil(t*n)+1 — if J(A,B)>=t the
@@ -300,9 +312,18 @@ object Dedup {
     * math guarantees. */
   val qDedupCalibration: Q = Q.rowsOnly("q_dedup_calibration") { (s, d) =>
     val k = 64; val bands = 16; val rows = k / bands
-    val exact = jaccardPairsPrefix(T.documents(s, d), "doc_id", "text", 3, 0.3)
+    // calibration measures a PER-PAIR property (did banding surface the
+    // pair; how far off is the estimate), so it is statistically valid on
+    // a sample — and the exact-Jaccard ground truth is precisely the cost
+    // the banding exists to avoid, so it must never run corpus-wide. Bound
+    // the input to a deterministic hash-sample (adaptive modulus, same
+    // scheme as the k-means quantizer fit): ≤ ~2000 docs regardless of
+    // corpus size, pair-join work capped at sample², reproducible.
+    val docs = boundedHashSample(T.documents(s, d), "doc_id", 2000L)
+      .localCheckpoint(true)
+    val exact = jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.3)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    val sig = minhashSigProjected(T.documents(s, d), "doc_id", "text", 3, k)
+    val sig = minhashSigProjected(docs, "doc_id", "text", 3, k)
       .localCheckpoint(true)
     val banded = bandSignatures(sig, bands, rows)
     val cand = banded.select(col("band"), col("bsig"), col("id").as("id_a"), col("sig").as("sig_a"))

@@ -116,9 +116,19 @@ object Similarity {
     -array_max(array(scored: _*)).getField("negCid")
   }
 
-  /** Deterministic spherical k-means codebook, fit on a hash-sample:
-    *  - sample = rows with xxhash64(id) ≡ 0 (mod sampleMod) — reproducible,
-    *    bounded, no full-corpus pass per iteration;
+  /** The quantizer-fit sample: rows whose xxhash64(id) falls in residue 0
+    * of an adaptive modulus chosen so the sample holds ~maxSample rows
+    * REGARDLESS of corpus size. A fixed-fraction sample would materialize
+    * 25 TB of a 100 TB corpus to fit a few hundred centroids; here one
+    * metadata-cheap `count()` (no shuffle — parquet answers from row-group
+    * stats when unfiltered) picks the modulus, and the residue filter is a
+    * deterministic, partition-invariant projection. */
+  def kmeansSample(vecs: DataFrame, maxSample: Long): DataFrame =
+    Dedup.boundedHashSample(vecs.select(col("id"), col("v")), "id", maxSample)
+
+  /** Deterministic spherical k-means codebook, fit on a bounded hash-sample:
+    *  - sample = [[kmeansSample]] — ≤ ~maxSample rows whatever the corpus
+    *    size, reproducible, no full-corpus pass per Lloyd iteration;
     *  - init = the K sample vectors with smallest (xxhash64(id, 7), id) —
     *    a seeded pseudo-random draw, not data-order-dependent;
     *  - `iters` Lloyd rounds: assign sample to nearest centroid by cosine
@@ -129,11 +139,9 @@ object Similarity {
     * The model (K·dim doubles) collects to the driver and broadcasts —
     * model-fit-sized, independent of corpus scale. */
   def fitKmeansCodebook(vecs: DataFrame, k: Int, iters: Int = 4,
-                        sampleMod: Int = 4): Array[Array[Double]] = {
+                        maxSample: Long = 1L << 20): Array[Array[Double]] = {
     import org.apache.spark.sql.types.DecimalType
-    val hashed = vecs.select(col("id"), col("v"))
-      .filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
-      .localCheckpoint(true)
+    val hashed = kmeansSample(vecs, maxSample).localCheckpoint(true)
     // degenerate guards: an unlucky hash-sample (tiny corpora) falls back
     // to the full input; an empty input is an error, never an empty
     // codebook (nearestCell over array() would fail analysis downstream).

@@ -32,11 +32,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads as raw longs (legacy conf). Normalize to a proper
-    * microsecond timestamp via integer division (nanos exceed 2^53, so
-    * float division would lose precision); truncation matches what
-    * nanos→micros readers (e.g. DuckDB) do. */
+  /** The events table's `ts` column has shipped under three different
+    * physical parquet encodings across test-data generations, so normalize
+    * all of them to a session-local (LTZ) microsecond timestamp:
+    *
+    *  - TIMESTAMP(NANOS): Spark only reads it as a raw long (legacy conf);
+    *    integer-divide to micros (nanos exceed 2^53 — float division would
+    *    lose precision; truncation matches nanos→micros readers like DuckDB).
+    *  - timestamp[us] without the UTC flag: Spark 4 reads it as
+    *    TIMESTAMP_NTZ, which `unix_micros`/`window`/etc. reject. The session
+    *    timezone is pinned UTC (GraftSession), so casting NTZ→LTZ reproduces
+    *    exactly the instant DuckDB reads from the same micros.
+    *  - timestamp[us] UTC-flagged: already TIMESTAMP_LTZ, pass through.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
@@ -44,6 +52,10 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
@@ -52,7 +64,7 @@ object Tables {
 
   /** Register every table as a temp view (SQL entry point). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach(n => tableNormalized(spark, dir, n).createOrReplaceTempView(n))
 
   /** CSV/TSV ingest with an explicit schema — never infer on a 100 TB
     * input (schema inference is a full extra pass over the data).

@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
   * sizes. These tests pin that the propagation actually happens. */
 class CboSpec extends SparkSpec {
 
+  /** Drop a managed table AND its on-disk warehouse location. DROP TABLE
+    * alone is not idempotent across crashed runs: a prior JVM that died
+    * after writing files but before (or without) registering the table in
+    * this run's fresh in-memory catalog leaves an orphan directory, and
+    * the next CREATE fails with LOCATION_ALREADY_EXISTS. */
+  private def dropManaged(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(wh, name)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
+  }
+
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     try {
@@ -23,8 +41,8 @@ class CboSpec extends SparkSpec {
   }
 
   test("ANALYZE TABLE gives the optimizer exact row counts and filtered-join estimates") {
-    spark.sql("DROP TABLE IF EXISTS cbo_li")
-    spark.sql("DROP TABLE IF EXISTS cbo_supp")
+    dropManaged("cbo_li")
+    dropManaged("cbo_supp")
     T.lineitem(spark, TinyDir).select("l_orderkey", "l_suppkey", "l_quantity")
       .write.saveAsTable("cbo_li")
     T.supplier(spark, TinyDir).select("s_suppkey", "s_nationkey")
@@ -58,7 +76,7 @@ class CboSpec extends SparkSpec {
   }
 
   test("without ANALYZE the same plan has no row-count estimate (the posture is load-bearing)") {
-    spark.sql("DROP TABLE IF EXISTS cbo_raw")
+    dropManaged("cbo_raw")
     T.supplier(spark, TinyDir).select("s_suppkey", "s_nationkey")
       .write.saveAsTable("cbo_raw")
     withConf("spark.sql.cbo.enabled" -> "true") {

@@ -75,7 +75,7 @@ class Round2OpsSpec extends SparkSpec {
       (500L until 520L).map(i => mk(i, (i % 8).toInt, 0.9)) // diffuse tail
     val corpus = rows.toDF("id", "v")
       .select(col("id"), col("v").cast("array<double>"))
-    val codebook = ops.Similarity.fitKmeansCodebook(corpus, k = 8, iters = 4, sampleMod = 2)
+    val codebook = ops.Similarity.fitKmeansCodebook(corpus, k = 8, iters = 4)
     assert(codebook.length == 8)
     // assign the full corpus to fitted cells: the dominant cluster must
     // split across multiple cells OR at minimum every real cluster center
@@ -90,6 +90,29 @@ class Round2OpsSpec extends SparkSpec {
     // and no single cell holds everything (skew guard for the shuffle)
     val biggest = cellOf.values.groupBy(identity).values.map(_.size).max
     assert(biggest < rows.size * 0.9, s"one cell holds $biggest of ${rows.size}")
+  }
+
+  test("kmeansSample bounds the fit's working set regardless of corpus size") {
+    import spark.implicits._
+    val corpus = spark.range(0, 20000)
+      .select(col("id"), array(rand(1), rand(2)).cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    // sample size tracks maxSample (≈ n/m with m = n/maxSample), never the
+    // corpus: at 100 TB this is what keeps the quantizer fit model-sized
+    for (cap <- Seq(100L, 1000L)) {
+      val got = ops.Similarity.kmeansSample(corpus, cap).count()
+      assert(got <= cap * 3 && got >= cap / 3,
+        s"cap $cap: sample size $got not within [cap/3, 3*cap]")
+    }
+    // small corpus (n <= cap) passes through whole
+    assert(ops.Similarity.kmeansSample(corpus, 100000L).count() == 20000L)
+    // deterministic and partition-invariant: same ids selected however the
+    // input is partitioned (the residue filter is a pure projection)
+    val a = ops.Similarity.kmeansSample(corpus, 500L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = ops.Similarity.kmeansSample(corpus.repartition(13), 500L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b, "hash-sample changed under repartitioning")
   }
 
   test("readJsonLines: explicit schema, malformed lines survive as nulls") {

@@ -142,5 +142,41 @@ class SourcesSpec extends SparkSpec {
     val e = Tables.events(spark, TinyDir)
     assert(e.schema("ts").dataType == TimestampType)
     assert(e.count() > 0)
+    // event-time functions must accept the normalized column (the exact
+    // break that TIMESTAMP_NTZ caused: unix_micros rejects NTZ)
+    assert(e.select(org.apache.spark.sql.functions.unix_micros(col("ts")))
+      .limit(1).collect().nonEmpty)
+  }
+
+  test("events normalizer pins all three physical ts encodings to the same instant") {
+    // one known instant: 2024-03-01T12:34:56.789012Z
+    val micros = 1709296496789012L
+    val dir = java.nio.file.Files.createTempDirectory("events_enc").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    // (a) nanos-as-long: what spark.sql.legacy.parquet.nanosAsLong yields
+    //     for parquet TIMESTAMP(NANOS) — a raw int64 of nanoseconds
+    Seq((1L, micros * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/nanos/events.parquet")
+    // (b) micros with no UTC flag → Spark 4 reads TIMESTAMP_NTZ
+    Seq((1L, java.time.LocalDateTime.ofEpochSecond(
+        micros / 1000000L, ((micros % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/ntz/events.parquet")
+    assert(spark.read.parquet(s"$dir/ntz/events.parquet").schema("ts").dataType
+      == org.apache.spark.sql.types.TimestampNTZType)
+    // (c) UTC-flagged micros → TIMESTAMP_LTZ, the pass-through arm
+    Seq((1L, java.time.Instant.ofEpochSecond(
+        micros / 1000000L, (micros % 1000000L) * 1000L)))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/ltz/events.parquet")
+    for (enc <- Seq("nanos", "ntz", "ltz")) {
+      val e = Tables.events(spark, s"$dir/$enc")
+      assert(e.schema("ts").dataType == TimestampType, s"$enc: wrong type")
+      val got = e.select(org.apache.spark.sql.functions.unix_micros(col("ts")))
+        .as[Long].head()
+      assert(got == micros, s"$enc: $got != $micros")
+    }
   }
 }
