@@ -60,12 +60,20 @@ object Bench {
     // locale, and a comma-decimal locale would emit invalid JSON.
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // explicit attempted/ran/failed triple so the round-over-round
+    // per-query mean has an unambiguous denominator (failed queries are
+    // NEVER inside omitted_fast — that count covers ran-and-passed
+    // queries dropped from the map for line-length only)
+    val attempted = results.length
+    val ran = results.count(_._3)
     def line(qs: Seq[(String, Double, Boolean)], omitted: Int): String = {
       val m = qs.map { case (k, v, _) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
       val om = if (omitted == 0) "" else s""","omitted_fast":$omitted"""
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$m,"sf":"$sfDir"$om$failedPart}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","attempted":$attempted,"ran":$ran,"queries":$m,"sf":"$sfDir"$om$failedPart}"""
     }
-    val bySlow = results.sortBy(-_._2)
+    // the queries map carries passing queries only (failed ones are fully
+    // accounted by the failed array + attempted-ran)
+    val bySlow = results.filter(_._3).sortBy(-_._2)
     var keep = bySlow.length
     var out = line(bySlow.take(keep).sortBy(_._1), bySlow.length - keep)
     while (out.length > 1880 && keep > 1) {
