@@ -88,6 +88,52 @@ object StreamingOps {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming fan-out sink — the stream analog of
+    * [[graft.sources.FanOut.writeFanOut]] (one parsed UniProt-style record
+    * → N tables, loaders/load-UniProt.py:127): each micro-batch is
+    * persisted ONCE and every sink projection reads the cached blocks, so
+    * the upstream parse/decode runs once per batch regardless of sink
+    * count.
+    *
+    * Exactly-once without a table format: every sink write lands in its
+    * own `batch_id=<id>` directory with overwrite, so a replayed batch
+    * (restart between sinks) overwrites its own partition instead of
+    * appending duplicates; downstream reads of the sink root see each
+    * batch exactly once. The per-(sink, batch) provenance ledger rows use
+    * the same idempotent layout under
+    * `provDir/dataset=<sink>/batch_id=<id>` (n_rows + order-independent
+    * content_fp of what was persisted; keyed on the checkpointed batch id
+    * — never the wall clock).
+    */
+  def fanOutSink(parsed: DataFrame, sinks: Seq[graft.sources.FanOut.Sink],
+                 provDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    parsed.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        import graft.sources.FanOut
+        val spark = batch.sparkSession
+        val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          cached.count()
+          sinks.foreach { sk =>
+            val dir = s"${sk.path}/batch_id=$bid"
+            sk.project(cached).write.mode("overwrite").parquet(dir)
+            provDir.foreach { pd =>
+              val persisted = spark.read.parquet(dir)
+              graft.operators.ProvenanceOps
+                .datasetFingerprint(persisted, FanOut.contentAllColumns(persisted))
+                .select(lit(s"batch:$bid").as("source"),
+                  lit(bid).as("loaded_at_us"), col("n_rows"), col("content_fp"))
+                .write.mode("overwrite")
+                .parquet(s"$pd/dataset=${sk.name}/batch_id=$bid")
+            }
+          }
+        } finally {
+          cached.unpersist()
+          ()
+        }
+      }
+
   /** Streaming upsert sink: foreachBatch drives the batch MergeOps.upsert
     * against a parquet snapshot — exactly-once per micro-batch via the
     * checkpointed batch id, last-writer-wins within and across batches.
