@@ -104,4 +104,46 @@ class FanOutSpec extends SparkSpec {
       }
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("writeFanOut from the XML source: one parsed entry feeds entity + xref + alias sinks") {
+    // the load-UniProt shape: one parsed record carries the entity fields
+    // plus repeated xref/alias children, fanned into separate tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_fanout_xml").toFile
+    val xml = new java.io.File(dir, "entries.xml")
+    val w = new java.io.PrintWriter(xml)
+    w.println("<entries>")
+    w.println("""  <entry><id>P1</id><name>alpha</name>""" +
+      """<xref>db1:1</xref><xref>db2:9</xref><alias>a1</alias></entry>""")
+    w.println("""  <entry><id>P2</id><name>beta</name>""" +
+      """<xref>db1:2</xref><alias>b1</alias><alias>b2</alias></entry>""")
+    w.println("</entries>")
+    w.close()
+    val out = dir.getAbsolutePath
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType),
+      StructField("xref", ArrayType(StringType)),
+      StructField("alias", ArrayType(StringType))))
+    val parsed = Tables.readXml(spark, xml.getAbsolutePath, "entry", schema)
+      .select("id", "name", "xref", "alias")
+    val counts = FanOut.writeFanOut(parsed, Seq(
+      FanOut.Sink("entity", df => df.select("id", "name"), s"$out/entity"),
+      FanOut.Sink("xref",
+        df => df.select(col("id"), explode(col("xref")).as("xref")), s"$out/xref"),
+      FanOut.Sink("alias",
+        df => df.select(col("id"), explode(col("alias")).as("alias")), s"$out/alias")),
+      provDir = Some(s"$out/prov"), loadedAtUs = 5L, source = "entries.xml")
+    assert(counts == Map("entity" -> 2L, "xref" -> 3L, "alias" -> 3L))
+    assert(spark.read.parquet(s"$out/xref").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("P1", "db1:1"), ("P1", "db2:9"), ("P2", "db1:2")))
+    assert(spark.read.parquet(s"$out/alias").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("P1", "a1"), ("P2", "b1"), ("P2", "b2")))
+    val prov = spark.read.parquet(s"$out/prov")
+    assert(prov.count() == 3)
+    assert(prov.collect().map(r =>
+      r.getAs[String]("dataset") -> r.getAs[Long]("n_rows")).toMap ==
+      Map("entity" -> 2L, "xref" -> 3L, "alias" -> 3L))
+  }
 }
