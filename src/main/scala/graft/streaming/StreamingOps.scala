@@ -105,33 +105,42 @@ object StreamingOps {
     * content_fp of what was persisted; keyed on the checkpointed batch id
     * — never the wall clock).
     */
+  /** One micro-batch of the fan-out: exposed so the replay-idempotency
+    * contract is directly testable (running the same (batch, bid) twice
+    * must leave every sink and ledger dir with exactly one copy). */
+  def fanOutBatch(batch: DataFrame, bid: Long,
+                  sinks: Seq[graft.sources.FanOut.Sink],
+                  provDir: Option[String]): Unit = {
+    import graft.sources.FanOut
+    val spark = batch.sparkSession
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.count()
+      sinks.foreach { sk =>
+        val dir = s"${sk.path}/batch_id=$bid"
+        sk.project(cached).write.mode("overwrite").parquet(dir)
+        provDir.foreach { pd =>
+          val persisted = spark.read.parquet(dir)
+          graft.operators.ProvenanceOps
+            .datasetFingerprint(persisted, FanOut.contentAllColumns(persisted))
+            .select(lit(s"batch:$bid").as("source"),
+              lit(bid).as("loaded_at_us"), col("n_rows"), col("content_fp"))
+            .write.mode("overwrite")
+            .parquet(s"$pd/dataset=${sk.name}/batch_id=$bid")
+        }
+      }
+    } finally {
+      cached.unpersist()
+      ()
+    }
+  }
+
   def fanOutSink(parsed: DataFrame, sinks: Seq[graft.sources.FanOut.Sink],
                  provDir: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     parsed.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        import graft.sources.FanOut
-        val spark = batch.sparkSession
-        val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          cached.count()
-          sinks.foreach { sk =>
-            val dir = s"${sk.path}/batch_id=$bid"
-            sk.project(cached).write.mode("overwrite").parquet(dir)
-            provDir.foreach { pd =>
-              val persisted = spark.read.parquet(dir)
-              graft.operators.ProvenanceOps
-                .datasetFingerprint(persisted, FanOut.contentAllColumns(persisted))
-                .select(lit(s"batch:$bid").as("source"),
-                  lit(bid).as("loaded_at_us"), col("n_rows"), col("content_fp"))
-                .write.mode("overwrite")
-                .parquet(s"$pd/dataset=${sk.name}/batch_id=$bid")
-            }
-          }
-        } finally {
-          cached.unpersist()
-          ()
-        }
+        fanOutBatch(batch, bid, sinks, provDir)
       }
 
   /** Streaming upsert sink: foreachBatch drives the batch MergeOps.upsert
