@@ -232,4 +232,66 @@ class PropertySpec extends SparkSpec {
       dx == x && dy == y && z >= 0 && z < (1L << 16)
     }, n = 40)
   }
+
+  test("patchKeys equals a map-lookup reference on random tables and patches") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 30L))
+      patchKeys <- Gen.someOf(keys.distinct)
+      // fresh ids disjoint from the key space, unique per old key
+    } yield (keys, patchKeys.toList.zipWithIndex.map { case (k, i) => (k, 1000L + i) })
+    check(forAll(gen) { case (keys, patch) =>
+      patch.isEmpty || {
+        val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row")
+        val got = operators.LoaderOps.patchKeys(df, "k", patch.toDF("old_id", "new_id"))
+          .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+        val m = patch.toMap
+        val want = keys.zipWithIndex
+          .map { case (k, i) => i.toLong -> m.getOrElse(k, k) }.toMap
+        got == want
+      }
+    })
+  }
+
+  test("boundedHashSample: subset, deterministic, bounded, partition-invariant") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      cap <- Gen.choose(1L, 50L)
+    } yield (n, cap)
+    check(forAll(gen) { case (n, cap) =>
+      val df = (0L until n.toLong).toDF("id")
+      val s1 = ops.Dedup.boundedHashSample(df, "id", cap)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val s2 = ops.Dedup.boundedHashSample(df.repartition(7), "id", cap)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val m = math.max(1L, n / math.max(1L, cap))
+      s1 == s2 &&                                   // partition-invariant
+      s1.forall(i => i >= 0 && i < n) &&            // subset
+      (m == 1L && s1.size == n ||                   // under cap: identity
+        m > 1L && s1.size <= n)                     // sampled: never grows
+    }, n = 8)
+  }
+
+  test("dataset fingerprint is order- and partitioning-invariant, content-sensitive") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, Gen.alphaNumStr.map(_.take(12)))
+    } yield rows
+    check(forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      def fp(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = operators.ProvenanceOps
+          .datasetFingerprint(d, graft.sources.FanOut.contentAllColumns(d)).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val base = fp(df)
+      val shuffled = fp(df.repartition(5).sortWithinPartitions(desc("text")))
+      val mutated = fp(df.withColumn("text",
+        when(col("id") === 0L, concat(col("text"), lit("X"))).otherwise(col("text"))))
+      base == shuffled && mutated != base
+    }, n = 8)
+  }
 }
