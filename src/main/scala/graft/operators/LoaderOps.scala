@@ -236,7 +236,10 @@ object LoaderOps {
     val patched = patchKeys(factNew, fk, patch)
     patched.write.mode("overwrite").parquet(outPath)
     val persisted = spark.read.parquet(outPath)
-    ProvenanceOps.record(persisted, col(fk).cast("string"),
+    // fingerprint the WHOLE persisted row, not just the key: a ledger row
+    // must distinguish "same keys, different payload" re-runs
+    ProvenanceOps.record(persisted,
+      graft.sources.FanOut.contentAllColumns(persisted),
       s"remediated:$fk", source, loadedAtUs, provDir)
     val dimK = broadcast(dim.select(col(dimKey).as("__dk")))
     val after = persisted.join(dimK, col(fk) === col("__dk"), "left")

@@ -52,15 +52,22 @@ object FanOut {
     *                   reproducible)
     * @param source     ledger source tag (e.g. the dump's filename)
     */
+  /** @param storageLevel how the materialized parse is held between sink
+    *                      writes. MEMORY_AND_DISK suits most loads; for a
+    *                      parse wider than cluster memory use
+    *                      `StorageLevel.DISK_ONLY` (sequential re-reads of
+    *                      local serialized blocks still beat re-parsing
+    *                      the source N times). */
   def writeFanOut(parsed: DataFrame, sinks: Seq[Sink],
                   provDir: Option[String] = None,
                   loadedAtUs: Long = 0L,
-                  source: String = "fanout"): Map[String, Long] = {
+                  source: String = "fanout",
+                  storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): Map[String, Long] = {
     require(sinks.nonEmpty, "writeFanOut: no sinks")
     require(sinks.map(_.name).distinct.size == sinks.size,
       "writeFanOut: duplicate sink names")
     val spark = parsed.sparkSession
-    val cached = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = parsed.persist(storageLevel)
     try {
       // materialize the parse up front so every sink (including the first)
       // reads cached blocks, and a sink failure can't leave a half-built
