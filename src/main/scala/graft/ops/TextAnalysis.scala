@@ -175,6 +175,53 @@ object TextAnalysis {
       .orderBy("doc_id", "tag")
   }
 
+  /** Fractional mention scoring — the reference's PubTator gene-score
+    * algorithm (perl/pubtator_count.pl, loaded by
+    * loaders/load-PubTatorScores.py): within each document, every tagged
+    * mention splits the document's unit of attention proportionally
+    * (score contribution = mentions_of_term / total_mentions_in_doc),
+    * and a term's corpus score is the sum of its per-document shares —
+    * so a term dominating few docs outranks one diluted across many.
+    * One explode + broadcast dict join + one (doc,term) aggregation; the
+    * per-doc total is a window over the SAME doc_id key (no second scan,
+    * no extra shuffle). Shares are fixed-shape doubles rounded to 12 dp
+    * then summed as DECIMAL(18,12) — order/partition-invariant (the
+    * q_hhi recipe). */
+  val qMentionScore: Q = Q(
+    "q_mention_score",
+    """WITH hits AS (
+      |  SELECT doc_id, term, tag
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  JOIN (VALUES ('join','operator'),('scan','operator'),('merge','operator'),
+      |    ('sort','operator'),('filter','operator'),('customer','entity'),
+      |    ('order','entity'),('part','entity'),('table','object'),('row','object'),
+      |    ('column','object'),('fast','qualifier'),('slow','qualifier'),
+      |    ('small','qualifier')) AS dict(term, tag)
+      |    ON t.token = dict.term),
+      |per_doc AS (SELECT doc_id, term, tag, COUNT(*) AS n FROM hits GROUP BY 1, 2, 3),
+      |share AS (SELECT term, tag,
+      |    round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY doc_id), 12) AS sh
+      |  FROM per_doc)
+      |SELECT term, tag, COUNT(*) AS n_docs,
+      |  round(CAST(SUM(CAST(sh AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
+      |FROM share GROUP BY term, tag ORDER BY term""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dict = dictionary.toDF("term", "tag")
+    val perDoc = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(dict), col("token") === col("term"))
+      .groupBy("doc_id", "term", "tag")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    perDoc
+      .withColumn("sh", round(dbl(col("n")) / sum(col("n")).over(w), 12))
+      .groupBy("term", "tag")
+      .agg(count(lit(1)).as("n_docs"),
+        round(dbl(sum(col("sh").cast(org.apache.spark.sql.types.DecimalType(18, 12)))), 6)
+          .as("score"))
+      .orderBy("term")
+  }
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qFingerprintWinnow, qDictTag)
+    qFingerprintWinnow, qDictTag, qMentionScore)
 }
