@@ -24,9 +24,17 @@ import org.apache.spark.sql.functions._
 object ZoneIndex {
 
   /** Range-cluster `df` on `sortCol` into `nFiles` files, then write the
-    * `_zone_index` sidecar covering `sortCol` plus `extraCols`. */
+    * `_zone_index` sidecar covering `sortCol` plus `extraCols`. Each
+    * (file, column) row also carries a `ndvK`-value KMV distinct sketch
+    * ([[graft.functions.KmvAgg]] — mergeable, deterministic), built in
+    * the SAME per-file aggregation pass as the min/max — no extra scan.
+    * Sketches compose under union, so NDV is answerable for any file
+    * subset (a key range, a partition, the whole table) from sidecar
+    * bytes alone — the ANALYZE-style column statistic, maintained at
+    * write time instead of by a separate stats job. */
   def writeWithZoneIndex(df: DataFrame, path: String, sortCol: String,
-                         nFiles: Int, extraCols: Seq[String] = Nil): Unit = {
+                         nFiles: Int, extraCols: Seq[String] = Nil,
+                         ndvK: Int = 1024): Unit = {
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
@@ -38,10 +46,35 @@ object ZoneIndex {
         .agg(min(col(c)).cast("double").as("zmin"),
           max(col(c)).cast("double").as("zmax"),
           count(lit(1)).as("cnt"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"))
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
+          graft.functions.KmvAgg.agg(
+            when(col(c).isNotNull, xxhash64(col(c))), ndvK).as("kmv"))
         .withColumn("col", lit(c))
     }.reduce(_ unionByName _)
     zones.coalesce(1).write.mode("overwrite").parquet(s"$path/_zone_index")
+  }
+
+  /** Distinct-count estimate for `colName` over the key range [lo, hi] of
+    * the CLUSTERED layout, answered from sidecar bytes alone: union the
+    * KMV sketches of the may-intersect files (planner-sized — #files
+    * sketches of ~8 KB), never read a data file. The files at the range
+    * boundary contribute their full sketch, so the estimate upper-bounds
+    * the range's true NDV by at most the two boundary files' spill — the
+    * same granularity every zone-map statistic has. Returns
+    * (ndvEstimate, filesConsidered). */
+  def estimateDistinctInRange(spark: SparkSession, path: String,
+                              colName: String, lo: Double, hi: Double): (Double, Int) = {
+    val rows = spark.read.parquet(s"$path/_zone_index")
+      .filter(col("col") === colName)
+      .filter(col("nulls") < col("cnt"))
+      .filter(col("zmax") >= lo && col("zmin") <= hi)
+      .select("kmv")
+      .collect().map(_.getAs[Array[Byte]](0))
+    if (rows.isEmpty) (0.0, 0)
+    else {
+      val merged = rows.reduce(graft.functions.KmvAgg.union)
+      (graft.functions.KmvAgg.estimateDistinct(merged), rows.length)
+    }
   }
 
   /** Files whose [zmin, zmax] zone for `colName` may intersect [lo, hi].

@@ -50,4 +50,39 @@ class ZoneIndexSpec extends SparkSpec {
     assert(all.count() == spark.read.parquet(s"$dir/o").count())
     assert(scannedAll.length == nFilesTotal)
   }
+
+  test("sidecar NDV: scan-free distinct estimates, exact under k, union-composable") {
+    // whole-table NDV of the clustered key: every key distinct, well under
+    // k=1024 per file, so per-file sketches are exact and the merged
+    // estimate of the full range tracks the true count closely
+    val exact = spark.read.parquet(s"$dir/o")
+      .select(countDistinct(col("o_orderkey"))).head().getLong(0)
+    val (estAll, filesAll) = ZoneIndex.estimateDistinctInRange(
+      spark, s"$dir/o", "o_orderkey", Double.MinValue, Double.MaxValue)
+    assert(filesAll == nFilesTotal)
+    assert(math.abs(estAll - exact) / exact < 0.15,
+      s"full-range NDV est $estAll vs exact $exact")
+    // a narrow key range reads a strict subset of sidecar rows and its
+    // estimate is bounded by (subrange exact) <= est <= (touched files' rows)
+    val (lo, hi) = (1000.0, 1400.0)
+    val subExact = spark.read.parquet(s"$dir/o")
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+      .select(countDistinct(col("o_orderkey"))).head().getLong(0)
+    val (estSub, filesSub) = ZoneIndex.estimateDistinctInRange(
+      spark, s"$dir/o", "o_orderkey", lo, hi)
+    assert(filesSub < filesAll, "no sidecar pruning for the subrange")
+    assert(estSub >= subExact * 0.85,
+      s"subrange NDV est $estSub below exact $subExact")
+    // deterministic: same sidecar, same answer
+    assert(ZoneIndex.estimateDistinctInRange(
+      spark, s"$dir/o", "o_orderkey", lo, hi) == ((estSub, filesSub)))
+    // secondary column NDV also answerable (few distinct prices repeat
+    // rarely; estimate must stay within 15% of exact)
+    val exactP = spark.read.parquet(s"$dir/o")
+      .select(countDistinct(col("o_totalprice"))).head().getLong(0)
+    val (estP, _) = ZoneIndex.estimateDistinctInRange(
+      spark, s"$dir/o", "o_totalprice", Double.MinValue, Double.MaxValue)
+    assert(math.abs(estP - exactP) / exactP < 0.15,
+      s"price NDV est $estP vs exact $exactP")
+  }
 }
