@@ -28,27 +28,68 @@ import org.apache.spark.sql.functions._
   * wall-clock-dependent. */
 object Serving {
 
-  def buildAll(spark: SparkSession, sfDir: String, outDir: String,
-               loadedAtUs: Long): Unit = {
-    val docs = T.documents(spark, sfDir)
-    val emb = T.embeddings(spark, sfDir)
-      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+  /** Build every serving artifact from in-plan corpus inputs (the
+    * sfDir-less core — callers hand any (docs, emb) snapshot, e.g. a
+    * remediated one). `card` is optional because the datasheet query is
+    * table-sourced; [[buildAll]] supplies it for the standard layout. */
+  def buildAllFrom(docs: org.apache.spark.sql.DataFrame,
+                   emb: org.apache.spark.sql.DataFrame,
+                   outDir: String, sourceTag: String, loadedAtUs: Long,
+                   card: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+    val spark = docs.sparkSession
     val prov = s"$outDir/provenance"
 
     AnnIndex.build(emb, s"$outDir/ann")
     ProvenanceOps.record(spark.read.parquet(s"$outDir/ann/index"),
-      concat_ws(",", col("id"), col("cell")), "ann_index", sfDir, loadedAtUs, prov)
+      concat_ws(",", col("id"), col("cell")), "ann_index", sourceTag, loadedAtUs, prov)
 
     InvertedIndex.write(docs.select("doc_id", "text"), s"$outDir/inverted")
     ProvenanceOps.record(spark.read.parquet(s"$outDir/inverted"),
-      col("term"), "inverted_index", sfDir, loadedAtUs, prov)
+      col("term"), "inverted_index", sourceTag, loadedAtUs, prov)
 
     T.writeSorted(docs, s"$outDir/docs_sorted", "doc_id", 8)
     ProvenanceOps.record(spark.read.parquet(s"$outDir/docs_sorted"),
-      col("text"), "docs_sorted", sfDir, loadedAtUs, prov)
+      col("text"), "docs_sorted", sourceTag, loadedAtUs, prov)
 
-    ProvenanceOps.writeWithProvenance(
-      graft.ops.CorpusQuality.qCorpusCard.fn(spark, sfDir), s"$outDir/card",
-      col("metric"), "corpus_card", sfDir, loadedAtUs, prov)
+    card.foreach { c =>
+      ProvenanceOps.writeWithProvenance(c, s"$outDir/card",
+        col("metric"), "corpus_card", sourceTag, loadedAtUs, prov)
+    }
+  }
+
+  def buildAll(spark: SparkSession, sfDir: String, outDir: String,
+               loadedAtUs: Long): Unit =
+    buildAllFrom(
+      T.documents(spark, sfDir),
+      T.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v")),
+      outDir, sfDir, loadedAtUs,
+      card = Some(graft.ops.CorpusQuality.qCorpusCard.fn(spark, sfDir)))
+
+  /** Remediate-then-republish — the reference's full release-repair flow
+    * (SQL/update_geneids7.sql curated key patches, then the build-notes
+    * QC and app re-serve) in one call: apply the (old_id → new_id) patch
+    * to BOTH sides of the doc/embedding referential pair (one-sided
+    * patching is exactly the drift q_id_remediate audits), verify zero
+    * orphans, then rebuild every serving artifact from the patched
+    * snapshot with ledger rows. Returns the FK audit; a caller must NOT
+    * promote `outDir` unless orphans_after == 0. */
+  def publishRemediated(docs: org.apache.spark.sql.DataFrame,
+                        emb: org.apache.spark.sql.DataFrame,
+                        patch: org.apache.spark.sql.DataFrame,
+                        outDir: String, sourceTag: String,
+                        loadedAtUs: Long): Map[String, Long] = {
+    import graft.operators.LoaderOps
+    val docsP = LoaderOps.patchKeys(docs, "doc_id", patch).localCheckpoint(true)
+    val embP = LoaderOps.patchKeys(emb, "id", patch).localCheckpoint(true)
+    val dimK = broadcast(docsP.select(col("doc_id").as("__dk")))
+    val orphans = embP.join(dimK, col("id") === col("__dk"), "left")
+      .agg(sum(when(col("__dk").isNull, 1L).otherwise(0L))).head().getLong(0)
+    buildAllFrom(docsP, embP, outDir, sourceTag, loadedAtUs)
+    Map(
+      "patch_size" -> patch.count(),
+      "patched_docs" ->
+        docs.join(broadcast(patch), docs("doc_id") === col("old_id"), "left_semi").count(),
+      "orphans_after" -> orphans)
   }
 }

@@ -37,4 +37,43 @@ class ServingSpec extends SparkSpec {
     assert(ledger("ann_index") ==
       graft.sources.Tables.embeddings(spark, TinyDir).count())
   }
+
+  test("publishRemediated: patched snapshot republished, lookups serve NEW ids, audit clean") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("serving_rem").toString
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+    val emb = graft.sources.Tables.embeddings(spark, TinyDir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    // migrate every doc_id ≡ 0 (mod 7) to id+100000 — both sides patched
+    val patch = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("old_id"), (col("doc_id") + 100000L).as("new_id"))
+    val audit = Serving.publishRemediated(docs, emb, patch, out,
+      sourceTag = "r7_patch", loadedAtUs = 9L)
+    assert(audit("patch_size") >= 1L)
+    assert(audit("patched_docs") == audit("patch_size")) // doc_id unique
+    assert(audit("orphans_after") == 0L, audit.toString)
+    // the sorted export carries the NEW ids (old ones gone)
+    val sorted = spark.read.parquet(s"$out/docs_sorted")
+    assert(sorted.filter(col("doc_id") % 7 === 0 && col("doc_id") < 100000L).count() == 0)
+    assert(sorted.filter(col("doc_id") >= 100000L).count() == audit("patch_size"))
+    assert(sorted.count() == docs.count())
+    // the inverted index serves content under the patched ids: a term from
+    // a migrated doc must resolve to its NEW id
+    val migrated = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text").head()
+    val term = migrated.getString(1).split(" ").filter(_.nonEmpty).head
+    val ids = InvertedIndex.lookupAll(spark, s"$out/inverted", Seq(term))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.contains(migrated.getLong(0) + 100000L),
+      s"term '$term' of migrated doc not served under its new id")
+    // ANN index rebuilt over the patched embedding ids
+    val annIds = spark.read.parquet(s"$out/ann/index").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(annIds.exists(_ >= 100000L))
+    assert(audit("patch_size") == annIds.count(_ >= 100000L))
+    // ledger rows for all three artifacts at the caller's batch time
+    val ledger = graft.operators.ProvenanceOps.ledger(spark, s"$out/provenance").collect()
+    assert(ledger.map(_.getString(0)).toSet ==
+      Set("ann_index", "inverted_index", "docs_sorted"))
+    assert(ledger.forall(_.getAs[Long]("loaded_at_us") == 9L))
+  }
 }
