@@ -32,15 +32,10 @@ object ZoneIndex {
     * subset (a key range, a partition, the whole table) from sidecar
     * bytes alone — the ANALYZE-style column statistic, maintained at
     * write time instead of by a separate stats job. */
-  def writeWithZoneIndex(df: DataFrame, path: String, sortCol: String,
-                         nFiles: Int, extraCols: Seq[String] = Nil,
-                         ndvK: Int = 1024): Unit = {
-    df.repartitionByRange(nFiles, col(sortCol))
-      .sortWithinPartitions(sortCol)
-      .write.mode("overwrite").parquet(path)
-    val spark = df.sparkSession
-    val data = spark.read.parquet(path)
-    val zones = (sortCol +: extraCols).map { c =>
+  /** One per-file stats pass over `data` for `cols`: min/max/count/nulls
+    * + the KMV distinct sketch, one sidecar row per (file, column). */
+  private def zoneRows(data: DataFrame, cols: Seq[String], ndvK: Int): DataFrame =
+    cols.map { c =>
       data.select(input_file_name().as("file"), col(c))
         .groupBy("file")
         .agg(min(col(c)).cast("double").as("zmin"),
@@ -51,7 +46,47 @@ object ZoneIndex {
             when(col(c).isNotNull, xxhash64(col(c))), ndvK).as("kmv"))
         .withColumn("col", lit(c))
     }.reduce(_ unionByName _)
-    zones.coalesce(1).write.mode("overwrite").parquet(s"$path/_zone_index")
+
+  def writeWithZoneIndex(df: DataFrame, path: String, sortCol: String,
+                         nFiles: Int, extraCols: Seq[String] = Nil,
+                         ndvK: Int = 1024): Unit = {
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    zoneRows(spark.read.parquet(path), sortCol +: extraCols, ndvK)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zone_index")
+  }
+
+  /** Incremental sidecar maintenance under append ingest (the InvertedIndex
+    * delta story applied to statistics): stat ONLY the data files the
+    * sidecar doesn't know yet — an O(delta) scan, never a table rescan —
+    * and append their zone rows. Covered columns and the sketch size are
+    * read from the existing sidecar, so refresh needs no schema arguments
+    * and cannot drift from the original coverage. Existing rows are
+    * untouched (min/max/count/sketch of an immutable file never change);
+    * a second refresh with nothing new appends nothing. Returns the
+    * number of newly statted files. */
+  def refreshIncremental(spark: SparkSession, path: String): Int = {
+    val sidePath = s"$path/_zone_index"
+    val side = spark.read.parquet(sidePath)
+    val cols = side.select("col").distinct().collect().map(_.getString(0)).sorted
+    val ndvK = graft.functions.KmvAgg.fromBytes(
+      side.select("kmv").head().getAs[Array[Byte]](0))._1
+    val known = side.select("file").distinct().collect().map(_.getString(0))
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .filter(st => !known.contains(st.getPath.getName))
+      .map(_.getPath.toString)
+    if (fresh.isEmpty) 0
+    else {
+      zoneRows(spark.read.parquet(fresh.toIndexedSeq: _*), cols.toIndexedSeq, ndvK)
+        .coalesce(1).write.mode("append").parquet(sidePath)
+      fresh.length
+    }
   }
 
   /** Distinct-count estimate for `colName` over the key range [lo, hi] of

@@ -85,4 +85,38 @@ class ZoneIndexSpec extends SparkSpec {
     assert(math.abs(estP - exactP) / exactP < 0.15,
       s"price NDV est $estP vs exact $exactP")
   }
+
+  test("refreshIncremental: appended files statted O(delta), lookups and NDV stay exact") {
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft_zone_incr").toFile.getAbsolutePath
+    val o = T.orders(spark, TinyDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val half = o.filter(col("o_orderkey") % 2 === 0)
+    ZoneIndex.writeWithZoneIndex(half, s"$d/o", "o_orderkey",
+      nFiles = 4, extraCols = Seq("o_totalprice"))
+    val sideBefore = spark.read.parquet(s"$d/o/_zone_index")
+      .collect().map(r => (r.getAs[String]("file"), r.getAs[String]("col")) -> r.getAs[Double]("zmax")).toMap
+    // new data lands as plain appended part files (a streaming batch)
+    o.filter(col("o_orderkey") % 2 === 1).coalesce(2)
+      .write.mode("append").parquet(s"$d/o")
+    val statted = ZoneIndex.refreshIncremental(spark, s"$d/o")
+    assert(statted >= 1, "no new files detected")
+    // original sidecar rows untouched
+    val sideAfter = spark.read.parquet(s"$d/o/_zone_index")
+      .collect().map(r => (r.getAs[String]("file"), r.getAs[String]("col")) -> r.getAs[Double]("zmax")).toMap
+    sideBefore.foreach { case (k, v) => assert(sideAfter(k) == v, s"row $k changed") }
+    assert(sideAfter.size == sideBefore.size + statted * 2) // 2 covered cols
+    // lookups over the refreshed sidecar see ALL rows (old + appended)
+    val (hits, _) = ZoneIndex.rangeLookup(spark, s"$d/o", "o_orderkey",
+      Double.MinValue, Double.MaxValue)
+    assert(hits.count() == o.count(), "refreshed lookup lost rows")
+    // NDV over the full range now covers appended keys (all keys distinct,
+    // under k → sketches exact)
+    val (est, _) = ZoneIndex.estimateDistinctInRange(
+      spark, s"$d/o", "o_orderkey", Double.MinValue, Double.MaxValue)
+    val exact = o.select(countDistinct(col("o_orderkey"))).head().getLong(0)
+    assert(math.abs(est - exact) / exact < 0.15, s"NDV $est vs $exact")
+    // idempotent: nothing new → nothing statted, sidecar unchanged
+    assert(ZoneIndex.refreshIncremental(spark, s"$d/o") == 0)
+    assert(spark.read.parquet(s"$d/o/_zone_index").count() == sideAfter.size)
+  }
 }
