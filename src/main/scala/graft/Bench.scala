@@ -52,10 +52,18 @@ object Bench {
     // times at 3-decimal precision and, if the line still exceeds the
     // budget, drop the FASTEST queries from the map (keeping a count of
     // omissions) so the headline + slow tail always parse.
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // headline total covers PASSING queries only — time a failed query
+    // burned before throwing must not be attributed to the passing set
+    // (it would distort the round-over-round per-query mean the
+    // attempted/ran triple exists to make unambiguous). Failed elapsed is
+    // reported separately alongside the failed names.
+    val total = results.collect { case (_, secs, true) => secs }.sum
+    val failedSecs = results.collect { case (_, secs, false) => secs }.sum
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val failedPart =
-      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.mkString("[", ",", "]")},"failed_secs":${
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(failedSecs))}"""
     // Locale-pinned formatting: the f"" interpolator honors the JVM default
     // locale, and a comma-decimal locale would emit invalid JSON.
     def d3(v: Double): String =

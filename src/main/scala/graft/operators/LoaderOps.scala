@@ -217,11 +217,26 @@ object LoaderOps {
     * sym = ...` between releases). `df` must not already carry columns
     * named old_id/new_id. The patch is curation-sized → broadcast; the
     * fact side streams map-side, no shuffle. */
-  def patchKeys(df: DataFrame, keyCol: String, patch: DataFrame): DataFrame =
+  def patchKeys(df: DataFrame, keyCol: String, patch: DataFrame): DataFrame = {
+    // a malformed patch is a curation error this op exists to catch, not
+    // propagate: a duplicate old_id would FAN OUT the fact (the SQL UPDATE
+    // this replaces can never duplicate rows), and a null new_id would
+    // silently revert to the old key via the coalesce. Validate up front —
+    // the patch is curation-sized, so this is a tiny driver-side check.
+    val bad = patch.select("old_id", "new_id")
+      .groupBy("old_id")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("new_id").isNull, 1L).otherwise(0L)).as("nulls"))
+      .filter(col("c") > 1 || col("nulls") > 0)
+      .limit(5).collect()
+    require(bad.isEmpty,
+      s"patchKeys: malformed patch (duplicate old_id or null new_id): " +
+        bad.map(_.get(0)).mkString(", "))
     df.join(broadcast(patch.select("old_id", "new_id")),
         df(keyCol) === col("old_id"), "left")
       .withColumn(keyCol, coalesce(col("new_id"), df(keyCol)))
       .drop("old_id", "new_id")
+  }
 
   /** Composed stable-ID remediation — apply the patch, persist the
     * repaired snapshot, record provenance, and re-verify FK integrity in

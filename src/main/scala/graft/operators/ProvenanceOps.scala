@@ -145,33 +145,41 @@ object ProvenanceOps {
     * and fingerprint comparison between two releases, INCLUDING the
     * content-only-change class (fingerprint moved, row count identical —
     * the case row counts alone cannot detect, and the reason the ledger
-    * stores content_fp at all). Releases are carved deterministically per
-    * source from `documents` so every diff class appears: sources up to
-    * 'src4' (lex) lose their doc_id%13=5 rows (row-count change — 13 is
-    * coprime to the testdata's source=doc_id%20 striping), 'src8'+
-    * get a text tweak on doc_id%13=0 rows (content-only change), the rest
-    * are identical between releases. Mirrors q_delta_detect's snapshot
-    * carve one level up: that op diffs ROWS, this op diffs LEDGER
-    * ENTRIES — the O(#datasets) screen a warehouse runs FIRST to decide
-    * which datasets need the row-level diff at all. */
+    * stores content_fp at all) and the added/removed classes (a dataset
+    * present in only one release — the most drastic change a release
+    * screen exists to surface, so the join is FULL OUTER, never inner).
+    * Releases are carved deterministically per source from `documents`
+    * so every diff class appears: 'src16' is absent from the old release
+    * (added), 'src5' from the new (removed), sources up to 'src4' (lex)
+    * lose their doc_id%13=5 rows (row-count change — 13 is coprime to
+    * the testdata's source=doc_id%20 striping), 'src8'+ get a text tweak
+    * on doc_id%13=0 rows (content-only change), the rest are identical.
+    * Mirrors q_delta_detect's snapshot carve one level up: that op diffs
+    * ROWS, this op diffs LEDGER ENTRIES — the O(#datasets) screen a
+    * warehouse runs FIRST to decide which datasets need the row-level
+    * diff at all. */
   val qReleaseDiff: Q = Q(
     "q_release_diff",
     """WITH old AS (
       |  SELECT source, COUNT(*) AS n_rows,
       |    CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT) % 4611686018427387904 AS BIGINT) AS fp
-      |  FROM documents WHERE doc_id % 10 <> 3 GROUP BY source),
+      |  FROM documents WHERE doc_id % 10 <> 3 AND source <> 'src16' GROUP BY source),
       |nw AS (
       |  SELECT source, COUNT(*) AS n_rows,
       |    CAST(SUM(('0x' || substr(md5(CASE WHEN doc_id % 13 = 0 AND source >= 'src8' THEN text || '!' ELSE text END), 1, 15))::BIGINT)
       |      % 4611686018427387904 AS BIGINT) AS fp
       |  FROM documents
-      |  WHERE doc_id % 10 <> 3 AND NOT (doc_id % 13 = 5 AND source <= 'src4')
+      |  WHERE doc_id % 10 <> 3 AND source <> 'src5'
+      |    AND NOT (doc_id % 13 = 5 AND source <= 'src4')
       |  GROUP BY source)
-      |SELECT old.source AS dataset,
-      |  nw.n_rows - old.n_rows AS rows_delta,
-      |  old.fp <> nw.fp AS content_changed,
-      |  old.fp <> nw.fp AND old.n_rows = nw.n_rows AS content_only_change
-      |FROM old JOIN nw USING (source)
+      |SELECT COALESCE(old.source, nw.source) AS dataset,
+      |  COALESCE(nw.n_rows, 0) - COALESCE(old.n_rows, 0) AS rows_delta,
+      |  old.fp IS DISTINCT FROM nw.fp AS content_changed,
+      |  COALESCE(old.n_rows = nw.n_rows, FALSE) AND (old.fp IS DISTINCT FROM nw.fp) AS content_only_change,
+      |  CASE WHEN old.n_rows IS NULL THEN 'added'
+      |       WHEN nw.n_rows IS NULL THEN 'removed'
+      |       ELSE 'common' END AS status
+      |FROM old FULL JOIN nw ON old.source = nw.source
       |ORDER BY dataset""".stripMargin) { (s, d) =>
     val docs = T.documents(s, d)
     def release(pred: Column, content: Column): DataFrame =
@@ -179,20 +187,26 @@ object ProvenanceOps {
         .agg(count(lit(1)).as("n_rows"),
           (sum(rowFingerprint(content).cast(DecimalType(38, 0))) % FpMod)
             .cast("long").as("fp"))
-    val old = release(col("doc_id") % 10 =!= 3, col("text"))
-      .select(col("source"), col("n_rows").as("old_n"), col("fp").as("old_fp"))
+    val old = release(col("doc_id") % 10 =!= 3 && col("source") =!= "src16",
+        col("text"))
+      .select(col("source").as("src_o"), col("n_rows").as("old_n"),
+        col("fp").as("old_fp"))
     val nw = release(
-        col("doc_id") % 10 =!= 3 &&
+        col("doc_id") % 10 =!= 3 && col("source") =!= "src5" &&
           !(col("doc_id") % 13 === 5 && col("source") <= "src4"),
         when(col("doc_id") % 13 === 0 && col("source") >= "src8",
           concat(col("text"), lit("!"))).otherwise(col("text")))
-      .select(col("source"), col("n_rows").as("new_n"), col("fp").as("new_fp"))
-    old.join(nw, "source")
-      .select(col("source").as("dataset"),
-        (col("new_n") - col("old_n")).as("rows_delta"),
-        (col("old_fp") =!= col("new_fp")).as("content_changed"),
-        (col("old_fp") =!= col("new_fp") && col("old_n") === col("new_n"))
-          .as("content_only_change"))
+      .select(col("source").as("src_n"), col("n_rows").as("new_n"),
+        col("fp").as("new_fp"))
+    old.join(nw, col("src_o") === col("src_n"), "full_outer")
+      .select(coalesce(col("src_o"), col("src_n")).as("dataset"),
+        (coalesce(col("new_n"), lit(0L)) - coalesce(col("old_n"), lit(0L)))
+          .as("rows_delta"),
+        (!(col("old_fp") <=> col("new_fp"))).as("content_changed"),
+        (coalesce(col("old_n") === col("new_n"), lit(false)) &&
+          !(col("old_fp") <=> col("new_fp"))).as("content_only_change"),
+        when(col("old_n").isNull, "added").when(col("new_n").isNull, "removed")
+          .otherwise("common").as("status"))
       .orderBy("dataset")
   }
 

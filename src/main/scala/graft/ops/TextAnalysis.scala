@@ -182,9 +182,12 @@ object TextAnalysis {
     * (score contribution = mentions_of_term / total_mentions_in_doc),
     * and a term's corpus score is the sum of its per-document shares —
     * so a term dominating few docs outranks one diluted across many.
-    * One explode + broadcast dict join + one (doc,term) aggregation; the
-    * per-doc total is a window over the SAME doc_id key (no second scan,
-    * no extra shuffle). Shares are fixed-shape doubles rounded to 12 dp
+    * One explode + broadcast dict join + one (doc,term,tag) aggregation;
+    * the per-doc total is a window over the aggregated table (no second
+    * corpus scan — the window's doc_id exchange moves only the
+    * map-side-combined per-doc rows, ≤ dict-size per doc, which at any
+    * corpus scale is far smaller than re-shuffling raw token hits would
+    * be). Shares are fixed-shape doubles rounded to 12 dp
     * then summed as DECIMAL(18,12) — order/partition-invariant (the
     * q_hhi recipe). */
   val qMentionScore: Q = Q(

@@ -73,20 +73,30 @@ object FanOut {
       // reads cached blocks, and a sink failure can't leave a half-built
       // cache racing another sink's scan
       cached.count()
-      sinks.map { sk =>
+      val counts = sinks.map { sk =>
         val proj = sk.project(cached)
         proj.write.mode("overwrite").parquet(sk.path)
         // read back what was persisted (same contract as
         // ProvenanceOps.writeWithProvenance: the ledger describes the bytes
         // on disk, not the incoming plan)
-        val persisted = spark.read.parquet(sk.path)
-        val n = persisted.count()
-        provDir.foreach { pd =>
-          ProvenanceOps.record(persisted, contentAllColumns(persisted),
-            sk.name, source, loadedAtUs, pd)
-        }
-        sk.name -> n
+        sk.name -> spark.read.parquet(sk.path).count()
       }.toMap
+      // append ALL ledger rows only after every sink committed: a failure
+      // at sink k followed by a rerun would otherwise leave duplicate
+      // rows for sinks 1..k-1 (the data writes are overwrite-idempotent;
+      // a bare append is not). One union'd single append narrows the
+      // non-atomic window to the final ledger write itself; consumers can
+      // additionally dedupe on (dataset, loaded_at_us).
+      provDir.foreach { pd =>
+        sinks.map { sk =>
+          val persisted = spark.read.parquet(sk.path)
+          ProvenanceOps.datasetFingerprint(persisted, contentAllColumns(persisted))
+            .select(lit(sk.name).as("dataset"), lit(source).as("source"),
+              lit(loadedAtUs).as("loaded_at_us"), col("n_rows"), col("content_fp"))
+        }.reduce(_ unionByName _)
+          .write.mode("append").parquet(pd)
+      }
+      counts
     } finally {
       cached.unpersist()
       ()

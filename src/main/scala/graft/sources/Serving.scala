@@ -82,9 +82,14 @@ object Serving {
     import graft.operators.LoaderOps
     val docsP = LoaderOps.patchKeys(docs, "doc_id", patch).localCheckpoint(true)
     val embP = LoaderOps.patchKeys(emb, "id", patch).localCheckpoint(true)
-    val dimK = broadcast(docsP.select(col("doc_id").as("__dk")))
-    val orphans = embP.join(dimK, col("id") === col("__dk"), "left")
-      .agg(sum(when(col("__dk").isNull, 1L).otherwise(0L))).head().getLong(0)
+    // orphan audit via anti join, NOT a broadcast of doc ids: unlike the
+    // dimension-sized audit in remediateTracked, the "dimension" here IS
+    // the corpus — broadcasting its key set would collect every doc_id to
+    // the driver. The anti join shuffles on the key and scales with the
+    // corpus like every other join in this file.
+    val orphans = embP
+      .join(docsP.select(col("doc_id")), col("id") === col("doc_id"), "left_anti")
+      .count()
     buildAllFrom(docsP, embP, outDir, sourceTag, loadedAtUs)
     Map(
       "patch_size" -> patch.count(),

@@ -36,14 +36,21 @@ object ZoneIndex {
     * + the KMV distinct sketch, one sidecar row per (file, column). */
   private def zoneRows(data: DataFrame, cols: Seq[String], ndvK: Int): DataFrame =
     cols.map { c =>
+      // try_cast, not cast: a non-numeric covered column (e.g. a string
+      // tag) gets NULL zmin/zmax — range pruning is then impossible for
+      // it, but its count/null/NDV-sketch stats stay fully valid (ANSI
+      // cast would instead fail the whole stats job on the first value)
       data.select(input_file_name().as("file"), col(c))
         .groupBy("file")
-        .agg(min(col(c)).cast("double").as("zmin"),
-          max(col(c)).cast("double").as("zmax"),
+        .agg(min(col(c)).as("zmin_raw"),
+          max(col(c)).as("zmax_raw"),
           count(lit(1)).as("cnt"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
           graft.functions.KmvAgg.agg(
             when(col(c).isNotNull, xxhash64(col(c))), ndvK).as("kmv"))
+        .withColumn("zmin", expr("try_cast(zmin_raw AS double)"))
+        .withColumn("zmax", expr("try_cast(zmax_raw AS double)"))
+        .drop("zmin_raw", "zmax_raw")
         .withColumn("col", lit(c))
     }.reduce(_ unionByName _)
 
@@ -99,10 +106,15 @@ object ZoneIndex {
     * (ndvEstimate, filesConsidered). */
   def estimateDistinctInRange(spark: SparkSession, path: String,
                               colName: String, lo: Double, hi: Double): (Double, Int) = {
+    // a non-numeric column (e.g. a string) has NULL zmin/zmax (the
+    // double cast) but a perfectly valid KMV sketch — its zone rows must
+    // CONTRIBUTE, not vanish through a three-valued range comparison:
+    // range-prune only zones that provably cannot intersect [lo, hi]
     val rows = spark.read.parquet(s"$path/_zone_index")
       .filter(col("col") === colName)
       .filter(col("nulls") < col("cnt"))
-      .filter(col("zmax") >= lo && col("zmin") <= hi)
+      .filter((col("zmax").isNull || col("zmax") >= lo) &&
+        (col("zmin").isNull || col("zmin") <= hi))
       .select("kmv")
       .collect().map(_.getAs[Array[Byte]](0))
     if (rows.isEmpty) (0.0, 0)

@@ -112,6 +112,12 @@ object StreamingOps {
                   sinks: Seq[graft.sources.FanOut.Sink],
                   provDir: Option[String]): Unit = {
     import graft.sources.FanOut
+    require(sinks.nonEmpty, "fanOutBatch: no sinks")
+    // duplicate names would make two sinks' ledger rows target the same
+    // dataset=<name>/batch_id=<id> overwrite dir — the second would
+    // silently replace the first every batch
+    require(sinks.map(_.name).distinct.size == sinks.size,
+      "fanOutBatch: duplicate sink names")
     val spark = batch.sparkSession
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

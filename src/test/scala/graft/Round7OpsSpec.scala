@@ -15,6 +15,36 @@ class Round7OpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (200L, "b"), (3L, "c")))
   }
 
+  test("patchKeys rejects malformed patches (duplicate old_id, null new_id)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dup = Seq((2L, 200L), (2L, 201L)).toDF("old_id", "new_id")
+    val ex1 = intercept[IllegalArgumentException] {
+      LoaderOps.patchKeys(df, "k", dup).collect()
+    }
+    assert(ex1.getMessage.contains("malformed patch"))
+    val withNull = Seq((2L, Some(200L)), (1L, None))
+      .toDF("old_id", "new_id")
+    val ex2 = intercept[IllegalArgumentException] {
+      LoaderOps.patchKeys(df, "k", withNull).collect()
+    }
+    assert(ex2.getMessage.contains("malformed patch"))
+  }
+
+  test("q_release_diff surfaces every change class, including added/removed datasets") {
+    val rows = operators.ProvenanceOps.qReleaseDiff.fn(spark, SmallDir).collect()
+      .map(r => r.getAs[String]("dataset") ->
+        (r.getAs[Long]("rows_delta"), r.getAs[Boolean]("content_changed"),
+          r.getAs[Boolean]("content_only_change"), r.getAs[String]("status")))
+      .toMap
+    assert(rows("src16")._4 == "added" && rows("src16")._1 > 0)
+    assert(rows("src5")._4 == "removed" && rows("src5")._1 < 0)
+    assert(rows("src8")._4 == "common" && rows("src8")._3, "content-only class missing")
+    assert(rows("src6")._4 == "common" && !rows("src6")._2, "unchanged class missing")
+    assert(rows.exists { case (_, (d, c, co, st)) => st == "common" && d < 0 && c && !co },
+      "row-count-change class missing")
+  }
+
   test("q_id_remediate: the patch closes every drift orphan") {
     val m = operators.LoaderOps.qIdRemediate.fn(spark, SmallDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -86,6 +86,21 @@ class ZoneIndexSpec extends SparkSpec {
       s"price NDV est $estP vs exact $exactP")
   }
 
+  test("NDV works for a STRING column: null zones contribute their sketches") {
+    val d = java.nio.file.Files.createTempDirectory("graft_zone_str").toFile.getAbsolutePath
+    val c = T.customer(spark, TinyDir).select("c_custkey", "c_mktsegment")
+    ZoneIndex.writeWithZoneIndex(c, s"$d/c", "c_custkey",
+      nFiles = 4, extraCols = Seq("c_mktsegment"))
+    // a string column casts to NULL zmin/zmax — its zone rows must still
+    // contribute their KMV sketches instead of vanishing through a
+    // three-valued range comparison
+    val (est, files) = ZoneIndex.estimateDistinctInRange(
+      spark, s"$d/c", "c_mktsegment", Double.MinValue, Double.MaxValue)
+    val exact = c.select(countDistinct(col("c_mktsegment"))).head().getLong(0)
+    assert(files > 0, "string-column zone rows were dropped")
+    assert(est == exact.toDouble, s"segment NDV $est vs exact $exact (under k => exact)")
+  }
+
   test("refreshIncremental: appended files statted O(delta), lookups and NDV stay exact") {
     import org.apache.spark.sql.functions._
     val d = java.nio.file.Files.createTempDirectory("graft_zone_incr").toFile.getAbsolutePath
