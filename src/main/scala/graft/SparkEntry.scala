@@ -36,6 +36,7 @@ object SparkEntry {
       ops.Similarity.all ++
       ops.Sketches.all ++
       ops.Multimodal.all ++
+      sources.SidecarStats.all ++
       plans.TopKQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

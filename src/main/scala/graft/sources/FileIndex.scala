@@ -30,17 +30,58 @@ object FileIndex {
   /** Write `df` clustered by `keyCol`, then build the per-file bloom
     * sidecar at `path/_bloom_index`. `expectedPerFile` sizes the filters
     * (items per file, not total). */
+  /** One bloom row per file of `data`: (file, bloom, key, expected, fpp).
+    * The key column and filter parameters ride along in the sidecar so
+    * incremental refresh needs no arguments and cannot drift from the
+    * original index configuration. */
+  private def bloomRows(data: DataFrame, keyCol: String,
+                        expectedPerFile: Long, fpp: Double): DataFrame =
+    data.select(input_file_name().as("file"), col(keyCol).as("k"))
+      .groupBy("file")
+      .agg(BloomAgg.agg(col("k"), expectedPerFile, fpp).as("bloom"))
+      .withColumn("key", lit(keyCol))
+      .withColumn("expected", lit(expectedPerFile))
+      .withColumn("fpp", lit(fpp))
+
   def writeWithBloomIndex(df: DataFrame, path: String, keyCol: String,
                           nFiles: Int, expectedPerFile: Long = 100000L,
                           fpp: Double = 0.01): Unit = {
     df.repartition(nFiles, col(keyCol)).write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
-    spark.read.parquet(path)
-      .select(input_file_name().as("file"), col(keyCol).as("k"))
-      .groupBy("file")
-      .agg(BloomAgg.agg(col("k"), expectedPerFile, fpp).as("bloom"))
+    bloomRows(spark.read.parquet(path), keyCol, expectedPerFile, fpp)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_bloom_index")
+  }
+
+  /** Incremental sidecar maintenance under append ingest — the
+    * [[ZoneIndex.refreshIncremental]] story for the bloom index: build
+    * filters ONLY for the data files the sidecar doesn't know yet (an
+    * O(delta) scan, never a table rescan) and append their rows. Key
+    * column and filter sizing are read from the existing sidecar; an
+    * immutable file's filter never changes, so existing rows stand and
+    * a refresh with nothing new appends nothing. Returns the number of
+    * newly indexed files. */
+  def refreshIncremental(spark: SparkSession, path: String): Int = {
+    val sidePath = s"$path/_bloom_index"
+    val side = spark.read.parquet(sidePath)
+    val head = side.select("key", "expected", "fpp").head()
+    val (keyCol, expected, fpp) =
+      (head.getString(0), head.getLong(1), head.getDouble(2))
+    val known = side.select("file").collect().map(_.getString(0))
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .filter(st => !known.contains(st.getPath.getName))
+      .map(_.getPath.toString)
+    if (fresh.isEmpty) 0
+    else {
+      bloomRows(spark.read.parquet(fresh.toIndexedSeq: _*), keyCol, expected, fpp)
+        .coalesce(1)
+        .write.mode("append").parquet(sidePath)
+      fresh.length
+    }
   }
 
   /** Point lookup via the sidecar: scan only files whose bloom might
