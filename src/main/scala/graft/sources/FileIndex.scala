@@ -59,8 +59,10 @@ object FileIndex {
     * O(delta) scan, never a table rescan) and append their rows. Key
     * column and filter sizing are read from the existing sidecar; an
     * immutable file's filter never changes, so existing rows stand and
-    * a refresh with nothing new appends nothing. Returns the number of
-    * newly indexed files. */
+    * a refresh with nothing new appends nothing. Data files may sit flat
+    * or in `batch_id=<n>` subdirs ([[SidecarLayout]]); rows of VANISHED
+    * files (replayed micro-batch, compaction) are pruned in the same
+    * pass. Returns the number of newly indexed files. */
   def refreshIncremental(spark: SparkSession, path: String): Int = {
     val sidePath = s"$path/_bloom_index"
     val side = spark.read.parquet(sidePath)
@@ -69,17 +71,24 @@ object FileIndex {
       (head.getString(0), head.getLong(1), head.getDouble(2))
     val known = side.select("file").collect().map(_.getString(0))
       .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .filter(st => !known.contains(st.getPath.getName))
+    val disk = SidecarLayout.dataFiles(spark, path)
+    val diskNames = disk.map(_.getPath.getName).toSet
+    val fresh = disk.filter(st => !known.contains(st.getPath.getName))
       .map(_.getPath.toString)
-    if (fresh.isEmpty) 0
+    val stale = known -- diskNames
+    if (fresh.isEmpty && stale.isEmpty) 0
     else {
-      bloomRows(spark.read.parquet(fresh.toIndexedSeq: _*), keyCol, expected, fpp)
-        .coalesce(1)
-        .write.mode("append").parquet(sidePath)
+      val freshRows = Option.when(fresh.nonEmpty)(
+        bloomRows(spark.read.parquet(fresh: _*), keyCol, expected, fpp))
+      if (stale.isEmpty)
+        freshRows.get.coalesce(1).write.mode("append").parquet(sidePath)
+      else {
+        val kept = side.filter(
+          element_at(split(col("file"), "/"), -1).isInCollection(diskNames))
+        freshRows.fold(kept)(kept.unionByName(_))
+          .localCheckpoint(true)
+          .coalesce(1).write.mode("overwrite").parquet(sidePath)
+      }
       fresh.length
     }
   }
@@ -97,8 +106,8 @@ object FileIndex {
       }
       .map(_.getAs[String]("file")).toSeq
     val df =
-      if (candidates.isEmpty)
-        spark.read.parquet(path).filter(lit(false)) // schema-stable empty
+      if (candidates.isEmpty) // schema-stable empty, discovery-free
+        SidecarLayout.readData(spark, path).filter(lit(false))
       else
         spark.read.parquet(candidates: _*).filter(col(keyCol) === value)
     (df, candidates)

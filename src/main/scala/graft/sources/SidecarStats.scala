@@ -65,14 +65,8 @@ object SidecarStats {
   /** Total bytes of the data files under `path` (sidecar and other
     * underscore-prefixed entries excluded) — the `sizeInBytes` the
     * planner would otherwise derive itself from the file listing. */
-  def dataBytes(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getLen).sum
-  }
+  def dataBytes(spark: SparkSession, path: String): Long =
+    SidecarLayout.dataFiles(spark, path).map(_.getLen).sum
 
   /** Register the parquet directory at `path` as external table `table`
     * and attach sidecar-folded statistics to the catalog — the scan-free

@@ -70,10 +70,14 @@ object ZoneIndex {
     * sidecar doesn't know yet — an O(delta) scan, never a table rescan —
     * and append their zone rows. Covered columns and the sketch size are
     * read from the existing sidecar, so refresh needs no schema arguments
-    * and cannot drift from the original coverage. Existing rows are
-    * untouched (min/max/count/sketch of an immutable file never change);
-    * a second refresh with nothing new appends nothing. Returns the
-    * number of newly statted files. */
+    * and cannot drift from the original coverage. An immutable file's
+    * stats never change, so existing rows stand and a no-delta refresh is
+    * a no-op. Data files may sit flat OR in `batch_id=<n>` subdirs (the
+    * streaming-append convention — [[SidecarLayout]]); when a known file
+    * has VANISHED (a replayed micro-batch overwrote its batch dir, or a
+    * compaction rewrote the layout), its rows are pruned in the same
+    * pass — the sidecar never points at dead files, and lookups stay
+    * exact across replays. Returns the number of newly statted files. */
   def refreshIncremental(spark: SparkSession, path: String): Int = {
     val sidePath = s"$path/_zone_index"
     val side = spark.read.parquet(sidePath)
@@ -82,16 +86,27 @@ object ZoneIndex {
       side.select("kmv").head().getAs[Array[Byte]](0))._1
     val known = side.select("file").distinct().collect().map(_.getString(0))
       .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .filter(st => !known.contains(st.getPath.getName))
+    val disk = SidecarLayout.dataFiles(spark, path)
+    val diskNames = disk.map(_.getPath.getName).toSet
+    val fresh = disk.filter(st => !known.contains(st.getPath.getName))
       .map(_.getPath.toString)
-    if (fresh.isEmpty) 0
+    val stale = known -- diskNames
+    if (fresh.isEmpty && stale.isEmpty) 0
     else {
-      zoneRows(spark.read.parquet(fresh.toIndexedSeq: _*), cols.toIndexedSeq, ndvK)
-        .coalesce(1).write.mode("append").parquet(sidePath)
+      val freshRows = Option.when(fresh.nonEmpty)(
+        zoneRows(spark.read.parquet(fresh: _*), cols.toIndexedSeq, ndvK))
+      if (stale.isEmpty)
+        freshRows.get.coalesce(1).write.mode("append").parquet(sidePath)
+      else {
+        // replay path: drop rows of vanished files, keep the rest, add the
+        // fresh ones. localCheckpoint materializes the survivors BEFORE the
+        // overwrite clobbers the files they were read from.
+        val kept = side.filter(
+          element_at(split(col("file"), "/"), -1).isInCollection(diskNames))
+        freshRows.fold(kept)(kept.unionByName(_))
+          .localCheckpoint(true)
+          .coalesce(1).write.mode("overwrite").parquet(sidePath)
+      }
       fresh.length
     }
   }
@@ -143,7 +158,7 @@ object ZoneIndex {
     val files = candidateFiles(spark, path, colName, lo, hi)
     val pred: Column = col(colName) >= lo && col(colName) <= hi
     val df =
-      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      if (files.isEmpty) SidecarLayout.readData(spark, path).filter(lit(false))
       else spark.read.parquet(files: _*).filter(pred)
     (df, files)
   }

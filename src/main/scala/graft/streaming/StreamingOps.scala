@@ -149,6 +149,28 @@ object StreamingOps {
         fanOutBatch(batch, bid, sinks, provDir)
       }
 
+  /** Streaming append into a skipping-indexed directory, sidecar kept
+    * fresh per micro-batch: each batch lands in its own
+    * overwrite-idempotent `batch_id=<bid>` dir (the fan-out sink's
+    * exactly-once convention), then `refresh` (e.g.
+    * [[graft.sources.FileIndex.refreshIncremental]] /
+    * [[graft.sources.ZoneIndex.refreshIncremental]], or both) stats ONLY
+    * that batch's files — point/range lookups and sidecar statistics stay
+    * exact mid-stream at O(batch) maintenance cost. A replayed batch
+    * overwrites its dir; the refresh prunes the replaced files' sidecar
+    * rows in the same pass, so a crash-restart never leaves the index
+    * pointing at dead files or double-counting. Bootstrap the directory
+    * with `writeWithBloomIndex` / `writeWithZoneIndex` first (the sidecar
+    * carries the index configuration the refresh reads). */
+  def indexedAppendSink(parsed: DataFrame, path: String,
+                        refresh: Seq[(org.apache.spark.sql.SparkSession, String) => Int])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    parsed.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$bid")
+        refresh.foreach(f => f(batch.sparkSession, path): Unit)
+      }
+
   /** Streaming upsert sink: foreachBatch drives the batch MergeOps.upsert
     * against a parquet snapshot — exactly-once per micro-batch via the
     * checkpointed batch id, last-writer-wins within and across batches.

@@ -148,4 +148,88 @@ class SidecarStatsSpec extends SparkSpec {
     // second refresh: nothing new again
     assert(FileIndex.refreshIncremental(spark, s"$dir/li") == 0)
   }
+
+  test("indexedAppendSink: streaming batches land in batch dirs, sidecar fresh mid-stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_scs7").toFile.getAbsolutePath
+    val li = T.lineitem(spark, TinyDir).select("l_suppkey", "l_orderkey")
+    // bootstrap: indexed base region
+    FileIndex.writeWithBloomIndex(li.filter(col("l_suppkey") <= 3), s"$dir/li",
+      "l_suppkey", nFiles = 2, expectedPerFile = 10000L)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingOps.indexedAppendSink(
+      mem.toDF().toDF("l_suppkey", "l_orderkey"), s"$dir/li",
+      Seq(FileIndex.refreshIncremental))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((100L, 1L), (100L, 2L), (101L, 3L))
+      q.processAllAvailable()
+      // sidecar already knows batch 0: the streamed-only key is found
+      val (h0, scanned0) = FileIndex.pointLookup(spark, s"$dir/li", "l_suppkey", 100L)
+      assert(h0.count() == 2, "streamed rows not visible via the sidecar")
+      mem.addData((102L, 4L))
+      q.processAllAvailable()
+      val (h1, _) = FileIndex.pointLookup(spark, s"$dir/li", "l_suppkey", 102L)
+      assert(h1.count() == 1)
+      // every data file (flat base + both batch dirs) has a sidecar row
+      val disk = graft.sources.SidecarLayout.dataFiles(spark, s"$dir/li")
+        .map(_.getPath.getName).toSet
+      val side = spark.read.parquet(s"$dir/li/_bloom_index")
+        .select("file").collect()
+        .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)).toSet
+      assert(side == disk, s"sidecar/disk drift: ${side.diff(disk)} vs ${disk.diff(side)}")
+      // base keys still found with skipping across the mixed layout
+      val (hb, scannedB) = FileIndex.pointLookup(spark, s"$dir/li", "l_suppkey", 1L)
+      assert(hb.count() == li.filter(col("l_suppkey") === 1L).count())
+      assert(scannedB.length < disk.size, "no skipping across mixed layout")
+      assert(scanned0.length < disk.size)
+    } finally q.stop()
+  }
+
+  test("batch replay: overwritten batch dir's stale sidecar rows are pruned, lookups exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scs8").toFile.getAbsolutePath
+    val li = T.lineitem(spark, TinyDir).select("l_suppkey", "l_orderkey")
+    FileIndex.writeWithBloomIndex(li.filter(col("l_suppkey") <= 3), s"$dir/li",
+      "l_suppkey", nFiles = 2, expectedPerFile = 10000L)
+    // batch 0 lands and is indexed
+    li.filter(col("l_suppkey") === 4L).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/li/batch_id=0")
+    assert(FileIndex.refreshIncremental(spark, s"$dir/li") == 1)
+    // the batch REPLAYS with different content (crash between sink commit
+    // and checkpoint): overwrite = new part files, old ones vanish
+    li.filter(col("l_suppkey").isin(4L, 5L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/li/batch_id=0")
+    assert(FileIndex.refreshIncremental(spark, s"$dir/li") == 1)
+    // sidecar matches disk exactly — no dead-file rows, no double rows
+    val disk = graft.sources.SidecarLayout.dataFiles(spark, s"$dir/li")
+      .map(_.getPath.getName).toSet
+    val side = spark.read.parquet(s"$dir/li/_bloom_index").select("file").collect()
+      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)).toSeq
+    assert(side.size == side.distinct.size, "duplicate sidecar rows after replay")
+    assert(side.toSet == disk, "sidecar points at dead files after replay")
+    val (hits, _) = FileIndex.pointLookup(spark, s"$dir/li", "l_suppkey", 5L)
+    assert(hits.count() == li.filter(col("l_suppkey") === 5L).count())
+    // zone sidecar: same replay contract
+    ZoneIndex.writeWithZoneIndex(li.filter(col("l_suppkey") <= 3), s"$dir/zi",
+      "l_suppkey", 2, Seq("l_orderkey"))
+    li.filter(col("l_suppkey") === 4L).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/zi/batch_id=0")
+    assert(ZoneIndex.refreshIncremental(spark, s"$dir/zi") == 1)
+    li.filter(col("l_suppkey").isin(4L, 5L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/zi/batch_id=0")
+    assert(ZoneIndex.refreshIncremental(spark, s"$dir/zi") == 1)
+    val zdisk = graft.sources.SidecarLayout.dataFiles(spark, s"$dir/zi")
+      .map(_.getPath.getName).toSet
+    val zside = spark.read.parquet(s"$dir/zi/_zone_index")
+      .select("file").distinct().collect()
+      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)).toSet
+    assert(zside == zdisk, "zone sidecar drifted from disk after replay")
+    // folded stats see the replayed content exactly once
+    val st = SidecarStats.tableStats(spark, s"$dir/zi")
+    val expectRows = li.filter(col("l_suppkey") <= 3).count() +
+      li.filter(col("l_suppkey").isin(4L, 5L)).count()
+    assert(st("l_suppkey").rows == expectRows,
+      s"stats rows ${st("l_suppkey").rows} != $expectRows after replay")
+  }
 }
