@@ -149,6 +149,49 @@ class SidecarStatsSpec extends SparkSpec {
     assert(FileIndex.refreshIncremental(spark, s"$dir/li") == 0)
   }
 
+  test("sidecar stats flip the physical join: selective filter broadcasts, no stats sort-merges") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_scs9").toFile.getAbsolutePath
+    val li = T.lineitem(spark, TinyDir)
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    ZoneIndex.writeWithZoneIndex(li, s"$dir/dim", "l_orderkey", 8,
+      Seq("l_suppkey", "l_quantity"))
+    spark.sql("DROP TABLE IF EXISTS scs_dim")
+    SidecarStats.registerWithStats(spark, s"$dir/dim", "scs_dim")
+    val fact = T.lineitem(spark, TinyDir).select("l_orderkey", "l_partkey")
+    val maxKey = li.agg(max("l_orderkey")).head().getLong(0)
+    def joined(dim: org.apache.spark.sql.DataFrame) = fact.join(
+      // range predicate: only column min/max stats can see it's selective
+      dim.filter(col("l_orderkey") > maxKey - 2), Seq("l_orderkey"))
+    def joinNodes(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val plan = df.queryExecution.executedPlan
+      def count[T](p: org.apache.spark.sql.execution.SparkPlan)(pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Int =
+        p.collect(pf).size + p.subqueries.map(count(_)(pf)).sum
+      (count(plan) { case b: BroadcastHashJoinExec => b },
+        count(plan) { case s: SortMergeJoinExec => s })
+    }
+    withConf("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false", // read the static planner's choice
+      // between the filtered stats estimate (tiny) and the dim's file
+      // size (well above): only stats-based selectivity can go under
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096") {
+      assert(SidecarStats.dataBytes(spark, s"$dir/dim") > 4096,
+        "test premise broken: dim files smaller than the threshold")
+      val (bhjStats, smjStats) = joinNodes(joined(spark.table("scs_dim")))
+      assert(bhjStats == 1 && smjStats == 0,
+        s"with sidecar stats expected broadcast join, got bhj=$bhjStats smj=$smjStats")
+      // identical plan WITHOUT catalog stats: file-size estimate stays
+      // above the threshold → shuffle join. The stats are load-bearing.
+      val (bhjRaw, smjRaw) = joinNodes(joined(spark.read.parquet(s"$dir/dim")))
+      assert(bhjRaw == 0 && smjRaw == 1,
+        s"without stats expected sort-merge join, got bhj=$bhjRaw smj=$smjRaw")
+      // and the result is the same rows either way
+      assert(joined(spark.table("scs_dim")).count() ==
+        joined(spark.read.parquet(s"$dir/dim")).count())
+    }
+    spark.sql("DROP TABLE IF EXISTS scs_dim")
+  }
+
   test("indexedAppendSink: streaming batches land in batch dirs, sidecar fresh mid-stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
