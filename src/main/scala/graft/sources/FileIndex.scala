@@ -95,16 +95,21 @@ object FileIndex {
 
   /** Point lookup via the sidecar: scan only files whose bloom might
     * contain `value`. Returns (matched rows, files scanned) so callers
-    * and specs can observe the skipping. */
+    * and specs can observe the skipping. Candidate paths resolve by
+    * BASENAME against the live listing, so the sidecar survives
+    * directory moves/renames (compactSwap builds it under `_next`). */
   def pointLookup(spark: SparkSession, path: String, keyCol: String,
                   value: Long): (DataFrame, Seq[String]) = {
+    val live = SidecarLayout.dataFiles(spark, path)
+      .map(st => st.getPath.getName -> st.getPath.toString).toMap
     val candidates = spark.read.parquet(s"$path/_bloom_index")
       .collect() // sidecar = one row per data file
       .filter { r =>
         BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
           .mightContainLong(value)
       }
-      .map(_.getAs[String]("file")).toSeq
+      .map(_.getAs[String]("file"))
+      .flatMap(f => live.get(f.substring(f.lastIndexOf('/') + 1))).toSeq
     val df =
       if (candidates.isEmpty) // schema-stable empty, discovery-free
         SidecarLayout.readData(spark, path).filter(lit(false))

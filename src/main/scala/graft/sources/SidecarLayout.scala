@@ -44,4 +44,34 @@ object SidecarLayout {
     require(files.nonEmpty, s"readData: no data files under $path")
     spark.read.parquet(files: _*)
   }
+
+  /** Compact a streamed indexed directory back to a clean flat layout:
+    * `rebuild` re-writes the full data (one row set, any mix of flat +
+    * batch dirs) into a fresh sibling `<path>_next` — callers pass the
+    * SAME indexed write that bootstrapped the dir
+    * (`writeWithBloomIndex` / `writeWithZoneIndex`), so the rebuilt dir
+    * carries a correct, minimal sidecar by construction — then the dirs
+    * swap via rename-to-backup (the upsertSink/AnnIndex.compact
+    * pattern: at every instant `<path>` or `<path>_prev` holds a
+    * complete copy; a crash before the swap leaves `<path>` untouched
+    * and `_next` to be overwritten by the re-run). Run between
+    * streaming epochs (stop the append query; restart with a fresh
+    * checkpoint dir — the batch-id sequence resets with it). This is
+    * the small-files cure for indexedAppendSink: per-batch dirs
+    * accumulate one file per batch and planning degrades long before
+    * data size does. Returns the compacted row count. */
+  def compactSwap(spark: SparkSession, path: String,
+                  rebuild: (DataFrame, String) => Unit): Long = {
+    val cur = new Path(path)
+    val prev = new Path(path + "_prev")
+    val next = new Path(path + "_next")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(next, true)
+    rebuild(readData(spark, path), next.toString)
+    val n = readData(spark, next.toString).count()
+    fs.delete(prev, true)
+    if (fs.exists(cur)) { fs.rename(cur, prev); () }
+    fs.rename(next, cur)
+    n
+  }
 }

@@ -140,15 +140,21 @@ object ZoneIndex {
   }
 
   /** Files whose [zmin, zmax] zone for `colName` may intersect [lo, hi].
-    * All-null zones never match a range predicate and are skipped. */
+    * All-null zones never match a range predicate and are skipped.
+    * Paths resolve by BASENAME against the live listing so the sidecar
+    * survives directory moves/renames (compactSwap builds under `_next`). */
   def candidateFiles(spark: SparkSession, path: String, colName: String,
-                     lo: Double, hi: Double): Seq[String] =
+                     lo: Double, hi: Double): Seq[String] = {
+    val live = SidecarLayout.dataFiles(spark, path)
+      .map(st => st.getPath.getName -> st.getPath.toString).toMap
     spark.read.parquet(s"$path/_zone_index")
       .filter(col("col") === colName)
       .filter(col("nulls") < col("cnt"))
       .filter(col("zmax") >= lo && col("zmin") <= hi)
       .select("file")
-      .collect().map(_.getString(0)).toSeq // sidecar = file list, planner-sized
+      .collect().map(_.getString(0)) // sidecar = file list, planner-sized
+      .flatMap(f => live.get(f.substring(f.lastIndexOf('/') + 1))).toSeq
+  }
 
   /** Range scan via the sidecar: read only may-intersect files, then
     * apply the exact predicate. Returns (rows, files scanned) so callers

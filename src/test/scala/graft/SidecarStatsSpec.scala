@@ -230,6 +230,42 @@ class SidecarStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactSwap: streamed batch dirs fold back to flat, sidecar minimal, prev = backup") {
+    import graft.sources.SidecarLayout
+    val dir = java.nio.file.Files.createTempDirectory("graft_scs10").toFile.getAbsolutePath
+    val li = T.lineitem(spark, TinyDir).select("l_suppkey", "l_orderkey")
+    FileIndex.writeWithBloomIndex(li.filter(col("l_suppkey") <= 3), s"$dir/li",
+      "l_suppkey", nFiles = 2, expectedPerFile = 10000L)
+    // two streamed batches + refresh (the indexedAppendSink layout)
+    li.filter(col("l_suppkey") === 4L).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/li/batch_id=0")
+    li.filter(col("l_suppkey") === 5L).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/li/batch_id=1")
+    assert(FileIndex.refreshIncremental(spark, s"$dir/li") == 2)
+    val before = SidecarLayout.readData(spark, s"$dir/li")
+      .orderBy("l_suppkey", "l_orderkey").collect().toSeq
+    val n = SidecarLayout.compactSwap(spark, s"$dir/li", (df, next) =>
+      FileIndex.writeWithBloomIndex(df, next, "l_suppkey",
+        nFiles = 2, expectedPerFile = 10000L))
+    assert(n == before.size.toLong)
+    // flat again: no batch dirs, sidecar rows == flat file count
+    val root = new java.io.File(s"$dir/li")
+    assert(!root.listFiles().exists(f => f.isDirectory && f.getName.startsWith("batch_id=")))
+    val flatFiles = SidecarLayout.dataFiles(spark, s"$dir/li")
+    assert(flatFiles.size == 2, s"expected 2 compacted files, got ${flatFiles.size}")
+    assert(spark.read.parquet(s"$dir/li/_bloom_index").count() == 2)
+    // same rows, exact lookups, backup holds the pre-compaction copy
+    val after = SidecarLayout.readData(spark, s"$dir/li")
+      .orderBy("l_suppkey", "l_orderkey").collect().toSeq
+    assert(after == before, "compaction changed the data")
+    val (hits, scanned) = FileIndex.pointLookup(spark, s"$dir/li", "l_suppkey", 5L)
+    assert(hits.count() == li.filter(col("l_suppkey") === 5L).count())
+    assert(scanned.length <= 2)
+    assert(SidecarLayout.readData(spark, s"$dir/li_prev").count() == n)
+    // post-compaction refresh: clean no-op
+    assert(FileIndex.refreshIncremental(spark, s"$dir/li") == 0)
+  }
+
   test("batch replay: overwritten batch dir's stale sidecar rows are pruned, lookups exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scs8").toFile.getAbsolutePath
     val li = T.lineitem(spark, TinyDir).select("l_suppkey", "l_orderkey")
