@@ -24,6 +24,8 @@ object SparkEntry {
       operators.Repair.all ++
       operators.Intervals.all ++
       operators.Stats.all ++
+      operators.ReleaseOps.all ++
+      operators.CboDemo.all ++
       ops.Retrieval.all ++
       ops.TextAnalysis.all ++
       ops.TextAnalysis2.all ++
