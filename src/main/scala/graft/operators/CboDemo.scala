@@ -37,14 +37,28 @@ object CboDemo {
     "spark.sql.cbo.enabled" -> "true",
     "spark.sql.cbo.joinReorder.enabled" -> "true")
 
+  /** The columns whose statistics the reorderer consults: join keys (NDV
+    * drives the join cardinality estimate) and filter columns (NDV drives
+    * selectivity). ANALYZE only these — FOR ALL COLUMNS would scan every
+    * column of the fact table to build stats the planner never reads. */
+  private val StatsCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderpriority"),
+    "customer" -> Seq("c_custkey", "c_nationkey", "c_mktsegment"),
+    "nation" -> Seq("n_nationkey"))
+
   /** Register `names` as external catalog tables over `dir`'s parquet
     * (no copy — LOCATION points at the existing files) and ANALYZE each
-    * for row counts + column stats. Idempotent. */
+    * for row counts + planner-relevant column stats. Idempotent. */
   def registerAnalyzed(s: SparkSession, dir: String, names: Seq[String]): Unit =
     names.foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS cbo_$t")
       s.sql(s"CREATE TABLE cbo_$t USING parquet LOCATION '$dir/$t.parquet'")
-      s.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+      val cols = StatsCols.getOrElse(t, Seq.empty)
+      if (cols.nonEmpty)
+        s.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+      else
+        s.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS")
     }
 
   /** The stats-hostile declared order: fact first, then customer (no

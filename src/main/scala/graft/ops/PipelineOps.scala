@@ -209,5 +209,76 @@ object PipelineOps {
       .orderBy("cell")
   }
 
-  val all: Seq[Q] = Seq(qPerplexity, qDedupIncr, qMixPlan, qEmbedCluster)
+  /** Iterative mixture reweighting (DoReMi-shaped multiplicative
+    * weights): starting from a uniform mixture, each round upweights
+    * sources whose proxy loss EXCEEDS the current mixture-weighted
+    * average and downweights the rest — the published
+    * group-distributionally-robust recipe for choosing pretraining
+    * mixture weights, with the per-domain excess loss driving the
+    * update. [[qMixPlan]] realizes a GIVEN mixture; this op CHOOSES one.
+    *
+    * The proxy loss here is the per-source mean document length
+    * (micro-scaled — a stand-in for the reference model's per-domain
+    * loss, which is an input table in production). All arithmetic is
+    * EXACT long algebra (the q_ppr trick): losses and weights are
+    * micro-scaled longs, each round is one `w * (SCALE + clamped
+    * excess/4) div SCALE` update, and both engines truncate integer
+    * division toward zero — so three unrolled rounds hash-match bit
+    * for bit.
+    *
+    * Scale: one corpus aggregation produces the sources-sized loss
+    * table; every round after that is a mixture-sized fold plus a
+    * broadcast one-row average — the iteration never touches the
+    * corpus again, at ANY corpus size. */
+  val qMixReweight: Q = {
+    val Scale = 1000000L
+    // one multiplicative-weights round over (source, loss_micro, w)
+    def roundSql(prev: String, t: Int): String =
+      s"""a$t AS (SELECT CAST(SUM(w * loss_micro) // SUM(w) AS BIGINT) AS avg FROM $prev),
+         |r${t + 1} AS (
+         |  SELECT source, loss_micro,
+         |    CAST(w * ($Scale + GREATEST(-500000, LEAST(500000, (loss_micro - avg) // 4))) // $Scale AS BIGINT) AS w
+         |  FROM $prev CROSS JOIN a$t)""".stripMargin
+    Q(
+      "q_mix_reweight",
+      s"""WITH s AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+         |  FROM documents GROUP BY source),
+         |r0 AS (
+         |  SELECT source, src_tokens * $Scale // n_docs AS loss_micro,
+         |    CAST($Scale AS BIGINT) AS w
+         |  FROM s),
+         |${roundSql("r0", 0)},
+         |${roundSql("r1", 1)},
+         |${roundSql("r2", 2)},
+         |tot AS (SELECT SUM(w) AS wsum FROM r3)
+         |SELECT source, loss_micro, w AS w_final,
+         |  CAST(w * $Scale // wsum AS BIGINT) AS share_ppm
+         |FROM r3 CROSS JOIN tot ORDER BY source""".stripMargin) { (s, d) =>
+      def mwRound(prev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val avg = prev.agg(
+          expr(s"sum(w * loss_micro) div sum(w)").as("avg"))
+        prev.crossJoin(broadcast(avg))
+          .select(col("source"), col("loss_micro"),
+            expr(s"w * ($Scale + greatest(-500000L, least(500000L, (loss_micro - avg) div 4))) div $Scale")
+              .as("w"))
+      }
+      val src = T.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("src_tokens"))
+      val r0 = src.select(col("source"),
+        expr(s"src_tokens * $Scale div n_docs").as("loss_micro"),
+        lit(Scale).as("w"))
+      val r3 = mwRound(mwRound(mwRound(r0)))
+      val tot = r3.agg(sum(col("w")).as("wsum"))
+      r3.crossJoin(broadcast(tot))
+        .select(col("source"), col("loss_micro"), col("w").as("w_final"),
+          expr(s"w * $Scale div wsum").as("share_ppm"))
+        .orderBy("source")
+    }
+  }
+
+  val all: Seq[Q] = Seq(qPerplexity, qDedupIncr, qMixPlan, qEmbedCluster,
+    qMixReweight)
 }

@@ -112,4 +112,27 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("expected_tokens") <= r.getAs[Long]("src_tokens"))
     }
   }
+
+  test("q_mix_reweight: excess-loss sources gain share, shares stay a distribution") {
+    val out = PipelineOps.qMixReweight.fn(spark, SmallDir).collect()
+    assert(out.length == 20)
+    // still a distribution after 3 integer-algebra rounds (ppm rounding
+    // loses at most 1 per source)
+    val shareSum = out.map(_.getAs[Long]("share_ppm")).sum
+    assert(math.abs(shareSum - 1000000L) <= out.length,
+      s"shares sum to $shareSum ppm")
+    // multiplicative weights moved: not uniform anymore
+    assert(out.map(_.getAs[Long]("w_final")).distinct.length > 1,
+      "weights never moved off uniform")
+    // monotone in the proxy loss: the highest-loss source ends with the
+    // max weight, the lowest-loss with the min (same update applied to
+    // the same shared averages)
+    val byLoss = out.sortBy(_.getAs[Long]("loss_micro"))
+    val ws = out.map(_.getAs[Long]("w_final"))
+    assert(byLoss.last.getAs[Long]("w_final") == ws.max)
+    assert(byLoss.head.getAs[Long]("w_final") == ws.min)
+    // deterministic: same inputs, same mixture
+    val again = PipelineOps.qMixReweight.fn(spark, SmallDir).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -36,6 +36,8 @@ class PlanSweepSpec extends SparkSpec {
                            // (model-vs-model by design; data never pairs)
     "q_source_divergence", // S-row totals x top-40 vocab grid (model-sized)
     "q_mix_plan",          // 20-row mix table x 1-row totals (constant side)
+    "q_mix_reweight",      // 20-row mix table x 1-row mixture average per
+                           // round (constant sides; corpus read once)
     "q_sketch_setops"      // #sources-row sketch table paired with itself
                            // (sketch-vs-sketch by design; data never pairs)
   )
