@@ -161,6 +161,37 @@ object ReleaseOps {
   private def depsSqlValues: String =
     Deps.map { case (a, s) => s"('$a', '$s')" }.mkString(", ")
 
+  /** (dataset, kind) change classes between [[ProvenanceOps.qReleaseDiff]]'s
+    * old and new carves — kind ∈ added/removed/rows/content/unchanged.
+    * Shared by [[qRebuildPlan]] (the screen) and [[rebuildChanged]] (the
+    * executor). Datasets-sized. */
+  def releaseDiffKinds(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    def release(pred: Column, content: Column): DataFrame =
+      docs.filter(pred).groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(rowFingerprint(content).cast(DecimalType(38, 0))) % FpMod)
+            .cast("long").as("fp"))
+    val old = release(col("doc_id") % 10 =!= 3 && col("source") =!= "src16",
+        col("text"))
+      .select(col("source").as("src_o"), col("n_rows").as("old_n"),
+        col("fp").as("old_fp"))
+    val nw = release(
+        col("doc_id") % 10 =!= 3 && col("source") =!= "src5" &&
+          !(col("doc_id") % 13 === 5 && col("source") <= "src4"),
+        when(col("doc_id") % 13 === 0 && col("source") >= "src8",
+          concat(col("text"), lit("!"))).otherwise(col("text")))
+      .select(col("source").as("src_n"), col("n_rows").as("new_n"),
+        col("fp").as("new_fp"))
+    old.join(nw, col("src_o") === col("src_n"), "full_outer")
+      .select(coalesce(col("src_o"), col("src_n")).as("dataset"),
+        when(col("old_n").isNull, "added")
+          .when(col("new_n").isNull, "removed")
+          .when(col("old_n") =!= col("new_n"), "rows")
+          .when(!(col("old_fp") <=> col("new_fp")), "content")
+          .otherwise("unchanged").as("kind"))
+  }
+
   /** Downstream invalidation from the release diff: per artifact, which
     * dependencies changed (and how), and whether a rebuild is needed.
     * Reuses [[ProvenanceOps.qReleaseDiff]]'s old/new carve verbatim so
@@ -199,30 +230,7 @@ object ReleaseOps {
        |FROM deps LEFT JOIN diff ON deps.dataset = diff.dataset
        |GROUP BY deps.artifact ORDER BY deps.artifact""".stripMargin) { (s, d) =>
     import s.implicits._
-    val docs = T.documents(s, d)
-    def release(pred: Column, content: Column): DataFrame =
-      docs.filter(pred).groupBy("source")
-        .agg(count(lit(1)).as("n_rows"),
-          (sum(rowFingerprint(content).cast(DecimalType(38, 0))) % FpMod)
-            .cast("long").as("fp"))
-    val old = release(col("doc_id") % 10 =!= 3 && col("source") =!= "src16",
-        col("text"))
-      .select(col("source").as("src_o"), col("n_rows").as("old_n"),
-        col("fp").as("old_fp"))
-    val nw = release(
-        col("doc_id") % 10 =!= 3 && col("source") =!= "src5" &&
-          !(col("doc_id") % 13 === 5 && col("source") <= "src4"),
-        when(col("doc_id") % 13 === 0 && col("source") >= "src8",
-          concat(col("text"), lit("!"))).otherwise(col("text")))
-      .select(col("source").as("src_n"), col("n_rows").as("new_n"),
-        col("fp").as("new_fp"))
-    val diff = old.join(nw, col("src_o") === col("src_n"), "full_outer")
-      .select(coalesce(col("src_o"), col("src_n")).as("dataset"),
-        when(col("old_n").isNull, "added")
-          .when(col("new_n").isNull, "removed")
-          .when(col("old_n") =!= col("new_n"), "rows")
-          .when(!(col("old_fp") <=> col("new_fp")), "content")
-          .otherwise("unchanged").as("kind"))
+    val diff = releaseDiffKinds(s, d)
     val deps = Deps.toDF("artifact", "dep_dataset")
     val changed = col("kind").isNotNull && col("kind") =!= "unchanged"
     deps.join(broadcast(diff), col("dep_dataset") === col("dataset"), "left")
@@ -234,6 +242,52 @@ object ReleaseOps {
           concat(col("dep_dataset"), lit(":"), col("kind"))))), ",")
           .as("reasons"))
       .orderBy("artifact")
+  }
+
+  /** One derived artifact: its name, the datasets it reads, and how to
+    * build it from the corpus. `build` receives the full input frame —
+    * dependency filtering is the build's own business (an index over
+    * three sources filters to them; a global stat reads everything it
+    * declared). */
+  final case class Artifact(name: String, deps: Seq[String],
+                            build: DataFrame => DataFrame)
+
+  /** Execute a rebuild plan: rebuild exactly the artifacts whose
+    * dependency set intersects the changed datasets in `diffKinds`
+    * ((dataset, kind) rows, kind 'unchanged' = untouched), leave every
+    * other artifact's bytes alone, and append one ledger row PER REBUILT
+    * artifact. Returns name → rebuilt?.
+    *
+    * This is [[qRebuildPlan]] executed: the reference recomputes every
+    * derived table each release because it has no change ledger; with
+    * one, a release that touched 3 of 40 datasets rebuilds only the
+    * artifacts downstream of those 3. The decision reads datasets-sized
+    * metadata (one small collect); each rebuild is that artifact's own
+    * job; untouched artifacts cost ZERO I/O — at 100 TB the savings are
+    * the point, and the untouched-bytes guarantee is what makes the
+    * rebuild safely resumable (rerunning after a crash redoes only
+    * rebuilt artifacts — overwrite writes are idempotent).
+    */
+  def rebuildChanged(input: DataFrame, artifacts: Seq[Artifact],
+                     diffKinds: DataFrame, outDir: String, provDir: String,
+                     loadedAtUs: Long): Map[String, Boolean] = {
+    val changed = diffKinds.filter(col("kind") =!= "unchanged")
+      .select("dataset").collect().map(_.getString(0)).toSet
+    artifacts.map { a =>
+      val stale = a.deps.exists(changed)
+      if (stale) {
+        val out = a.build(input)
+        // tracked write: the ledger fingerprint reads back the PERSISTED
+        // bytes, so a crash between write and ledger append re-runs into
+        // the same idempotent overwrite
+        ProvenanceOps.writeWithProvenance(
+          out, s"$outDir/${a.name}",
+          concat_ws("\u0001", out.columns.map(col).toSeq: _*),
+          dataset = a.name, source = s"rebuild@$loadedAtUs",
+          loadedAtUs = loadedAtUs, provDir = provDir)
+      }
+      a.name -> stale
+    }.toMap
   }
 
   val all: Seq[Q] = Seq(qReleaseHistory, qRebuildPlan)
