@@ -1,0 +1,213 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming training-mix monitor (SURVEY.md §2.1 stream_mix_monitor):
+  * watch the per-source token share of an ingest stream against a
+  * configured target mixture and raise an alert only after K
+  * CONSECUTIVE closed windows out of tolerance — one noisy window is
+  * ingest weather; K windows is a mixture problem (a stuck crawler, a
+  * dead source, a misrouted feed).
+  *
+  * Batch twin: [[graft.ops.PipelineOps.qMixPlan]] plans a mixture,
+  * [[graft.ops.PipelineOps.qMixReweight]] chooses one — this op guards
+  * one while it is being ingested.
+  *
+  * Shape: a `foreachBatch` maintenance sink in the repo's streaming-
+  * sidecar family (upsertSink / indexedAppendSink). Per micro-batch:
+  * map-side window/source partial sums merge into a PENDING state
+  * (open windows only), windows older than the batch's max event time
+  * (minus `closeDelayUs`, the watermark stand-in) CLOSE — shares are
+  * computed per closed window, drift runs extend per-source CONSEC
+  * counters, and one alert row per (window, source) lands in an
+  * overwrite-idempotent `alerts/batch_id=N` dir.
+  *
+  * Crash/replay safety: alerts are recomputed from the PRE-merge state
+  * and overwritten (idempotent); the state tree (pending + consec + the
+  * applied batch id) swaps as ONE directory rename after alerts are
+  * down, so a replayed batch either re-derives identical alerts (state
+  * not yet swapped) or is skipped entirely (marker says applied).
+  *
+  * Scale: state is open-windows × active-sources plus one counter per
+  * source — mixture-sized, bounded at any stream length. The only
+  * per-event work is the map-side partial sum; everything after runs on
+  * window/source aggregates.
+  */
+object MixMonitor {
+
+  /** Per-(window, source) share row for one CLOSED window. `consec` is
+    * the length of the drift run ending at this window; `alert` fires
+    * at `consec >= kConsec`. */
+  private val AlertCols = Seq("win_start_us", "source", "tokens",
+    "share_ppm", "target_ppm", "drift", "consec", "alert")
+
+  private def fsOf(df: DataFrame, dir: String) =
+    new Path(dir).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  private def readIfExists(df: DataFrame, path: String, empty: => DataFrame): DataFrame = {
+    val fs = fsOf(df, path)
+    if (fs.exists(new Path(path))) df.sparkSession.read.parquet(path) else empty
+  }
+
+  private def readMarker(df: DataFrame, stateDir: String): Long = {
+    val fs = fsOf(df, stateDir)
+    val p = new Path(stateDir, "applied_bid")
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Apply one micro-batch. `batch` columns: ts (timestamp), source
+    * (string), tokens (long). Idempotent per `bid` — replays are
+    * detected via the state marker and skipped. */
+  def mixMonitorBatch(batch: DataFrame, bid: Long, monitorDir: String,
+                      targetPpm: Map[String, Long],
+                      tolPpm: Long = 100000L, kConsec: Int = 3,
+                      windowUs: Long = 3600L * 1000 * 1000,
+                      closeDelayUs: Long = 0L): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = fsOf(batch, monitorDir)
+    val stateDir = s"$monitorDir/state"
+    val prevDir = s"$monitorDir/state_prev"
+    val nextDir = s"$monitorDir/state_next"
+
+    // resolve the live state tree (prev is the recovery point if a swap
+    // died between renames)
+    val liveDir =
+      if (fs.exists(new Path(stateDir))) Some(stateDir)
+      else if (fs.exists(new Path(prevDir))) Some(prevDir)
+      else None
+    if (liveDir.exists(d => readMarker(batch, d) >= bid)) return // replayed, applied
+
+    val emptyPending = Seq.empty[(Long, String, Long)]
+      .toDF("win", "source", "tokens")
+    val emptyConsec = Seq.empty[(String, Long)].toDF("source", "consec")
+    val pending = liveDir.map(d => readIfExists(batch, s"$d/pending", emptyPending))
+      .getOrElse(emptyPending)
+    val oldConsec = liveDir.map(d => readIfExists(batch, s"$d/consec", emptyConsec))
+      .getOrElse(emptyConsec)
+
+    // map-side partial sums for this batch, merged into the open windows
+    val partials = batch
+      .select(expr(s"unix_micros(ts) div $windowUs * $windowUs").as("win"),
+        col("source"), col("tokens"))
+      .groupBy("win", "source").agg(sum("tokens").as("tokens"))
+    val merged = pending.unionByName(partials)
+      .groupBy("win", "source").agg(sum("tokens").as("tokens"))
+      .localCheckpoint(true) // state + batch folded once; read many below
+
+    // watermark stand-in: windows fully behind the max observed event
+    // time (minus the allowed lateness) close now
+    val maxUs = batch.agg(max(unix_micros(col("ts")))).collect().head
+    val closeBound =
+      if (maxUs.isNullAt(0)) Long.MinValue else maxUs.getLong(0) - closeDelayUs
+    val closed = merged.filter(col("win") + windowUs <= closeBound)
+    val open = merged.filter(col("win") + windowUs > closeBound)
+
+    // closed-window share grid: every configured source appears in every
+    // closed window (a SILENT source is the loudest drift of all), plus
+    // any observed source outside the configured mixture (target 0)
+    val targets = targetPpm.toSeq.toDF("source", "target_ppm")
+    val gridSources = targets.select("source")
+      .union(closed.select("source")).distinct()
+    val wins = closed.select("win").distinct()
+    val totals = closed.groupBy("win").agg(sum("tokens").as("total"))
+    val shares = wins.crossJoin(broadcast(gridSources))
+      .join(closed, Seq("win", "source"), "left")
+      .na.fill(0L, Seq("tokens"))
+      .join(broadcast(totals), Seq("win"))
+      .join(broadcast(targets), Seq("source"), "left")
+      .na.fill(0L, Seq("target_ppm"))
+      .withColumn("share_ppm", expr("tokens * 1000000 div total"))
+      .withColumn("drift",
+        abs(col("share_ppm") - col("target_ppm")) > tolPpm)
+
+    // drift-run lengths per source across the closed windows, in window
+    // order; a run starting at the source's FIRST closed window extends
+    // the trailing run carried in from the previous batches
+    val byWin = Window.partitionBy("source").orderBy("win")
+    val upToHere = byWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = shares
+      .withColumn("idx", row_number().over(byWin))
+      .withColumn("last_ok_idx",
+        max(when(!col("drift"), col("idx"))).over(upToHere))
+      .join(broadcast(oldConsec), Seq("source"), "left")
+      .na.fill(0L, Seq("consec"))
+      .withColumn("carried",
+        when(col("last_ok_idx").isNull, col("consec")).otherwise(lit(0L)))
+      .withColumn("run_pos",
+        col("idx") - coalesce(col("last_ok_idx"), lit(0L)))
+      .withColumn("consec_now",
+        when(col("drift"), col("run_pos") + col("carried")).otherwise(lit(0L)))
+      .withColumn("alert", col("drift") && col("consec_now") >= kConsec)
+      .localCheckpoint(true) // alerts write + state fold both read this
+
+    // 1) alerts land first, overwrite-idempotent per batch
+    scored.select(col("win").as("win_start_us"), col("source"), col("tokens"),
+        col("share_ppm"), col("target_ppm"), col("drift"),
+        col("consec_now").as("consec"), col("alert"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$monitorDir/alerts/batch_id=$bid")
+
+    // 2) fold the new trailing runs into the consec state: sources with
+    // closed windows this batch take their LAST window's run; silent-in-
+    // state sources keep their counter (no new evidence either way)
+    val lastRun = scored
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("win").desc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("consec_now").as("new_consec"))
+    val newConsec = oldConsec.join(lastRun, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("new_consec"), col("consec"), lit(0L)).as("consec"))
+
+    // 3) one-rename state commit: pending + consec + applied marker
+    fs.delete(new Path(nextDir), true)
+    open.coalesce(1).write.mode("overwrite").parquet(s"$nextDir/pending")
+    newConsec.coalesce(1).write.mode("overwrite").parquet(s"$nextDir/consec")
+    val out = fs.create(new Path(nextDir, "applied_bid"), true)
+    try out.write(bid.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(prevDir), true)
+    if (fs.exists(new Path(stateDir))) { fs.rename(new Path(stateDir), new Path(prevDir)); () }
+    fs.rename(new Path(nextDir), new Path(stateDir))
+    fs.delete(new Path(prevDir), true)
+    ()
+  }
+
+  /** The monitor as a stream sink, ready to `.start()`. */
+  def mixMonitorSink(events: DataFrame, monitorDir: String,
+                     targetPpm: Map[String, Long],
+                     tolPpm: Long = 100000L, kConsec: Int = 3,
+                     windowUs: Long = 3600L * 1000 * 1000,
+                     closeDelayUs: Long = 0L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mixMonitorBatch(batch, bid, monitorDir, targetPpm, tolPpm, kConsec,
+          windowUs, closeDelayUs)
+      }
+
+  /** Read back all alert rows (explicit batch-dir union — no partition
+    * discovery assumptions), ordered for inspection. */
+  def readAlerts(spark: org.apache.spark.sql.SparkSession,
+                 monitorDir: String): DataFrame = {
+    val fs = new Path(monitorDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new Path(s"$monitorDir/alerts")
+    if (!fs.exists(base)) spark.emptyDataFrame
+    else {
+      val dirs = fs.listStatus(base).filter(_.isDirectory)
+        .map(_.getPath.toString).sorted
+      dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .orderBy("win_start_us", "source")
+    }
+  }
+}
