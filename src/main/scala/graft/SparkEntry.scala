@@ -39,6 +39,7 @@ object SparkEntry {
       ops.Sketches.all ++
       ops.Multimodal.all ++
       sources.SidecarStats.all ++
+      streaming.Backfill.all ++
       plans.TopKQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
