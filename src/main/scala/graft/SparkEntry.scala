@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Intervals.all ++
       operators.Stats.all ++
       operators.ReleaseOps.all ++
+      operators.SchemaDrift.all ++
       operators.CboDemo.all ++
       ops.Retrieval.all ++
       ops.TextAnalysis.all ++

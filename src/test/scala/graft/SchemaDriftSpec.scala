@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.SchemaDrift
+import org.apache.spark.sql.functions._
+
+/** q_schema_drift: renames are detected by CONTENT (a name-only diff
+  * would report removed+added and lose the column), duplicate-content
+  * orphans pair deterministically, and nulls profile cleanly. */
+class SchemaDriftSpec extends SparkSpec {
+
+  test("the demo carve yields one column of every drift class") {
+    val out = SchemaDrift.qSchemaDrift.fn(spark, TinyDir).collect()
+      .map(r => (r.getAs[String]("old_col"), r.getAs[String]("new_col"),
+        r.getAs[String]("status"))).toSet
+    assert(out == Set(
+      ("doc_id", "doc_id", "same"),
+      ("source", "source", "changed"),
+      ("text", "body", "renamed"),
+      ("n_chars", null, "removed"),
+      (null, "lang", "added")), s"got $out")
+  }
+
+  test("duplicate-content columns pair as renames deterministically by rank") {
+    import spark.implicits._
+    val oldRel = Seq((1, 1, "k"), (2, 2, "l")).toDF("a", "b", "keep")
+    val newRel = Seq((1, 1, "k"), (2, 2, "l")).toDF("x", "y", "keep")
+    val out = SchemaDrift.drift(
+      SchemaDrift.columnProfiles(oldRel),
+      SchemaDrift.columnProfiles(newRel)).collect()
+      .map(r => (r.getAs[String]("old_col"), r.getAs[String]("new_col"),
+        r.getAs[String]("status"))).toSet
+    // a and b carry identical content; rank order pairs a->x, b->y
+    assert(out == Set(("keep", "keep", "same"),
+      ("a", "x", "renamed"), ("b", "y", "renamed")), s"got $out")
+  }
+
+  test("null values: profiles count non-nulls and a renamed nullable column still matches") {
+    import spark.implicits._
+    val oldRel = Seq((Some("p"), 1L), (None, 2L), (Some("q"), 3L))
+      .toDF("tag", "id")
+    val newRel = Seq((Some("p"), 1L), (None, 2L), (Some("q"), 3L))
+      .toDF("label", "id")
+    val profiles = SchemaDrift.columnProfiles(oldRel).collect()
+      .map(r => r.getAs[String]("c") -> r.getAs[Long]("n")).toMap
+    assert(profiles("tag") == 2L, "null counted as a value")
+    val out = SchemaDrift.drift(
+      SchemaDrift.columnProfiles(oldRel),
+      SchemaDrift.columnProfiles(newRel)).collect()
+      .map(r => (r.getAs[String]("old_col"), r.getAs[String]("new_col"),
+        r.getAs[String]("status"))).toSet
+    assert(out == Set(("id", "id", "same"), ("tag", "label", "renamed")),
+      s"got $out")
+  }
+}
