@@ -146,5 +146,53 @@ object SchemaDrift {
     drift(columnProfiles(oldRel), columnProfiles(newRel))
   }
 
-  val all: Seq[Q] = Seq(qSchemaDrift)
+  /** Apply a drift report: project the NEW release back into the OLD
+    * schema so every downstream consumer keeps working — renamed columns
+    * come back under their canonical names, surviving columns pass
+    * through, removed columns re-appear as typed nulls (schema-stable
+    * downstream; their absence is the drift report's business to
+    * surface, not a downstream crash), and added columns are dropped
+    * (they have no consumer yet — promote them by updating the canonical
+    * schema, not by surprise). `oldSchema` supplies column order and the
+    * types for null re-adds. Planner-sized: the report is #cols rows;
+    * the result is one projection over `newRel`. */
+  def applyDrift(newRel: DataFrame, report: DataFrame,
+                 oldSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val rows = report.collect()
+    val renamedTo = rows.filter(_.getAs[String]("status") == "renamed")
+      .map(r => r.getAs[String]("old_col") -> r.getAs[String]("new_col")).toMap
+    val removed = rows.filter(_.getAs[String]("status") == "removed")
+      .map(_.getAs[String]("old_col")).toSet
+    val cols = oldSchema.fields.map { f =>
+      if (removed.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+      else col(renamedTo.getOrElse(f.name, f.name)).as(f.name)
+    }
+    newRel.select(cols.toSeq: _*)
+  }
+
+  /** The drift → repair handoff, oracled: repair the drifted "new
+    * release" back into the old schema and emit its column PROFILES —
+    * text recovered from body byte-for-byte, the changed source column
+    * passing through as-is, n_chars present-but-empty. The oracle
+    * recomputes the same profiles from the carve directly. */
+  val qDriftRepair: Q = Q(
+    "q_drift_repair",
+    s"""SELECT 'doc_id' AS c, COUNT(doc_id) AS n, ${fpSql("CAST(doc_id AS VARCHAR)")} AS fp FROM documents
+       |UNION ALL SELECT 'text', COUNT(text), ${fpSql("text")} FROM documents
+       |UNION ALL SELECT 'source', COUNT(source), ${fpSql("CASE WHEN doc_id % 50 = 0 THEN upper(source) ELSE source END")} FROM documents
+       |UNION ALL SELECT 'n_chars', CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+       |ORDER BY c""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val oldRel = docs.select(col("doc_id"), col("text"), col("source"),
+      col("n_chars"))
+    val newRel = docs.select(col("doc_id"), col("text").as("body"),
+      when(col("doc_id") % 50 === 0, upper(col("source")))
+        .otherwise(col("source")).as("source"),
+      col("lang"))
+    val report = drift(columnProfiles(oldRel), columnProfiles(newRel))
+    val repaired = applyDrift(newRel, report, oldRel.schema)
+    columnProfiles(repaired).orderBy("c")
+  }
+
+  val all: Seq[Q] = Seq(qSchemaDrift, qDriftRepair)
 }

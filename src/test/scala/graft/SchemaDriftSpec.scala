@@ -51,4 +51,28 @@ class SchemaDriftSpec extends SparkSpec {
     assert(out == Set(("id", "id", "same"), ("tag", "label", "renamed")),
       s"got $out")
   }
+
+  test("applyDrift restores the old schema exactly and preserves renamed content") {
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+    val oldRel = docs.select(col("doc_id"), col("text"), col("source"),
+      col("n_chars"))
+    val newRel = docs.select(col("doc_id"), col("text").as("body"),
+      when(col("doc_id") % 50 === 0, upper(col("source")))
+        .otherwise(col("source")).as("source"),
+      col("lang"))
+    val report = SchemaDrift.drift(
+      SchemaDrift.columnProfiles(oldRel), SchemaDrift.columnProfiles(newRel))
+    val repaired = SchemaDrift.applyDrift(newRel, report, oldRel.schema)
+    // exact old schema: names, order, types (n_chars back as a typed null)
+    assert(repaired.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      oldRel.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // renamed column content survives byte-for-byte
+    val before = oldRel.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    repaired.select("doc_id", "text").collect().foreach { r =>
+      assert(r.getString(1) == before(r.getLong(0)))
+    }
+    // removed column is present but empty
+    assert(repaired.filter(col("n_chars").isNotNull).count() == 0)
+  }
 }
