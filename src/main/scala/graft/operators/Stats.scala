@@ -271,6 +271,49 @@ object Stats {
       .orderBy("src_a", "src_b")
   }
 
+  /** k-anonymity audit over quasi-identifiers (release governance): how
+    * many records sit in equivalence classes smaller than k — the
+    * re-identification risk screen a data release runs BEFORE publishing
+    * (the reference gates human-subject expression data behind exactly
+    * this kind of aggregation review; a training-data release has the
+    * same duty for user-shaped records). Quasi-identifier here:
+    * (nation, market segment, account-balance bucket). Two aggregations
+    * — class sizes, then the size-band rollup; the per-class table is
+    * the only corpus-keyed shuffle, band math is band-count-sized. */
+  val qKanon: Q = Q(
+    "q_kanon",
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+      |    COUNT(*) AS sz
+      |  FROM customer GROUP BY 1, 2, 3),
+      |bands AS (
+      |  SELECT CASE WHEN sz = 1 THEN '1_unique'
+      |              WHEN sz < 5 THEN '2-4_small'
+      |              WHEN sz < 10 THEN '5-9_k5ok'
+      |              ELSE '10+_anon' END AS band,
+      |    COUNT(*) AS n_classes, CAST(SUM(sz) AS BIGINT) AS n_rows
+      |  FROM cls GROUP BY 1)
+      |SELECT band, n_classes, n_rows,
+      |  round(CAST(n_rows AS DOUBLE) / SUM(CAST(n_rows AS DOUBLE)) OVER (), 6) AS pct_rows
+      |FROM bands ORDER BY band""".stripMargin) { (s, d) =>
+    val cls = T.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 100).as("bal_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    val bands = cls
+      .groupBy(when(col("sz") === 1, "1_unique")
+        .when(col("sz") < 5, "2-4_small")
+        .when(col("sz") < 10, "5-9_k5ok")
+        .otherwise("10+_anon").as("band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_rows"))
+    bands
+      .withColumn("pct_rows", round(dbl(col("n_rows")) /
+        sum(dbl(col("n_rows"))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+      .orderBy("band")
+  }
+
   val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap, qJoinAudit, qSkewAudit,
-    qSourceDivergence)
+    qSourceDivergence, qKanon)
 }
