@@ -397,6 +397,49 @@ object PipelineOps3 {
       .orderBy("epoch", "pos")
   }
 
+  /** Temporal train/val split with an embargo gap — the TIME-leakage
+    * counterpart of [[qSplitLeakageSafe]] (which guards CONTENT leakage
+    * via near-dup components). Forecast-style evaluation must not train
+    * on anything the validation period could "remember": the boundary
+    * sits at 70% of the observed span and a 3-day embargo strip between
+    * train and val absorbs look-ahead effects (events straddling the
+    * boundary, delayed attributions). All boundary math is exact integer
+    * microseconds derived from the data's own min/max — both engines
+    * truncate the same way, so the carve is bit-reproducible. One pass:
+    * a 1-row bounds aggregate broadcast back, then a single grouped
+    * count; no window, no second scan. */
+  val qSplitTemporal: Q = Q(
+    "q_split_temporal",
+    """WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),
+      |s AS (
+      |  SELECT CASE WHEN epoch_us(ts) < mn + (mx - mn) * 7 // 10 THEN 'train'
+      |              WHEN epoch_us(ts) < mn + (mx - mn) * 7 // 10 + 259200000000 THEN 'embargo'
+      |              ELSE 'val' END AS split,
+      |         epoch_us(ts) AS us, user_id
+      |  FROM events CROSS JOIN b)
+      |SELECT split, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MIN(us) AS min_us, MAX(us) AS max_us
+      |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    val EmbargoUs = 259200000000L // 3 days
+    val ev = T.events(s, d)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    ev.crossJoin(broadcast(bounds))
+      .select(
+        when(col("us") < col("mn") + expr("(mx - mn) * 7 div 10"), "train")
+          .when(col("us") < col("mn") + expr("(mx - mn) * 7 div 10") +
+            EmbargoUs, "embargo")
+          .otherwise("val").as("split"),
+        col("us"), col("user_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed,
-    qCorpusExport, qLangConfusion, qDupMatrix, qLinearProbe, qEpochShuffle)
+    qCorpusExport, qLangConfusion, qDupMatrix, qLinearProbe, qEpochShuffle,
+    qSplitTemporal)
 }

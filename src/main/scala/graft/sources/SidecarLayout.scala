@@ -40,8 +40,15 @@ object SidecarLayout {
     * layouts. Spark part-file names carry a per-job UUID, so basenames
     * identify files across nesting. */
   def readData(spark: SparkSession, path: String): DataFrame = {
-    val files = dataFiles(spark, path).map(_.getPath.toString)
-    require(files.nonEmpty, s"readData: no data files under $path")
+    // serve the swap backup if a compact crashed between its renames —
+    // `path` is then momentarily absent but `path_prev` is complete
+    // (AtomicSwap.live; SwapConsistencySpec pins the window)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = if (fs.exists(p)) path
+      else AtomicSwap.live(fs, p).map(_.toString).getOrElse(path)
+    val files = dataFiles(spark, dir).map(_.getPath.toString)
+    require(files.nonEmpty, s"readData: no data files under $dir")
     spark.read.parquet(files: _*)
   }
 
@@ -63,15 +70,14 @@ object SidecarLayout {
   def compactSwap(spark: SparkSession, path: String,
                   rebuild: (DataFrame, String) => Unit): Long = {
     val cur = new Path(path)
-    val prev = new Path(path + "_prev")
     val next = new Path(path + "_next")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(next, true)
+    // readData resolves the live dir itself (falls back to _prev when a
+    // prior compact crashed half-swapped), so the re-run recovers
     rebuild(readData(spark, path), next.toString)
     val n = readData(spark, next.toString).count()
-    fs.delete(prev, true)
-    if (fs.exists(cur)) { fs.rename(cur, prev); () }
-    fs.rename(next, cur)
+    AtomicSwap.commit(fs, cur, keepBackup = true)
     n
   }
 }

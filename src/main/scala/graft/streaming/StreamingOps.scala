@@ -184,20 +184,17 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val cur = new org.apache.hadoop.fs.Path(snapshotDir)
-        val prev = new org.apache.hadoop.fs.Path(snapshotDir + "_prev")
-        val next = new org.apache.hadoop.fs.Path(snapshotDir + "_next")
         // resolve the FS from the snapshot path itself (the default FS may
         // be a different scheme entirely)
         val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // "no snapshot yet" is decided by an existence check, not a
         // catch-all: a transient read/IO failure must propagate (retried by
         // the stream), never be treated as an empty base — that would
-        // silently rebuild the snapshot from one batch. _prev is the
-        // recovery point if a previous swap died between its two renames.
-        val base =
-          if (fs.exists(cur)) spark.read.parquet(snapshotDir)
-          else if (fs.exists(prev)) spark.read.parquet(snapshotDir + "_prev")
-          else batch.limit(0)
+        // silently rebuild the snapshot from one batch. AtomicSwap.live
+        // falls back to _prev if a previous swap died between its renames.
+        val base = graft.sources.AtomicSwap.live(fs, cur)
+          .map(p => spark.read.parquet(p.toString))
+          .getOrElse(batch.limit(0))
         // dedup within the batch first (micro-batches can carry multiple
         // versions of one key), then merge into the snapshot
         val w = org.apache.spark.sql.expressions.Window
@@ -207,13 +204,10 @@ object StreamingOps {
         graft.operators.MergeOps.upsert(base, batchLatest, key, versionCol)
           .write.mode("overwrite").parquet(snapshotDir + "_next")
         // swap via rename-to-backup: at every instant either cur or prev
-        // holds a complete snapshot (a table format makes this a real
-        // atomic commit; the plan shape is the same)
-        fs.delete(prev, true)
-        if (fs.exists(cur)) { fs.rename(cur, prev); () }
-        fs.rename(next, cur)
-        fs.delete(prev, true)
-        ()
+        // holds a complete snapshot, and every crash point re-runs to
+        // convergence (SwapConsistencySpec enumerates them; a table
+        // format makes this a real atomic commit — same plan shape)
+        graft.sources.AtomicSwap.commit(fs, cur)
       }
 
   /** Merged as-of input: quotes (is_quote=true, qval) and events
