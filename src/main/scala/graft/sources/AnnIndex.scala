@@ -105,25 +105,38 @@ object AnnIndex {
   def compact(spark: SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val cur = new org.apache.hadoop.fs.Path(s"$path/index")
-    val prev = new org.apache.hadoop.fs.Path(s"$path/index_prev")
-    val next = new org.apache.hadoop.fs.Path(s"$path/index_next")
     val stream = new org.apache.hadoop.fs.Path(s"$path/index_stream")
     val fs = cur.getFileSystem(conf)
     readIndex(spark, path)
-      .write.mode("overwrite").partitionBy("cell").parquet(next.toString)
-    fs.delete(prev, true)
-    if (fs.exists(cur)) { fs.rename(cur, prev); () }
-    fs.rename(next, cur)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(AtomicSwap.nextOf(cur).toString)
+    AtomicSwap.commit(fs, cur, keepBackup = true)
+    // stream cleanup is AFTER the commit point: a crash in between
+    // leaves the streamed rows on both sides, which readIndex's
+    // duplicate guard absorbs — and the re-run (reading the deduped
+    // union) converges instead of baking the duplicates in
     fs.delete(stream, true)
+    ()
   }
 
   /** The full index: the batch build plus any streamed appends. Both
-    * sides are cell-partitioned, so partition pruning applies to each. */
+    * sides are cell-partitioned, so partition pruning applies to each
+    * (the dedup guard groups on id only when a stream region exists, and
+    * cell filters push below it). Resolves the swap backup if a compact
+    * crashed between its renames. */
   def readIndex(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/index")
+    val cur = new org.apache.hadoop.fs.Path(s"$path/index")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDir = AtomicSwap.live(fs, cur).getOrElse(cur).toString
+    val base = spark.read.parquet(liveDir)
     val streamDir = new org.apache.hadoop.fs.Path(s"$path/index_stream")
-    val fs = streamDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(streamDir)) base.unionByName(spark.read.parquet(streamDir.toString))
+    if (fs.exists(streamDir))
+      // a compact that crashed after its swap but before the stream
+      // cleanup leaves every streamed row in BOTH regions; ids are
+      // unique per vector and duplicate rows are bit-identical, so
+      // dropDuplicates(id) restores exactly-once
+      base.unionByName(spark.read.parquet(streamDir.toString))
+        .dropDuplicates("id")
     else base
   }
 

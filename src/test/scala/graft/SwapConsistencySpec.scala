@@ -83,6 +83,29 @@ class SwapConsistencySpec extends SparkSpec {
     assert(readRows(cur) == B.toSet)
   }
 
+  test("ann-index compact: the post-swap pre-cleanup crash never double-serves or bakes duplicates in") {
+    import graft.sources.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("swapann").toString
+    val corpus = graft.sources.Tables.embeddings(spark, TinyDir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    AnnIndex.build(corpus, dir, k = 4)
+    val n = AnnIndex.readIndex(spark, dir).count()
+    // crash state: a compact swapped the folded index in but died before
+    // deleting the stream region — the streamed rows exist on BOTH sides
+    AnnIndex.readIndex(spark, dir).limit(5)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/index_stream")
+    assert(AnnIndex.readIndex(spark, dir).count() == n,
+      "crash window double-served streamed rows")
+    // plain re-run converges: same row count, stream region gone
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.readIndex(spark, dir).count() == n)
+    assert(!new java.io.File(s"$dir/index_stream").exists())
+    assert(AnnIndex.readIndex(spark, dir)
+      .groupBy("id").count().filter(col("count") > 1).count() == 0,
+      "re-run baked duplicates into the compacted index")
+  }
+
   test("compactSwap: a crash between its renames leaves serving reads and the re-run whole") {
     val base = java.nio.file.Files.createTempDirectory("swapc").toString
     val dir = s"$base/li"
