@@ -203,6 +203,56 @@ object Events2 {
       .orderBy("event_type", "dow")
   }
 
+  /** CUSUM changepoint screen over the daily volume series: the running
+    * positive cumulative excess s_d = max(0, s_{d-1} + (cnt_d − mean))
+    * flags sustained level shifts that single-day z-score screens
+    * ([[qAnomalyDays]]) structurally miss — ten slightly-elevated days
+    * trip CUSUM long before any one of them trips a z-test. The corpus
+    * scan (events → daily counts) is distributed; the CUSUM fold is an
+    * inherently sequential recurrence over the DAY series, which is
+    * calendar-sized (365 rows/year) at ANY corpus size — folded on the
+    * driver, the same documented posture as the BPE per-round argmax.
+    * All arithmetic is micro-scaled exact integers; the oracle unrolls
+    * the same recurrence with a recursive CTE. */
+  val qChangepoint: Q = Q(
+    "q_changepoint",
+    """WITH daily AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT CAST(SUM(cnt) * 1000000 // COUNT(*) AS BIGINT) AS mean_micro FROM daily),
+      |d AS (SELECT row_number() OVER (ORDER BY day) AS rn, day, cnt FROM daily),
+      |c AS (
+      |  WITH RECURSIVE r AS (
+      |    SELECT d.rn, d.day, d.cnt,
+      |      GREATEST(CAST(0 AS BIGINT), d.cnt * 1000000 - m.mean_micro) AS s
+      |    FROM d, m WHERE d.rn = 1
+      |    UNION ALL
+      |    SELECT d.rn, d.day, d.cnt,
+      |      GREATEST(CAST(0 AS BIGINT), r.s + d.cnt * 1000000 - m.mean_micro)
+      |    FROM r JOIN d ON d.rn = r.rn + 1, m)
+      |  SELECT * FROM r)
+      |SELECT day, cnt, s AS cusum_micro,
+      |  s > 3 * (SELECT mean_micro FROM m) AS shifted
+      |FROM c ORDER BY day""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val daily = T.events(s, d)
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("day")
+      .collect() // calendar-sized: #days rows, not corpus rows
+    val meanMicro = daily.map(_.getAs[Long]("cnt")).sum * 1000000L / daily.length
+    val folded = daily.scanLeft(("", 0L, 0L)) { case ((_, _, sPrev), r) =>
+      val cnt = r.getAs[Long]("cnt")
+      val sNew = math.max(0L, sPrev + cnt * 1000000L - meanMicro)
+      (r.getAs[String]("day"), cnt, sNew)
+    }.drop(1)
+    folded.toSeq
+      .map { case (day, cnt, cusum) =>
+        (day, cnt, cusum, cusum > 3 * meanMicro) }
+      .toDF("day", "cnt", "cusum_micro", "shifted")
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(qRollingStats, qFirstLastTouch, qAnomalyDays, qGapStats,
-    qTrendSlope, qSeasonality)
+    qTrendSlope, qSeasonality, qChangepoint)
 }
