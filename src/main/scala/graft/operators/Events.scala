@@ -144,6 +144,40 @@ object Events {
       .orderBy("cohort_wk", "weeks_later")
   }
 
+  /** Top user journeys: each user's first five events (event-time order,
+    * event_id tiebreak) joined into a path string, then the 20 most
+    * common paths — the "how do users actually move" panel next to the
+    * funnel's "do they reach the goal". One window shuffle on user_id
+    * (rank + truncate), one path-keyed aggregation; path strings are
+    * bounded (5 steps), so the aggregate key space is small no matter
+    * the event volume. Fully deterministic: ties in event time break on
+    * event_id, path ties in the top-20 break lexicographically. */
+  val qUserPaths: Q = Q(
+    "q_user_paths",
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, COUNT(*) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qTumblingWindow, qSlidingWindow,
-    qFunnel, qRetention)
+    qFunnel, qRetention, qUserPaths)
 }
