@@ -240,17 +240,24 @@ object Events2 {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("day")
       .collect() // calendar-sized: #days rows, not corpus rows
-    val meanMicro = daily.map(_.getAs[Long]("cnt")).sum * 1000000L / daily.length
-    val folded = daily.scanLeft(("", 0L, 0L)) { case ((_, _, sPrev), r) =>
-      val cnt = r.getAs[Long]("cnt")
-      val sNew = math.max(0L, sPrev + cnt * 1000000L - meanMicro)
-      (r.getAs[String]("day"), cnt, sNew)
-    }.drop(1)
-    folded.toSeq
-      .map { case (day, cnt, cusum) =>
-        (day, cnt, cusum, cusum > 3 * meanMicro) }
-      .toDF("day", "cnt", "cusum_micro", "shifted")
-      .orderBy("day")
+    if (daily.isEmpty) {
+      // an empty event stream has no series — the screen reports nothing,
+      // it does not crash
+      Seq.empty[(String, Long, Long, Boolean)]
+        .toDF("day", "cnt", "cusum_micro", "shifted")
+    } else {
+      val meanMicro = daily.map(_.getAs[Long]("cnt")).sum * 1000000L / daily.length
+      val folded = daily.scanLeft(("", 0L, 0L)) { case ((_, _, sPrev), r) =>
+        val cnt = r.getAs[Long]("cnt")
+        val sNew = math.max(0L, sPrev + cnt * 1000000L - meanMicro)
+        (r.getAs[String]("day"), cnt, sNew)
+      }.drop(1)
+      folded.toSeq
+        .map { case (day, cnt, cusum) =>
+          (day, cnt, cusum, cusum > 3 * meanMicro) }
+        .toDF("day", "cnt", "cusum_micro", "shifted")
+        .orderBy("day")
+    }
   }
 
   val all: Seq[Q] = Seq(qRollingStats, qFirstLastTouch, qAnomalyDays, qGapStats,

@@ -39,12 +39,17 @@ object SchemaDrift {
     * every column of `df` — ONE pass, map-side pair explosion. Values
     * compare via their canonical string cast. */
   def columnProfiles(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
     val kvs = df.columns.flatMap(c => Seq(lit(c), col(c).cast("string")))
-    df.select(explode(map(kvs.toSeq: _*)).as(Seq("c", "v")))
+    val agg = df.select(explode(map(kvs.toSeq: _*)).as(Seq("c", "v")))
       .groupBy("c")
       .agg(count(col("v")).as("n"),
         (sum(rowFingerprint(col("v")).cast(DecimalType(38, 0))) % FpMod)
           .cast("long").as("fp"))
+    // a zero-row frame still HAS a schema: every column profiles as
+    // (n=0, fp=null) instead of vanishing from the report entirely
+    df.columns.toSeq.toDF("c").join(agg, Seq("c"), "left")
+      .na.fill(0L, Seq("n"))
   }
 
   /** Classify the drift between two column-profile frames. */
@@ -69,8 +74,11 @@ object SchemaDrift {
       .select(col("new_col"), col("new_n"), col("new_fp"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("new_fp", "new_n").orderBy("new_col")))
+    // zero-count profiles carry no content evidence — an empty column is
+    // never CLAIMED as a rename, it reports removed/added instead
     val pairCond = col("old_fp") === col("new_fp") &&
-      col("old_n") === col("new_n") && orphO("rk") === orphN("rk")
+      col("old_n") === col("new_n") && col("old_n") > 0 &&
+      orphO("rk") === orphN("rk")
     val renamed = orphO.join(orphN, pairCond)
       .select(col("old_col"), col("new_col"), lit("renamed").as("status"))
     val removed = orphO.join(orphN, pairCond, "left_anti")
@@ -121,17 +129,17 @@ object SchemaDrift {
        |renamed AS (
        |  SELECT o.old_col, a.new_col, 'renamed' AS status
        |  FROM orph_o o JOIN orph_n a
-       |    ON o.old_fp = a.new_fp AND o.old_n = a.new_n AND o.rk = a.rk),
+       |    ON o.old_fp = a.new_fp AND o.old_n = a.new_n AND o.old_n > 0 AND o.rk = a.rk),
        |removed AS (
        |  SELECT o.old_col, CAST(NULL AS VARCHAR) AS new_col, 'removed' AS status
        |  FROM orph_o o WHERE NOT EXISTS (
        |    SELECT 1 FROM orph_n a
-       |    WHERE o.old_fp = a.new_fp AND o.old_n = a.new_n AND o.rk = a.rk)),
+       |    WHERE o.old_fp = a.new_fp AND o.old_n = a.new_n AND o.old_n > 0 AND o.rk = a.rk)),
        |added AS (
        |  SELECT CAST(NULL AS VARCHAR) AS old_col, a.new_col, 'added' AS status
        |  FROM orph_n a WHERE NOT EXISTS (
        |    SELECT 1 FROM orph_o o
-       |    WHERE o.old_fp = a.new_fp AND o.old_n = a.new_n AND o.rk = a.rk))
+       |    WHERE o.old_fp = a.new_fp AND o.old_n = a.new_n AND o.old_n > 0 AND o.rk = a.rk))
        |SELECT * FROM (
        |  SELECT * FROM matched UNION ALL SELECT * FROM renamed
        |  UNION ALL SELECT * FROM removed UNION ALL SELECT * FROM added)

@@ -187,15 +187,17 @@ object CorpusQuality {
       dbl(sum(size(split(trim(col("text")), " ")))).as("n_tokens"),
       dbl(countDistinct(md5(col("text")))).as("n_unique"),
       dbl(sum(when(length(trim(col("text"))) === 0, 1).otherwise(0))).as("n_empty"))
+    // nullif guards: ANSI mode raises DIVIDE_BY_ZERO even for doubles,
+    // and an EMPTY corpus should card as null rates, not as an outage
     a.select(expr(
       """stack(7,
         |  'n_docs', n_docs,
         |  'n_sources', n_sources,
         |  'n_langs', n_langs,
         |  'n_tokens', n_tokens,
-        |  'mean_doc_tokens', n_tokens / n_docs,
-        |  'exact_dup_rate', 1.0d - n_unique / n_docs,
-        |  'empty_rate', n_empty / n_docs) AS (metric, value)""".stripMargin))
+        |  'mean_doc_tokens', n_tokens / nullif(n_docs, 0.0d),
+        |  'exact_dup_rate', 1.0d - n_unique / nullif(n_docs, 0.0d),
+        |  'empty_rate', n_empty / nullif(n_docs, 0.0d)) AS (metric, value)""".stripMargin))
       .select(col("metric"), round(col("value"), 6).as("value"))
       .orderBy("metric")
   }

@@ -38,6 +38,20 @@ object Backfill {
       .groupBy("win", "event_type")
       .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
 
+  /** The published layout's schema (partition column included). Pinned
+    * explicitly so empty tables stay readable: sum(DECIMAL(12,2)) widens
+    * to DECIMAL(22,2). */
+  val publishedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_v",
+        org.apache.spark.sql.types.DecimalType(22, 2)),
+      org.apache.spark.sql.types.StructField("win",
+        org.apache.spark.sql.types.LongType)))
+
   /** Publish the windowed aggregate of `events`, partitioned by window
     * start — the layout reconciliation patches in place. */
   def publish(events: DataFrame, dir: String, windowUs: Long): Unit =
@@ -61,8 +75,11 @@ object Backfill {
       .collect().map(_.getLong(0))
     if (affected.isEmpty) return spark.emptyDataFrame
 
-    // partition pruning: only the affected win=... dirs are scanned
-    val published = spark.read.parquet(dir)
+    // partition pruning: only the affected win=... dirs are scanned.
+    // Explicit schema: a published table with ZERO windows (an empty
+    // on-time carve) has no files to infer from, and the first late
+    // batch must still be able to create it.
+    val published = spark.read.schema(publishedSchema).parquet(dir)
       .filter(col("win").isin(affected.toSeq: _*))
       // partition-value inference may narrow `win` to int on small demo
       // timestamps; the layout contract is long microseconds
@@ -120,7 +137,7 @@ object Backfill {
       publish(ev.filter(col("event_id") % 7 =!= 0), s"$tmp/pub", DayUs)
       reconcileLate(s, s"$tmp/pub", ev.filter(col("event_id") % 7 === 0),
         DayUs).count() // materialize the repair
-      s.read.parquet(s"$tmp/pub")
+      s.read.schema(publishedSchema).parquet(s"$tmp/pub")
         .select(col("win").cast("long").as("win"), col("event_type"),
           col("cnt"), dbl(col("sum_v")).as("sum_value"))
         .orderBy("win", "event_type")
