@@ -294,4 +294,110 @@ class PropertySpec extends SparkSpec {
       base == shuffled && mutated != base
     }, n = 8)
   }
+
+  test("schema drift recovers a random rename permutation regardless of row order") {
+    import graft.operators.SchemaDrift
+    import spark.implicits._
+    val gen = for {
+      k <- Gen.choose(2, 4)            // columns
+      n <- Gen.choose(1, 15)           // rows
+      renamedIdx <- Gen.someOf(0 until k)
+    } yield (k, n, renamedIdx.toSet)
+    check(forAll(gen) { case (k, n, renamedIdx) =>
+      // column j's values are offset by j*1000 so content multisets are
+      // pairwise distinct — renames are then unambiguous by construction
+      val rows = (0 until n).map(i => (0 until k).map(j => i + j * 1000))
+      val oldNames = (0 until k).map(j => s"c$j")
+      val newNames = (0 until k).map(j =>
+        if (renamedIdx.contains(j)) s"r$j" else s"c$j")
+      val oldDf = rows.map(r => org.apache.spark.sql.Row(r.map(_.toLong): _*))
+      val schema = org.apache.spark.sql.types.StructType(oldNames.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.LongType)))
+      val old = spark.createDataFrame(
+        spark.sparkContext.parallelize(oldDf.toSeq), schema)
+      val renamed = old.toDF(newNames: _*)
+        .orderBy(rand(7))               // row order must not matter
+      val report = SchemaDrift.drift(
+        SchemaDrift.columnProfiles(old), SchemaDrift.columnProfiles(renamed))
+        .collect()
+        .map(r => (r.getAs[String]("old_col"), r.getAs[String]("new_col"),
+          r.getAs[String]("status"))).toSet
+      val want = (0 until k).map { j =>
+        if (renamedIdx.contains(j)) (s"c$j", s"r$j", "renamed")
+        else (s"c$j", s"c$j", "same")
+      }.toSet
+      report == want
+    }, n = 8)
+  }
+
+  test("mix-monitor consecutive-drift runs equal the sequential fold on random drift patterns") {
+    import graft.streaming.MixMonitor
+    import spark.implicits._
+    val H = 3600L * 1000 * 1000
+    val target = Map("sA" -> 500000L, "sB" -> 500000L)
+    val gen = Gen.listOfN(6, Gen.oneOf(true, false)).suchThat(_.nonEmpty)
+    check(forAll(gen) { drifts =>
+      val dir = java.nio.file.Files.createTempDirectory("mixprop").toString
+      // window w drifts iff drifts(w): (900,100) vs the balanced (500,500)
+      val events = drifts.zipWithIndex.flatMap { case (drift, w) =>
+        val (a, b) = if (drift) (900L, 100L) else (500L, 500L)
+        Seq((w * H, "sA", a), (w * H, "sB", b))
+      } :+ (drifts.length * H, "sA", 1L) // closer keeps the last window open
+      MixMonitor.mixMonitorBatch(
+        events.toDF("us", "source", "tokens")
+          .select(timestamp_micros(col("us")).as("ts"), col("source"),
+            col("tokens")),
+        bid = 0, dir, target, tolPpm = 100000L, kConsec = 99, windowUs = H)
+      // reference: sequential trailing-run fold over the drift sequence
+      val wantPerWin = drifts.scanLeft(0L) { (run, d) =>
+        if (d) run + 1 else 0L }.drop(1)
+      val got = MixMonitor.readAlerts(spark, dir).collect()
+        .filter(_.getAs[String]("source") == "sA")
+        .sortBy(_.getAs[Long]("win_start_us"))
+        .map(_.getAs[Long]("consec")).toSeq
+      val state = spark.read.parquet(s"$dir/state/consec").collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("consec")).toMap
+      got == wantPerWin && state("sA") == wantPerWin.last
+    }, n = 6)
+  }
+
+  test("backfill reconcile equals a from-scratch aggregate for random late carves") {
+    import graft.streaming.Backfill
+    import spark.implicits._
+    val DayUs = 86400L * 1000 * 1000
+    val T0 = 1700000000L * 1000 * 1000
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        day <- Gen.choose(0, 4)
+        off <- Gen.choose(0L, DayUs - 1)
+        et <- Gen.oneOf("click", "view")
+        cents <- Gen.choose(0L, 99999L)
+        late <- Gen.oneOf(true, false)
+      } yield (T0 + day * DayUs + off, et, cents / 100.0, late))
+    } yield rows
+    check(forAll(gen) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("bfprop").toString + "/pub"
+      def df(sel: Boolean) = rows.filter(_._4 == sel).zipWithIndex
+        .map { case ((us, et, v, _), i) => (us, et, v, i.toLong) }
+        .toDF("us", "event_type", "value", "event_id")
+        .select(timestamp_micros(col("us")).as("ts"), col("event_type"),
+          col("value"), col("event_id"))
+      Backfill.publish(df(false), dir, DayUs)
+      Backfill.reconcileLate(spark, dir, df(true), DayUs).count()
+      val repaired = spark.read.schema(Backfill.publishedSchema).parquet(dir)
+        .select(col("win").cast("long"), col("event_type"), col("cnt"),
+          col("sum_v").cast("string"))
+        .collect().map(_.toSeq).toSet
+      val rows2 = rows.zipWithIndex.map { case ((us, et, v, _), i) => (us, et, v, i.toLong) }
+      val fresh = Backfill.aggregateWindows(
+        rows2.toDF("us", "event_type", "value", "event_id")
+          .select(timestamp_micros(col("us")).as("ts"), col("event_type"),
+            col("value"), col("event_id")), DayUs)
+        .select(col("win"), col("event_type"), col("cnt"),
+          col("sum_v").cast("string"))
+        .collect().map(_.toSeq).toSet
+      repaired == fresh
+    }, n = 6)
+  }
 }
