@@ -126,7 +126,13 @@ object MixMonitor {
       .join(broadcast(totals), Seq("win"))
       .join(broadcast(targets), Seq("source"), "left")
       .na.fill(0L, Seq("target_ppm"))
-      .withColumn("share_ppm", expr("tokens * 1000000 div total"))
+      // a closed window whose rows all carried zero tokens has no shares
+      // to compare — share 0 for everyone, judged against targets as-is
+      // (div-by-zero must not null out `drift`: null would silently skip
+      // the run-length arithmetic below)
+      .withColumn("share_ppm",
+        when(col("total") > 0, expr("tokens * 1000000 div total"))
+          .otherwise(lit(0L)))
       .withColumn("drift",
         abs(col("share_ppm") - col("target_ppm")) > tolPpm)
 
