@@ -31,11 +31,19 @@ object ProvenanceOps {
 
   private val FpMod = 4611686018427387904L // 2^62
 
+  /** The order-independent dataset checksum AGGREGATE over [[rowFingerprint]]:
+    * exact decimal sum mod 2^62, cast back to long. Every operator that
+    * fingerprints content (ledger, release diffs, schema-drift profiles)
+    * must use THIS expression — a second copy that drifts stops
+    * comparing across operators. DuckDB twin:
+    * `CAST(SUM(('0x'||substr(md5(x),1,15))::BIGINT) % 4611686018427387904 AS BIGINT)`. */
+  def contentFp(content: Column): Column =
+    (sum(rowFingerprint(content).cast(DecimalType(38, 0))) % FpMod)
+      .cast("long")
+
   /** (n_rows, content_fp) for a dataset, keyed on `content`. */
   def datasetFingerprint(df: DataFrame, content: Column): DataFrame =
-    df.agg(count(lit(1)).as("n_rows"),
-      (sum(rowFingerprint(content).cast(DecimalType(38, 0))) % FpMod)
-        .cast("long").as("content_fp"))
+    df.agg(count(lit(1)).as("n_rows"), contentFp(content).as("content_fp"))
 
   /** Append one ledger row describing `df` to the provenance table at
     * `provDir`. `loadedAtUs` is caller-supplied (a job id / batch time) so
@@ -85,8 +93,7 @@ object ProvenanceOps {
       .groupBy(col("source").as("dataset"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("doc_id")).as("n_distinct_ids"),
-        (sum(rowFingerprint(col("text")).cast(DecimalType(38, 0))) % FpMod)
-          .cast("long").as("content_fp"))
+        contentFp(col("text")).as("content_fp"))
       .orderBy("dataset")
   }
 
@@ -185,8 +192,7 @@ object ProvenanceOps {
     def release(pred: Column, content: Column): DataFrame =
       docs.filter(pred).groupBy("source")
         .agg(count(lit(1)).as("n_rows"),
-          (sum(rowFingerprint(content).cast(DecimalType(38, 0))) % FpMod)
-            .cast("long").as("fp"))
+          contentFp(content).as("fp"))
     val old = release(col("doc_id") % 10 =!= 3 && col("source") =!= "src16",
         col("text"))
       .select(col("source").as("src_o"), col("n_rows").as("old_n"),

@@ -38,8 +38,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ReleaseOps {
 
-  import ProvenanceOps.rowFingerprint
-  private val FpMod = 4611686018427387904L // 2^62
+  import ProvenanceOps.contentFp
 
   private val K = 4 // releases r = 0..3
 
@@ -63,9 +62,7 @@ object ReleaseOps {
       concat(col("text"), lit("!"))).otherwise(col("text"))
     docs.filter(si < lit(14 + 2 * r) && si =!= lit(r) && keepRows)
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_rows"),
-        (sum(rowFingerprint(content).cast(DecimalType(38, 0))) % FpMod)
-          .cast("long").as("fp"))
+      .agg(count(lit(1)).as("n_rows"), contentFp(content).as("fp"))
       .select(lit(r).as("r"), col("source"), col("n_rows"), col("fp"))
   }
 
@@ -169,9 +166,7 @@ object ReleaseOps {
     val docs = T.documents(s, d)
     def release(pred: Column, content: Column): DataFrame =
       docs.filter(pred).groupBy("source")
-        .agg(count(lit(1)).as("n_rows"),
-          (sum(rowFingerprint(content).cast(DecimalType(38, 0))) % FpMod)
-            .cast("long").as("fp"))
+        .agg(count(lit(1)).as("n_rows"), contentFp(content).as("fp"))
     val old = release(col("doc_id") % 10 =!= 3 && col("source") =!= "src16",
         col("text"))
       .select(col("source").as("src_o"), col("n_rows").as("old_n"),

@@ -32,8 +32,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SchemaDrift {
 
-  import ProvenanceOps.rowFingerprint
-  private val FpMod = 4611686018427387904L // 2^62
+  import ProvenanceOps.contentFp
 
   /** (column, non-null count, order-independent content fingerprint) for
     * every column of `df` — ONE pass, map-side pair explosion. Values
@@ -43,9 +42,7 @@ object SchemaDrift {
     val kvs = df.columns.flatMap(c => Seq(lit(c), col(c).cast("string")))
     val agg = df.select(explode(map(kvs.toSeq: _*)).as(Seq("c", "v")))
       .groupBy("c")
-      .agg(count(col("v")).as("n"),
-        (sum(rowFingerprint(col("v")).cast(DecimalType(38, 0))) % FpMod)
-          .cast("long").as("fp"))
+      .agg(count(col("v")).as("n"), contentFp(col("v")).as("fp"))
     // a zero-row frame still HAS a schema: every column profiles as
     // (n=0, fp=null) instead of vanishing from the report entirely
     df.columns.toSeq.toDF("c").join(agg, Seq("c"), "left")

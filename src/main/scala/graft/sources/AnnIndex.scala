@@ -102,42 +102,80 @@ object AnnIndex {
     * cure — per-batch streamed files otherwise accumulate one file per
     * (batch × cell) and scan planning degrades long before data size
     * does. */
+  private val FoldedMarker = "_folded_stream"
+
+  private def parquetBasenames(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath.getName
+    }
+    out.toSeq
+  }
+
   def compact(spark: SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val cur = new org.apache.hadoop.fs.Path(s"$path/index")
     val stream = new org.apache.hadoop.fs.Path(s"$path/index_stream")
     val fs = cur.getFileSystem(conf)
+    // capture the stream files being folded BEFORE the rebuild: until the
+    // post-commit cleanup lands, these exact files are duplicates of the
+    // folded index, and the marker (staged inside the new index dir, so
+    // it commits atomically with the fold) is how readIndex knows to
+    // exclude them — without any read-side shuffle or lost pruning
+    val foldedFiles =
+      if (fs.exists(stream)) parquetBasenames(fs, stream) else Seq.empty
     readIndex(spark, path)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(AtomicSwap.nextOf(cur).toString)
+    if (foldedFiles.nonEmpty) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(AtomicSwap.nextOf(cur), FoldedMarker), true)
+      try out.write(foldedFiles.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     AtomicSwap.commit(fs, cur, keepBackup = true)
-    // stream cleanup is AFTER the commit point: a crash in between
-    // leaves the streamed rows on both sides, which readIndex's
-    // duplicate guard absorbs — and the re-run (reading the deduped
-    // union) converges instead of baking the duplicates in
+    // cleanup AFTER the commit point: a crash in between leaves the
+    // folded files on both sides, and the marker keeps reads (and the
+    // convergent re-run, which reads through readIndex too) exactly-once
     fs.delete(stream, true)
     ()
   }
 
   /** The full index: the batch build plus any streamed appends. Both
-    * sides are cell-partitioned, so partition pruning applies to each
-    * (the dedup guard groups on id only when a stream region exists, and
-    * cell filters push below it). Resolves the swap backup if a compact
-    * crashed between its renames. */
+    * sides are cell-partitioned, so partition pruning applies to each;
+    * the crash-window duplicate guard is a FILE-LIST exclusion (the
+    * `_folded_stream` marker the compact commits with its fold), a
+    * metadata filter that costs nothing in the steady state. Resolves
+    * the swap backup if a compact crashed between its renames. */
   def readIndex(spark: SparkSession, path: String): DataFrame = {
     val cur = new org.apache.hadoop.fs.Path(s"$path/index")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val liveDir = AtomicSwap.live(fs, cur).getOrElse(cur).toString
-    val base = spark.read.parquet(liveDir)
+    val liveDir = AtomicSwap.live(fs, cur).getOrElse(cur)
+    val base = spark.read.parquet(liveDir.toString)
     val streamDir = new org.apache.hadoop.fs.Path(s"$path/index_stream")
-    if (fs.exists(streamDir))
-      // a compact that crashed after its swap but before the stream
-      // cleanup leaves every streamed row in BOTH regions; ids are
-      // unique per vector and duplicate rows are bit-identical, so
-      // dropDuplicates(id) restores exactly-once
-      base.unionByName(spark.read.parquet(streamDir.toString))
-        .dropDuplicates("id")
-    else base
+    if (!fs.exists(streamDir)) base
+    else {
+      val markerPath = new org.apache.hadoop.fs.Path(liveDir, FoldedMarker)
+      val folded: Seq[String] =
+        if (!fs.exists(markerPath)) Seq.empty
+        else {
+          val in = fs.open(markerPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toList
+          finally in.close()
+        }
+      val streamed = spark.read.parquet(streamDir.toString)
+      val live =
+        if (folded.isEmpty) streamed
+        else streamed.filter(
+          !org.apache.spark.sql.functions.col("_metadata.file_name")
+            .isin(folded: _*))
+      base.unionByName(live)
+    }
   }
 
   /** Top-k cosine neighbors for `probes` (query_id, qv) against a built

@@ -49,12 +49,23 @@ object AtomicSwap {
     require(fs.exists(next), s"commit: nothing staged at $next")
     def ck(step: Int): Unit =
       if (step == crashAfter) throw CrashPoint(step)
-    if (fs.exists(path)) {
-      fs.delete(prev, true); ck(1)
-      fs.rename(path, prev); ck(2)
+    // Hadoop FileSystems report rename/delete failure by RETURNING false
+    // (dest exists, missing parent, object-store quirks) — an unchecked
+    // false here means "committed nothing, told nobody", and the caller's
+    // checkpoint then advances past a batch that never landed. Surface
+    // every failed step as a retryable error instead.
+    def del(p: Path): Unit = {
+      fs.delete(p, true)
+      require(!fs.exists(p), s"commit: delete left $p in place")
     }
-    fs.rename(next, path); ck(3)
-    if (!keepBackup) { fs.delete(prev, true); () }
+    def ren(a: Path, b: Path): Unit =
+      require(fs.rename(a, b), s"commit: rename $a -> $b failed")
+    if (fs.exists(path)) {
+      del(prev); ck(1)
+      ren(path, prev); ck(2)
+    }
+    ren(next, path); ck(3)
+    if (!keepBackup) del(prev)
     ck(4)
   }
 }

@@ -45,8 +45,7 @@ object SidecarLayout {
     // (AtomicSwap.live; SwapConsistencySpec pins the window)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = if (fs.exists(p)) path
-      else AtomicSwap.live(fs, p).map(_.toString).getOrElse(path)
+    val dir = AtomicSwap.live(fs, p).map(_.toString).getOrElse(path)
     val files = dataFiles(spark, dir).map(_.getPath.toString)
     require(files.nonEmpty, s"readData: no data files under $dir")
     spark.read.parquet(files: _*)

@@ -53,15 +53,24 @@ object MixMonitor {
     if (fs.exists(new Path(path))) df.sparkSession.read.parquet(path) else empty
   }
 
-  private def readMarker(df: DataFrame, stateDir: String): Long = {
-    val fs = fsOf(df, stateDir)
-    val p = new Path(stateDir, "applied_bid")
-    if (!fs.exists(p)) -1L
+  private def readLong(df: DataFrame, path: String, dflt: Long): Long = {
+    val fs = fsOf(df, path)
+    val p = new Path(path)
+    if (!fs.exists(p)) dflt
     else {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
       finally in.close()
     }
+  }
+
+  private def readMarker(df: DataFrame, stateDir: String): Long =
+    readLong(df, s"$stateDir/applied_bid", -1L)
+
+  private def writeLong(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                        v: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Apply one micro-batch. `batch` columns: ts (timestamp), source
@@ -76,15 +85,11 @@ object MixMonitor {
     import spark.implicits._
     val fs = fsOf(batch, monitorDir)
     val stateDir = s"$monitorDir/state"
-    val prevDir = s"$monitorDir/state_prev"
-    val nextDir = s"$monitorDir/state_next"
 
-    // resolve the live state tree (prev is the recovery point if a swap
-    // died between renames)
-    val liveDir =
-      if (fs.exists(new Path(stateDir))) Some(stateDir)
-      else if (fs.exists(new Path(prevDir))) Some(prevDir)
-      else None
+    // resolve the live state tree (the swap backup is the recovery point
+    // if a commit died between renames)
+    val liveDir = graft.sources.AtomicSwap
+      .live(fs, new Path(stateDir)).map(_.toString)
     if (liveDir.exists(d => readMarker(batch, d) >= bid)) return // replayed, applied
 
     val emptyPending = Seq.empty[(Long, String, Long)]
@@ -94,21 +99,31 @@ object MixMonitor {
       .getOrElse(emptyPending)
     val oldConsec = liveDir.map(d => readIfExists(batch, s"$d/consec", emptyConsec))
       .getOrElse(emptyConsec)
+    val storedBound = liveDir.map(d => readLong(batch, s"$d/closed_bound",
+      Long.MinValue)).getOrElse(Long.MinValue)
 
-    // map-side partial sums for this batch, merged into the open windows
+    // map-side partial sums for this batch. Stragglers for windows the
+    // monitor ALREADY closed and reported are dropped, never re-closed:
+    // re-admitting one would re-close its window with only the late
+    // tokens — spurious all-source drift and a corrupted run sequence.
+    // (A production deployment would side-channel them to a late-data
+    // audit; the closed-set decision is this high-watermark, monotone
+    // across batches.)
     val partials = batch
       .select(expr(s"unix_micros(ts) div $windowUs * $windowUs").as("win"),
         col("source"), col("tokens"))
       .groupBy("win", "source").agg(sum("tokens").as("tokens"))
+      .filter(col("win") + windowUs > storedBound)
     val merged = pending.unionByName(partials)
       .groupBy("win", "source").agg(sum("tokens").as("tokens"))
       .localCheckpoint(true) // state + batch folded once; read many below
 
     // watermark stand-in: windows fully behind the max observed event
-    // time (minus the allowed lateness) close now
+    // time (minus the allowed lateness) close now; the bound only moves
+    // FORWARD so an all-late batch cannot reopen the past
     val maxUs = batch.agg(max(unix_micros(col("ts")))).collect().head
-    val closeBound =
-      if (maxUs.isNullAt(0)) Long.MinValue else maxUs.getLong(0) - closeDelayUs
+    val closeBound = math.max(storedBound,
+      if (maxUs.isNullAt(0)) Long.MinValue else maxUs.getLong(0) - closeDelayUs)
     val closed = merged.filter(col("win") + windowUs <= closeBound)
     val open = merged.filter(col("win") + windowUs > closeBound)
 
@@ -175,17 +190,18 @@ object MixMonitor {
       .select(col("source"),
         coalesce(col("new_consec"), col("consec"), lit(0L)).as("consec"))
 
-    // 3) one-rename state commit: pending + consec + applied marker
+    // 3) state commit: pending + consec + closed bound + applied marker
+    // staged as one tree, swapped by the SHARED crash-point-proven
+    // protocol (a hand-rolled delete-prev-first order here would have
+    // exactly the stranded-last-copy window AtomicSwap exists to close)
+    val statePath = new Path(stateDir)
+    val nextDir = graft.sources.AtomicSwap.nextOf(statePath).toString
     fs.delete(new Path(nextDir), true)
     open.coalesce(1).write.mode("overwrite").parquet(s"$nextDir/pending")
     newConsec.coalesce(1).write.mode("overwrite").parquet(s"$nextDir/consec")
-    val out = fs.create(new Path(nextDir, "applied_bid"), true)
-    try out.write(bid.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(new Path(prevDir), true)
-    if (fs.exists(new Path(stateDir))) { fs.rename(new Path(stateDir), new Path(prevDir)); () }
-    fs.rename(new Path(nextDir), new Path(stateDir))
-    fs.delete(new Path(prevDir), true)
-    ()
+    writeLong(fs, new Path(nextDir, "closed_bound"), closeBound)
+    writeLong(fs, new Path(nextDir, "applied_bid"), bid)
+    graft.sources.AtomicSwap.commit(fs, statePath)
   }
 
   /** The monitor as a stream sink, ready to `.start()`. */

@@ -8,16 +8,6 @@ import org.apache.spark.sql.functions._
   * result equivalence to the plain (shuffling) join. */
 class BucketingSpec extends SparkSpec {
 
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("bucketed fact-fact join plans with no exchange and matches the plain join") {
     val dir = java.nio.file.Files.createTempDirectory("bucketed").toString
     val li = Tables.lineitem(spark, SmallDir)

@@ -10,15 +10,6 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * join order — and the rewrite changes the plan, not the answer. */
 class CboReorderSpec extends SparkSpec {
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   /** Catalog-table leaves of the optimized join tree, left-to-right —
     * the join order the planner actually chose. */
   private def joinLeaves(df: DataFrame): Seq[String] =

@@ -29,17 +29,6 @@ class CboSpec extends SparkSpec {
     }
   }
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-      body
-    } finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("ANALYZE TABLE gives the optimizer exact row counts and filtered-join estimates") {
     dropManaged("cbo_li")
     dropManaged("cbo_supp")

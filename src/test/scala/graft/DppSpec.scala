@@ -14,15 +14,6 @@ import org.apache.spark.sql.functions._
   * to lose silently). */
 class DppSpec extends SparkSpec {
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   private lazy val dppDir: String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
       .toFile.getAbsolutePath

@@ -100,6 +100,32 @@ class MixMonitorSpec extends SparkSpec {
     assert(consec("sA") == 1L)
   }
 
+  test("a straggler for an already-closed window is dropped, never re-closed") {
+    val dir = java.nio.file.Files.createTempDirectory("mixmon").toString
+    // batch 0 closes w0 (balanced, quiet)
+    MixMonitor.mixMonitorBatch(toDf(Seq(
+      ev(0, "sA", 100), ev(0, "sB", 100), ev(0, "sC", 100), ev(0, "sD", 100),
+      ev(1, "sA", 1))), bid = 0, dir, Target, tolPpm = 100000L, kConsec = 2,
+      windowUs = H)
+    val w0Before = alerts(dir).filter(_.getAs[Long]("win_start_us") == 0L)
+    assert(w0Before.length == 4 && w0Before.forall(!_.getAs[Boolean]("drift")))
+    // batch 1 carries a late w0 event (out-of-order arrival) plus w1 data;
+    // re-closing w0 with only the straggler would flag spurious all-source
+    // drift for a window already reported and corrupt the run sequence
+    MixMonitor.mixMonitorBatch(toDf(Seq(
+      ev(0, "sA", 999), // the straggler
+      ev(1, "sA", 100), ev(1, "sB", 100), ev(1, "sC", 100), ev(1, "sD", 100),
+      ev(2, "sA", 1))), bid = 1, dir, Target, tolPpm = 100000L, kConsec = 2,
+      windowUs = H)
+    val all = alerts(dir)
+    val w0Rows = all.filter(_.getAs[Long]("win_start_us") == 0L)
+    assert(w0Rows.length == 4, s"closed window re-reported: ${w0Rows.length} rows")
+    assert(w0Rows.forall(!_.getAs[Boolean]("drift")), "straggler re-closed w0")
+    // w1 closed normally and quietly; runs unaffected
+    val w1Rows = all.filter(_.getAs[Long]("win_start_us") == H)
+    assert(w1Rows.length == 4 && w1Rows.forall(_.getAs[Long]("consec") == 0L))
+  }
+
   test("runs end-to-end as a foreachBatch sink on a memory stream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mixmon").toString

@@ -10,17 +10,6 @@ import org.apache.spark.sql.functions._
   * CBO actually consumes. */
 class SidecarStatsSpec extends SparkSpec {
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-      body
-    } finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   private def writeIndexed(dir: String): Unit = {
     val li = T.lineitem(spark, TinyDir)
       .select("l_orderkey", "l_suppkey", "l_quantity", "l_returnflag")

@@ -17,6 +17,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Set session confs for `body`, restoring previous values (set or
+    * unset) afterwards — shared by every spec that toggles optimizer
+    * behavior, so restore semantics live in exactly one place. */
+  protected def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   override def afterAll(): Unit = {
     // session is shared across suites in one JVM; don't stop it here
     super.afterAll()

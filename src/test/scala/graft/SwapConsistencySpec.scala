@@ -90,16 +90,43 @@ class SwapConsistencySpec extends SparkSpec {
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
     AnnIndex.build(corpus, dir, k = 4)
     val n = AnnIndex.readIndex(spark, dir).count()
-    // crash state: a compact swapped the folded index in but died before
-    // deleting the stream region — the streamed rows exist on BOTH sides
+    // streamed appends of NEW vectors: these must COUNT (no read-side
+    // dedup may eat live appends)
     AnnIndex.readIndex(spark, dir).limit(5)
+      .withColumn("id", col("id") + 1000000L)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/index_stream")
-    assert(AnnIndex.readIndex(spark, dir).count() == n,
-      "crash window double-served streamed rows")
-    // plain re-run converges: same row count, stream region gone
+    assert(AnnIndex.readIndex(spark, dir).count() == n + 5,
+      "live streamed appends not served")
+    // ...and with an active stream region, a probed-cell read must still
+    // prune: no shuffle may sneak between the scans and the filter
+    val someCell = AnnIndex.readIndex(spark, dir).select("cell").head().getInt(0)
+    val pruned = AnnIndex.readIndex(spark, dir)
+      .filter(col("cell") === someCell)
+    assert(!pruned.queryExecution.executedPlan.toString.contains("Exchange"),
+      "cell filter no longer prunes with a stream region present")
+
+    // crash simulation: run the compact, then restore the stream region
+    // byte-for-byte (same basenames) — exactly the state a crash between
+    // the commit and the stream cleanup leaves behind
+    val aside = java.nio.file.Files.createTempDirectory("swapann_aside").toString
+    def copyTree(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        Option(from.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyTree(f, new java.io.File(to, f.getName)))
+      } else java.nio.file.Files.copy(from.toPath, to.toPath)
+    }
+    copyTree(new java.io.File(s"$dir/index_stream"), new java.io.File(s"$aside/index_stream"))
     AnnIndex.compact(spark, dir)
-    assert(AnnIndex.readIndex(spark, dir).count() == n)
+    assert(AnnIndex.readIndex(spark, dir).count() == n + 5)
+    copyTree(new java.io.File(s"$aside/index_stream"), new java.io.File(s"$dir/index_stream"))
+    // the folded-file marker excludes the restored duplicates
+    assert(AnnIndex.readIndex(spark, dir).count() == n + 5,
+      "crash window double-served folded stream rows")
+    // plain re-run converges: same rows, stream gone, ids unique
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.readIndex(spark, dir).count() == n + 5)
     assert(!new java.io.File(s"$dir/index_stream").exists())
     assert(AnnIndex.readIndex(spark, dir)
       .groupBy("id").count().filter(col("count") > 1).count() == 0,
