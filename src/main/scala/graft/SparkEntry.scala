@@ -41,6 +41,7 @@ object SparkEntry {
       ops.Multimodal.all ++
       sources.SidecarStats.all ++
       streaming.Backfill.all ++
+      streaming.MixMonitor.all ++
       plans.TopKQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

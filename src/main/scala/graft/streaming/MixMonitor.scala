@@ -217,6 +217,67 @@ object MixMonitor {
           windowUs, closeDelayUs)
       }
 
+  /** The monitor's full arithmetic end-to-end as an oracled query: one
+    * batch of the events table (source = event_type, one token per
+    * event, daily windows, uniform 5-way target), alerts read back and
+    * hash-matched against a SQL mirror of the whole pipeline — closed-
+    * window selection, silent-source grid, integer shares, drift
+    * run-lengths, K-threshold alerts. The monitor shares NO code with
+    * the oracle, so the match is a real equivalence check of the
+    * alerting math. */
+  val qMixMonitor: graft.Q = {
+    val DayUs = 86400000000L
+    val Sources = Seq("click", "error", "purchase", "signup", "view")
+    graft.Q(
+      "q_mix_monitor",
+      s"""WITH b AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+         |cnts AS (
+         |  SELECT (epoch_us(ts) // $DayUs) * $DayUs AS win,
+         |    event_type AS source, COUNT(*) AS tokens
+         |  FROM events GROUP BY 1, 2),
+         |closedw AS (SELECT DISTINCT win FROM cnts, b WHERE win + $DayUs <= mx),
+         |grid AS (
+         |  SELECT w.win, s.source FROM closedw w
+         |  CROSS JOIN (VALUES ${Sources.map(s => s"('$s')").mkString(", ")}) s(source)),
+         |j AS (
+         |  SELECT g.win, g.source, CAST(COALESCE(c.tokens, 0) AS BIGINT) AS tokens
+         |  FROM grid g LEFT JOIN cnts c ON g.win = c.win AND g.source = c.source),
+         |tot AS (SELECT win, CAST(SUM(tokens) AS BIGINT) AS total FROM j GROUP BY win),
+         |sh AS (
+         |  SELECT j.win, j.source, j.tokens,
+         |    CAST(CASE WHEN total > 0 THEN j.tokens * 1000000 // total ELSE 0 END AS BIGINT) AS share_ppm,
+         |    CAST(200000 AS BIGINT) AS target_ppm
+         |  FROM j JOIN tot ON j.win = tot.win),
+         |d AS (
+         |  SELECT *, abs(share_ppm - target_ppm) > 60000 AS drift,
+         |    row_number() OVER (PARTITION BY source ORDER BY win) AS idx
+         |  FROM sh),
+         |r AS (
+         |  SELECT *, MAX(CASE WHEN NOT drift THEN idx END)
+         |    OVER (PARTITION BY source ORDER BY win ROWS UNBOUNDED PRECEDING) AS lok
+         |  FROM d)
+         |SELECT win AS win_start_us, source, tokens, share_ppm, target_ppm, drift,
+         |  CAST(CASE WHEN drift THEN idx - COALESCE(lok, 0) ELSE 0 END AS BIGINT) AS consec,
+         |  drift AND (idx - COALESCE(lok, 0)) >= 3 AS alert
+         |FROM r ORDER BY win_start_us, source""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mixmon")
+        .toFile.getAbsolutePath
+      val ev = graft.sources.Tables.events(s, d)
+        .select(col("ts"), col("event_type").as("source"),
+          lit(1L).as("tokens"))
+      mixMonitorBatch(ev, bid = 0, tmp,
+        targetPpm = Sources.map(_ -> 200000L).toMap,
+        tolPpm = 60000L, kConsec = 3, windowUs = DayUs)
+      readAlerts(s, tmp)
+        .select(col("win_start_us"), col("source"), col("tokens"),
+          col("share_ppm"), col("target_ppm"), col("drift"), col("consec"),
+          col("alert"))
+        .orderBy("win_start_us", "source")
+    }
+  }
+
+  val all: Seq[graft.Q] = Seq(qMixMonitor)
+
   /** Read back all alert rows (explicit batch-dir union — no partition
     * discovery assumptions), ordered for inspection. */
   def readAlerts(spark: org.apache.spark.sql.SparkSession,
