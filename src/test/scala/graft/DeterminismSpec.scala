@@ -1,34 +1,28 @@
 package graft
 
 /** Partition-invariance guard: the determinism contract (SURVEY.md §5)
-  * promises bit-identical output for ANY shuffle parallelism. These specs
-  * run representative tie-break/float/agg-heavy queries under two shuffle
-  * widths and require identical collected rows — the in-repo twin of the
-  * manual 3/8/32-thread Verify sweeps. */
+  * promises the same rows for ANY shuffle parallelism. This sweep runs
+  * EVERY query under two shuffle widths (3 and 13 — both different from
+  * the suite default, coprime, and small enough to force different
+  * physical groupings) and requires identical row multisets. Values are
+  * compared sorted: several queries ORDER BY non-unique keys, where row
+  * order among ties is legitimately planner-dependent — the contract is
+  * about the VALUES, and the driver's oracle compare also sorts.
+  *
+  * This is the sweep that catches the classic silent killers:
+  * first()/head-of-group without an explicit order, float reduction
+  * order leaking into output, partition-id-derived values, sampling
+  * that isn't hash-based. */
 class DeterminismSpec extends SparkSpec {
 
-  private val probes = Seq(
-    "q_weighted_sample",  // hash-priority sampling + window tie-breaks
-    "q_bm25",             // ln/pow doubles + decimal score sum + global top-k
-    "q_consensus_mode",   // mode with tie-break
-    "q_string_agg",       // collect_list ordering hazard (sorted by op)
-    "q_quantile_norm",    // cross-group rank join
-    "q_tfidf",            // idf doubles + per-doc top-k
-    "q_seq_pack",         // running sums
-    "q_topk_agg",         // custom mergeable heap aggregate
-    "q_ewma",             // double fold order + lag windows
-    "q_strip_boilerplate", // collect_list reassembly ordering hazard
-    "q_id_resolve")       // min-struct argmin across union stages
-
-  probes.foreach { name =>
-    test(s"$name is identical under 3-way and 13-way shuffles") {
-      val fn = SparkEntry.queries(name)
+  SparkEntry.allQ.foreach { q =>
+    test(s"${q.name} is identical under 3-way and 13-way shuffles") {
       def run(parts: Int): Seq[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        try fn(spark, TinyDir).collect().map(_.toString).toSeq
+        try q.fn(spark, TinyDir).collect().map(_.toString).sorted.toSeq
         finally spark.conf.set("spark.sql.shuffle.partitions", "4")
       }
-      assert(run(3) == run(13), s"$name output depends on shuffle width")
+      assert(run(3) == run(13), s"${q.name} output depends on shuffle width")
     }
   }
 }
