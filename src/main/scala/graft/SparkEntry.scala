@@ -31,6 +31,7 @@ object SparkEntry {
       ops.TextAnalysis.all ++
       ops.TextAnalysis2.all ++
       ops.CorpusQuality.all ++
+      ops.CorpusQuality2.all ++
       ops.Dedup.all ++
       ops.EmbedQC.all ++
       ops.PipelineOps.all ++

@@ -314,6 +314,70 @@ object Stats {
       .orderBy("band")
   }
 
+  /** Per-source bootstrap confidence interval for mean document length —
+    * RNG-free Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google 2012): replica b includes each doc
+    * with weight ~ Poisson(1), derived DETERMINISTICALLY from the first 4
+    * md5 hex chars of (doc_id, b) against the Poisson CDF thresholds —
+    * so both engines, and any partitioning, build the identical replicas.
+    *
+    * Scale shape: the 32-replica explode is map-side (32× row fanout of
+    * just (source, b, w, x)); one (source, b) aggregation computes exact
+    * integer replica sums; the per-source rollup sorts a bounded 32-value
+    * list. The point estimate is decimal-exact over the real data; the
+    * CI bounds are SORTED PICKS (2nd / 31st of 32 replica means), never
+    * an order-dependent float reduction. At 100 TB the replica table is
+    * the only fanout and it's a pure projection — the uncertainty of any
+    * corpus-scale mean costs 32 map-side weights, no second scan. */
+  val qBootstrapCi: Q = Q(
+    "q_bootstrap_ci",
+    """WITH rep AS (SELECT d.source, b.b, d.doc_id, d.n_chars,
+      |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 4) < '5e2d' THEN 0
+      |         WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 4) < 'bc5e' THEN 1
+      |         WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 4) < 'eb79' THEN 2
+      |         WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 4) < 'fb2b' THEN 3
+      |         WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 4) < 'ff10' THEN 4
+      |         WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 4) < 'ffd9' THEN 5
+      |         ELSE 6 END AS w
+      |  FROM documents d, (SELECT unnest(range(0, 32)) AS b) b),
+      |means AS (SELECT source, b,
+      |    round(CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS m
+      |  FROM rep GROUP BY 1, 2 HAVING SUM(w) > 0),
+      |pick AS (SELECT source, list_sort(list(m)) AS ms FROM means GROUP BY 1)
+      |SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  round(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars,
+      |  ANY_VALUE(p.ms[2]) AS ci_lo,
+      |  ANY_VALUE(p.ms[31]) AS ci_hi
+      |FROM documents d JOIN pick p USING (source)
+      |GROUP BY d.source ORDER BY source""".stripMargin) { (s, d) =>
+    val key = concat(col("doc_id").cast("string"), lit("_"), col("b").cast("string"))
+    val h4 = substring(md5(key), 1, 4)
+    val w = when(h4 < "5e2d", 0).when(h4 < "bc5e", 1).when(h4 < "eb79", 2)
+      .when(h4 < "fb2b", 3).when(h4 < "ff10", 4).when(h4 < "ffd9", 5).otherwise(6)
+    val docs = T.documents(s, d)
+    val rep = docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("w", w.cast("long"))
+    val means = rep.groupBy("source", "b")
+      .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("source"), round(dbl(col("swx")) / dbl(col("sw")), 6).as("m"))
+    val pick = means.groupBy("source")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("source"), element_at(col("ms"), 2).as("ci_lo"),
+        element_at(col("ms"), 31).as("ci_hi"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sumDbl(col("n_chars").cast(DecimalType(18, 2))) / dbl(count(lit(1))), 6)
+          .as("mean_chars"))
+      .join(pick, "source")
+      .select(col("source"), col("n_docs"), col("mean_chars"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap, qJoinAudit, qSkewAudit,
-    qSourceDivergence, qKanon)
+    qSourceDivergence, qKanon, qBootstrapCi)
 }

@@ -386,7 +386,70 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Containment pairs on informative grams: candidates share a gram with
+    * document frequency ≤ dfCap; containment = |A∩B| / min(|A|,|B|).
+    * Output: (id_a, id_b, n_common, containment, jaccard) at ≥ threshold. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double, dfCap: Int): DataFrame = {
+    val sh = wordShingleHashes(docs, idCol, textCol, n)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("ndocs"))
+    val inf = sh.join(dfreq.filter(col("ndocs") <= dfCap).select("sh"), "sh")
+    val sz = inf.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = inf.select(col("id").as("id_a"), col("sh"))
+    val b = inf.select(col("id").as("id_b"), col("sh"))
+    a.join(b, a("sh") === b("sh") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("containment",
+        round(dbl(col("n_common")) / dbl(least(col("na"), col("nb"))), 6))
+      .filter(col("containment") >= threshold)
+      .withColumn("jaccard",
+        round(dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")), 6))
+      .select("id_a", "id_b", "n_common", "containment", "jaccard")
+  }
+
+  /** Asymmetric near-dup detection: CONTAINMENT |A∩B|/min(|A|,|B|) over
+    * word trigrams — the quote/excerpt/doc-in-doc case Jaccard
+    * structurally misses (a short doc fully inside a long one has
+    * containment 1.0 but Jaccard ≈ |short|/|long| ≈ 0). Complements
+    * q_dedup_ngram (symmetric Jaccard) and q_span_dup (fixed-span hits).
+    *
+    * Scale shape: the candidate join keys on grams with document
+    * frequency ≤ 20 — the stop-gram cap bounds per-gram pair fanout at
+    * C(20,2) regardless of corpus size (ubiquitous grams carry no
+    * containment signal; dropping them is the standard SSJoin-style
+    * guard). Gram keys are int64 hashes; sizes/intersections count the
+    * SAME capped gram set on both sides, so the ratio is
+    * self-consistent. */
+  val qDedupContainment: Q = Q(
+    "q_dedup_containment",
+    """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents),
+      |sh0 AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |        FROM toks, unnest(range(1, len(tok) - 1)) AS t(i) WHERE len(tok) >= 3),
+      |fb AS (SELECT doc_id, text AS sh FROM toks WHERE len(tok) < 3),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT * FROM sh0 UNION ALL SELECT * FROM fb)),
+      |dfreq AS (SELECT sh FROM (SELECT sh, COUNT(*) AS ndocs FROM sh GROUP BY 1) WHERE ndocs <= 20),
+      |inf AS (SELECT doc_id, sh FROM sh JOIN dfreq USING (sh)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM inf GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_common,
+      |  round(CAST(COUNT(*) AS DOUBLE)
+      |        / CAST(least(ANY_VALUE(sa.n), ANY_VALUE(sb.n)) AS DOUBLE), 6) AS containment,
+      |  round(CAST(COUNT(*) AS DOUBLE)
+      |        / CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) AS jaccard
+      |FROM inf a JOIN inf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |JOIN sz sa ON sa.doc_id = a.doc_id
+      |JOIN sz sb ON sb.doc_id = b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING round(CAST(COUNT(*) AS DOUBLE)
+      |        / CAST(least(ANY_VALUE(sa.n), ANY_VALUE(sb.n)) AS DOUBLE), 6) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    containmentPairs(T.documents(s, d), "doc_id", "text", 3, 0.8, 20)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash,
     qDedupMinhashPick, qDedupSimhash, qDedupEmbed, qNearDupMatrix,
-    qDedupCalibration)
+    qDedupCalibration, qDedupContainment)
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Q
-import graft.functions.{KmvAgg, SampleQuantileAgg}
+import graft.functions.{CmsAgg, KmvAgg, SampleQuantileAgg}
 import graft.sources.{Tables => T}
 import org.apache.spark.sql.functions._
 
@@ -68,5 +68,38 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(qSketchSetops, qSketchQuantile)
+  /** Per-source token frequencies from count-min sketches (agg_cms): one
+    * pass builds a 4×1024 CMS per source (32 KB, mergeable); the global
+    * top-10 tokens are then frequency-checked per source sketch-vs-exact.
+    * Contrast q_heavy_hitters, which uses Spark's built-in
+    * `df.stat.countMinSketch` — a whole-DataFrame DRIVER helper: agg_cms
+    * is a per-GROUP aggregate value that groups, persists as a sidecar
+    * column, and merges across partitions/days/streams like any other
+    * aggregation.
+    * The exact side exists only as the QC comparison — the sketch column
+    * is what a per-source/per-day sidecar persists, and at 100 TB every
+    * "how often does token x occur in source s" probe reads sketch bytes,
+    * never re-scans the corpus (sketches of different days/sources merge
+    * by counter addition). CMS guarantees est ≥ exact; the spec bounds
+    * the overcount at the classic εN. */
+  val qSketchCms: Q = Q.rowsOnly("q_sketch_cms") { (s, d) =>
+    val tk = toks(s, d)
+    val sk = tk.groupBy("source")
+      .agg(CmsAgg.agg(xxhash64(col("token")), 1024, 4).as("sk"))
+    // deterministic global probe set: top-10 tokens (count desc, token asc)
+    val probes = tk.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(10).select("token")
+    val exact = tk.join(broadcast(probes), "token")
+      .groupBy("source", "token").agg(count(lit(1)).as("exact_n"))
+    val est = udf((b: Array[Byte], h: Long) => CmsAgg.estimate(b, h))
+    sk.join(broadcast(probes)) // |sources| × 10 grid — constant-size side
+      .withColumn("est_n", est(col("sk"), xxhash64(col("token"))))
+      .join(exact, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"), col("est_n"),
+        (col("est_n") - coalesce(col("exact_n"), lit(0L))).as("overcount"))
+      .orderBy("source", "token")
+  }
+
+  val all: Seq[Q] = Seq(qSketchSetops, qSketchQuantile, qSketchCms)
 }

@@ -560,4 +560,22 @@ object StreamingOps {
         round(q(col("sk"), lit(0.5)), 6).as("p50"),
         round(q(col("sk"), lit(0.95)), 6).as("p95"))
   }
+
+  /** Windowed frequency sketch (stream_freq): a mergeable count-min
+    * sketch per tumbling window — "how often did key x occur today"
+    * for EVERY x in depth×width longs of state, where an exact per-key
+    * streaming count would hold one state row per distinct key (unbounded
+    * on a firehose of tokens/urls/ids). Counters add, so the emitted
+    * sketch after any micro-batch split is bit-identical to a batch
+    * recomputation, and daily sketches fold into weekly/monthly ones by
+    * byte-level merge ([[graft.functions.CmsAgg.merge]]) without replay.
+    * Probe estimates read off the emitted bytes (est ≥ true ≤ true+εN). */
+  def windowedFreqSketch(events: DataFrame, keyCol: String = "event_type",
+                         width: Int = 256, depth: Int = 4,
+                         watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.CmsAgg.agg(xxhash64(col(keyCol)), width, depth).as("cms"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("cms"))
 }

@@ -73,4 +73,32 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projected minhash shuffled:\n$plan")
   }
+
+  test("containment catches doc-in-doc pairs that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 is the first third of doc 1: containment 1.0, Jaccard ~ 1/3.
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 1, s"expected exactly the (1,2) pair: ${got.toSeq}")
+    val (a, b, c, j) = got.head
+    assert((a, b) == ((1L, 2L)))
+    assert(c == 1.0, s"short doc fully contained: containment=$c")
+    assert(j < 0.5, s"Jaccard must be low for asymmetric pair: $j")
+    // the symmetric Jaccard pass at the same bar finds nothing
+    assert(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8).isEmpty)
+  }
+
+  test("containment stop-gram cap drops ubiquitous grams from candidates") {
+    import spark.implicits._
+    // the same boilerplate trigram in every doc must not pair everything:
+    // with dfCap=3 < 5 docs, the shared gram is dropped and no pair forms.
+    val docs = (1L to 5L).map(i => (i, s"common shared gram unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5, 3)
+    assert(pairs.isEmpty, s"stop-gram cap failed: ${pairs.collect().toSeq}")
+  }
 }

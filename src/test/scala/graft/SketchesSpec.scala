@@ -86,7 +86,57 @@ class SketchesSpec extends SparkSpec {
     assert(whole.toSeq == merged.toSeq, "sidecar fold-in differs from recompute")
   }
 
-  Seq("q_sketch_setops", "q_sketch_quantile").foreach { name =>
+  test("cms estimates never under-count and stay within the εN bound") {
+    import spark.implicits._
+    // Zipf-ish: key i appears ~1000/i times; 200 distinct keys, N≈5878.
+    val rows = (1 to 200).flatMap(i => Seq.fill(1000 / i)(i.toLong))
+    val df = rows.toDF("v").repartition(7)
+    val bytes = df.agg(graft.functions.CmsAgg.agg(xxhash64(col("v")), 1024, 4))
+      .head().getAs[Array[Byte]](0)
+    val exact = rows.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val n = rows.size.toLong
+    // ε = e/width; allow the classic bound with δ-slack absorbed (d=4).
+    val epsN = math.ceil(math.E / 1024 * n).toLong + 1
+    val hashed = df.select(col("v"), xxhash64(col("v")).as("h")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((k, c) <- exact) {
+      val est = graft.functions.CmsAgg.estimate(bytes, hashed(k))
+      assert(est >= c, s"CMS under-counted key $k: est=$est exact=$c")
+      assert(est <= c + epsN, s"key $k overcount ${est - c} > εN=$epsN")
+    }
+  }
+
+  test("cms sketch merge == single-pass sketch (bit-identical)") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, i % 97)).toDF("id", "v")
+    def sketch(d: org.apache.spark.sql.DataFrame): Array[Byte] =
+      d.agg(graft.functions.CmsAgg.agg(xxhash64(col("v")), 256, 4))
+        .head().getAs[Array[Byte]](0)
+    val whole = sketch(df)
+    val merged = graft.functions.CmsAgg.merge(
+      sketch(df.filter(col("id") % 2 === 0)), sketch(df.filter(col("id") % 2 === 1)))
+    assert(whole.toSeq == merged.toSeq, "counter addition must be exact")
+  }
+
+  test("q_sketch_cms: per-source estimates cover exact counts, bounded overcount") {
+    val out = SparkEntry.queries("q_sketch_cms")(spark, TinyDir).collect()
+    assert(out.nonEmpty)
+    val totalTokens = graft.sources.Tables.documents(spark, TinyDir)
+      .select(explode(split(col("text"), " "))).count()
+    val epsN = math.ceil(math.E / 1024 * totalTokens).toLong + 1
+    out.foreach { r =>
+      val (exact, over) = (r.getAs[Long]("exact_n"), r.getAs[Long]("overcount"))
+      assert(over >= 0L, s"${r.getString(0)}/${r.getString(1)} under-counted")
+      assert(over <= epsN, s"${r.getString(0)}/${r.getString(1)} overcount $over > εN=$epsN")
+      assert(exact >= 0L)
+    }
+    // every top-10 probe token occurs somewhere in the corpus
+    val byToken = out.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getAs[Long]("exact_n")).sum)
+    byToken.foreach { case (t, n) => assert(n > 0L, s"probe token '$t' never seen") }
+  }
+
+  Seq("q_sketch_setops", "q_sketch_quantile", "q_sketch_cms").foreach { name =>
     test(s"$name is bit-identical under 3-way and 13-way shuffles") {
       val fn = SparkEntry.queries(name)
       def run(parts: Int): Seq[String] = {

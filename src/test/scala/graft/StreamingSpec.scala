@@ -274,6 +274,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed CMS sketch == batch recomputation, estimates cover exact") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "event_type", "ts")
+    val q = StreamingOps.windowedFreqSketch(df)
+      .writeStream.format("memory").queryName("wcms").outputMode("append").start()
+    val day1 = Seq(
+      (1L, "click", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 11:00:00")),
+      (3L, "view", ts("2024-01-01 12:00:00")),
+      (4L, "click", ts("2024-01-01 13:00:00")),
+      (5L, "buy", ts("2024-01-01 14:00:00")))
+    try {
+      // same window split across micro-batches: counters must merge
+      mem.addData(day1.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(day1.drop(2): _*)
+      q.processAllAvailable()
+      mem.addData((100L, "view", ts("2024-01-05 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((101L, "view", ts("2024-01-09 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT cms FROM wcms WHERE day = '2024-01-01'")
+        .collect().map(_.getAs[Array[Byte]](0))
+      assert(streamed.length == 1, "exactly one closed day-1 window")
+      // bit-identical to a batch pass over the same rows
+      val batch = day1.toDF("event_id", "event_type", "ts")
+        .agg(graft.functions.CmsAgg.agg(xxhash64(col("event_type")), 256, 4))
+        .head().getAs[Array[Byte]](0)
+      assert(streamed.head.toSeq == batch.toSeq, "stream != batch sketch bytes")
+      // probe estimates cover the exact counts
+      val hashes = Seq("click", "view", "buy").map { k =>
+        k -> day1.toDF("event_id", "event_type", "ts").filter(col("event_type") === k)
+          .select(xxhash64(col("event_type"))).head().getLong(0)
+      }
+      val exact = Map("click" -> 3L, "view" -> 1L, "buy" -> 1L)
+      hashes.foreach { case (k, h) =>
+        val est = graft.functions.CmsAgg.estimate(streamed.head, h)
+        assert(est >= exact(k), s"$k under-counted: $est < ${exact(k)}")
+        assert(est <= exact(k) + 1, s"$k overcount too large on 5 rows: $est")
+      }
+    } finally q.stop()
+  }
+
   test("streaming near-dup screen flags copies of indexed docs, passes fresh ones") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
