@@ -597,6 +597,99 @@ object GraphOps2 {
       .orderBy(col("pr").desc, col("node")).limit(50)
   }
 
+  /** Incremental component maintenance: fold NEW edges into an existing
+    * (node → component) labeling without re-solving the old graph.
+    * Old endpoint ids collapse to their component labels, so the CC
+    * re-solve runs on supernodes — its size is bounded by the edges the
+    * batch TOUCHES, not the corpus. Labels are min-ids, and min over a
+    * merged set = min of the parts' mins, so composing labelings is
+    * exact. Returns (node, lbl) for every node in c0 ∪ newEdges. */
+  def incrementalComponents(c0: DataFrame, newEdges: DataFrame): DataFrame = {
+    val lblSrc = c0.select(col("node").as("src"), col("lbl").as("lsrc"))
+    val lblDst = c0.select(col("node").as("dst"), col("lbl").as("ldst"))
+    val collapsed = newEdges
+      .join(lblSrc, Seq("src"), "left")
+      .join(lblDst, Seq("dst"), "left")
+      .select(coalesce(col("lsrc"), col("src")).as("src"),
+        coalesce(col("ldst"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val c1 = connectedComponents(collapsed, 20)
+    // old nodes: re-route their label through the supernode re-solve;
+    // new-edge endpoints not in c0 pick up their own c1 label
+    val newNodes = newEdges.select(col("src").as("node"))
+      .union(newEdges.select(col("dst").as("node"))).distinct()
+      .join(c0.select(col("node")), Seq("node"), "left_anti")
+    val old = c0
+      .join(c1.select(col("node").as("lbl"), col("lbl").as("l1")), Seq("lbl"), "left")
+      .select(col("node"), coalesce(col("l1"), col("lbl")).as("lbl"))
+    val fresh = newNodes
+      .join(c1, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    old.union(fresh)
+  }
+
+  /** Incremental near-dup clustering (the dedup-index MAINTENANCE op):
+    * vectors with vec_id % 5 == 0 are "today's batch"; the rest already
+    * hold components from the last run. The batch folds in via
+    * [[incrementalComponents]] — old↔old pairs are never re-examined;
+    * the re-solve graph is supernodes + batch nodes. The ORACLE computes
+    * components from scratch over the FULL pair graph, so the hash match
+    * IS the proof that incremental maintenance equals recomputation.
+    * (Pair generation here is the documented exact-cosine baseline; at
+    * 100 TB the batch's candidate pairs come from the LSH/IVF index —
+    * stream_neardup / sink_ann_index — and the fold-in is unchanged.) */
+  val qDedupCcIncr: Q = Q(
+    "q_dedup_cc_incr",
+    """WITH RECURSIVE ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ee),
+      |  pairs AS (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |    FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |    WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38),
+      |  e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |  reach(node, lbl) AS (
+      |    SELECT DISTINCT src, src FROM e
+      |    UNION
+      |    SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node),
+      |  comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+      |SELECT emb.vec_id, COALESCE(comp.component, emb.vec_id) AS component
+      |FROM embeddings emb LEFT JOIN comp ON comp.node = emb.vec_id
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.functions.VectorFunctions.dotProduct
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      .localCheckpoint(true)
+    val isBatch = col("vec_id") % 5 === 0
+    def cosPairs(l: DataFrame, r: DataFrame): DataFrame =
+      l.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        .join(r.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+          col("id_a") < col("id_b"))
+        .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val base = e.filter(!isBatch)
+    // the labeling "from the last run": CC over old↔old pairs only
+    val c0 = connectedComponents(cosPairs(base, base), 20).localCheckpoint(true)
+    // today's candidate pairs: batch × corpus, NOT corpus × corpus — the
+    // old↔old pair space is never re-scanned (that's the point); both
+    // orientations collapse via least/greatest + distinct
+    val batch = e.filter(isBatch)
+    val newPairs = batch
+      .select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        col("id_a") =!= col("id_b"))
+      .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
+      .select(least(col("id_a"), col("id_b")).as("src"),
+        greatest(col("id_a"), col("id_b")).as("dst"))
+      .distinct()
+    val merged = incrementalComponents(c0, newPairs)
+    T.embeddings(s, d).select(col("vec_id"))
+      .join(merged, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("component"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(qPagerank, qPpr, qConnectedComponents, qDedupClusterPick,
-    qTriangleCount, qTriangleLsh, qLabelProp, qKCore, qShortestPath)
+    qTriangleCount, qTriangleLsh, qLabelProp, qKCore, qShortestPath, qDedupCcIncr)
 }

@@ -19,6 +19,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_connected_components", // pair gen shares q_dedup_embed's scan
     "q_kcore",             // same near-dup pair generation
     "q_dedup_cluster_pick", // same near-dup pair generation
+    "q_dedup_cc_incr",     // batch × corpus exact pair scan (index-fed at
+                           // scale; the fold-in itself is equi-joins)
     "q_triangle_count",    // same near-dup pair generation
     "q_dedup_ngram",       // candidate pair join refined by Jaccard
     "q_date_spine",        // spine x 1-row bounds (constant-size side)
