@@ -170,6 +170,52 @@ object GramianAgg {
     x
   }
 
+  /** Cholesky factorization of a symmetric positive-definite matrix
+    * (lower triangular L with A = L·Lᵀ), with a ridge λ·I added for
+    * numerical safety. Deterministic: fixed element order, no pivoting
+    * needed for SPD inputs. Driver-side, model-sized (D×D). */
+  def cholesky(a: Array[Array[Double]], ridge: Double): Array[Array[Double]] = {
+    val d = a.length
+    val l = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j <= i) {
+        var s = a(i)(j) + (if (i == j) ridge else 0.0)
+        var k = 0
+        while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+        if (i == j) {
+          require(s > 0, s"cholesky: matrix not positive definite at $i (got $s)")
+          l(i)(i) = math.sqrt(s)
+        } else l(i)(j) = s / l(j)(j)
+        j += 1
+      }
+      i += 1
+    }
+    l
+  }
+
+  /** Inverse of a lower-triangular matrix by forward substitution on the
+    * identity columns — with [[cholesky]], `triInverse(chol(Σ))` gives
+    * the whitening matrix A = L⁻¹ with ‖A(x−μ)‖² = Mahalanobis². */
+  def triInverse(l: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = l.length
+    val inv = Array.ofDim[Double](d, d)
+    var c = 0
+    while (c < d) {
+      var i = c
+      while (i < d) {
+        var s = if (i == c) 1.0 else 0.0
+        var k = c
+        while (k < i) { s -= l(i)(k) * inv(k)(c); k += 1 }
+        inv(i)(c) = s / l(i)(i)
+        i += 1
+      }
+      c += 1
+    }
+    inv
+  }
+
   /** Deterministic power iteration: dominant eigenpair of a symmetric
     * matrix. Fixed uniform init, fixed iteration count, sign pinned so
     * the largest-|loading| coordinate is positive. */

@@ -113,5 +113,47 @@ object EmbedQC {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(qLabelCentroid, qEmbedSanity)
+  /** Mahalanobis outlier screen over the embedding corpus: ONE mergeable
+    * Gramian pass ([[graft.functions.GramianAgg]], a ~17 KB moment
+    * buffer) gives mean + covariance; the driver factors Σ + λI = L·Lᵀ
+    * and broadcasts the whitening matrix A = L⁻¹ (model-sized, D×D);
+    * a second map-side scan scores d²(x) = ‖A(x−μ)‖² per row with
+    * builtin array HOFs (no Scala UDF in the corpus path). Unlike the
+    * norm/duplicate checks of q_embed_sanity, Mahalanobis is
+    * correlation-aware — a vector can have an ordinary norm yet sit far
+    * outside the data ellipsoid. Top-20 by distance, ties to lowest id.
+    * Rows-only: the 64×64 factorization isn't SQL-portable; the spec
+    * plants an off-ellipsoid outlier with an ORDINARY norm and requires
+    * it to rank first. */
+  val qEmbedOutliers: Q = Q.rowsOnly("q_embed_outliers") { (s, d) =>
+    import graft.functions.GramianAgg
+    val vecs = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val dim = vecs.select(size(col("v"))).head.getInt(0)
+    val moments = vecs.agg(GramianAgg(col("v"), dim).as("m"))
+      .head.getSeq[Double](0).toArray
+    val (mean, cov) = GramianAgg.covariance(moments, dim)
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val white = GramianAgg.triInverse(
+      GramianAgg.cholesky(cov, ridge = 1e-9 * trace / dim + 1e-12))
+    val muLit = lit(mean.toSeq.toArray)
+    val aLit = lit(white.flatten) // row-major D*D
+    val dimL = lit(dim)
+    // xc = x - mu; z_i = Σ_j A[i*D+j]·xc_j; d2 = Σ_i z_i²  (all builtin HOFs)
+    val xc = zip_with(col("v"), muLit, (x, m) => x - m)
+    val d2 = aggregate(
+      transform(sequence(lit(0), dimL - 1), i =>
+        aggregate(
+          zip_with(slice(aLit, i * dimL + 1, dimL), col("__xc"), (a, c) => a * c),
+          lit(0.0), _ + _)),
+      lit(0.0), (acc, z) => acc + z * z)
+    vecs
+      .withColumn("__xc", xc)
+      .withColumn("maha2", round(d2, 6))
+      .select(col("vec_id"), col("label"), col("maha2"))
+      .orderBy(col("maha2").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(qLabelCentroid, qEmbedSanity, qEmbedOutliers)
 }

@@ -86,6 +86,37 @@ class EmbedQCSpec extends SparkSpec {
       " (random tiny-SF vectors: low recall is the honest answer)")
   }
 
+  test("q_embed_outliers: ordinary-norm off-ellipsoid vector ranks first") {
+    import spark.implicits._
+    // Correlated cloud: v = (t, t+noise, t, t+noise) — coords strongly
+    // coupled. The outlier (1, -1, 1, -1) has the SAME norm scale as the
+    // cloud (a norm gate passes it) but breaks the correlation structure.
+    val cloud = (1 to 400).map { i =>
+      val t = math.sin(i * 0.37) // deterministic spread in [-1, 1]
+      val e = math.cos(i * 0.91) * 0.05
+      (i.toLong, 0, Array(t.toFloat, (t + e).toFloat, t.toFloat, (t - e).toFloat))
+    }
+    val planted = (999L, 1, Array(1.0f, -1.0f, 1.0f, -1.0f))
+    val dir = java.nio.file.Files.createTempDirectory("graft_maha").toString
+    (cloud :+ planted).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = graft.ops.EmbedQC.qEmbedOutliers.fn(spark, dir).collect()
+    assert(top.head.getLong(0) == 999L,
+      s"planted outlier must rank first, got ${top.take(3).toSeq}")
+    // and its distance dwarfs the cloud's
+    assert(top.head.getDouble(2) > 10 * top(1).getDouble(2),
+      s"separation too weak: ${top.take(2).toSeq}")
+  }
+
+  test("q_embed_outliers runs on the corpus: 20 rows, non-negative distances") {
+    val rows = graft.ops.EmbedQC.qEmbedOutliers.fn(spark, TinyDir).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+    // sorted descending
+    val ds = rows.map(_.getDouble(2)).toSeq
+    assert(ds == ds.sorted.reverse)
+  }
+
   test("q_embed_sanity: clean synthetic corpus audits clean") {
     val rows = SparkEntry.queries("q_embed_sanity")(spark, TinyDir).collect()
     assert(rows.nonEmpty)
