@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-partition frequency sidecar (SURVEY.md §2.1 sink_freq_index):
+  * a count-min sketch per data partition, built in one distributed pass
+  * at write time and persisted as `_freq_index` next to the data — the
+  * frequency complement to [[ZoneIndex]]'s range/NDV stats and
+  * [[FileIndex]]'s membership blooms.
+  *
+  * "How often does key x occur in partition p / the whole table?" then
+  * reads SIDECAR BYTES only — no data scan — with the CMS guarantee
+  * (est ≥ true, ≤ true + εN w.h.p.). Because CMS counters add, the
+  * global answer is the byte-merge of the partition sketches, and an
+  * appended partition contributes one new sidecar row while existing
+  * rows stay byte-identical — daily sketches fold into weekly/monthly
+  * without replay, the same maintenance story as the versioned sinks.
+  *
+  * At 100 TB the sidecar is #partitions × (8 + 8·d·w) bytes —
+  * planner-sized. Probes collect it to the driver; the merge loop is
+  * partition-count-sized, never data-sized.
+  */
+object FreqIndex {
+
+  private def sidecarPath(path: String) = s"$path/_freq_index"
+
+  /** Build one CMS row per `partCol` value over xxhash64(`keyCol`). */
+  private def sketchRows(data: DataFrame, partCol: String, keyCol: String,
+                         width: Int, depth: Int): DataFrame =
+    data.groupBy(col(partCol).as("part"))
+      .agg(graft.functions.CmsAgg.agg(xxhash64(col(keyCol)), width, depth).as("cms"),
+        count(lit(1)).as("n_rows"))
+
+  /** Write `df` partitioned by `partCol` with a per-partition frequency
+    * sketch over `keyCol` in the `_freq_index` sidecar. */
+  def writeWithFreqIndex(df: DataFrame, path: String, partCol: String,
+                         keyCol: String, width: Int = 1024, depth: Int = 4): Unit = {
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    sketchRows(df, partCol, keyCol, width, depth)
+      .write.mode("overwrite").parquet(sidecarPath(path))
+  }
+
+  /** Append one new partition's rows AND its sidecar sketch; existing
+    * data files and sidecar rows are not rewritten. Caller contract: the
+    * batch holds exactly the new `partCol` value(s) (the upsert sinks own
+    * the overwrite-existing case). */
+  def appendPartition(df: DataFrame, path: String, partCol: String,
+                      keyCol: String, width: Int = 1024, depth: Int = 4): Unit = {
+    df.write.mode("append").partitionBy(partCol).parquet(path)
+    sketchRows(df, partCol, keyCol, width, depth)
+      .write.mode("append").parquet(sidecarPath(path))
+  }
+
+  /** Estimated count of each probe key, per partition and globally —
+    * reads ONLY the sidecar. Returns (key, part, est) rows with
+    * part = "*" for the byte-merged global sketch. */
+  def probe(spark: SparkSession, path: String,
+            keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val side = spark.read.parquet(sidecarPath(path))
+      .select(col("part").cast("string"), col("cms"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+    require(side.nonEmpty, s"empty _freq_index at $path")
+    val global = side.map(_._2).reduce(graft.functions.CmsAgg.merge)
+    // hash exactly as the writer did: xxhash64 over the key column value
+    val keyHash = keys.toDF("key").select(col("key"), xxhash64(col("key")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val rows = for {
+      (k, h) <- keyHash.toSeq
+      (p, bytes) <- side.toSeq :+ ("*" -> global)
+    } yield (k, p, graft.functions.CmsAgg.estimate(bytes, h))
+    rows.toDF("key", "part", "est").orderBy("key", "part")
+  }
+}

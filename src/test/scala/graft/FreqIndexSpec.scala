@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.FreqIndex
+import org.apache.spark.sql.functions._
+
+/** sink_freq_index: per-partition CMS sidecar — probes never scan data,
+  * estimates cover exact counts, the global answer is the byte-merge of
+  * partition sketches, and appends leave existing sidecar rows
+  * byte-identical (the no-replay maintenance contract). */
+class FreqIndexSpec extends SparkSpec {
+
+  private def tokens = graft.sources.Tables.documents(spark, TinyDir)
+    .select(col("source"), explode(split(col("text"), " ")).as("token"))
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_freq").toString + "/t"
+
+  test("probe estimates cover exact per-partition and global counts") {
+    val dir = freshDir()
+    FreqIndex.writeWithFreqIndex(tokens, dir, "source", "token")
+    val probeKeys = Seq("the", "data", "of")
+    val est = FreqIndex.probe(spark, dir, probeKeys).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = tokens.filter(col("token").isin(probeKeys: _*))
+      .groupBy("source", "token").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(1), r.getString(0)) -> r.getLong(2)).toMap
+    val n = tokens.count()
+    val epsN = math.ceil(math.E / 1024 * n).toLong + 1
+    for (((k, p), e) <- est if p != "*") {
+      val x = exact.getOrElse((k, p), 0L)
+      assert(e >= x, s"($k,$p) under-counted: $e < $x")
+      assert(e <= x + epsN, s"($k,$p) overcount ${e - x} > εN")
+    }
+    // global row covers the summed exact count
+    for (k <- probeKeys) {
+      val x = exact.collect { case ((`k`, _), v) => v }.sum
+      assert(est((k, "*")) >= x && est((k, "*")) <= x + epsN,
+        s"global $k: est=${est((k, "*"))} exact=$x")
+    }
+  }
+
+  test("probe reads only the sidecar, never the data files") {
+    val dir = freshDir()
+    FreqIndex.writeWithFreqIndex(tokens, dir, "source", "token")
+    // the probe is driver-side over collected sidecar rows; prove the
+    // sidecar read itself is the only file access under the table path
+    val sideFiles = spark.read.parquet(s"$dir/_freq_index").inputFiles
+    assert(sideFiles.nonEmpty && sideFiles.forall(_.contains("_freq_index")))
+    val est = FreqIndex.probe(spark, dir, Seq("the"))
+    assert(est.collect().nonEmpty)
+  }
+
+  test("append adds one sidecar row, leaves old rows byte-identical, extends probes") {
+    import spark.implicits._
+    val dir = freshDir()
+    val base = Seq(("srcA", "x"), ("srcA", "x"), ("srcB", "y"))
+      .toDF("source", "token")
+    FreqIndex.writeWithFreqIndex(base, dir, "source", "token", width = 64)
+    val before = spark.read.parquet(s"$dir/_freq_index")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val batch = Seq(("srcC", "x"), ("srcC", "z")).toDF("source", "token")
+    FreqIndex.appendPartition(batch, dir, "source", "token", width = 64)
+    val after = spark.read.parquet(s"$dir/_freq_index")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(after.keySet == before.keySet + "srcC")
+    before.foreach { case (p, bytes) =>
+      assert(after(p) == bytes, s"existing sidecar row $p was rewritten")
+    }
+    val est = FreqIndex.probe(spark, dir, Seq("x")).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(est("srcC") >= 1L && est("*") >= 3L, est.toString)
+    // the appended DATA is also visible
+    assert(spark.read.parquet(dir).count() == 5L)
+  }
+}
