@@ -152,6 +152,33 @@ object CmsAgg {
   def estimate(bytes: Array[Byte], h: Long): Long =
     fromBytes(bytes).estimate(h)
 
+  /** Equi-join cardinality estimate from two sketches over the join key
+    * (Cormode & Muthukrishnan 2005, §4.2): |A ⋈ B| = Σ_k fA(k)·fB(k) is
+    * estimated by the MINIMUM over rows of the row-wise counter inner
+    * product. Each row's product covers every true (k,k) pairing plus
+    * non-negative collision noise, so the estimate NEVER under-counts;
+    * expected overcount ≈ |A|·|B|/width per row — size width to the
+    * product of the table cardinalities, not to either input. */
+  def joinSizeEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val ba = fromBytes(a)
+    val bb = fromBytes(b)
+    require(ba.depth == bb.depth && ba.width == bb.width,
+      "cms join estimate: dimension mismatch")
+    var best = Long.MaxValue
+    var i = 0
+    while (i < ba.depth) {
+      var s = 0L
+      var j = 0
+      while (j < ba.width) {
+        s += ba.counts(i * ba.width + j) * bb.counts(i * ba.width + j)
+        j += 1
+      }
+      if (s < best) best = s
+      i += 1
+    }
+    best
+  }
+
   /** Merge two sketch byte arrays (same dims required). */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val ba = fromBytes(a)

@@ -101,5 +101,37 @@ object Sketches {
       .orderBy("source", "token")
   }
 
-  val all: Seq[Q] = Seq(qSketchSetops, qSketchQuantile, qSketchCms)
+  /** Sketch-based equi-join cardinality estimation (the planner's
+    * question): per-table CMS sketches over the join key, estimate =
+    * min-over-rows counter inner product (never under-counts; overcount
+    * ≈ |A|·|B|/width per row, so width scales to the CARDINALITY PRODUCT
+    * — 64k×4 longs = 2 MB is still sidecar-sized). At 100 TB these
+    * sketches live in the write-time sidecar (sink_freq_index), so "how
+    * big is lineitem ⋈ orders on this key" is answerable for ANY table
+    * pair from planner-sized bytes before launching the job — the input
+    * [[graft.sources.SidecarStats.suggestedShufflePartitions]] wants.
+    * The exact side here exists only as the QC comparison. */
+  val qJoinSizeEst: Q = Q.rowsOnly("q_join_size_est") { (s, d) =>
+    import s.implicits._
+    val W = 65536
+    def sk(df: org.apache.spark.sql.DataFrame, key: String): Array[Byte] =
+      df.agg(CmsAgg.agg(xxhash64(col(key)), W, 4)).head().getAs[Array[Byte]](0)
+    val li = T.lineitem(s, d)
+    val cases = Seq(
+      ("lineitem_orders", sk(li, "l_orderkey"), sk(T.orders(s, d), "o_orderkey"),
+        li.join(T.orders(s, d), col("l_orderkey") === col("o_orderkey")).count()),
+      ("lineitem_part", sk(li, "l_partkey"), sk(T.part(s, d), "p_partkey"),
+        li.join(T.part(s, d), col("l_partkey") === col("p_partkey")).count()),
+      ("lineitem_supplier", sk(li, "l_suppkey"), sk(T.supplier(s, d), "s_suppkey"),
+        li.join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey")).count()))
+    cases.map { case (name, a, b, exact) =>
+      val est = CmsAgg.joinSizeEstimate(a, b)
+      val rel = if (exact == 0) 0.0
+        else math.rint((est - exact).toDouble / exact * 1e6) / 1e6
+      (name, exact, est, rel)
+    }.toDF("join_name", "exact_n", "est_n", "rel_overcount")
+      .orderBy("join_name")
+  }
+
+  val all: Seq[Q] = Seq(qSketchSetops, qSketchQuantile, qSketchCms, qJoinSizeEst)
 }

@@ -118,6 +118,33 @@ class SketchesSpec extends SparkSpec {
     assert(whole.toSeq == merged.toSeq, "counter addition must be exact")
   }
 
+  test("cms join-size estimate never under-counts and is tight at adequate width") {
+    import spark.implicits._
+    // A: keys 1..1000 once each; B: keys 501..1500 three times each
+    // → exact join size = 500 * 3 = 1500
+    val a = (1L to 1000L).toDF("k")
+      .agg(graft.functions.CmsAgg.agg(xxhash64(col("k")), 8192, 4))
+      .head().getAs[Array[Byte]](0)
+    val b = (501L to 1500L).flatMap(k => Seq(k, k, k)).toDF("k")
+      .agg(graft.functions.CmsAgg.agg(xxhash64(col("k")), 8192, 4))
+      .head().getAs[Array[Byte]](0)
+    val est = graft.functions.CmsAgg.joinSizeEstimate(a, b)
+    assert(est >= 1500L, s"under-counted join size: $est")
+    // noise ≈ |A|·|B|/w = 1000·3000/8192 ≈ 366 per row; min of 4 rows
+    assert(est <= 1500L + 1500L, s"estimate too loose: $est vs exact 1500")
+  }
+
+  test("q_join_size_est: every estimate covers the exact join count") {
+    val rows = SparkEntry.queries("q_join_size_est")(spark, TinyDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (exact, est, rel) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(exact > 0L, s"degenerate join in ${r.getString(0)}")
+      assert(est >= exact, s"${r.getString(0)} under-counted: $est < $exact")
+      assert(rel < 0.5, s"${r.getString(0)} overcount ${rel} too loose at this width")
+    }
+  }
+
   test("q_sketch_cms: per-source estimates cover exact counts, bounded overcount") {
     val out = SparkEntry.queries("q_sketch_cms")(spark, TinyDir).collect()
     assert(out.nonEmpty)
