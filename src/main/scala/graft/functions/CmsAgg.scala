@@ -164,13 +164,19 @@ object CmsAgg {
     val bb = fromBytes(b)
     require(ba.depth == bb.depth && ba.width == bb.width,
       "cms join estimate: dimension mismatch")
+    // saturating accumulation: at planner scale a single hot-key product
+    // can exceed Long range (3e9 × 3e9); a wrapped-negative row sum would
+    // win the min and report a tiny/negative "never under-counts" value
     var best = Long.MaxValue
     var i = 0
     while (i < ba.depth) {
       var s = 0L
       var j = 0
-      while (j < ba.width) {
-        s += ba.counts(i * ba.width + j) * bb.counts(i * ba.width + j)
+      while (j < ba.width && s != Long.MaxValue) {
+        val x = ba.counts(i * ba.width + j)
+        val y = bb.counts(i * ba.width + j)
+        val p = if (x != 0 && y > Long.MaxValue / x) Long.MaxValue else x * y
+        s = if (s > Long.MaxValue - p) Long.MaxValue else s + p
         j += 1
       }
       if (s < best) best = s

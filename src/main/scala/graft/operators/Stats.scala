@@ -347,8 +347,8 @@ object Stats {
       |SELECT d.source,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  round(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars,
-      |  ANY_VALUE(p.ms[2]) AS ci_lo,
-      |  ANY_VALUE(p.ms[31]) AS ci_hi
+      |  ANY_VALUE(p.ms[least(2, len(p.ms))]) AS ci_lo,
+      |  ANY_VALUE(p.ms[greatest(len(p.ms) - 1, 1)]) AS ci_hi
       |FROM documents d JOIN pick p USING (source)
       |GROUP BY d.source ORDER BY source""".stripMargin) { (s, d) =>
     val key = concat(col("doc_id").cast("string"), lit("_"), col("b").cast("string"))
@@ -364,10 +364,15 @@ object Stats {
       .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"))
       .filter(col("sw") > 0)
       .select(col("source"), round(dbl(col("swx")) / dbl(col("sw")), 6).as("m"))
+    // picks index the SURVIVING replica list: tiny sources can drop
+    // zero-weight replicas (P(sum w = 0) = e^-n per replica), and a fixed
+    // ms[31] would go NULL there — 2nd-smallest / 2nd-largest of the
+    // survivors degrades gracefully and equals ms[2]/ms[31] at full 32
     val pick = means.groupBy("source")
       .agg(sort_array(collect_list(col("m"))).as("ms"))
-      .select(col("source"), element_at(col("ms"), 2).as("ci_lo"),
-        element_at(col("ms"), 31).as("ci_hi"))
+      .select(col("source"),
+        element_at(col("ms"), least(lit(2), size(col("ms")))).as("ci_lo"),
+        element_at(col("ms"), greatest(size(col("ms")) - 1, lit(1))).as("ci_hi"))
     docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round(sumDbl(col("n_chars").cast(DecimalType(18, 2))) / dbl(count(lit(1))), 6)

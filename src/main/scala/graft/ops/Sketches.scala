@@ -116,13 +116,21 @@ object Sketches {
     val W = 65536
     def sk(df: org.apache.spark.sql.DataFrame, key: String): Array[Byte] =
       df.agg(CmsAgg.agg(xxhash64(col(key)), W, 4)).head().getAs[Array[Byte]](0)
+    // the dominant table is scanned ONCE for sketches (all three key
+    // sketches in one aggregation) and once per exact-count join off a
+    // materialized 3-column slice — not per sketch
     val li = T.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey").localCheckpoint(true)
+    val liSk = li.agg(
+      CmsAgg.agg(xxhash64(col("l_orderkey")), W, 4).as("sko"),
+      CmsAgg.agg(xxhash64(col("l_partkey")), W, 4).as("skp"),
+      CmsAgg.agg(xxhash64(col("l_suppkey")), W, 4).as("sks")).head()
     val cases = Seq(
-      ("lineitem_orders", sk(li, "l_orderkey"), sk(T.orders(s, d), "o_orderkey"),
+      ("lineitem_orders", liSk.getAs[Array[Byte]]("sko"), sk(T.orders(s, d), "o_orderkey"),
         li.join(T.orders(s, d), col("l_orderkey") === col("o_orderkey")).count()),
-      ("lineitem_part", sk(li, "l_partkey"), sk(T.part(s, d), "p_partkey"),
+      ("lineitem_part", liSk.getAs[Array[Byte]]("skp"), sk(T.part(s, d), "p_partkey"),
         li.join(T.part(s, d), col("l_partkey") === col("p_partkey")).count()),
-      ("lineitem_supplier", sk(li, "l_suppkey"), sk(T.supplier(s, d), "s_suppkey"),
+      ("lineitem_supplier", liSk.getAs[Array[Byte]]("sks"), sk(T.supplier(s, d), "s_suppkey"),
         li.join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey")).count()))
     cases.map { case (name, a, b, exact) =>
       val est = CmsAgg.joinSizeEstimate(a, b)

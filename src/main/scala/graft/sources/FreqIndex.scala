@@ -25,11 +25,16 @@ object FreqIndex {
 
   private def sidecarPath(path: String) = s"$path/_freq_index"
 
-  /** Build one CMS row per `partCol` value over xxhash64(`keyCol`). */
+  /** Build one CMS row per `partCol` value. The key is hashed through a
+    * STRING normalization (`xxhash64(cast(key as string))`) so that
+    * probe-side string keys hash identically whatever the column's
+    * physical type — a LongType key column and the probe string "42"
+    * agree by construction. */
   private def sketchRows(data: DataFrame, partCol: String, keyCol: String,
                          width: Int, depth: Int): DataFrame =
     data.groupBy(col(partCol).as("part"))
-      .agg(graft.functions.CmsAgg.agg(xxhash64(col(keyCol)), width, depth).as("cms"),
+      .agg(graft.functions.CmsAgg.agg(
+        xxhash64(col(keyCol).cast("string")), width, depth).as("cms"),
         count(lit(1)).as("n_rows"))
 
   /** Write `df` partitioned by `partCol` with a per-partition frequency
@@ -42,13 +47,20 @@ object FreqIndex {
   }
 
   /** Append one new partition's rows AND its sidecar sketch; existing
-    * data files and sidecar rows are not rewritten. Caller contract: the
-    * batch holds exactly the new `partCol` value(s) (the upsert sinks own
-    * the overwrite-existing case). */
+    * data files and sidecar rows are not rewritten. Sketch dimensions are
+    * READ FROM THE EXISTING SIDECAR (first row's header bytes), never
+    * caller-supplied — a mismatched-width append would poison every
+    * future byte-merge, and the sidecar has no repair path short of a
+    * rebuild. Caller contract: the batch holds exactly the new `partCol`
+    * value(s) (the upsert sinks own the overwrite-existing case). */
   def appendPartition(df: DataFrame, path: String, partCol: String,
-                      keyCol: String, width: Int = 1024, depth: Int = 4): Unit = {
+                      keyCol: String): Unit = {
+    val spark = df.sparkSession
+    val header = spark.read.parquet(sidecarPath(path))
+      .select(col("cms")).head().getAs[Array[Byte]](0)
+    val dims = graft.functions.CmsAgg.fromBytes(header)
     df.write.mode("append").partitionBy(partCol).parquet(path)
-    sketchRows(df, partCol, keyCol, width, depth)
+    sketchRows(df, partCol, keyCol, dims.width, dims.depth)
       .write.mode("append").parquet(sidecarPath(path))
   }
 
@@ -58,18 +70,27 @@ object FreqIndex {
   def probe(spark: SparkSession, path: String,
             keys: Seq[String]): DataFrame = {
     import spark.implicits._
+    // deserialize each sketch ONCE; per-key estimates then read the live
+    // buffers (keys × partitions buffer probes, no repeated byte copying)
     val side = spark.read.parquet(sidecarPath(path))
       .select(col("part").cast("string"), col("cms"))
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .collect().map(r => r.getString(0) -> graft.functions.CmsAgg.fromBytes(r.getAs[Array[Byte]](1)))
     require(side.nonEmpty, s"empty _freq_index at $path")
-    val global = side.map(_._2).reduce(graft.functions.CmsAgg.merge)
-    // hash exactly as the writer did: xxhash64 over the key column value
+    val global = {
+      val (d0, w0) = (side.head._2.depth, side.head._2.width)
+      require(side.forall { case (_, b) => b.depth == d0 && b.width == w0 },
+        s"corrupt _freq_index at $path: mixed sketch dimensions")
+      val g = new graft.functions.CmsBuffer(d0, w0)
+      side.foreach { case (_, b) => g.mergeFrom(b) }
+      g
+    }
+    // hash exactly as the writer did: xxhash64 over the STRING form
     val keyHash = keys.toDF("key").select(col("key"), xxhash64(col("key")).as("h"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val rows = for {
       (k, h) <- keyHash.toSeq
-      (p, bytes) <- side.toSeq :+ ("*" -> global)
-    } yield (k, p, graft.functions.CmsAgg.estimate(bytes, h))
+      (p, buf) <- side.toSeq :+ ("*" -> global)
+    } yield (k, p, buf.estimate(h))
     rows.toDF("key", "part", "est").orderBy("key", "part")
   }
 }

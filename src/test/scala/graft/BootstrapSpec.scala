@@ -29,6 +29,16 @@ class BootstrapSpec extends SparkSpec {
       s"CI must narrow with n: large=$widthLarge small=$widthSmall")
   }
 
+  test("a 1-doc source still gets a non-null degenerate CI (lo == hi == mean)") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny", 500L)).toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x"))
+    val r = bootstrapOn(docs).collect().head
+    assert(!r.isNullAt(3) && !r.isNullAt(4), s"null CI bound: $r")
+    assert(r.getDouble(3) == 500.0 && r.getDouble(4) == 500.0 &&
+      r.getDouble(2) == 500.0, r.toString)
+  }
+
   test("q_bootstrap_ci runs on the corpus with sane rows") {
     val out = Stats.qBootstrapCi.fn(spark, TinyDir).collect()
     assert(out.nonEmpty)

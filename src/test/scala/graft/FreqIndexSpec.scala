@@ -59,7 +59,9 @@ class FreqIndexSpec extends SparkSpec {
     val before = spark.read.parquet(s"$dir/_freq_index")
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     val batch = Seq(("srcC", "x"), ("srcC", "z")).toDF("source", "token")
-    FreqIndex.appendPartition(batch, dir, "source", "token", width = 64)
+    // dims come from the existing sidecar, NOT from append-time args —
+    // a width-64 table stays width-64 whatever the caller would pass
+    FreqIndex.appendPartition(batch, dir, "source", "token")
     val after = spark.read.parquet(s"$dir/_freq_index")
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(after.keySet == before.keySet + "srcC")
@@ -71,5 +73,23 @@ class FreqIndexSpec extends SparkSpec {
     assert(est("srcC") >= 1L && est("*") >= 3L, est.toString)
     // the appended DATA is also visible
     assert(spark.read.parquet(dir).count() == 5L)
+    // and the appended sketch inherited the WRITER's width-64 dims
+    val dims = graft.functions.CmsAgg.fromBytes(
+      spark.read.parquet(s"$dir/_freq_index").filter(col("part") === "srcC")
+        .select("cms").head().getAs[Array[Byte]](0))
+    assert(dims.width == 64 && dims.depth == 4, s"${dims.depth}x${dims.width}")
+  }
+
+  test("numeric key columns probe correctly via string-normalized hashing") {
+    import spark.implicits._
+    val dir = freshDir()
+    val data = Seq((1L, 42L), (1L, 42L), (1L, 7L), (2L, 42L))
+      .toDF("day", "order_key")
+    FreqIndex.writeWithFreqIndex(data, dir, "day", "order_key", width = 64)
+    val est = FreqIndex.probe(spark, dir, Seq("42", "7")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est(("42", "1")) >= 2L && est(("42", "2")) >= 1L && est(("42", "*")) >= 3L,
+      s"numeric key under-counted: $est")
+    assert(est(("7", "1")) >= 1L, est.toString)
   }
 }
