@@ -46,10 +46,19 @@ object Retrieval {
       |    ROW_NUMBER() OVER (ORDER BY SUM(CAST(s AS DECIMAL(18,6))) DESC, doc_id) AS rn
       |  FROM sc GROUP BY doc_id)
       |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+    bm25Ranked(s, d, Seq("join", "hash", "scan"), 20)
+      .select(col("doc_id"), col("n_terms"), dbl(col("ssum")).as("score"), col("rn"))
+      .orderBy("rn")
+  }
+
+  /** BM25 top-k ranking for a fixed term set: (doc_id, n_terms, ssum
+    * DECIMAL(18,6), rn). Shared by q_bm25 and the RRF hybrid. */
+  private def bm25Ranked(s: org.apache.spark.sql.SparkSession, d: String,
+                         terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
     val tk = toks(s, d)
     val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
-    val tf = tk.filter(col("token").isin("join", "hash", "scan"))
+    val tf = tk.filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val score = round(
@@ -59,13 +68,11 @@ object Retrieval {
             (lit(0.25) + lit(0.75) * dbl(col("dl")) * dbl(col("n_docs")) / dbl(col("total")))), 6)
     val sc = tf.join(dl, "doc_id").join(broadcast(dfT), "token").crossJoin(broadcast(st))
       .select(col("doc_id"), score.cast(DecimalType(18, 6)).as("sdec"))
-    val agg = sc.groupBy("doc_id")
+    sc.groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("sdec")).as("ssum"))
-    agg.withColumn("rn",
+      .withColumn("rn",
         row_number().over(Window.orderBy(col("ssum").desc, col("doc_id"))).cast("long"))
-      .filter(col("rn") <= 20)
-      .select(col("doc_id"), col("n_terms"), dbl(col("ssum")).as("score"), col("rn"))
-      .orderBy("rn")
+      .filter(col("rn") <= k)
   }
 
   /** Vocabulary with counts, rank, and cumulative corpus coverage — the
@@ -296,6 +303,139 @@ object Retrieval {
       .orderBy("source", "bin_id", "doc_id")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    * SIGIR'09): fuse the LEXICAL ranking (BM25 over the fixed 3-term
+    * query) with the SEMANTIC ranking (cosine to probe vector vec_id=1)
+    * as score = Σ 1/(60 + rank), summed over the lists that retrieved
+    * the doc. Rank fusion needs no score calibration between retrievers
+    * — exactly why serving layers deploy it over raw-score mixing. Both
+    * source rankings are the repo's existing shapes (token-reduced BM25;
+    * probe-broadcast cosine scan with the LSH/IVF index as the scale
+    * path); the fusion itself is a 20+20-row outer join. 1/(60+r) is
+    * rounded per-term at 6dp and summed as DECIMAL so the fused score is
+    * order-independent and cross-engine exact. */
+  val qHybridRrf: Q = Q(
+    "q_hybrid_rrf",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token IN ('join','hash','scan') GROUP BY 1, 2),
+      |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS s
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN st),
+      |lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY SUM(CAST(s AS DECIMAL(18,6))) DESC, doc_id) AS rl
+      |        FROM sc GROUP BY doc_id QUALIFY rl <= 20),
+      |ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |probe AS (SELECT v AS pv FROM ee WHERE vec_id = 1),
+      |sem AS (SELECT vec_id AS doc_id,
+      |          ROW_NUMBER() OVER (ORDER BY round(list_inner_product(v, pv)
+      |            / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(pv, pv))), 6) DESC, vec_id) AS rs
+      |        FROM ee CROSS JOIN probe WHERE vec_id <> 1 QUALIFY rs <= 20),
+      |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex.rl, sem.rs,
+      |    CAST(COALESCE(CAST(round(1.0 / (60 + rl), 6) AS DECIMAL(18,6)), 0)
+      |       + COALESCE(CAST(round(1.0 / (60 + rs), 6) AS DECIMAL(18,6)), 0) AS DOUBLE) AS rrf
+      |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      |SELECT doc_id, rl AS lex_rank, rs AS sem_rank, rrf,
+      |  ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+      |FROM fused QUALIFY rn <= 10 ORDER BY rn""".stripMargin) { (s, d) =>
+    import graft.functions.VectorFunctions.dotProduct
+    val lex = bm25Ranked(s, d, Seq("join", "hash", "scan"), 20)
+      .select(col("doc_id"), col("rn").as("rl"))
+    val ee = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = ee.filter(col("vec_id") === 1).select(col("v").as("pv"))
+    val sem = ee.filter(col("vec_id") =!= 1).crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(dotProduct(col("v"), col("pv"))
+          / (sqrt(dotProduct(col("v"), col("v"))) * sqrt(dotProduct(col("pv"), col("pv")))), 6)
+          .as("cos"))
+      .withColumn("rs",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .filter(col("rs") <= 20)
+      .select(col("doc_id"), col("rs"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rl"), col("rs"),
+        dbl(coalesce(round(lit(1.0) / (lit(60) + col("rl")), 6).cast(DecimalType(18, 6)),
+            lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))
+          + coalesce(round(lit(1.0) / (lit(60) + col("rs")), 6).cast(DecimalType(18, 6)),
+            lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))).as("rrf"))
+    fused
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("doc_id"), col("rl").as("lex_rank"), col("rs").as("sem_rank"),
+        col("rrf"), col("rn"))
+      .orderBy("rn")
+  }
+
+  /** Retrieval-quality grading: nDCG@10 of the exact cosine ranking per
+    * probe (vec_id < 5), with binary relevance = same label as the probe.
+    * DCG = Σ rel_i/log2(i+1) over the top-10; IDCG = the same sum with
+    * all relevant items first (capped at 10 by the corpus count of the
+    * probe's label). Complements q_ann_eval (set recall) with the
+    * position-weighted metric rankings are actually judged by. The probe
+    * side is 5 rows broadcast; the corpus scan is rank-only. */
+  val qEvalNdcg: Q = Q(
+    "q_eval_ndcg",
+    """WITH ee AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |probe AS (SELECT vec_id AS pid, label AS plabel, v AS pv FROM ee WHERE vec_id < 5),
+      |ranked AS (SELECT pid, plabel, vec_id, label,
+      |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY round(list_inner_product(v, pv)
+      |      / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(pv, pv))), 6) DESC, vec_id) AS rnk
+      |  FROM ee CROSS JOIN probe WHERE vec_id <> pid),
+      |dcg AS (SELECT pid, plabel,
+      |    CAST(SUM(CASE WHEN label = plabel
+      |      THEN CAST(round(1.0 / log2(CAST(rnk AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))
+      |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS dcg,
+      |    CAST(SUM(CASE WHEN label = plabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+      |  FROM ranked WHERE rnk <= 10 GROUP BY 1, 2),
+      |avail AS (SELECT p.pid, LEAST(CAST(COUNT(*) AS BIGINT), 10) AS n_avail
+      |  FROM probe p JOIN ee ON ee.label = p.plabel AND ee.vec_id <> p.pid GROUP BY 1),
+      |ideal AS (SELECT pid, CAST(SUM(CAST(round(1.0 / log2(CAST(i AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+      |  FROM avail, unnest(range(1, n_avail + 1)) AS t(i) GROUP BY 1)
+      |SELECT dcg.pid AS probe_id, dcg.n_rel, round(dcg.dcg, 6) AS dcg,
+      |  round(ideal.idcg, 6) AS idcg,
+      |  round(dcg.dcg / ideal.idcg, 6) AS ndcg
+      |FROM dcg JOIN ideal ON ideal.pid = dcg.pid
+      |ORDER BY probe_id""".stripMargin) { (s, d) =>
+    import graft.functions.VectorFunctions.dotProduct
+    val ee = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val probe = ee.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("label").as("plabel"), col("v").as("pv"))
+    val ranked = ee.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("plabel"), col("vec_id"), col("label"),
+        round(dotProduct(col("v"), col("pv"))
+          / (sqrt(dotProduct(col("v"), col("v"))) * sqrt(dotProduct(col("pv"), col("pv")))), 6)
+          .as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+    val relTerm = when(col("label") === col("plabel"),
+      round(lit(1.0) / log2(dbl(col("rnk")) + 1.0), 6).cast(DecimalType(18, 6)))
+      .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))
+    val dcg = ranked.filter(col("rnk") <= 10)
+      .groupBy(col("pid"), col("plabel"))
+      .agg(dbl(sum(relTerm)).as("dcg"),
+        sum(when(col("label") === col("plabel"), 1L).otherwise(0L)).as("n_rel"))
+    val avail = probe.join(ee.select(col("vec_id"), col("label").as("plabel")), Seq("plabel"))
+      .filter(col("vec_id") =!= col("pid"))
+      .groupBy("pid").agg(least(count(lit(1)), lit(10L)).as("n_avail"))
+    val ideal = avail
+      .select(col("pid"), explode(sequence(lit(1L), col("n_avail"))).as("i"))
+      .groupBy("pid")
+      .agg(dbl(sum(round(lit(1.0) / log2(dbl(col("i")) + 1.0), 6)
+        .cast(DecimalType(18, 6)))).as("idcg"))
+    dcg.join(ideal, "pid")
+      .select(col("pid").as("probe_id"), col("n_rel"),
+        round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy("probe_id")
+  }
+
   val all: Seq[Q] = Seq(qBm25, qVocabCoverage, qBigramLm, qCooccurPmi,
-    qEntityMatch, qHeavyHitters, qSeqPack, qPackBestfit)
+    qEntityMatch, qHeavyHitters, qSeqPack, qPackBestfit, qHybridRrf, qEvalNdcg)
 }

@@ -14,6 +14,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_ann_topk",          // tiny probe set broadcast against corpus
     "q_ann_eval",          // composes q_ann_topk's exact side by design
     "q_hard_negatives",    // same probe-broadcast baseline, label-filtered
+    "q_hybrid_rrf",        // 1-probe-broadcast semantic scan (lexical side
+                           // is token-reduced; fusion is a 20+20 join)
+    "q_eval_ndcg",         // 5-probe-broadcast grading scan (eval harness)
     "q_dedup_embed",       // exact O(n^2) baseline for q_dedup_minhash/lsh
     "q_knn_graph",         // same exact pair-scan baseline (LSH/IVF = scale path)
     "q_connected_components", // pair gen shares q_dedup_embed's scan

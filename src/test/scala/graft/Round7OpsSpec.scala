@@ -100,4 +100,35 @@ class Round7OpsSpec extends SparkSpec {
     assert(phantom.isEmpty,
       s"SURVEY §2 names queries that don't exist: ${phantom.toSeq.sorted.mkString(", ")}")
   }
+
+  test("q_hybrid_rrf: fused scores are consistent with the rank algebra") {
+    val rows = SparkEntry.queries("q_hybrid_rrf")(spark, SmallDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (rl, rs) = (Option(r.get(1)).map(_.toString.toLong),
+        Option(r.get(2)).map(_.toString.toLong))
+      assert(rl.isDefined || rs.isDefined, s"doc in neither list: $r")
+      val expect = rl.map(x => math.rint(1e6 / (60 + x)) / 1e6).getOrElse(0.0) +
+        rs.map(x => math.rint(1e6 / (60 + x)) / 1e6).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"rrf score mismatch: got ${r.getDouble(3)} want $expect from ($rl, $rs)")
+    }
+    // fused order is by score desc — a doc present in BOTH lists at rank 1
+    // would dominate; at minimum the list is sorted and positive
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse && scores.forall(_ > 0))
+  }
+
+  test("q_eval_ndcg: scores are in (0,1] and dcg <= idcg") {
+    val rows = SparkEntry.queries("q_eval_ndcg")(spark, SmallDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(idcg > 0 && dcg >= 0 && dcg <= idcg + 1e-9, r.toString)
+      assert(ndcg >= 0 && ndcg <= 1.0 + 1e-9, r.toString)
+    }
+    // a perfect-retrieval synthetic check: probes whose labels dominate
+    // the corpus should not all score 0 (the ranking carries signal)
+    assert(rows.map(_.getDouble(4)).sum > 0, "all-zero nDCG: no label signal")
+  }
 }
