@@ -153,5 +153,61 @@ object CorpusQuality2 {
     dedupSavings(T.documents(s, d), "doc_id", "text", "source").orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(qNgramNovelty, qParaDedup, qDedupSavings)
+  /** Reliability diagram (calibration bins) for the heuristic quality
+    * score against a real observable: does a higher quality score
+    * actually predict "this doc is the exact-dedup survivor"? Ten
+    * equal-width score bins; per bin: count, decimal-exact mean score,
+    * observed survivor rate, and the calibration gap (observed − mean
+    * predicted) whose |sum·weight| is ECE. The eval-harness staple for
+    * ANY score the mix planner consumes (quality tiers, perplexity,
+    * lang-id confidence) — mis-calibrated scores silently distort every
+    * downstream sampling rate. One scan + fingerprint agg + 10-row
+    * rollup; nothing corpus-sized leaves the executors. */
+  val qCalibration: Q = Q(
+    "q_calibration",
+    """WITH q AS (SELECT doc_id, text,
+      |    round(0.4 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|to|in)\b')) AS DOUBLE)
+      |          / CAST(len(string_split(trim(text), ' ')) AS DOUBLE))
+      |      + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+      |      + 0.3 * least(1.0, CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 100.0), 6) AS score
+      |  FROM documents),
+      |surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |lab AS (SELECT q.doc_id, q.score,
+      |    CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y,
+      |    CAST(greatest(least(CAST(floor(q.score * 10) AS BIGINT), 9), 0) AS BIGINT) AS bin
+      |  FROM q LEFT JOIN surv ON surv.doc_id = q.doc_id)
+      |SELECT bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score,
+      |  round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS survivor_rate,
+      |  round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |      - CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gap
+      |FROM lab GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    import graft.functions.Exact.lng
+    val docs = T.documents(s, d)
+    val score = round(lit(0.4) * (dbl(lng(TextAnalysis.matches(
+          lower(col("text")), "\\b(the|a|an|of|and|or|to|in)\\b")))
+          / dbl(lng(size(split(trim(col("text")), " ")))))
+      + lit(0.3) * (lit(1.0) - dbl(lng(TextAnalysis.matches(
+          col("text"), "[.,;:!?]"))) / dbl(lng(length(col("text")))))
+      + lit(0.3) * least(lit(1.0),
+          dbl(lng(size(split(trim(col("text")), " ")))) / lit(100.0)), 6)
+    val q = docs.select(col("doc_id"), score.as("score"))
+    val surv = docs.groupBy(md5(col("text")).as("__fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"), lit(1L).as("y1"))
+    q.join(surv, Seq("doc_id"), "left")
+      .select(col("score"), coalesce(col("y1"), lit(0L)).as("y"),
+        greatest(least(floor(col("score") * 10).cast("long"), lit(9L)), lit(0L)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(dbl(sum(col("score").cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+          / dbl(count(lit(1))), 6).as("mean_score"),
+        round(dbl(sum(col("y"))) / dbl(count(lit(1))), 6).as("survivor_rate"),
+        round(dbl(sum(col("y"))) / dbl(count(lit(1)))
+          - dbl(sum(col("score").cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+          / dbl(count(lit(1))), 6).as("gap"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[Q] = Seq(qNgramNovelty, qParaDedup, qDedupSavings, qCalibration)
 }

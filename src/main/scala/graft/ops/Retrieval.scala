@@ -436,6 +436,56 @@ object Retrieval {
       .orderBy("probe_id")
   }
 
+  /** MMR diversified re-rank (Carbonell & Goldstein SIGIR'98): greedily
+    * pick from the top-20 cosine candidates by
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ=0.7 — the serving-
+    * layer pass that stops a result page being 10 near-copies of the
+    * best hit. The DISTRIBUTED part is candidate generation (the same
+    * probe-broadcast scan as q_ann_topk, LSH/IVF at scale); the greedy
+    * fold runs on the driver over the 20-candidate × D matrix —
+    * model-sized by construction, like the k-means/BPE driver steps.
+    * Rows-only (greedy argmax chains aren't SQL-portable); ties break to
+    * the lowest id, so the output is deterministic. */
+  val qMmrRerank: Q = Q.rowsOnly("q_mmr_rerank") { (s, d) =>
+    import s.implicits._
+    import graft.functions.VectorFunctions.dotProduct
+    val lambda = 0.7
+    val ee = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = ee.filter(col("vec_id") === 1).select(col("v").as("pv"))
+    val cands = ee.filter(col("vec_id") =!= 1).crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("v"),
+        round(dotProduct(col("v"), col("pv"))
+          / (sqrt(dotProduct(col("v"), col("v"))) * sqrt(dotProduct(col("pv"), col("pv")))), 6)
+          .as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(20)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d0, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { d0 += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d0 / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double, Double)]()
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.length < 10 && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, v, rel) =>
+        val pen = if (selected.isEmpty) 0.0
+          else selected.map(sel => cos(v, sel._2)).max
+        (id, v, rel, math.rint((lambda * rel - (1 - lambda) * pen) * 1e6) / 1e6, pen)
+      }
+      val best = scored.minBy { case (id, _, _, mmr, _) => (-mmr, id) }
+      selected += ((best._1, best._2, best._3,
+        math.rint(best._5 * 1e6) / 1e6))
+      remaining --= remaining.filter(_._1 == best._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, rel, pen), i) => (i + 1L, id, rel, pen) }
+      .toSeq.toDF("rank", "vec_id", "relevance", "max_sim_to_selected")
+  }
+
   val all: Seq[Q] = Seq(qBm25, qVocabCoverage, qBigramLm, qCooccurPmi,
-    qEntityMatch, qHeavyHitters, qSeqPack, qPackBestfit, qHybridRrf, qEvalNdcg)
+    qEntityMatch, qHeavyHitters, qSeqPack, qPackBestfit, qHybridRrf, qEvalNdcg,
+    qMmrRerank)
 }

@@ -17,6 +17,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_hybrid_rrf",        // 1-probe-broadcast semantic scan (lexical side
                            // is token-reduced; fusion is a 20+20 join)
     "q_eval_ndcg",         // 5-probe-broadcast grading scan (eval harness)
+    "q_mmr_rerank",        // same 1-probe candidate scan; greedy fold is
+                           // driver-side over 20 candidates by design
     "q_dedup_embed",       // exact O(n^2) baseline for q_dedup_minhash/lsh
     "q_knn_graph",         // same exact pair-scan baseline (LSH/IVF = scale path)
     "q_connected_components", // pair gen shares q_dedup_embed's scan

@@ -119,6 +119,21 @@ class Round7OpsSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse && scores.forall(_ > 0))
   }
 
+  test("q_mmr_rerank: first pick is the most relevant; picks distinct; diversity bites") {
+    val rows = SparkEntry.queries("q_mmr_rerank")(spark, SmallDir).collect()
+    assert(rows.length == 10)
+    val ids = rows.map(_.getLong(1)).toSeq
+    assert(ids.distinct == ids, "duplicate picks")
+    // rank 1 must be the relevance argmax (penalty is zero there)
+    assert(rows.head.getDouble(3) == 0.0)
+    val rels = rows.map(_.getDouble(2)).toSeq
+    assert(rels.head == rels.max, "first pick not the most relevant")
+    // diversity must actually bite: at least one later pick is NOT the
+    // next-most-relevant candidate (otherwise MMR degenerated to top-k)
+    assert(rels != rels.sorted.reverse || rows.map(_.getDouble(3)).exists(_ > 0),
+      "MMR output identical to plain top-k with zero penalties — suspicious")
+  }
+
   test("q_eval_ndcg: scores are in (0,1] and dcg <= idcg") {
     val rows = SparkEntry.queries("q_eval_ndcg")(spark, SmallDir).collect()
     assert(rows.length == 5)
