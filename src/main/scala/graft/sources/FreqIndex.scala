@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,7 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object FreqIndex {
 
-  private def sidecarPath(path: String) = s"$path/_freq_index"
+  /** Resolve the serving root through [[AtomicSwap.live]]: the snapshot
+    * itself, or the `_prev` backup if a crash caught a rebuild between
+    * its two renames — so data and sidecar (which lives INSIDE the
+    * snapshot dir) always come from the SAME complete snapshot. */
+  def liveRoot(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.live(fs, p)
+      .getOrElse(throw new IllegalStateException(s"no live snapshot at $path"))
+      .toString
+  }
 
   /** Build one CMS row per `partCol` value. The key is hashed through a
     * STRING normalization (`xxhash64(cast(key as string))`) so that
@@ -38,12 +49,22 @@ object FreqIndex {
         count(lit(1)).as("n_rows"))
 
   /** Write `df` partitioned by `partCol` with a per-partition frequency
-    * sketch over `keyCol` in the `_freq_index` sidecar. */
+    * sketch over `keyCol` in the `_freq_index` sidecar. Data AND sidecar
+    * stage into one `<path>_next` snapshot and land via the shared
+    * [[AtomicSwap]] commit, so no crash point can expose new data with a
+    * stale sidecar (or vice versa) — a reader through [[liveRoot]]
+    * always sees a matching pair. */
   def writeWithFreqIndex(df: DataFrame, path: String, partCol: String,
-                         keyCol: String, width: Int = 1024, depth: Int = 4): Unit = {
-    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+                         keyCol: String, width: Int = 1024, depth: Int = 4,
+                         crashAfter: Int = Int.MaxValue): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val next = AtomicSwap.nextOf(p).toString
+    fs.delete(new Path(next), true)
+    df.write.mode("overwrite").partitionBy(partCol).parquet(next)
     sketchRows(df, partCol, keyCol, width, depth)
-      .write.mode("overwrite").parquet(sidecarPath(path))
+      .write.mode("overwrite").parquet(s"$next/_freq_index")
+    AtomicSwap.commit(fs, p, crashAfter = crashAfter)
   }
 
   /** Append one new partition's rows AND its sidecar sketch; existing
@@ -53,15 +74,25 @@ object FreqIndex {
     * future byte-merge, and the sidecar has no repair path short of a
     * rebuild. Caller contract: the batch holds exactly the new `partCol`
     * value(s) (the upsert sinks own the overwrite-existing case). */
+  /** Step ORDER is load-bearing: the sidecar row lands BEFORE the data.
+    * A crash between the two leaves the sketch counting rows that never
+    * arrived — an OVER-count, which the est ≥ true contract absorbs.
+    * The reverse order would leave arrived rows uncounted: a silent
+    * UNDER-count that breaks every probe's guarantee. A re-run after a
+    * crash appends a second sidecar row for the partition (again
+    * over-count only); a [[writeWithFreqIndex]] rebuild restores
+    * tightness. `crashBeforeData` is the test hook proving the window. */
   def appendPartition(df: DataFrame, path: String, partCol: String,
-                      keyCol: String): Unit = {
+                      keyCol: String, crashBeforeData: Boolean = false): Unit = {
     val spark = df.sparkSession
-    val header = spark.read.parquet(sidecarPath(path))
+    val root = liveRoot(spark, path)
+    val header = spark.read.parquet(s"$root/_freq_index")
       .select(col("cms")).head().getAs[Array[Byte]](0)
     val dims = graft.functions.CmsAgg.fromBytes(header)
-    df.write.mode("append").partitionBy(partCol).parquet(path)
     sketchRows(df, partCol, keyCol, dims.width, dims.depth)
-      .write.mode("append").parquet(sidecarPath(path))
+      .write.mode("append").parquet(s"$root/_freq_index")
+    if (crashBeforeData) throw AtomicSwap.CrashPoint(1)
+    df.write.mode("append").partitionBy(partCol).parquet(root)
   }
 
   /** Estimated count of each probe key, per partition and globally —
@@ -72,7 +103,7 @@ object FreqIndex {
     import spark.implicits._
     // deserialize each sketch ONCE; per-key estimates then read the live
     // buffers (keys × partitions buffer probes, no repeated byte copying)
-    val side = spark.read.parquet(sidecarPath(path))
+    val side = spark.read.parquet(s"${liveRoot(spark, path)}/_freq_index")
       .select(col("part").cast("string"), col("cms"))
       .collect().map(r => r.getString(0) -> graft.functions.CmsAgg.fromBytes(r.getAs[Array[Byte]](1)))
     require(side.nonEmpty, s"empty _freq_index at $path")

@@ -80,6 +80,51 @@ class FreqIndexSpec extends SparkSpec {
     assert(dims.width == 64 && dims.depth == 4, s"${dims.depth}x${dims.width}")
   }
 
+  test("rebuild crash points never expose a torn data/sidecar pair") {
+    import spark.implicits._
+    val dir = freshDir()
+    val v1 = Seq(("srcA", "x"), ("srcA", "x")).toDF("source", "token")
+    FreqIndex.writeWithFreqIndex(v1, dir, "source", "token", width = 64)
+    val v2 = Seq(("srcA", "x"), ("srcA", "x"), ("srcA", "x"), ("srcB", "x"))
+      .toDF("source", "token")
+    for (crashAt <- 1 to 3) {
+      val d2 = freshDir()
+      FreqIndex.writeWithFreqIndex(v1, d2, "source", "token", width = 64)
+      intercept[graft.sources.AtomicSwap.CrashPoint] {
+        FreqIndex.writeWithFreqIndex(v2, d2, "source", "token", width = 64,
+          crashAfter = crashAt)
+      }
+      // whatever snapshot is live, its sidecar must cover ITS OWN data:
+      // est("x") >= exact count of x in the live data dir
+      val root = FreqIndex.liveRoot(spark, d2)
+      val exact = spark.read.parquet(root).filter(col("token") === "x").count()
+      val est = FreqIndex.probe(spark, d2, Seq("x")).collect()
+        .collectFirst { case r if r.getString(1) == "*" => r.getLong(2) }.get
+      assert(est >= exact,
+        s"crash@$crashAt: torn pair — sidecar est $est < live data exact $exact")
+      assert(exact == 2L || exact == 4L, s"crash@$crashAt: torn data dir ($exact rows)")
+    }
+  }
+
+  test("append crash between sidecar and data only ever OVER-counts") {
+    import spark.implicits._
+    val dir = freshDir()
+    FreqIndex.writeWithFreqIndex(
+      Seq(("srcA", "x")).toDF("source", "token"), dir, "source", "token", width = 64)
+    intercept[graft.sources.AtomicSwap.CrashPoint] {
+      FreqIndex.appendPartition(
+        Seq(("srcB", "x"), ("srcB", "x")).toDF("source", "token"),
+        dir, "source", "token", crashBeforeData = true)
+    }
+    val exact = spark.read.parquet(FreqIndex.liveRoot(spark, dir))
+      .filter(col("token") === "x").count()
+    val est = FreqIndex.probe(spark, dir, Seq("x")).collect()
+      .collectFirst { case r if r.getString(1) == "*" => r.getLong(2) }.get
+    assert(exact == 1L, "data must NOT contain the crashed batch")
+    assert(est >= exact, s"under-count after crash: $est < $exact")
+    assert(est >= 3L, "sidecar should already count the staged batch (over-count side)")
+  }
+
   test("numeric key columns probe correctly via string-normalized hashing") {
     import spark.implicits._
     val dir = freshDir()
