@@ -383,6 +383,57 @@ object Stats {
       .orderBy("source")
   }
 
+  /** Pairwise Welch t-test between event types on the value metric — the
+    * A/B-comparison primitive (unequal variances, Welch–Satterthwaite
+    * df). Every input moment is an EXACT decimal sum (value is exact at
+    * 2dp, its square at 4dp), so the doubles appear only in the final
+    * per-pair scalar math — deterministic cross-engine at any
+    * partitioning. One corpus aggregation to a #groups-row moment table;
+    * the pair grid is model-sized. `significant` uses the z≈1.96 5%
+    * threshold (all groups here have n ≫ 30, where t ≈ z). */
+  val qAbTest: Q = Q(
+    "q_ab_test",
+    """WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS s,
+      |    SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sq
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.n AS na, b.n AS nb,
+      |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+      |    CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+      |    (CAST(a.sq AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) / CAST(a.n - 1 AS DOUBLE) AS va,
+      |    (CAST(b.sq AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) / CAST(b.n - 1 AS DOUBLE) AS vb
+      |  FROM m a JOIN m b ON a.event_type < b.event_type)
+      |SELECT type_a, type_b, na, nb,
+      |  round(ma - mb, 6) AS mean_diff,
+      |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+      |  round(((va / na + vb / nb) * (va / na + vb / nb))
+      |    / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df_welch,
+      |  (abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96) AS significant
+      |FROM p ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    val m = T.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).as("s"),
+        sum(dec2(col("value")) * dec2(col("value"))).as("sq"))
+    def side(p: String) = m.select(
+      col("event_type").as(s"type_$p"), col("n").as(s"n$p"),
+      (dbl(col("s")) / dbl(col("n"))).as(s"m$p"),
+      ((dbl(col("sq")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n")))
+        / dbl(col("n") - 1)).as(s"v$p"))
+    val se2 = col("va") / dbl(col("na")) + col("vb") / dbl(col("nb"))
+    side("a").join(side("b"), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        round(col("ma") - col("mb"), 6).as("mean_diff"),
+        round((col("ma") - col("mb")) / sqrt(se2), 6).as("t_stat"),
+        round((se2 * se2)
+          / ((col("va") / dbl(col("na"))) * (col("va") / dbl(col("na"))) / dbl(col("na") - 1)
+            + (col("vb") / dbl(col("nb"))) * (col("vb") / dbl(col("nb"))) / dbl(col("nb") - 1)), 6)
+          .as("df_welch"),
+        (abs((col("ma") - col("mb")) / sqrt(se2)) > 1.96).as("significant"))
+      .orderBy("type_a", "type_b")
+  }
+
   val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap, qJoinAudit, qSkewAudit,
-    qSourceDivergence, qKanon, qBootstrapCi)
+    qSourceDivergence, qKanon, qBootstrapCi, qAbTest)
 }

@@ -46,6 +46,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_mix_reweight",      // 20-row mix table x 1-row mixture average per
                            // round (constant sides; corpus read once)
     "q_split_temporal",    // rows x 1-row span bounds (constant side)
+    "q_ab_test",           // #groups-row moment table paired with itself
+                           // (model-vs-model; data aggregates once)
     "q_sketch_setops",     // #sources-row sketch table paired with itself
                            // (sketch-vs-sketch by design; data never pairs)
     "q_sketch_cms"         // #sources-row sketch table x 10-row probe grid

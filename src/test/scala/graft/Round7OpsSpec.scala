@@ -134,6 +134,27 @@ class Round7OpsSpec extends SparkSpec {
       "MMR output identical to plain top-k with zero penalties — suspicious")
   }
 
+  test("welch t-test: detects a real mean shift, stays silent on identical groups") {
+    import spark.implicits._
+    // groups A/B identical distribution; C shifted by +5 with same spread
+    val rows =
+      (1 to 300).map(i => (i.toLong, "A", 10.0 + (i % 7))) ++
+      (1 to 300).map(i => (i + 1000L, "B", 10.0 + ((i + 3) % 7))) ++
+      (1 to 300).map(i => (i + 2000L, "C", 15.0 + (i % 7)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ab").toString
+    rows.toDF("event_id", "event_type", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("user_id", col("event_id"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = operators.Stats.qAbTest.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(5), r.getBoolean(7))).toMap
+    assert(!m(("A", "B"))._2, s"A vs B falsely significant: ${m(("A", "B"))}")
+    assert(m(("A", "C"))._2 && m(("B", "C"))._2, s"shift missed: $m")
+    assert(math.abs(m(("A", "C"))._1) > math.abs(m(("A", "B"))._1))
+  }
+
   test("q_eval_ndcg: scores are in (0,1] and dcg <= idcg") {
     val rows = SparkEntry.queries("q_eval_ndcg")(spark, SmallDir).collect()
     assert(rows.length == 5)
