@@ -434,6 +434,73 @@ object Stats {
       .orderBy("type_a", "type_b")
   }
 
+  /** Pairwise Mann–Whitney U (rank-sum) test between event types — the
+    * NON-PARAMETRIC complement to [[qAbTest]]: rank-based, so a skewed
+    * or heavy-tailed metric can't mislead it the way it can a t-test.
+    * Deterministic by construction: tie handling uses midranks computed
+    * from VALUE COUNTS (rank_avg = below + (ties+1)/2), never a
+    * tie-arbitrary ROW_NUMBER, and rank sums stay exact in half-integer
+    * DECIMAL until the final z. Shuffle shape: one (pair, value) rollup
+    * (each event fans out to its G−1 pairs, G = #groups, mixture-sized),
+    * one bounded window over DISTINCT values per pair, one pair-sized
+    * rollup. z uses the normal approximation without tie correction
+    * (documented; groups here are n ≫ 20 with modest ties). */
+  val qRankSum: Q = Q(
+    "q_rank_sum",
+    """WITH t AS (SELECT DISTINCT event_type FROM events),
+      |p AS (SELECT a.event_type AS ta, b.event_type AS tb
+      |      FROM t a JOIN t b ON a.event_type < b.event_type),
+      |ev AS (SELECT p.ta, p.tb, e.event_type, CAST(e.value AS DECIMAL(12,2)) AS v
+      |       FROM events e JOIN p ON e.event_type IN (p.ta, p.tb)),
+      |vals AS (SELECT ta, tb, v,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    CAST(SUM(CASE WHEN event_type = ta THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+      |  FROM ev GROUP BY 1, 2, 3),
+      |rk AS (SELECT ta, tb, v, cnt, cnt_a,
+      |    COALESCE(CAST(SUM(cnt) OVER (PARTITION BY ta, tb ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+      |  FROM vals),
+      |agg AS (SELECT ta, tb,
+      |    CAST(SUM(cnt_a) AS BIGINT) AS na,
+      |    CAST(SUM(cnt - cnt_a) AS BIGINT) AS nb,
+      |    SUM(CAST(cnt_a AS DECIMAL(24,1)) * (CAST(below AS DECIMAL(24,1)) + (CAST(cnt AS DECIMAL(24,1)) + 1) / 2)) AS ra
+      |  FROM rk GROUP BY 1, 2)
+      |SELECT ta AS type_a, tb AS type_b, na, nb,
+      |  CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE) AS u_stat,
+      |  round((CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE)
+      |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
+      |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1) / 12), 6) AS z,
+      |  (abs((CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE)
+      |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
+      |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1) / 12)) > 1.96) AS significant
+      |FROM agg ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    val dec24 = DecimalType(24, 1)
+    val ev = T.events(s, d).select(col("event_type"), dec2(col("value")).as("v"))
+    val t = ev.select("event_type").distinct()
+    val p = t.select(col("event_type").as("ta"))
+      .join(t.select(col("event_type").as("tb")), col("ta") < col("tb"))
+    val evp = ev.join(broadcast(p),
+      col("event_type") === col("ta") || col("event_type") === col("tb"))
+    val vals = evp.groupBy("ta", "tb", "v")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("event_type") === col("ta"), 1L).otherwise(0L)).as("cnt_a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ta", "tb").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rk = vals.withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val agg = rk.groupBy("ta", "tb")
+      .agg(sum(col("cnt_a")).as("na"),
+        sum(col("cnt") - col("cnt_a")).as("nb"),
+        sum(col("cnt_a").cast(dec24)
+          * (col("below").cast(dec24) + (col("cnt").cast(dec24) + 1) / 2)).as("ra"))
+    val u = dbl(col("ra") - col("na").cast(dec24) * (col("na").cast(dec24) + 1) / 2)
+    val z = (u - dbl(col("na")) * dbl(col("nb")) / 2) /
+      sqrt(dbl(col("na")) * dbl(col("nb")) * (dbl(col("na")) + dbl(col("nb")) + 1) / 12)
+    agg.select(col("ta").as("type_a"), col("tb").as("type_b"), col("na"), col("nb"),
+        u.as("u_stat"), round(z, 6).as("z"), (abs(z) > 1.96).as("significant"))
+      .orderBy("type_a", "type_b")
+  }
+
   val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap, qJoinAudit, qSkewAudit,
-    qSourceDivergence, qKanon, qBootstrapCi, qAbTest)
+    qSourceDivergence, qKanon, qBootstrapCi, qAbTest, qRankSum)
 }

@@ -48,6 +48,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_split_temporal",    // rows x 1-row span bounds (constant side)
     "q_ab_test",           // #groups-row moment table paired with itself
                            // (model-vs-model; data aggregates once)
+    "q_rank_sum",          // rows x G²-row broadcast pair grid (constant
+                           // side; the G-row type table also self-pairs)
     "q_sketch_setops",     // #sources-row sketch table paired with itself
                            // (sketch-vs-sketch by design; data never pairs)
     "q_sketch_cms"         // #sources-row sketch table x 10-row probe grid

@@ -155,6 +155,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(math.abs(m(("A", "C"))._1) > math.abs(m(("A", "B"))._1))
   }
 
+  test("rank-sum test: detects a median shift a heavy outlier hides from the t-test") {
+    import spark.implicits._
+    // A and B share a median-shifted core; A additionally carries one
+    // huge outlier that inflates variance (the t-test killer)
+    val rows =
+      (1 to 200).map(i => (i.toLong, "A", 10.0 + (i % 5))) ++
+      Seq((900L, "A", 100000.0)) ++
+      (1 to 200).map(i => (i + 1000L, "B", 13.0 + (i % 5)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs").toString
+    rows.toDF("event_id", "event_type", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("user_id", col("event_id"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rs = operators.Stats.qRankSum.fn(spark, dir).collect().head
+    assert(rs.getBoolean(6), s"rank-sum must flag the median shift: $rs")
+    val t = operators.Stats.qAbTest.fn(spark, dir).collect().head
+    assert(!t.getBoolean(7),
+      s"scenario broken: t-test should be blinded by the outlier, got $t")
+  }
+
   test("q_eval_ndcg: scores are in (0,1] and dcg <= idcg") {
     val rows = SparkEntry.queries("q_eval_ndcg")(spark, SmallDir).collect()
     assert(rows.length == 5)
