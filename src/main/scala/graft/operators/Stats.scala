@@ -501,6 +501,71 @@ object Stats {
       .orderBy("type_a", "type_b")
   }
 
+  /** Benjamini–Hochberg FDR correction over the pairwise rank-sum grid:
+    * with G groups there are G(G−1)/2 simultaneous tests, and the raw
+    * |z| > 1.96 flags of [[qRankSum]] inflate false positives — BH is
+    * the standard step-up fix (reject the ranks up to the largest i with
+    * p_i ≤ i·q/m, q = 0.05). Two-sided p from the repo's logistic Φ
+    * approximation (the same form q_gaussian_cdf uses, computed from the
+    * ROUNDED z so both engines agree bit-for-bit). Everything after
+    * [[qRankSum]]'s aggregation is a window over the m-row test grid —
+    * model-sized at any corpus scale. */
+  val qFdrCorrection: Q = Q(
+    "q_fdr_correction",
+    """WITH t AS (SELECT DISTINCT event_type FROM events),
+      |p AS (SELECT a.event_type AS ta, b.event_type AS tb
+      |      FROM t a JOIN t b ON a.event_type < b.event_type),
+      |ev AS (SELECT p.ta, p.tb, e.event_type, CAST(e.value AS DECIMAL(12,2)) AS v
+      |       FROM events e JOIN p ON e.event_type IN (p.ta, p.tb)),
+      |vals AS (SELECT ta, tb, v,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    CAST(SUM(CASE WHEN event_type = ta THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+      |  FROM ev GROUP BY 1, 2, 3),
+      |rk AS (SELECT ta, tb, v, cnt, cnt_a,
+      |    COALESCE(CAST(SUM(cnt) OVER (PARTITION BY ta, tb ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+      |  FROM vals),
+      |agg AS (SELECT ta, tb,
+      |    CAST(SUM(cnt_a) AS BIGINT) AS na,
+      |    CAST(SUM(cnt - cnt_a) AS BIGINT) AS nb,
+      |    SUM(CAST(cnt_a AS DECIMAL(24,1)) * (CAST(below AS DECIMAL(24,1)) + (CAST(cnt AS DECIMAL(24,1)) + 1) / 2)) AS ra
+      |  FROM rk GROUP BY 1, 2),
+      |zt AS (SELECT ta, tb,
+      |    round((CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE)
+      |        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
+      |      / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1) / 12), 6) AS z
+      |  FROM agg),
+      |pv AS (SELECT ta, tb, z,
+      |    round(2.0 * (1.0 - 1.0 / (1.0 + exp(-(1.702 * abs(z))))), 6) AS p_raw FROM zt),
+      |rp AS (SELECT ta, tb, z, p_raw,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY p_raw, ta, tb) AS BIGINT) AS p_rank,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pv),
+      |mx AS (SELECT COALESCE(MAX(CASE WHEN p_raw <= 0.05 * p_rank / m THEN p_rank END), 0) AS kmax FROM rp)
+      |SELECT ta AS type_a, tb AS type_b, z, p_raw, p_rank,
+      |  round(0.05 * p_rank / m, 6) AS bh_threshold,
+      |  (p_raw <= 0.05) AS reject_raw,
+      |  (p_rank <= kmax) AS reject_bh
+      |FROM rp CROSS JOIN mx ORDER BY p_rank, type_a, type_b""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+    val zdf = qRankSum.fn(s, d).select(
+      col("type_a").as("ta"), col("type_b").as("tb"), col("z"))
+    val pv = zdf.withColumn("p_raw",
+      round(lit(2.0) * (lit(1.0) - lit(1.0) / (lit(1.0) + exp(-(lit(1.702) * abs(col("z")))))), 6))
+    val rp = pv
+      .withColumn("p_rank",
+        row_number().over(w.orderBy(col("p_raw"), col("ta"), col("tb"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(w.partitionBy()).cast("long"))
+    val kmax = coalesce(max(when(col("p_raw") <= lit(0.05) * col("p_rank") / col("m"),
+      col("p_rank"))).over(w.partitionBy()), lit(0L))
+    rp.withColumn("kmax", kmax)
+      .select(col("ta").as("type_a"), col("tb").as("type_b"), col("z"),
+        col("p_raw"), col("p_rank"),
+        round(lit(0.05) * col("p_rank") / col("m"), 6).as("bh_threshold"),
+        (col("p_raw") <= 0.05).as("reject_raw"),
+        (col("p_rank") <= col("kmax")).as("reject_bh"))
+      .orderBy("p_rank", "type_a", "type_b")
+  }
+
   val all: Seq[Q] = Seq(qWinsorize, qHhi, qVocabOverlap, qJoinAudit, qSkewAudit,
-    qSourceDivergence, qKanon, qBootstrapCi, qAbTest, qRankSum)
+    qSourceDivergence, qKanon, qBootstrapCi, qAbTest, qRankSum, qFdrCorrection)
 }

@@ -50,6 +50,8 @@ class PlanSweepSpec extends SparkSpec {
                            // (model-vs-model; data aggregates once)
     "q_rank_sum",          // rows x G²-row broadcast pair grid (constant
                            // side; the G-row type table also self-pairs)
+    "q_fdr_correction",    // composes q_rank_sum's grid; correction is a
+                           // window over the m-row test table
     "q_sketch_setops",     // #sources-row sketch table paired with itself
                            // (sketch-vs-sketch by design; data never pairs)
     "q_sketch_cms"         // #sources-row sketch table x 10-row probe grid

@@ -176,6 +176,21 @@ class Round7OpsSpec extends SparkSpec {
       s"scenario broken: t-test should be blinded by the outlier, got $t")
   }
 
+  test("BH correction rejects a subset of raw rejections, step-up rule exact") {
+    val rows = SparkEntry.queries("q_fdr_correction")(spark, SmallDir).collect()
+    assert(rows.length == 10, "5 event types -> 10 pairwise tests")
+    val m = rows.length.toLong
+    // reject_bh => reject_raw (BH threshold i*q/m <= q), and the step-up
+    // rule: rejected ranks are exactly 1..kmax
+    val bhRanks = rows.filter(_.getBoolean(7)).map(_.getLong(4)).sorted.toSeq
+    rows.foreach { r =>
+      if (r.getBoolean(7)) assert(r.getBoolean(6), s"BH rejected but raw not: $r")
+      assert(math.abs(r.getDouble(5) - math.rint(0.05 * r.getLong(4) / m * 1e6) / 1e6) < 1e-9)
+    }
+    assert(bhRanks == (1L to bhRanks.length.toLong).toSeq,
+      s"step-up rejections must be a prefix of the p-rank order: $bhRanks")
+  }
+
   test("q_eval_ndcg: scores are in (0,1] and dcg <= idcg") {
     val rows = SparkEntry.queries("q_eval_ndcg")(spark, SmallDir).collect()
     assert(rows.length == 5)
