@@ -470,6 +470,8 @@ object Stats {
       |  round((CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE)
       |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
       |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1) / 12), 6) AS z,
+      |  round(2.0 * CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6) AS cliffs_delta,
       |  (abs((CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE)
       |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
       |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1) / 12)) > 1.96) AS significant
@@ -496,8 +498,12 @@ object Stats {
     val u = dbl(col("ra") - col("na").cast(dec24) * (col("na").cast(dec24) + 1) / 2)
     val z = (u - dbl(col("na")) * dbl(col("nb")) / 2) /
       sqrt(dbl(col("na")) * dbl(col("nb")) * (dbl(col("na")) + dbl(col("nb")) + 1) / 12)
+    // Cliff's delta = 2U/(na·nb) − 1: the EFFECT SIZE the z-flag lacks
+    // (P(a > b) − P(b > a) under random draws; ±1 = total separation)
+    val delta = round(lit(2.0) * u / (dbl(col("na")) * dbl(col("nb"))) - 1.0, 6)
     agg.select(col("ta").as("type_a"), col("tb").as("type_b"), col("na"), col("nb"),
-        u.as("u_stat"), round(z, 6).as("z"), (abs(z) > 1.96).as("significant"))
+        u.as("u_stat"), round(z, 6).as("z"), delta.as("cliffs_delta"),
+        (abs(z) > 1.96).as("significant"))
       .orderBy("type_a", "type_b")
   }
 

@@ -170,7 +170,9 @@ class Round7OpsSpec extends SparkSpec {
       .withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val rs = operators.Stats.qRankSum.fn(spark, dir).collect().head
-    assert(rs.getBoolean(6), s"rank-sum must flag the median shift: $rs")
+    assert(rs.getBoolean(7), s"rank-sum must flag the median shift: $rs")
+    // Cliff's delta must point the same way as the shift (B > A core)
+    assert(rs.getDouble(6) < -0.3, s"effect size should be strongly negative: $rs")
     val t = operators.Stats.qAbTest.fn(spark, dir).collect().head
     assert(!t.getBoolean(7),
       s"scenario broken: t-test should be blinded by the outlier, got $t")
