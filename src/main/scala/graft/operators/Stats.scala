@@ -439,23 +439,23 @@ object Stats {
     * or heavy-tailed metric can't mislead it the way it can a t-test.
     * Deterministic by construction: tie handling uses midranks computed
     * from VALUE COUNTS (rank_avg = below + (ties+1)/2), never a
-    * tie-arbitrary ROW_NUMBER, and rank sums stay exact in half-integer
-    * DECIMAL until the final z. Shuffle shape: one (pair, value) rollup
-    * (each event fans out to its G−1 pairs, G = #groups, mixture-sized),
-    * one bounded window over DISTINCT values per pair, one pair-sized
-    * rollup. z uses the normal approximation without tie correction
+    * tie-arbitrary ROW_NUMBER, and DOUBLED rank sums stay exact in pure
+    * BIGINT (2^63) until the final z. Shuffle shape: ONE corpus
+    * aggregation to (type, value) counts; only that distinct-sized
+    * rollup fans into the G(G−1)/2 pair grid, then one bounded window
+    * over DISTINCT values per pair and a pair-sized rollup. z uses the normal approximation without tie correction
     * (documented; groups here are n ≫ 20 with modest ties). */
   val qRankSum: Q = Q(
     "q_rank_sum",
     """WITH t AS (SELECT DISTINCT event_type FROM events),
       |p AS (SELECT a.event_type AS ta, b.event_type AS tb
       |      FROM t a JOIN t b ON a.event_type < b.event_type),
-      |ev AS (SELECT p.ta, p.tb, e.event_type, CAST(e.value AS DECIMAL(12,2)) AS v
-      |       FROM events e JOIN p ON e.event_type IN (p.ta, p.tb)),
-      |vals AS (SELECT ta, tb, v,
-      |    CAST(COUNT(*) AS BIGINT) AS cnt,
-      |    CAST(SUM(CASE WHEN event_type = ta THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
-      |  FROM ev GROUP BY 1, 2, 3),
+      |c AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+      |        CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+      |vals AS (SELECT p.ta, p.tb, c.v,
+      |    CAST(SUM(c.cnt) AS BIGINT) AS cnt,
+      |    CAST(SUM(CASE WHEN c.event_type = p.ta THEN c.cnt ELSE 0 END) AS BIGINT) AS cnt_a
+      |  FROM c JOIN p ON c.event_type IN (p.ta, p.tb) GROUP BY 1, 2, 3),
       |rk AS (SELECT ta, tb, v, cnt, cnt_a,
       |    COALESCE(CAST(SUM(cnt) OVER (PARTITION BY ta, tb ORDER BY v
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
@@ -463,44 +463,48 @@ object Stats {
       |agg AS (SELECT ta, tb,
       |    CAST(SUM(cnt_a) AS BIGINT) AS na,
       |    CAST(SUM(cnt - cnt_a) AS BIGINT) AS nb,
-      |    SUM(CAST(cnt_a AS DECIMAL(24,1)) * (CAST(below AS DECIMAL(24,1)) + (CAST(cnt AS DECIMAL(24,1)) + 1) / 2)) AS ra
+      |    CAST(SUM(cnt_a * (2 * below + cnt + 1)) AS BIGINT) AS ra2
       |  FROM rk GROUP BY 1, 2)
       |SELECT ta AS type_a, tb AS type_b, na, nb,
-      |  CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE) AS u_stat,
-      |  round((CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE)
-      |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
+      |  CAST(ra2 - na * (na + 1) AS DOUBLE) / 2 AS u_stat,
+      |  round((CAST(ra2 - na * (na + 1) AS DOUBLE) / 2 - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
       |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1) / 12), 6) AS z,
-      |  round(2.0 * CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE)
-      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6) AS cliffs_delta,
-      |  (abs((CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE)
-      |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
+      |  round(CAST(ra2 - na * (na + 1) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6) AS cliffs_delta,
+      |  (abs((CAST(ra2 - na * (na + 1) AS DOUBLE) / 2 - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
       |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1) / 12)) > 1.96) AS significant
       |FROM agg ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
-    val dec24 = DecimalType(24, 1)
-    val ev = T.events(s, d).select(col("event_type"), dec2(col("value")).as("v"))
-    val t = ev.select("event_type").distinct()
+    // one corpus aggregation to (type, value) counts FIRST; only that
+    // distinct-(type,value)-sized rollup fans into the pair grid (the
+    // raw-row fanout a review flagged is gone)
+    val cTab = T.events(s, d)
+      .groupBy(col("event_type"), dec2(col("value")).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = cTab.select("event_type").distinct()
     val p = t.select(col("event_type").as("ta"))
       .join(t.select(col("event_type").as("tb")), col("ta") < col("tb"))
-    val evp = ev.join(broadcast(p),
+    val evp = cTab.join(broadcast(p),
       col("event_type") === col("ta") || col("event_type") === col("tb"))
     val vals = evp.groupBy("ta", "tb", "v")
-      .agg(count(lit(1)).as("cnt"),
-        sum(when(col("event_type") === col("ta"), 1L).otherwise(0L)).as("cnt_a"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(when(col("event_type") === col("ta"), col("cnt")).otherwise(0L)).as("cnt_a"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("ta", "tb").orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val rk = vals.withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // ra2 = 2·Σ cnt_a·midrank kept in pure BIGINT (integer-exact to 2^63;
+    // the review showed DuckDB decimal division silently degrades to
+    // DOUBLE, so half-integer DECIMAL sums were only 2^53-exact there)
     val agg = rk.groupBy("ta", "tb")
       .agg(sum(col("cnt_a")).as("na"),
         sum(col("cnt") - col("cnt_a")).as("nb"),
-        sum(col("cnt_a").cast(dec24)
-          * (col("below").cast(dec24) + (col("cnt").cast(dec24) + 1) / 2)).as("ra"))
-    val u = dbl(col("ra") - col("na").cast(dec24) * (col("na").cast(dec24) + 1) / 2)
+        sum(col("cnt_a") * (lit(2) * col("below") + col("cnt") + 1)).as("ra2"))
+    val u = dbl(col("ra2") - col("na") * (col("na") + 1)) / 2
     val z = (u - dbl(col("na")) * dbl(col("nb")) / 2) /
       sqrt(dbl(col("na")) * dbl(col("nb")) * (dbl(col("na")) + dbl(col("nb")) + 1) / 12)
     // Cliff's delta = 2U/(na·nb) − 1: the EFFECT SIZE the z-flag lacks
     // (P(a > b) − P(b > a) under random draws; ±1 = total separation)
-    val delta = round(lit(2.0) * u / (dbl(col("na")) * dbl(col("nb"))) - 1.0, 6)
+    val delta = round(dbl(col("ra2") - col("na") * (col("na") + 1))
+      / (dbl(col("na")) * dbl(col("nb"))) - 1.0, 6)
     agg.select(col("ta").as("type_a"), col("tb").as("type_b"), col("na"), col("nb"),
         u.as("u_stat"), round(z, 6).as("z"), delta.as("cliffs_delta"),
         (abs(z) > 1.96).as("significant"))
@@ -513,7 +517,10 @@ object Stats {
     * the standard step-up fix (reject the ranks up to the largest i with
     * p_i ≤ i·q/m, q = 0.05). Two-sided p from the repo's logistic Φ
     * approximation (the same form q_gaussian_cdf uses, computed from the
-    * ROUNDED z so both engines agree bit-for-bit). Everything after
+    * ROUNDED z so both engines agree bit-for-bit). reject_raw repeats
+    * [[qRankSum]]'s |z| > 1.96 flag VERBATIM (not a p-threshold — under
+    * the logistic Φ, p ≤ 0.05 ⇔ |z| ≥ ~2.15, which would disagree with
+    * the flag this query documents itself as correcting). Everything after
     * [[qRankSum]]'s aggregation is a window over the m-row test grid —
     * model-sized at any corpus scale. */
   val qFdrCorrection: Q = Q(
@@ -521,12 +528,12 @@ object Stats {
     """WITH t AS (SELECT DISTINCT event_type FROM events),
       |p AS (SELECT a.event_type AS ta, b.event_type AS tb
       |      FROM t a JOIN t b ON a.event_type < b.event_type),
-      |ev AS (SELECT p.ta, p.tb, e.event_type, CAST(e.value AS DECIMAL(12,2)) AS v
-      |       FROM events e JOIN p ON e.event_type IN (p.ta, p.tb)),
-      |vals AS (SELECT ta, tb, v,
-      |    CAST(COUNT(*) AS BIGINT) AS cnt,
-      |    CAST(SUM(CASE WHEN event_type = ta THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
-      |  FROM ev GROUP BY 1, 2, 3),
+      |c AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+      |        CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+      |vals AS (SELECT p.ta, p.tb, c.v,
+      |    CAST(SUM(c.cnt) AS BIGINT) AS cnt,
+      |    CAST(SUM(CASE WHEN c.event_type = p.ta THEN c.cnt ELSE 0 END) AS BIGINT) AS cnt_a
+      |  FROM c JOIN p ON c.event_type IN (p.ta, p.tb) GROUP BY 1, 2, 3),
       |rk AS (SELECT ta, tb, v, cnt, cnt_a,
       |    COALESCE(CAST(SUM(cnt) OVER (PARTITION BY ta, tb ORDER BY v
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
@@ -534,11 +541,10 @@ object Stats {
       |agg AS (SELECT ta, tb,
       |    CAST(SUM(cnt_a) AS BIGINT) AS na,
       |    CAST(SUM(cnt - cnt_a) AS BIGINT) AS nb,
-      |    SUM(CAST(cnt_a AS DECIMAL(24,1)) * (CAST(below AS DECIMAL(24,1)) + (CAST(cnt AS DECIMAL(24,1)) + 1) / 2)) AS ra
+      |    CAST(SUM(cnt_a * (2 * below + cnt + 1)) AS BIGINT) AS ra2
       |  FROM rk GROUP BY 1, 2),
       |zt AS (SELECT ta, tb,
-      |    round((CAST(ra - CAST(na AS DECIMAL(24,1)) * (CAST(na AS DECIMAL(24,1)) + 1) / 2 AS DOUBLE)
-      |        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
+      |    round((CAST(ra2 - na * (na + 1) AS DOUBLE) / 2 - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
       |      / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1) / 12), 6) AS z
       |  FROM agg),
       |pv AS (SELECT ta, tb, z,
@@ -549,7 +555,7 @@ object Stats {
       |mx AS (SELECT COALESCE(MAX(CASE WHEN p_raw <= 0.05 * p_rank / m THEN p_rank END), 0) AS kmax FROM rp)
       |SELECT ta AS type_a, tb AS type_b, z, p_raw, p_rank,
       |  round(0.05 * p_rank / m, 6) AS bh_threshold,
-      |  (p_raw <= 0.05) AS reject_raw,
+      |  (abs(z) > 1.96) AS reject_raw,
       |  (p_rank <= kmax) AS reject_bh
       |FROM rp CROSS JOIN mx ORDER BY p_rank, type_a, type_b""".stripMargin) { (s, d) =>
     val w = org.apache.spark.sql.expressions.Window
@@ -567,7 +573,7 @@ object Stats {
       .select(col("ta").as("type_a"), col("tb").as("type_b"), col("z"),
         col("p_raw"), col("p_rank"),
         round(lit(0.05) * col("p_rank") / col("m"), 6).as("bh_threshold"),
-        (col("p_raw") <= 0.05).as("reject_raw"),
+        (abs(col("z")) > 1.96).as("reject_raw"),
         (col("p_rank") <= col("kmax")).as("reject_bh"))
       .orderBy("p_rank", "type_a", "type_b")
   }

@@ -183,16 +183,9 @@ object CorpusQuality2 {
       |  round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
       |      - CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gap
       |FROM lab GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
-    import graft.functions.Exact.lng
     val docs = T.documents(s, d)
-    val score = round(lit(0.4) * (dbl(lng(TextAnalysis.matches(
-          lower(col("text")), "\\b(the|a|an|of|and|or|to|in)\\b")))
-          / dbl(lng(size(split(trim(col("text")), " ")))))
-      + lit(0.3) * (lit(1.0) - dbl(lng(TextAnalysis.matches(
-          col("text"), "[.,;:!?]"))) / dbl(lng(length(col("text")))))
-      + lit(0.3) * least(lit(1.0),
-          dbl(lng(size(split(trim(col("text")), " ")))) / lit(100.0)), 6)
-    val q = docs.select(col("doc_id"), score.as("score"))
+    val q = docs.select(col("doc_id"),
+      TextAnalysis.qualityScoreExpr(col("text")).as("score"))
     val surv = docs.groupBy(md5(col("text")).as("__fp"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"), lit(1L).as("y1"))
     q.join(surv, Seq("doc_id"), "left")

@@ -403,15 +403,10 @@ object PipelineOps2 {
       |FROM agg ORDER BY source, tier""".stripMargin) { (s, d) =>
     import graft.ops.TextAnalysis.matches
     val q = T.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        lng(size(split(trim(col("text")), " "))).as("tokens"),
-        lng(matches(lower(col("text")), "\\b(the|a|an|of|and|or|to|in)\\b")).as("stop"),
-        lng(matches(col("text"), "[.,;:!?]")).as("punct"),
-        lng(length(col("text"))).as("chars"))
-      .withColumn("quality",
-        round(lit(0.4) * (dbl(col("stop")) / dbl(col("tokens")))
-          + lit(0.3) * (lit(1.0) - dbl(col("punct")) / dbl(col("chars")))
-          + lit(0.3) * least(lit(1.0), dbl(col("tokens")) / lit(100.0)), 6))
+      .select(col("doc_id"), col("source"), col("text"),
+        lng(size(split(trim(col("text")), " "))).as("tokens"))
+      .withColumn("quality", graft.ops.TextAnalysis.qualityScoreExpr(col("text")))
+      .drop("text")
     val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
     val t = q.withColumn("tier", ntile(4).over(w))
     val weight = when(col("tier") === 1, 1.0).when(col("tier") === 2, 0.7)

@@ -18,6 +18,17 @@ object TextAnalysis {
   /** Count of regex matches (codegen'd builtin). */
   def matches(c: Column, pat: String): Column = regexp_count(c, lit(pat))
 
+  /** The canonical heuristic quality score as ONE shared Column over a
+    * raw text column — used by q_quality_score, q_quality_tiers and
+    * q_calibration, so the formula the mix planner consumes and the
+    * gates that audit it can never drift apart. */
+  def qualityScoreExpr(text: Column): Column = {
+    val toks = dbl(lng(size(split(trim(text), " "))))
+    round(lit(0.4) * (dbl(lng(matches(lower(text), "\\b(the|a|an|of|and|or|to|in)\\b"))) / toks)
+      + lit(0.3) * (lit(1.0) - dbl(lng(matches(text, "[.,;:!?]"))) / dbl(lng(length(text))))
+      + lit(0.3) * least(lit(1.0), toks / lit(100.0)), 6)
+  }
+
   // Marker-stopword scores per language (deterministic, SQL-replicable).
   def enScore(t: Column): Column = matches(t, "\\b(the|and|of|to|in)\\b")
   def deScore(t: Column): Column = matches(t, "\\b(der|die|und|das|ist)\\b")
@@ -73,15 +84,13 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     T.documents(s, d)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         lng(length(col("text"))).as("chars"),
         lng(size(split(trim(col("text")), " "))).as("tokens"),
         lng(matches(col("text"), "[.,;:!?]")).as("punct"),
         lng(matches(lower(col("text")), "\\b(the|a|an|of|and|or|to|in)\\b")).as("stop"))
-      .withColumn("quality",
-        round(lit(0.4) * (dbl(col("stop")) / dbl(col("tokens")))
-          + lit(0.3) * (lit(1.0) - dbl(col("punct")) / dbl(col("chars")))
-          + lit(0.3) * least(lit(1.0), dbl(col("tokens")) / lit(100.0)), 6))
+      .withColumn("quality", qualityScoreExpr(col("text")))
+      .drop("text")
       .orderBy("doc_id")
   }
 

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object FreqIndex {
 
+  private def sidecarOf(root: String) = s"$root/_freq_index"
+
   /** Resolve the serving root through [[AtomicSwap.live]]: the snapshot
     * itself, or the `_prev` backup if a crash caught a rebuild between
     * its two renames — so data and sidecar (which lives INSIDE the
@@ -62,19 +64,30 @@ object FreqIndex {
     val next = AtomicSwap.nextOf(p).toString
     fs.delete(new Path(next), true)
     df.write.mode("overwrite").partitionBy(partCol).parquet(next)
-    sketchRows(df, partCol, keyCol, width, depth)
-      .write.mode("overwrite").parquet(s"$next/_freq_index")
+    // sketch from the WRITTEN files, not from df: a second evaluation of
+    // df (non-deterministic source, or an upstream mutated between the
+    // two jobs) could commit a sketch over a different row set than the
+    // data — the exact torn pair the swap exists to rule out
+    sketchRows(df.sparkSession.read.parquet(next), partCol, keyCol, width, depth)
+      .write.mode("overwrite").parquet(sidecarOf(next))
     AtomicSwap.commit(fs, p, crashAfter = crashAfter)
   }
 
   /** Append one new partition's rows AND its sidecar sketch; existing
-    * data files and sidecar rows are not rewritten. Sketch dimensions are
-    * READ FROM THE EXISTING SIDECAR (first row's header bytes), never
-    * caller-supplied — a mismatched-width append would poison every
-    * future byte-merge, and the sidecar has no repair path short of a
-    * rebuild. Caller contract: the batch holds exactly the new `partCol`
-    * value(s) (the upsert sinks own the overwrite-existing case). */
-  /** Step ORDER is load-bearing: the sidecar row lands BEFORE the data.
+    * data files and sidecar rows are not rewritten. Sketch dimensions
+    * are READ FROM THE EXISTING SIDECAR (first row's header bytes),
+    * never caller-supplied — a mismatched-width append would poison
+    * every future byte-merge, and the sidecar has no repair path short
+    * of a rebuild. Caller contract: the batch holds exactly the new
+    * `partCol` value(s) (the upsert sinks own the overwrite-existing
+    * case).
+    *
+    * Appends REFUSE to run while a crashed rebuild's swap is pending
+    * (live snapshot == the `_prev` backup): rows appended into the
+    * backup would be deleted by the rebuild's re-run commit AFTER this
+    * call acknowledged them — finish (re-run) the rebuild first.
+    *
+    * Step ORDER is load-bearing: the sidecar row lands BEFORE the data.
     * A crash between the two leaves the sketch counting rows that never
     * arrived — an OVER-count, which the est ≥ true contract absorbs.
     * The reverse order would leave arrived rows uncounted: a silent
@@ -86,11 +99,15 @@ object FreqIndex {
                       keyCol: String, crashBeforeData: Boolean = false): Unit = {
     val spark = df.sparkSession
     val root = liveRoot(spark, path)
-    val header = spark.read.parquet(s"$root/_freq_index")
+    require(root == new Path(path).toString || !root.endsWith("_prev"),
+      s"append refused: a crashed rebuild's swap is pending at $path " +
+        "(live snapshot is the _prev backup; re-run the rebuild first, " +
+        "or rows appended now would be deleted by its commit)")
+    val header = spark.read.parquet(sidecarOf(root))
       .select(col("cms")).head().getAs[Array[Byte]](0)
     val dims = graft.functions.CmsAgg.fromBytes(header)
     sketchRows(df, partCol, keyCol, dims.width, dims.depth)
-      .write.mode("append").parquet(s"$root/_freq_index")
+      .write.mode("append").parquet(sidecarOf(root))
     if (crashBeforeData) throw AtomicSwap.CrashPoint(1)
     df.write.mode("append").partitionBy(partCol).parquet(root)
   }
@@ -103,7 +120,7 @@ object FreqIndex {
     import spark.implicits._
     // deserialize each sketch ONCE; per-key estimates then read the live
     // buffers (keys × partitions buffer probes, no repeated byte copying)
-    val side = spark.read.parquet(s"${liveRoot(spark, path)}/_freq_index")
+    val side = spark.read.parquet(sidecarOf(liveRoot(spark, path)))
       .select(col("part").cast("string"), col("cms"))
       .collect().map(r => r.getString(0) -> graft.functions.CmsAgg.fromBytes(r.getAs[Array[Byte]](1)))
     require(side.nonEmpty, s"empty _freq_index at $path")

@@ -106,6 +106,25 @@ class FreqIndexSpec extends SparkSpec {
     }
   }
 
+  test("append refuses while a crashed rebuild's swap is pending (backup is live)") {
+    import spark.implicits._
+    val dir = freshDir()
+    val v1 = Seq(("srcA", "x")).toDF("source", "token")
+    FreqIndex.writeWithFreqIndex(v1, dir, "source", "token", width = 64)
+    // crash the rebuild at step 2: cur renamed away, _prev is the only copy
+    intercept[graft.sources.AtomicSwap.CrashPoint] {
+      FreqIndex.writeWithFreqIndex(v1, dir, "source", "token", width = 64,
+        crashAfter = 2)
+    }
+    assert(FreqIndex.liveRoot(spark, dir).endsWith("_prev"), "scenario setup")
+    // appending now would write into the backup the rebuild's re-run deletes
+    val ex = intercept[IllegalArgumentException] {
+      FreqIndex.appendPartition(
+        Seq(("srcB", "y")).toDF("source", "token"), dir, "source", "token")
+    }
+    assert(ex.getMessage.contains("append refused"), ex.getMessage)
+  }
+
   test("append crash between sidecar and data only ever OVER-counts") {
     import spark.implicits._
     val dir = freshDir()
