@@ -400,4 +400,96 @@ class PropertySpec extends SparkSpec {
       repaired == fresh
     }, n = 6)
   }
+
+  test("CMS buffers: split-invariant merge, order-free, estimates cover exact") {
+    // pure-JVM property (no Spark jobs): many cases are cheap
+    val genKeys = for {
+      n <- Gen.choose(1, 400)
+      keys <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+      cut <- Gen.choose(0, n)
+    } yield (keys, cut)
+    check(forAll(genKeys) { case (keys, cut) =>
+      def sk(ks: Seq[Long]): graft.functions.CmsBuffer = {
+        val b = new graft.functions.CmsBuffer(4, 64)
+        ks.foreach(k => b.insert(k, 1L))
+        b
+      }
+      val whole = sk(keys)
+      val (l, r) = keys.splitAt(cut)
+      val merged = sk(l); merged.mergeFrom(sk(r))
+      val mergedRev = sk(r); mergedRev.mergeFrom(sk(l))
+      val shuffled = sk(keys.reverse)
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      whole.counts.toSeq == merged.counts.toSeq &&
+        whole.counts.toSeq == mergedRev.counts.toSeq &&
+        whole.counts.toSeq == shuffled.counts.toSeq &&
+        exact.forall { case (k, c) => whole.estimate(k) >= c }
+    }, n = 60)
+  }
+
+  test("CMS join-size estimate covers the exact equi-join count on random multisets") {
+    val genPair = for {
+      a <- Gen.listOf(Gen.choose(-20L, 20L))
+      b <- Gen.listOf(Gen.choose(-20L, 20L))
+    } yield (a, b)
+    check(forAll(genPair) { case (a, b) =>
+      def sk(ks: Seq[Long]): Array[Byte] = {
+        val buf = new graft.functions.CmsBuffer(4, 256)
+        ks.foreach(k => buf.insert(k, 1L))
+        graft.functions.CmsAgg.toBytes(buf)
+      }
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val exact = ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+      graft.functions.CmsAgg.joinSizeEstimate(sk(a), sk(b)) >= exact
+    }, n = 60)
+  }
+
+  test("incrementalComponents equals from-scratch CC on random old/new splits") {
+    import spark.implicits._
+    val genSplit = for {
+      n <- Gen.choose(2, 25)
+      mo <- Gen.choose(1, 25)
+      mn <- Gen.choose(1, 15)
+      oldE <- Gen.listOfN(mo, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+      newE <- Gen.listOfN(mn, for {
+        a <- Gen.choose(0L, (n + 10).toLong); b <- Gen.choose(0L, (n + 10).toLong)
+      } yield (a, b))
+    } yield (oldE.filter(e => e._1 != e._2), newE.filter(e => e._1 != e._2))
+    check(forAll(genSplit) { case (oldE, newE) =>
+      oldE.isEmpty || newE.isEmpty || {
+        val c0 = GraphOps2.connectedComponents(oldE.toDF("src", "dst"), 30)
+        val got = GraphOps2.incrementalComponents(c0, newE.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = GraphOps2.connectedComponents(
+          (oldE ++ newE).toDF("src", "dst"), 30)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want
+      }
+    }, n = 10)
+  }
+
+  test("paraDedup is idempotent on random token sequences") {
+    import spark.implicits._
+    val genDocs = for {
+      nd <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(nd, for {
+        nt <- Gen.choose(1, 40)
+        toks <- Gen.listOfN(nt, Gen.oneOf("a", "b", "c", "d"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check(forAll(genDocs) { docs =>
+      val once = graft.ops.CorpusQuality2.paraDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+        .select("doc_id", "cleaned").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      val twice = graft.ops.CorpusQuality2.paraDedup(
+        once.toDF("doc_id", "text"), "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+      twice.forall(_._2 == 0L) &&
+        twice.map(t => t._1 -> t._3).toMap == once.toMap
+    }, n = 8)
+  }
 }
