@@ -53,16 +53,13 @@ object Dedup {
     * vocabulary (p ≈ v²/2^65), and the oracle cross-check would surface
     * one as a hash mismatch. */
   def wordShingleHashes(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3): DataFrame = {
-    val toks = col("__toks")
-    val sh = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => xxhash64(concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-    ).otherwise(array(xxhash64(col("__text"))))
-    docs.select(col(idCol).as("id"), col(textCol).as("__text"),
-        split(col(textCol), " ").as("__toks"))
-      .select(col("id"), explode(array_distinct(sh)).as("sh"))
-  }
+                        n: Int = 3): DataFrame =
+    // native codegen gram hasher — bit-identical to the former
+    // transform+xxhash64 lambda pipeline (NgramHashesSpec pins it, and
+    // every dedup-family oracle re-verified unchanged), but stays inside
+    // whole-stage codegen and never materializes a gram string
+    docs.select(col(idCol).as("id"),
+      explode(array_distinct(graft.functions.NgramHashes(col(textCol), n))).as("sh"))
 
   /** Deterministic bounded hash-sample: rows whose xxhash64(id) falls in
     * residue 0 of an adaptive modulus sized from one metadata-cheap count,
@@ -165,22 +162,16 @@ object Dedup {
     * and being map-side it is also legal on a STREAMING DataFrame
     * ([[graft.streaming.StreamingOps.nearDupStream]]). */
   def minhashSigProjected(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int = 3, k: Int = 64): DataFrame = {
-    val toks = col("__toks")
-    val sh = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(kk => element_at(toks, i + kk)): _*))
-    ).otherwise(array(col("__text")))
-    docs.select(col(idCol).as("id"), col(textCol).as("__text"),
-        split(col(textCol), " ").as("__toks"))
-      // hoist shingling AND the string hash: each shingle is built and
-      // xxhash64'd ONCE, so the k seed folds only murmur 8-byte longs
-      .select(col("id"), transform(sh, s => xxhash64(s)).as("__sh"))
+                          n: Int = 3, k: Int = 64): DataFrame =
+    // gram hashing via the native codegen expression (value-identical to
+    // the former build-string-then-xxhash64 lambda form); the k seed
+    // folds then only murmur 8-byte longs
+    docs.select(col(idCol).as("id"),
+        graft.functions.NgramHashes(col(textCol), n).as("__sh"))
       .select(col("id"),
         array((0 until k).map(i =>
           array_min(transform(col("__sh"), h => hash(h, lit(i))))): _*)
           .as("sig"))
-  }
 
   /** LSH banding over a (id, sig) table: one row per (id, band) with the
     * band's signature hash — the candidate-join key. Map-side. */

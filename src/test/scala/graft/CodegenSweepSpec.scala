@@ -21,14 +21,14 @@ class CodegenSweepSpec extends SparkSpec {
     "q_token_count", "q_lang_id", "q_quality_score", "q_redact",
     "q_fingerprint", "q_tumbling_window", "q_delta_detect",
     "q_dedup_exact", "q_text_normalize",
-    // session-5 corpus-scan additions. q_para_dedup and q_ngram_novelty
-    // are deliberately NOT pinned: their array higher-order functions
-    // (transform/filter/array_position lambdas) are CodegenFallback in
-    // Spark — the accepted trade for a ZERO-SHUFFLE plan (the explode+
-    // window alternative codegens but shuffles the corpus; per-row
-    // interpreted array folds over bounded chunk lists beat that at any
-    // scale, and the plan-shape spec pins the zero-exchange side).
-    "q_dedup_savings", "q_calibration", "q_ab_test")
+    // session-5 corpus-scan additions. q_para_dedup is deliberately NOT
+    // pinned: its array higher-order functions (filter/array_position
+    // lambdas) are CodegenFallback in Spark — the accepted trade for a
+    // ZERO-SHUFFLE plan (the explode+window alternative codegens but
+    // shuffles the corpus; the plan-shape spec pins the zero-exchange
+    // side). q_ngram_novelty IS pinned: its gram projection moved to the
+    // native expr_ngram_hashes codegen expression.
+    "q_dedup_savings", "q_calibration", "q_ab_test", "q_ngram_novelty")
 
   hotPath.foreach { name =>
     test(s"$name: whole-stage codegen, no interpreted fallback in the plan") {
