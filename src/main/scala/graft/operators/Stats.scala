@@ -403,7 +403,8 @@ object Stats {
       |    CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
       |    (CAST(a.sq AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) / CAST(a.n - 1 AS DOUBLE) AS va,
       |    (CAST(b.sq AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) / CAST(b.n - 1 AS DOUBLE) AS vb
-      |  FROM m a JOIN m b ON a.event_type < b.event_type)
+      |  FROM m a JOIN m b ON a.event_type < b.event_type
+      |  WHERE a.n >= 2 AND b.n >= 2)
       |SELECT type_a, type_b, na, nb,
       |  round(ma - mb, 6) AS mean_diff,
       |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
@@ -411,11 +412,16 @@ object Stats {
       |    / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df_welch,
       |  (abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96) AS significant
       |FROM p ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    // n >= 2 guard: a singleton group's n-1 sample variance divides by
+    // zero (NaN/Inf propagating into t/df, engine-dependent) — such
+    // groups can't support a variance estimate and are excluded from
+    // the pair grid in both engines
     val m = T.events(s, d)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(dec2(col("value"))).as("s"),
         sum(dec2(col("value")) * dec2(col("value"))).as("sq"))
+      .filter(col("n") >= 2)
     def side(p: String) = m.select(
       col("event_type").as(s"type_$p"), col("n").as(s"n$p"),
       (dbl(col("s")) / dbl(col("n"))).as(s"m$p"),
@@ -552,12 +558,14 @@ object Stats {
       |rp AS (SELECT ta, tb, z, p_raw,
       |    CAST(ROW_NUMBER() OVER (ORDER BY p_raw, ta, tb) AS BIGINT) AS p_rank,
       |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pv),
-      |mx AS (SELECT COALESCE(MAX(CASE WHEN p_raw <= 0.05 * p_rank / m THEN p_rank END), 0) AS kmax FROM rp)
+      |mx AS (SELECT COALESCE(MAX(CASE WHEN p_raw <= 0.05 * p_rank / m THEN p_rank END), 0) AS kmax FROM rp),
+      |ct AS (SELECT COALESCE(MAX(CASE WHEN p_rank <= kmax THEN p_raw END), -1.0) AS p_cut
+      |       FROM rp CROSS JOIN mx)
       |SELECT ta AS type_a, tb AS type_b, z, p_raw, p_rank,
       |  round(0.05 * p_rank / m, 6) AS bh_threshold,
       |  (abs(z) > 1.96) AS reject_raw,
-      |  (p_rank <= kmax) AS reject_bh
-      |FROM rp CROSS JOIN mx ORDER BY p_rank, type_a, type_b""".stripMargin) { (s, d) =>
+      |  (p_raw <= p_cut) AS reject_bh
+      |FROM rp CROSS JOIN ct ORDER BY p_rank, type_a, type_b""".stripMargin) { (s, d) =>
     val w = org.apache.spark.sql.expressions.Window
     val zdf = qRankSum.fn(s, d).select(
       col("type_a").as("ta"), col("type_b").as("tb"), col("z"))
@@ -569,12 +577,18 @@ object Stats {
       .withColumn("m", count(lit(1)).over(w.partitionBy()).cast("long"))
     val kmax = coalesce(max(when(col("p_raw") <= lit(0.05) * col("p_rank") / col("m"),
       col("p_rank"))).over(w.partitionBy()), lit(0L))
+    // canonical BH rejects on the p-VALUE at rank kmax, not the rank:
+    // ranks among tied p_raw are arbitrary, so two identical p values
+    // could otherwise straddle kmax and get different reject flags
+    val pCut = coalesce(max(when(col("p_rank") <= col("kmax"),
+      col("p_raw"))).over(w.partitionBy()), lit(-1.0))
     rp.withColumn("kmax", kmax)
+      .withColumn("p_cut", pCut)
       .select(col("ta").as("type_a"), col("tb").as("type_b"), col("z"),
         col("p_raw"), col("p_rank"),
         round(lit(0.05) * col("p_rank") / col("m"), 6).as("bh_threshold"),
         (abs(col("z")) > 1.96).as("reject_raw"),
-        (col("p_rank") <= col("kmax")).as("reject_bh"))
+        (col("p_raw") <= col("p_cut")).as("reject_bh"))
       .orderBy("p_rank", "type_a", "type_b")
   }
 

@@ -94,7 +94,16 @@ object FreqIndex {
     * UNDER-count that breaks every probe's guarantee. A re-run after a
     * crash appends a second sidecar row for the partition (again
     * over-count only); a [[writeWithFreqIndex]] rebuild restores
-    * tightness. `crashBeforeData` is the test hook proving the window. */
+    * tightness. `crashBeforeData` is the test hook proving the window.
+    *
+    * `df` is evaluated ONCE: the batch stages into an underscore-hidden
+    * dir (invisible to parquet readers of the root), and BOTH the
+    * sidecar sketch and the committed data read back those immutable
+    * staged files. Sketching `df` and then re-evaluating it for the
+    * data write would let a non-deterministic input (or a source
+    * mutated between the two jobs) commit a sketch over a DIFFERENT
+    * row set than the data — an UNDER-count the contract can't absorb.
+    * Cost: one extra delta-sized write; deltas are batch-sized. */
   def appendPartition(df: DataFrame, path: String, partCol: String,
                       keyCol: String, crashBeforeData: Boolean = false): Unit = {
     val spark = df.sparkSession
@@ -106,10 +115,16 @@ object FreqIndex {
     val header = spark.read.parquet(sidecarOf(root))
       .select(col("cms")).head().getAs[Array[Byte]](0)
     val dims = graft.functions.CmsAgg.fromBytes(header)
-    sketchRows(df, partCol, keyCol, dims.width, dims.depth)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(root, "_append_stage")
+    fs.delete(stage, true)
+    df.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString)
+    sketchRows(staged, partCol, keyCol, dims.width, dims.depth)
       .write.mode("append").parquet(sidecarOf(root))
     if (crashBeforeData) throw AtomicSwap.CrashPoint(1)
-    df.write.mode("append").partitionBy(partCol).parquet(root)
+    staged.write.mode("append").partitionBy(partCol).parquet(root)
+    fs.delete(stage, true)
   }
 
   /** Estimated count of each probe key, per partition and globally —
