@@ -73,23 +73,16 @@ object Dedup {
     else df.filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
   }
 
-  /** Exact Jaccard>=t pair join with SSJoin prefix filtering: shingles are
-    * globally ordered by document frequency (rarest first); a doc of n
-    * shingles only indexes its first n-ceil(t*n)+1 — if J(A,B)>=t the
-    * prefixes must share a shingle, so the candidate join touches the rare
-    * tail of the distribution instead of every posting list. Candidates
-    * then pass the length filter (J>=t forces min(|A|,|B|) >= t*max — a
-    * lossless prune) before verification computes |A∩B| via
-    * array_intersect on the collected (hashed) sets. Identical output to
-    * the naive all-pairs join. */
-  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int, threshold: Double): DataFrame = {
+  /** Per-doc SSJoin profile: df-ordered shingle set, rare-first prefix
+    * of length n-ceil(t*n)+1 (the candidate-key slice), and a
+    * value-sorted copy for the merge-walk intersect count. One groupBy;
+    * localCheckpoint'ed because both the candidate and verification
+    * branches read it (doc-count-sized, tiny next to the shingle table). */
+  private def shingleProfiles(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double): DataFrame = {
     val sh = wordShingleHashes(docs, idCol, textCol, n)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    // one groupBy builds the df-ordered shingle list, from which both the
-    // full set (verification) and the rare-first prefix (candidate keys)
-    // are sliced — no window passes, no second sets aggregation
-    val profiles = sh.join(freq, "sh")
+    sh.join(freq, "sh")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
       .select(col("id"),
@@ -97,18 +90,15 @@ object Dedup {
         size(col("arr")).as("nsh"))
       .withColumn("plen", (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
       .withColumn("prefix", slice(col("set"), lit(1), col("plen")))
-      // value-sorted copy for the merge-walk intersect count
       .withColumn("vset", sort_array(col("set")))
-      // referenced by both the candidate and the verification branch —
-      // materialize once (doc-count-sized, tiny next to the shingle table)
       .localCheckpoint(true)
-    val prefix = profiles.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
-    val cand = prefix.select(col("id").as("id_a"), col("nsh").as("na"), col("sh"))
-      .join(prefix.select(col("id").as("id_b"), col("nsh").as("nb"), col("sh")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(dbl(least(col("na"), col("nb"))) >=
-        lit(threshold) * dbl(greatest(col("na"), col("nb"))))
-      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact-Jaccard verification of a normalized (id_a < id_b) candidate
+    * list against the profile table: |A∩B| via the codegen sorted-merge
+    * intersect, emit pairs at >= threshold. */
+  private def verifyJaccard(cand: DataFrame, profiles: DataFrame,
+                            threshold: Double): DataFrame = {
     val sets = profiles.select(col("id"), col("vset"), col("nsh"))
     cand
       .join(sets.select(col("id").as("id_a"), col("vset").as("sa"), col("nsh").as("na")), "id_a")
@@ -120,6 +110,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "jaccard")
   }
+
+  /** Exact Jaccard>=t pair join with SSJoin prefix filtering: shingles are
+    * globally ordered by document frequency (rarest first); a doc of n
+    * shingles only indexes its first n-ceil(t*n)+1 — if J(A,B)>=t the
+    * prefixes must share a shingle, so the candidate join touches the rare
+    * tail of the distribution instead of every posting list. Candidates
+    * then pass the length filter (J>=t forces min(|A|,|B|) >= t*max — a
+    * lossless prune) before verification computes |A∩B| on the collected
+    * (hashed) sets. Identical output to the naive all-pairs join. */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    val profiles = shingleProfiles(docs, idCol, textCol, n, threshold)
+    val prefix = profiles.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
+    val cand = prefix.select(col("id").as("id_a"), col("nsh").as("na"), col("sh"))
+      .join(prefix.select(col("id").as("id_b"), col("nsh").as("nb"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dbl(least(col("na"), col("nb"))) >=
+        lit(threshold) * dbl(greatest(col("na"), col("nb"))))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(cand, profiles, threshold)
+  }
+
+  /** Batch-restricted SSJoin: exact Jaccard>=t pairs with AT LEAST ONE
+    * endpoint satisfying `batchPred` (a predicate over the `id` column) —
+    * the incremental-dedup pair source. The candidate join is
+    * prefix(batch) ⋈ prefix(corpus): its size follows the DELTA, and the
+    * base↔base pair space is never re-scanned. Lossless for every
+    * batch-touching pair by the same prefix theorem (the shared prefix
+    * gram is in both docs' prefixes, one of which is the batch side);
+    * batch↔batch pairs surface from either orientation and collapse via
+    * least/greatest + distinct. */
+  def jaccardPairsPrefixAgainst(docs: DataFrame, idCol: String, textCol: String,
+                                n: Int, threshold: Double,
+                                batchPred: Column): DataFrame = {
+    val profiles = shingleProfiles(docs, idCol, textCol, n, threshold)
+    val prefix = profiles.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
+    val cand = prefix.filter(batchPred)
+      .select(col("id").as("id_a"), col("nsh").as("na"), col("sh"))
+      .join(prefix.select(col("id").as("id_b"), col("nsh").as("nb"), col("sh")), Seq("sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      // the length prune is symmetric in (na, nb): safe before normalizing
+      .filter(dbl(least(col("na"), col("nb"))) >=
+        lit(threshold) * dbl(greatest(col("na"), col("nb"))))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    verifyJaccard(cand, profiles, threshold)
+  }
+
+  /** THE shipped near-dup pair source for the corpus-dedup/CC family
+    * (components, cluster pick, leakage-safe split, incremental
+    * maintenance): prefix-filtered SSJoin at word-trigram Jaccard >= 0.5,
+    * as (src, dst) edges. Subquadratic by construction — candidate keys
+    * are the rare-prefix grams, the length filter is lossless — and
+    * value-identical to the naive all-pairs join, which is exactly what
+    * the DuckDB oracles compute. */
+  def nearDupEdges(docs: DataFrame): DataFrame =
+    jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
 
   /** N-gram Jaccard near-dup pairs: shingle-key candidate join, then
     * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) verified on candidates. */

@@ -154,6 +154,102 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL image decode path (r8): PNG/JPEG/GIF/BMP via the JDK's own
+    * ImageIO — zero external deps, works headless — behind the SAME
+    * mapPartitions interface as the stub pipeline. This closes the
+    * "codec is a fake" corner: the stub remains for byte-determinism
+    * specs; this path decodes actual pixels. */
+  object ImageCodec {
+    /** (width, height, mean luminance 0-255) of a decodable image. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        var sum = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            // ITU-R BT.601 luma
+            sum += 0.299 * r + 0.587 * g + 0.114 * b
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight, sum / (img.getWidth.toLong * img.getHeight)))
+      }
+    }
+
+    /** Re-encode a BufferedImage as PNG bytes. */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Real resize: decode, repaint at (w, h), re-encode PNG. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+        Some(encodePng(dst))
+      }
+    }
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** Binary column -> REAL decoded features (ImageIO), one partition at a
+    * time — same shape as [[extractFeatures]], real pixels instead of the
+    * stub arithmetic. Undecodable payloads come back flagged, never
+    * dropped (corpus QC wants the corrupt count). */
+  def extractImageFeatures(binDf: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageFeatureSchema)
+    binDf.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          ImageCodec.decode(bytes) match {
+            case Some((w, h, luma)) =>
+              Row(r.getLong(0), bytes.length.toLong, true, w.toLong, h.toLong,
+                math.rint(luma * 1e6) / 1e6)
+            case None =>
+              Row(r.getLong(0), bytes.length.toLong, false, 0L, 0L, 0.0)
+          }
+        }
+      }(enc)
+  }
+
+  /** Binary column -> resized PNG payloads (real decode + repaint +
+    * re-encode), pipelined per partition; undecodable rows are dropped
+    * (the feature pass above is where corruption is counted). */
+  def resizeImages(binDf: DataFrame, idCol: String, binCol: String,
+                   w: Int, h: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("png", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    binDf.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          ImageCodec.resize(r.getAs[Array[Byte]](1), w, h)
+            .map(png => Row(r.getLong(0), png))
+        }
+      }(enc)
+  }
+
   /** documents.text cast to binary stands in for a media payload; the
     * oracle reproduces the stub arithmetic over octet_length + md5. */
   val qMultimodalFeatures: Q = Q(

@@ -53,23 +53,31 @@ object PipelineOps3 {
       .drop("__pid", "__lpre", "__off")
   }
 
-  /** Leakage-safe train/eval split: near-dup components (the exact
-    * cosine pair graph + connected components — q_dedup_cluster_pick's
-    * machinery) become the SPLIT UNIT; each component lands wholly in
-    * train or eval by a deterministic md5 threshold on the component id
-    * (~80/20, RNG-free, rerun-stable). Per-doc splitting leaks: a
-    * near-duplicate pair split across train/eval inflates eval scores —
-    * this operator is the guard. At 100 TB the pair graph comes from
-    * the LSH candidate path (q_dedup_minhash_pick) instead of the
-    * O(n²) baseline; the component/threshold stages are unchanged. */
+  /** Leakage-safe train/eval split: near-dup components become the SPLIT
+    * UNIT; each component lands wholly in train or eval by a
+    * deterministic md5 threshold on the component id (~80/20, RNG-free,
+    * rerun-stable). Per-doc splitting leaks: a near-duplicate pair split
+    * across train/eval inflates eval scores — this operator is the guard.
+    *
+    * The SHIPPED pair source is [[graft.ops.Dedup.nearDupEdges]] — the
+    * prefix-filtered SSJoin (subquadratic candidates, lossless, so the
+    * naive-all-pairs oracle hash-matches); LSH candidate edges
+    * (q_dedup_minhash_pick) drop into the same component/threshold
+    * stages unchanged. */
   val qSplitLeakageSafe: Q = Q(
     "q_split_leakage_safe",
-    """WITH RECURSIVE ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ee),
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |  sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |         FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |  pairs AS (
-      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |    FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |    WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38),
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |    JOIN sz sa ON sa.doc_id = a.doc_id
+      |    JOIN sz sb ON sb.doc_id = b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id
+      |    HAVING round(CAST(COUNT(*) AS DOUBLE) /
+      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5),
       |  e AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |        UNION SELECT id_b, id_a FROM pairs),
       |  reach(node, lbl) AS (
@@ -77,29 +85,21 @@ object PipelineOps3 {
       |    UNION
       |    SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node),
       |  comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
-      |  lab AS (SELECT emb.vec_id, COALESCE(comp.component, emb.vec_id) AS component
-      |          FROM embeddings emb LEFT JOIN comp ON comp.node = emb.vec_id)
-      |SELECT vec_id, component,
+      |  lab AS (SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
+      |          FROM documents d LEFT JOIN comp ON comp.node = d.doc_id)
+      |SELECT doc_id, component,
       |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < 'cccd'
       |       THEN 'train' ELSE 'eval' END AS split
-      |FROM lab ORDER BY vec_id""".stripMargin) { (s, d) =>
-    import graft.functions.VectorFunctions.dotProduct
-    val e = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = a.join(b, col("id_a") < col("id_b"))
-      .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val comp = graft.operators.GraphOps2.connectedComponents(pairs, 20)
-    T.embeddings(s, d).select(col("vec_id"))
-      .join(comp, col("vec_id") === col("node"), "left")
-      .withColumn("component", coalesce(col("lbl"), col("vec_id")))
-      .select(col("vec_id"), col("component"),
+      |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val comp = graft.operators.GraphOps2.connectedComponents(
+      graft.ops.Dedup.nearDupEdges(T.documents(s, d)), 20)
+    T.documents(s, d).select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .withColumn("component", coalesce(col("lbl"), col("doc_id")))
+      .select(col("doc_id"), col("component"),
         when(substring(md5(col("component").cast(StringType)), 1, 4) < "cccd", "train")
           .otherwise("eval").as("split"))
-      .orderBy("vec_id")
+      .orderBy("doc_id")
   }
 
   /** Token-budgeted shard plan: docs are laid out in (source, doc_id)

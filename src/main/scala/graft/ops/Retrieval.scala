@@ -227,18 +227,33 @@ object Retrieval {
 
   /** Heavy hitters via Count-Min Sketch: a mergeable fixed-size sketch
     * built in one distributed pass (this is the 100 TB shape — the exact
-    * groupBy here exists only to label the true top-20 and let the spec
-    * bound the estimation error; at scale you keep ONLY the sketch).
-    * Rows-only: sketch internals aren't SQL-portable. */
-  val qHeavyHitters: Q = Q.rowsOnly("q_heavy_hitters") { (s, d) =>
-    import s.implicits._
+    * groupBy here exists only to label the true top-20; at scale you keep
+    * ONLY the sketch). The exact half (token, exact_cnt, ordering) is
+    * FULLY oracled; the sketch leg is emitted as the provable invariant
+    * `cms_ge_exact` — CMS never under-counts, so the oracle pins it at
+    * TRUE and a sketch bug surfaces as a hash mismatch. The numeric
+    * estimation error stays bounded by spec (Round3OpsSpec). */
+  def heavyHittersRaw(s: org.apache.spark.sql.SparkSession,
+                      d: String): Seq[(String, Long, Long)] = {
     val tk = toks(s, d)
     val cms = tk.stat.countMinSketch("token", 0.0001, 0.99, 42)
-    val top = tk.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+    tk.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token")).limit(20).collect()
-    top.toSeq
-      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
-      .toDF("token", "exact_cnt", "cms_est")
+      .toSeq.map(r => (r.getString(0), r.getLong(1),
+        cms.estimateCount(r.getString(0))))
+  }
+
+  val qHeavyHitters: Q = Q(
+    "q_heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      |        FROM toks GROUP BY 1)
+      |SELECT token, exact_cnt, TRUE AS cms_ge_exact
+      |FROM cnt ORDER BY exact_cnt DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+    import s.implicits._
+    heavyHittersRaw(s, d)
+      .map { case (t, exact, est) => (t, exact, est >= exact) }
+      .toDF("token", "exact_cnt", "cms_ge_exact")
       .orderBy(col("exact_cnt").desc, col("token"))
   }
 
@@ -444,12 +459,51 @@ object Retrieval {
     * probe-broadcast scan as q_ann_topk, LSH/IVF at scale); the greedy
     * fold runs on the driver over the 20-candidate × D matrix —
     * model-sized by construction, like the k-means/BPE driver steps.
-    * Rows-only (greedy argmax chains aren't SQL-portable); ties break to
-    * the lowest id, so the output is deterministic. */
-  val qMmrRerank: Q = Q.rowsOnly("q_mmr_rerank") { (s, d) =>
+    * FULLY oracled (r8): the 10 greedy picks unroll into 10 SQL stages
+    * over the candidate table + its 20×20 sim matrix — the driver fold
+    * mirrors the oracle's float ops exactly (same left-fold dot products,
+    * sqrt(na)·sqrt(nb) normalization, 0.7/0.3 literals, HALF_UP decimal
+    * rounding), so the pick sequence hash-matches; ties break to the
+    * lowest id in both engines. */
+  private def mmrStagesSql: String =
+    // stage k: pen = max sim to the l(k-1) selected; pick argmax of
+    // round(0.7·rel − 0.3·pen, 6), ties to the lowest id
+    (2 to 10).map { k =>
+      s"""p$k AS (SELECT c.vec_id, c.rel, MAX(m.s) AS pen
+         |  FROM cand c JOIN sim m ON m.ia = c.vec_id
+         |  WHERE m.ib IN (SELECT vec_id FROM l${k - 1})
+         |    AND c.vec_id NOT IN (SELECT vec_id FROM l${k - 1})
+         |  GROUP BY c.vec_id, c.rel),
+         |s$k AS (SELECT vec_id, rel, pen FROM p$k
+         |  ORDER BY round(0.7 * rel - 0.3 * pen, 6) DESC, vec_id LIMIT 1),
+         |l$k AS MATERIALIZED (SELECT * FROM l${k - 1} UNION ALL SELECT * FROM s$k)""".stripMargin
+    }.mkString(",\n")
+
+  val qMmrRerank: Q = Q(
+    "q_mmr_rerank",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 1),
+       |sc AS (SELECT vec_id, v,
+       |    round(list_inner_product(v, pv) /
+       |      (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(pv, pv))), 6) AS rel
+       |  FROM e, p WHERE vec_id <> 1),
+       |cand AS MATERIALIZED (SELECT vec_id, v, rel FROM sc ORDER BY rel DESC, vec_id LIMIT 20),
+       |sim AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    list_inner_product(a.v, b.v) /
+       |      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS s
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s1 AS (SELECT vec_id, rel, CAST(0.0 AS DOUBLE) AS pen FROM cand
+       |  ORDER BY round(0.7 * rel, 6) DESC, vec_id LIMIT 1),
+       |l1 AS MATERIALIZED (SELECT * FROM s1),
+       |$mmrStagesSql
+       |SELECT rank, vec_id, relevance, max_sim_to_selected FROM (
+       |  ${(1 to 10).map(k =>
+             s"SELECT CAST($k AS BIGINT) AS rank, vec_id, rel AS relevance, " +
+             s"round(pen, 6) AS max_sim_to_selected FROM s$k")
+             .mkString("\n  UNION ALL ")}
+       |) ORDER BY rank""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.functions.VectorFunctions.dotProduct
-    val lambda = 0.7
     val ee = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val probe = ee.filter(col("vec_id") === 1).select(col("v").as("pv"))
@@ -461,23 +515,28 @@ object Retrieval {
       .orderBy(col("rel").desc, col("vec_id")).limit(20)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // mirror the oracle's float ops EXACTLY: left-fold dot products,
+    // sqrt(na)·sqrt(nb) (NOT sqrt(na·nb) — a different double), literal
+    // 0.3 (NOT 1−0.7 = 0.30000000000000004), HALF_UP decimal rounding
+    // (what round() does in both engines)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var (d0, na, nb) = (0.0, 0.0, 0.0)
       var i = 0
       while (i < a.length) { d0 += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d0 / math.sqrt(na * nb)
+      d0 / (math.sqrt(na) * math.sqrt(nb))
     }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double, Double)]()
     val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
     while (selected.length < 10 && remaining.nonEmpty) {
       val scored = remaining.map { case (id, v, rel) =>
         val pen = if (selected.isEmpty) 0.0
           else selected.map(sel => cos(v, sel._2)).max
-        (id, v, rel, math.rint((lambda * rel - (1 - lambda) * pen) * 1e6) / 1e6, pen)
+        (id, v, rel, r6(0.7 * rel - 0.3 * pen), pen)
       }
       val best = scored.minBy { case (id, _, _, mmr, _) => (-mmr, id) }
-      selected += ((best._1, best._2, best._3,
-        math.rint(best._5 * 1e6) / 1e6))
+      selected += ((best._1, best._2, best._3, r6(best._5)))
       remaining --= remaining.filter(_._1 == best._1)
     }
     selected.zipWithIndex

@@ -101,6 +101,56 @@ object Similarity {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 
+  /** Corpus-wide LSH candidate PAIRS (both sides the corpus, not a probe
+    * set): vectors sharing any (band, sig) bucket, normalized id_a < id_b.
+    * The only shuffle is the band-bucket equi-join — at 100 TB the
+    * shuffle key is (band, 8-bit sig) over ~uniform hash buckets, and
+    * candidate volume is Σ per-bucket C(n_b, 2), never corpus². This is
+    * the parameterized pair source for the cosine near-dup family. */
+  def lshCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                        bands: Int = 4, bitsPerBand: Int = 8,
+                        dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bands * bitsPerBand, dim)
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    def bandSig(b: Int) =
+      (0 until bitsPerBand).map { i =>
+        val p = b * bitsPerBand + i
+        shiftleft(when(VectorFunctions.dotProduct(col("v"), typedlit(planes(p))) > 0,
+          1L).otherwise(0L), i)
+      }.reduce(_ + _)
+    val banded = corpus.select(col("id") +:
+        (0 until bands).map(b => bandSig(b).as(s"band$b")): _*)
+      .select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("x"))
+      .select(col("id"), col("x.band").as("band"), col("x.sig").as("sig"))
+    banded.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("sig"), col("id").as("id_b")), Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Composed candidates + exact-verify cosine pairs: the PARAMETERIZED
+    * pair source for the embedding near-dup family. Joins the vectors to
+    * a caller-supplied (id_a, id_b) candidate list (two id-keyed hash
+    * joins) and keeps pairs with exact cosine >= tau — precision is 1 by
+    * construction (every emitted pair is exactly verified); recall is the
+    * candidate source's. Shipped scale form:
+    * `cosinePairsVerified(emb, lshCandidatePairs(emb, …), tau)` — no
+    * O(n²) stage; the brute-force all-pairs scan (qDedupEmbed) remains
+    * the oracle-checked recall baseline. */
+  def cosinePairsVerified(emb: DataFrame, idCol: String, vecCol: String,
+                          candidates: DataFrame, tau: Double): DataFrame = {
+    val e = withNorms(emb, idCol, vecCol)
+    candidates
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos",
+        round(VectorFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Nearest-centroid id for a vector column, as ONE map-side expression:
     * the codebook is inlined as a literal array of (cid, centroid) structs,
     * scored with the same codegen cosine, and the argmax is array_max over

@@ -110,9 +110,14 @@ object Sketches {
     * big is lineitem ⋈ orders on this key" is answerable for ANY table
     * pair from planner-sized bytes before launching the job — the input
     * [[graft.sources.SidecarStats.suggestedShufflePartitions]] wants.
-    * The exact side here exists only as the QC comparison. */
-  val qJoinSizeEst: Q = Q.rowsOnly("q_join_size_est") { (s, d) =>
-    import s.implicits._
+    * The exact join sizes are FULLY oracled; the sketch leg is the
+    * provable `est_ge_exact` invariant (the counter inner product never
+    * under-counts: every key contributes fA·fB to its own cell, cross
+    * terms are non-negative), pinned TRUE by the oracle so a sketch bug
+    * becomes a hash mismatch. The numeric overcount stays bounded by
+    * spec (SketchesSpec). */
+  def joinSizeCases(s: org.apache.spark.sql.SparkSession,
+                    d: String): Seq[(String, Long, Long)] = {
     val W = 65536
     def sk(df: org.apache.spark.sql.DataFrame, key: String): Array[Byte] =
       df.agg(CmsAgg.agg(xxhash64(col(key)), W, 4)).head().getAs[Array[Byte]](0)
@@ -125,19 +130,35 @@ object Sketches {
       CmsAgg.agg(xxhash64(col("l_orderkey")), W, 4).as("sko"),
       CmsAgg.agg(xxhash64(col("l_partkey")), W, 4).as("skp"),
       CmsAgg.agg(xxhash64(col("l_suppkey")), W, 4).as("sks")).head()
-    val cases = Seq(
+    Seq(
       ("lineitem_orders", liSk.getAs[Array[Byte]]("sko"), sk(T.orders(s, d), "o_orderkey"),
         li.join(T.orders(s, d), col("l_orderkey") === col("o_orderkey")).count()),
       ("lineitem_part", liSk.getAs[Array[Byte]]("skp"), sk(T.part(s, d), "p_partkey"),
         li.join(T.part(s, d), col("l_partkey") === col("p_partkey")).count()),
       ("lineitem_supplier", liSk.getAs[Array[Byte]]("sks"), sk(T.supplier(s, d), "s_suppkey"),
         li.join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey")).count()))
-    cases.map { case (name, a, b, exact) =>
-      val est = CmsAgg.joinSizeEstimate(a, b)
-      val rel = if (exact == 0) 0.0
-        else math.rint((est - exact).toDouble / exact * 1e6) / 1e6
-      (name, exact, est, rel)
-    }.toDF("join_name", "exact_n", "est_n", "rel_overcount")
+      .map { case (name, a, b, exact) =>
+        (name, exact, CmsAgg.joinSizeEstimate(a, b))
+      }
+  }
+
+  val qJoinSizeEst: Q = Q(
+    "q_join_size_est",
+    """WITH c AS (
+      |  SELECT 'lineitem_orders' AS join_name, (SELECT COUNT(*) FROM lineitem l
+      |      JOIN orders o ON l.l_orderkey = o.o_orderkey) AS exact_n
+      |  UNION ALL
+      |  SELECT 'lineitem_part', (SELECT COUNT(*) FROM lineitem l
+      |      JOIN part p ON l.l_partkey = p.p_partkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_supplier', (SELECT COUNT(*) FROM lineitem l
+      |      JOIN supplier s ON l.l_suppkey = s.s_suppkey))
+      |SELECT join_name, CAST(exact_n AS BIGINT) AS exact_n, TRUE AS est_ge_exact
+      |FROM c ORDER BY join_name""".stripMargin) { (s, d) =>
+    import s.implicits._
+    joinSizeCases(s, d)
+      .map { case (name, exact, est) => (name, exact, est >= exact) }
+      .toDF("join_name", "exact_n", "est_ge_exact")
       .orderBy("join_name")
   }
 

@@ -74,6 +74,69 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"projected minhash shuffled:\n$plan")
   }
 
+  /** Brute-force >= t Jaccard pairs: every doc pair sharing ANY gram
+    * (a pair sharing none has J = 0 < t, so this space is complete),
+    * no prefix or length pruning — the recall ground truth. */
+  private def naiveJaccardPairs(threshold: Double) = {
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+    val sh = Dedup.wordShingleHashes(docs, "doc_id", "text", 3)
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    sh.select(col("id").as("id_a"), col("sh"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") /
+          (col("na") + col("nb") - col("c")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  test("SSJoin prefix filter is LOSSLESS at the threshold: equals brute force") {
+    val naive = naiveJaccardPairs(0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ssj = Dedup.jaccardPairsPrefix(
+        graft.sources.Tables.documents(spark, TinyDir), "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty, "generator plants near-dups; ground truth empty")
+    assert(ssj == naive, s"prefix filter dropped/added pairs: " +
+      s"missing=${naive -- ssj} extra=${ssj -- naive}")
+  }
+
+  test("batch-restricted SSJoin finds exactly the batch-touching pairs") {
+    val naive = naiveJaccardPairs(0.5)
+      .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.jaccardPairsPrefixAgainst(
+        graft.sources.Tables.documents(spark, TinyDir), "doc_id", "text", 3, 0.5,
+        col("id") % 5 === 0)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == naive, s"batch-restricted SSJoin mismatch: " +
+      s"missing=${naive -- got} extra=${got -- naive}")
+  }
+
+  test("cosine candidates+verify: precision 1 vs brute force; high-cos recall bounded") {
+    import graft.ops.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, TinyDir)
+    val brute = Dedup.qDedupEmbed.fn(spark, TinyDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Similarity.cosinePairsVerified(emb, "vec_id", "embedding",
+        Similarity.lshCandidatePairs(emb, "vec_id", "embedding", bands = 8), 0.38)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verification ⇒ every emitted pair is a true >= tau pair
+    assert(got.subsetOf(brute.keySet),
+      s"verified pairs not in brute force: ${got -- brute.keySet}")
+    // recall on the high-similarity band (the pairs dedup must not miss):
+    // 8 bands x 8 bits ⇒ p(candidate) = 1-(1-p_bit^8)^8 >= ~0.9 at cos 0.8
+    val high = brute.filter(_._2 >= 0.8).keySet
+    val hit = high.intersect(got).size.toDouble
+    assert(high.isEmpty || hit / high.size >= 0.6,
+      s"high-cos recall too low: $hit/${high.size}")
+  }
+
   test("containment catches doc-in-doc pairs that Jaccard misses") {
     import spark.implicits._
     // doc 2 is the first third of doc 1: containment 1.0, Jaccard ~ 1/3.

@@ -50,6 +50,22 @@ class IncrCcSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("deep path graph converges with bounded planning (comp checkpointed per round)") {
+    import spark.implicits._
+    // a 256-node path is the adversarial depth case: min-contraction
+    // halves the diameter per round (~8 rounds), and each round composes
+    // one more join into the node→label mapping — without the per-round
+    // comp checkpoint, analyzer cost grows with depth
+    val n = 256
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val got = cc(edges)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.size == n, s"expected $n labeled nodes, got ${got.size}")
+    assert(got.values.forall(_ == 0L), "path must collapse to the min label 0")
+    assert(secs < 90, f"deep-path CC took $secs%.1f s — planning blowup?")
+  }
+
   test("q_dedup_cc_incr equals the from-scratch component labeling on the corpus") {
     val incr = GraphOps2.qDedupCcIncr.fn(spark, TinyDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

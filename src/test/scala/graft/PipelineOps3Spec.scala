@@ -20,10 +20,10 @@ class PipelineOps3Spec extends SparkSpec {
 
   test("leakage-safe split agrees with qDedupClusterPick components") {
     val split = PipelineOps3.qSplitLeakageSafe.fn(spark, TinyDir)
-      .select(col("vec_id"), col("component")).collect()
+      .select(col("doc_id"), col("component")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pick = graft.operators.GraphOps2.qDedupClusterPick.fn(spark, TinyDir)
-      .select(col("vec_id"), col("survivor_id")).collect()
+      .select(col("doc_id"), col("survivor_id")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(split == pick)
   }

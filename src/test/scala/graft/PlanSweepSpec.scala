@@ -21,11 +21,11 @@ class PlanSweepSpec extends SparkSpec {
                            // driver-side over 20 candidates by design
     "q_dedup_embed",       // exact O(n^2) baseline for q_dedup_minhash/lsh
     "q_knn_graph",         // same exact pair-scan baseline (LSH/IVF = scale path)
-    "q_connected_components", // pair gen shares q_dedup_embed's scan
-    "q_kcore",             // same near-dup pair generation
-    "q_dedup_cluster_pick", // same near-dup pair generation
-    "q_dedup_cc_incr",     // batch × corpus exact pair scan (index-fed at
-                           // scale; the fold-in itself is equi-joins)
+    // q_connected_components / q_dedup_cluster_pick / q_dedup_cc_incr /
+    // q_split_leakage_safe are NOT whitelisted: their pair source is the
+    // prefix-filtered SSJoin (equi-join on gram keys) — a reintroduced
+    // all-pairs scan fails this sweep
+    "q_kcore",             // cosine near-dup pair generation (small-N)
     "q_triangle_count",    // same near-dup pair generation
     "q_dedup_ngram",       // candidate pair join refined by Jaccard
     "q_date_spine",        // spine x 1-row bounds (constant-size side)

@@ -133,12 +133,15 @@ class Round3OpsSpec extends SparkSpec {
   test("count-min sketch estimates bound the exact counts from above within eps * total") {
     val rows = Retrieval.qHeavyHitters.fn(spark, TinyDir).collect()
     assert(rows.length == 20)
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"CMS must never under-count (${r.getString(0)})"))
+    // numeric error bound on the raw estimates (the query emits the
+    // oracled exact half + the est>=exact guarantee flag)
     val total = graft.sources.Tables.documents(spark, TinyDir)
       .select(explode(split(col("text"), " ")).as("t")).count()
-    rows.foreach { r =>
-      val (exact, est) = (r.getLong(1), r.getLong(2))
-      assert(est >= exact, s"CMS must never under-count (${r.getString(0)})")
-      assert(est <= exact + (0.0001 * total).toLong + 1, s"CMS error above bound (${r.getString(0)})")
+    Retrieval.heavyHittersRaw(spark, TinyDir).foreach { case (t, exact, est) =>
+      assert(est >= exact, s"CMS must never under-count ($t)")
+      assert(est <= exact + (0.0001 * total).toLong + 1, s"CMS error above bound ($t)")
     }
   }
 

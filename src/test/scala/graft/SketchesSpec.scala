@@ -138,10 +138,16 @@ class SketchesSpec extends SparkSpec {
     val rows = SparkEntry.queries("q_join_size_est")(spark, TinyDir).collect()
     assert(rows.length == 3)
     rows.foreach { r =>
-      val (exact, est, rel) = (r.getLong(1), r.getLong(2), r.getDouble(3))
-      assert(exact > 0L, s"degenerate join in ${r.getString(0)}")
-      assert(est >= exact, s"${r.getString(0)} under-counted: $est < $exact")
-      assert(rel < 0.5, s"${r.getString(0)} overcount ${rel} too loose at this width")
+      assert(r.getLong(1) > 0L, s"degenerate join in ${r.getString(0)}")
+      assert(r.getBoolean(2), s"${r.getString(0)} under-counted")
+    }
+    // numeric overcount bound on the raw estimates (the query itself now
+    // emits the oracled exact half + the est>=exact guarantee flag)
+    graft.ops.Sketches.joinSizeCases(spark, TinyDir).foreach {
+      case (name, exact, est) =>
+        assert(est >= exact, s"$name under-counted: $est < $exact")
+        val rel = (est - exact).toDouble / exact
+        assert(rel < 0.5, s"$name overcount $rel too loose at this width")
     }
   }
 
