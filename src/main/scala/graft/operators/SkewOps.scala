@@ -41,4 +41,20 @@ object SkewOps {
   def hotKeys(df: DataFrame, key: String, topN: Int): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(key)).limit(topN)
+
+  /** q_skew_audit's planning formula as a library call: per top key,
+    * salt_factor = ceil(cnt · parts / total) — how many reducers that
+    * key's rows need to occupy for balanced parallelism. The max over
+    * the hot set is the `factor` to hand [[saltedInnerJoin]]; 1 means
+    * no key needs salting. Key-cardinality-sized, never the fact table. */
+  def suggestedSaltFactors(df: DataFrame, key: String, topN: Int,
+                           parts: Int): DataFrame = {
+    val c = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val t = c.agg(sum(col("cnt")).cast("long").as("n"))
+    c.crossJoin(broadcast(t))
+      .select(col(key), col("cnt"),
+        ceil(col("cnt").cast("double") * parts / col("n").cast("double"))
+          .cast("long").as("salt_factor"))
+      .orderBy(col("cnt").desc, col(key)).limit(topN)
+  }
 }

@@ -357,6 +357,79 @@ object PipelineOps3 {
     s.createDataFrame(rows).toDF("term", "value").orderBy("term")
   }
 
+  /** Distributed LOGISTIC probe via IRLS — the trained-classifier analog
+    * of the reference's assay→target MLP pipeline
+    * (`python/Go_idg_mlp_DbCreate.sh:1` builds the training set;
+    * graft trains the linear-in-representation classifier): each Newton
+    * round is ONE weighted-gramian pass over the corpus. The trick is
+    * the augmented vector z = [√w·x̃, (y−p)/√w] (x̃ = x with a constant-1
+    * intercept slot, w = p(1−p) clamped): the gramian's second moments
+    * then hold BOTH Newton ingredients — Σ zᵢzⱼ (i,j ≤ D) = X'WX and
+    * Σ zᵢz_last = X'(y−p) — in one mergeable (D+2)² buffer, so an
+    * iteration costs one scan + a driver-side D×D solve, the same
+    * posture as q_pca_embed/q_linear_probe. Nothing vector-sized ever
+    * shuffles; iterations are fixed (3) for a bounded plan. */
+  private[graft] def logisticProbe(vecs: DataFrame, lambda: Double,
+                                   iters: Int): DataFrame = {
+    import graft.functions.GramianAgg
+    val s = vecs.sparkSession
+    val dim = vecs.select(size(col("x"))).head.getInt(0)
+    val d1 = dim + 1 // + intercept slot
+    val z2 = d1 + 1  // + residual slot
+    // raw second moment Σ z_i z_j from the gramian buffer layout
+    // [n, Σz (z2), upper-tri Σ zz' (row-major from the diagonal)]
+    def raw(m: Array[Double], i0: Int, j0: Int): Double = {
+      val (i, j) = if (i0 <= j0) (i0, j0) else (j0, i0)
+      m(1 + z2 + i * z2 - i * (i - 1) / 2 + (j - i))
+    }
+    var beta = new Array[Double](d1)
+    for (_ <- 0 until iters) {
+      val wLit = typedlit(beta.take(dim))
+      val eta = aggregate(zip_with(col("x"), wLit, _ * _), lit(0.0), _ + _) +
+        lit(beta(dim))
+      val p = lit(1.0) / (lit(1.0) + exp(-eta))
+      val wgt = greatest(p * (lit(1.0) - p), lit(1e-6))
+      val sq = sqrt(wgt)
+      val z = concat(
+        transform(concat(col("x"), array(lit(1.0))), v => v * sq),
+        array((col("y") - p) / sq))
+      val m = vecs.select(z.as("z")).agg(GramianAgg(col("z"), z2).as("m"))
+        .head.getSeq[Double](0).toArray
+      // Newton step: (X'WX + λI) Δ = X'(y − p); intercept unregularized
+      val a = Array.tabulate(d1, d1)((i, j) =>
+        raw(m, i, j) + (if (i == j && i < dim) lambda else 0.0))
+      val g = Array.tabulate(d1)(i => raw(m, i, d1))
+      val delta = GramianAgg.solve(a, g)
+      beta = Array.tabulate(d1)(i => beta(i) + delta(i))
+    }
+    // one final pass for the fit metrics
+    val wLit = typedlit(beta.take(dim))
+    val eta = aggregate(zip_with(col("x"), wLit, _ * _), lit(0.0), _ + _) +
+      lit(beta(dim))
+    val p = lit(1.0) / (lit(1.0) + exp(-eta))
+    val pc = least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
+    val mrow = vecs.agg(
+      avg(-(col("y") * log(pc) + (lit(1.0) - col("y")) * log(lit(1.0) - pc))).as("ll"),
+      avg(when((pc >= 0.5) === (col("y") >= 0.5), 1.0).otherwise(0.0)).as("acc"))
+      .head()
+    val rows = (0 until dim).map(i => (f"w_$i%03d", round6(beta(i)))) ++
+      Seq(("intercept", round6(beta(dim))),
+        ("log_loss", round6(mrow.getDouble(0))),
+        ("accuracy", round6(mrow.getDouble(1))))
+    s.createDataFrame(rows).toDF("term", "value").orderBy("term")
+  }
+
+  /** Rows-only: the iterative distributed classifier over the embedding
+    * column (binary target = label parity). Spec fits the same data with
+    * a driver-side Newton loop and checks agreement + separable-recovery
+    * + partition invariance. */
+  val qLogisticProbe: Q = Q.rowsOnly("q_logistic_probe") { (s, d) =>
+    val vecs = T.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("x"),
+        (col("label").cast("long") % 2).cast("double").as("y"))
+    logisticProbe(vecs, lambda = 1e-3, iters = 3)
+  }
+
   /** Per-epoch deterministic training order: each epoch permutes the
     * corpus by md5(epoch:doc_id) — a different, rerun-stable shuffle per
     * epoch (what a dataloader needs so epoch 2 isn't epoch 1's order, yet
@@ -440,6 +513,6 @@ object PipelineOps3 {
   }
 
   val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed,
-    qCorpusExport, qLangConfusion, qDupMatrix, qLinearProbe, qEpochShuffle,
-    qSplitTemporal)
+    qCorpusExport, qLangConfusion, qDupMatrix, qLinearProbe, qLogisticProbe,
+    qEpochShuffle, qSplitTemporal)
 }

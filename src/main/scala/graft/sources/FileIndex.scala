@@ -63,9 +63,11 @@ object FileIndex {
     * or in `batch_id=<n>` subdirs ([[SidecarLayout]]); rows of VANISHED
     * files (replayed micro-batch, compaction) are pruned in the same
     * pass. Returns the number of newly indexed files. */
-  def refreshIncremental(spark: SparkSession, path: String): Int = {
-    val sidePath = s"$path/_bloom_index"
-    val side = spark.read.parquet(sidePath)
+  def refreshIncremental(spark: SparkSession, path: String,
+                         crashAfter: Int = Int.MaxValue): Int = {
+    val canonical = s"$path/_bloom_index"
+    val sideDir = SidecarLayout.sidecarDir(spark, path, "_bloom_index")
+    val side = spark.read.parquet(sideDir)
     val head = side.select("key", "expected", "fpp").head()
     val (keyCol, expected, fpp) =
       (head.getString(0), head.getLong(1), head.getDouble(2))
@@ -76,18 +78,27 @@ object FileIndex {
     val fresh = disk.filter(st => !known.contains(st.getPath.getName))
       .map(_.getPath.toString)
     val stale = known -- diskNames
-    if (fresh.isEmpty && stale.isEmpty) 0
-    else {
+    // sideDir != canonical: a previous replace crashed half-swapped —
+    // heal through the staged-replace path even with nothing new
+    if (fresh.isEmpty && stale.isEmpty && sideDir == canonical) {
+      // finish a post-swap-crashed replace's cleanup (stale backup)
+      val p = new org.apache.hadoop.fs.Path(canonical)
+      val fsP = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsP.delete(AtomicSwap.prevOf(p), true)
+      0
+    } else {
       val freshRows = Option.when(fresh.nonEmpty)(
         bloomRows(spark.read.parquet(fresh: _*), keyCol, expected, fpp))
-      if (stale.isEmpty)
-        freshRows.get.coalesce(1).write.mode("append").parquet(sidePath)
+      if (stale.isEmpty && sideDir == canonical)
+        freshRows.get.coalesce(1).write.mode("append").parquet(canonical)
       else {
+        // replay/heal path via the crash-safe staged swap — a reader at
+        // any crash point still resolves a complete sidecar
         val kept = side.filter(
           element_at(split(col("file"), "/"), -1).isInCollection(diskNames))
-        freshRows.fold(kept)(kept.unionByName(_))
-          .localCheckpoint(true)
-          .coalesce(1).write.mode("overwrite").parquet(sidePath)
+        SidecarLayout.replaceSidecar(
+          freshRows.fold(kept)(kept.unionByName(_)).localCheckpoint(true),
+          path, "_bloom_index", crashAfter)
       }
       fresh.length
     }
@@ -102,7 +113,8 @@ object FileIndex {
                   value: Long): (DataFrame, Seq[String]) = {
     val live = SidecarLayout.dataFiles(spark, path)
       .map(st => st.getPath.getName -> st.getPath.toString).toMap
-    val candidates = spark.read.parquet(s"$path/_bloom_index")
+    val candidates = spark.read
+      .parquet(SidecarLayout.sidecarDir(spark, path, "_bloom_index"))
       .collect() // sidecar = one row per data file
       .filter { r =>
         BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))

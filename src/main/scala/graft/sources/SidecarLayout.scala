@@ -51,6 +51,33 @@ object SidecarLayout {
     spark.read.parquet(files: _*)
   }
 
+  /** The live sidecar directory `<path>/<name>` — or its `_prev` backup
+    * if a staged [[replaceSidecar]] crashed between its renames. Sidecar
+    * READS must resolve through this (the maintenance-consistency
+    * contract: a reader at any crash point sees one complete sidecar,
+    * never a missing or half-written one). */
+  def sidecarDir(spark: SparkSession, path: String, name: String): String = {
+    val p = new Path(s"$path/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.live(fs, p).map(_.toString).getOrElse(p.toString)
+  }
+
+  /** Crash-safe sidecar replacement: stage the new sidecar at
+    * `<path>/<name>_next`, then land it via [[AtomicSwap.commit]]. A
+    * plain `mode("overwrite")` deletes the old sidecar before the new
+    * one is committed — a reader (or a crash) in that window loses the
+    * index entirely; the staged swap keeps a complete sidecar resolvable
+    * at every instant and converges under re-runs. */
+  def replaceSidecar(df: DataFrame, path: String, name: String,
+                     crashAfter: Int = Int.MaxValue): Unit = {
+    val cur = new Path(s"$path/$name")
+    val fs = cur.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val next = AtomicSwap.nextOf(cur)
+    fs.delete(next, true)
+    df.coalesce(1).write.mode("overwrite").parquet(next.toString)
+    AtomicSwap.commit(fs, cur, crashAfter = crashAfter)
+  }
+
   /** Compact a streamed indexed directory back to a clean flat layout:
     * `rebuild` re-writes the full data (one row set, any mix of flat +
     * batch dirs) into a fresh sibling `<path>_next` — callers pass the
@@ -78,5 +105,65 @@ object SidecarLayout {
     val n = readData(spark, next.toString).count()
     AtomicSwap.commit(fs, cur, keepBackup = true)
     n
+  }
+
+  /** Retention vacuum for streaming `batch_id=` layouts (r7 verdict #9):
+    * fold every batch dir EXCEPT the newest `keepLast` into the flat
+    * region and delete them — the small-files cure that can run while
+    * the stream's checkpoint still references recent batches. Unlike
+    * [[compactSwap]] (which folds everything and must only run between
+    * epochs), the kept batch dirs are COPIED into the staged snapshot
+    * byte-identically, so a crash-replay of a recent batch still lands
+    * as the same overwrite-idempotent `batch_id=` dir. keepLast must
+    * cover the stream's replayable tail (≥ 1: only the latest
+    * uncommitted batch can replay); expired batches are by definition
+    * checkpoint-committed and can never be written again.
+    *
+    * Protocol: rebuild(flat + expired rows) → `<path>_next` (the same
+    * indexed write that bootstrapped the dir, so the new flat region
+    * carries a fresh minimal sidecar), copy kept batch dirs in, then
+    * [[AtomicSwap.commit]] — a reader at every crash point resolves one
+    * complete snapshot; re-runs converge. Callers then run their sidecar
+    * `refresh` fns (kept-batch files get statted O(delta); vanished
+    * expired files were never in the rebuilt sidecar). Returns the
+    * number of batch dirs expired. */
+  def vacuumBatches(spark: SparkSession, path: String, keepLast: Int,
+                    rebuild: (DataFrame, String) => Unit,
+                    refresh: Seq[(SparkSession, String) => Int] = Nil,
+                    crashAfter: Int = Int.MaxValue): Int = {
+    require(keepLast >= 1, "keepLast must cover the stream's replayable tail")
+    val cur = new Path(path)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDir = AtomicSwap.live(fs, cur).map(_.toString).getOrElse(path)
+    val batches = fs.listStatus(new Path(liveDir)).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .sortBy(st => st.getPath.getName.stripPrefix("batch_id=").toLong)
+    val keep = batches.takeRight(keepLast).map(_.getPath)
+    val expire = batches.dropRight(keepLast).map(_.getPath)
+    if (expire.isEmpty) {
+      // nothing to expire: finish a predecessor that crashed after its
+      // swap (stale backup dir)
+      if (liveDir == cur.toString) fs.delete(AtomicSwap.prevOf(cur), true)
+      return 0
+    }
+    val keepNames = keep.map(_.getName).toSet
+    // flat region + expired batches = every data file NOT in a kept batch
+    val fold = dataFiles(spark, liveDir)
+      .filterNot(st => keepNames(st.getPath.getParent.getName))
+      .map(_.getPath.toString)
+    val next = AtomicSwap.nextOf(cur)
+    fs.delete(next, true)
+    rebuild(spark.read.parquet(fold: _*), next.toString)
+    // kept batches ride along byte-identically (names included), so a
+    // replay overwrite of a recent batch dir behaves exactly as before
+    keep.foreach { b =>
+      require(org.apache.hadoop.fs.FileUtil.copy(
+        fs, b, fs, new Path(next, b.getName), false, true,
+        spark.sparkContext.hadoopConfiguration),
+        s"vacuum: copy of kept batch $b failed")
+    }
+    AtomicSwap.commit(fs, cur, crashAfter = crashAfter)
+    refresh.foreach(f => f(spark, path): Unit)
+    expire.length
   }
 }

@@ -47,7 +47,7 @@ object SidecarStats {
     * Reads ONLY the sidecar (#files × #cols rows, planner-sized); the
     * data files are never opened. */
   def tableStats(spark: SparkSession, path: String): Map[String, ColStats] = {
-    val rows = spark.read.parquet(s"$path/_zone_index")
+    val rows = spark.read.parquet(SidecarLayout.sidecarDir(spark, path, "_zone_index"))
       .select("col", "cnt", "nulls", "zmin", "zmax", "kmv").collect()
     rows.groupBy(_.getString(0)).map { case (c, rs) =>
       val mins = rs.collect { case r if !r.isNullAt(3) => r.getDouble(3) }

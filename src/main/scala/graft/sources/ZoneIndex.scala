@@ -78,9 +78,11 @@ object ZoneIndex {
     * compaction rewrote the layout), its rows are pruned in the same
     * pass — the sidecar never points at dead files, and lookups stay
     * exact across replays. Returns the number of newly statted files. */
-  def refreshIncremental(spark: SparkSession, path: String): Int = {
-    val sidePath = s"$path/_zone_index"
-    val side = spark.read.parquet(sidePath)
+  def refreshIncremental(spark: SparkSession, path: String,
+                         crashAfter: Int = Int.MaxValue): Int = {
+    val canonical = s"$path/_zone_index"
+    val sideDir = SidecarLayout.sidecarDir(spark, path, "_zone_index")
+    val side = spark.read.parquet(sideDir)
     val cols = side.select("col").distinct().collect().map(_.getString(0)).sorted
     val ndvK = graft.functions.KmvAgg.fromBytes(
       side.select("kmv").head().getAs[Array[Byte]](0))._1
@@ -91,21 +93,34 @@ object ZoneIndex {
     val fresh = disk.filter(st => !known.contains(st.getPath.getName))
       .map(_.getPath.toString)
     val stale = known -- diskNames
-    if (fresh.isEmpty && stale.isEmpty) 0
-    else {
+    // sideDir != canonical means a previous replace crashed half-swapped
+    // (serving the _prev backup): heal through the staged-replace path
+    // even when nothing changed, restoring the canonical layout
+    if (fresh.isEmpty && stale.isEmpty && sideDir == canonical) {
+      // a replace that crashed after its swap leaves a stale backup —
+      // finish its cleanup so the layout converges to canonical-only
+      val p = new org.apache.hadoop.fs.Path(canonical)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(AtomicSwap.prevOf(p), true)
+      0
+    } else {
       val freshRows = Option.when(fresh.nonEmpty)(
         zoneRows(spark.read.parquet(fresh: _*), cols.toIndexedSeq, ndvK))
-      if (stale.isEmpty)
-        freshRows.get.coalesce(1).write.mode("append").parquet(sidePath)
+      if (stale.isEmpty && sideDir == canonical)
+        // append of immutable-file rows: parquet's job commit keeps
+        // concurrent sidecar readers on a complete row set throughout
+        freshRows.get.coalesce(1).write.mode("append").parquet(canonical)
       else {
-        // replay path: drop rows of vanished files, keep the rest, add the
-        // fresh ones. localCheckpoint materializes the survivors BEFORE the
-        // overwrite clobbers the files they were read from.
+        // replay/heal path: drop rows of vanished files, keep the rest,
+        // add the fresh ones — landed via the crash-safe staged swap
+        // (a reader at any crash point still resolves a complete
+        // sidecar). localCheckpoint materializes the survivors BEFORE
+        // the swap renames the dir they were read from.
         val kept = side.filter(
           element_at(split(col("file"), "/"), -1).isInCollection(diskNames))
-        freshRows.fold(kept)(kept.unionByName(_))
-          .localCheckpoint(true)
-          .coalesce(1).write.mode("overwrite").parquet(sidePath)
+        SidecarLayout.replaceSidecar(
+          freshRows.fold(kept)(kept.unionByName(_)).localCheckpoint(true),
+          path, "_zone_index", crashAfter)
       }
       fresh.length
     }
@@ -125,7 +140,7 @@ object ZoneIndex {
     // double cast) but a perfectly valid KMV sketch — its zone rows must
     // CONTRIBUTE, not vanish through a three-valued range comparison:
     // range-prune only zones that provably cannot intersect [lo, hi]
-    val rows = spark.read.parquet(s"$path/_zone_index")
+    val rows = spark.read.parquet(SidecarLayout.sidecarDir(spark, path, "_zone_index"))
       .filter(col("col") === colName)
       .filter(col("nulls") < col("cnt"))
       .filter((col("zmax").isNull || col("zmax") >= lo) &&
@@ -147,7 +162,7 @@ object ZoneIndex {
                      lo: Double, hi: Double): Seq[String] = {
     val live = SidecarLayout.dataFiles(spark, path)
       .map(st => st.getPath.getName -> st.getPath.toString).toMap
-    spark.read.parquet(s"$path/_zone_index")
+    spark.read.parquet(SidecarLayout.sidecarDir(spark, path, "_zone_index"))
       .filter(col("col") === colName)
       .filter(col("nulls") < col("cnt"))
       .filter(col("zmax") >= lo && col("zmin") <= hi)

@@ -192,7 +192,7 @@ class SidecarStatsSpec extends SparkSpec {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
     val q = graft.streaming.StreamingOps.indexedAppendSink(
       mem.toDF().toDF("l_suppkey", "l_orderkey"), s"$dir/li",
-      Seq(FileIndex.refreshIncremental))
+      Seq(FileIndex.refreshIncremental(_, _)))
       .option("checkpointLocation", s"$dir/ckpt").start()
     try {
       mem.addData((100L, 1L), (100L, 2L), (101L, 3L))
