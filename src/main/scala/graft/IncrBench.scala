@@ -24,27 +24,62 @@ object IncrBench {
     val docs = graft.sources.Tables.documents(spark, sfDir).localCheckpoint(true)
     val isBatch = col("doc_id") % 5 === 0
 
+    // wall time AND scan volume: at bench SF the fixed per-job overhead
+    // (~0.2s each) swamps wall-clock, so the scale-relevant number is
+    // bytes/records READ — the incremental stage must not rescan the
+    // corpus, and that is visible in input metrics at any SF
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val recsRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          bytesRead.addAndGet(m.inputMetrics.bytesRead)
+          recsRead.addAndGet(m.inputMetrics.recordsRead)
+          ()
+        }
+      }
+    })
     def timed[A](label: String)(f: => A): A = {
+      // drain in-flight listener events so reads attribute to the right phase
+      Thread.sleep(400) // let the listener bus drain; phases are seconds-long
+      val (b0, r0) = (bytesRead.get, recsRead.get)
       val t0 = System.nanoTime()
       val r = f
-      println(f"INCRBENCH $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      Thread.sleep(400) // let the listener bus drain; phases are seconds-long
+      println(f"INCRBENCH $label ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"read=${(bytesRead.get - b0) / 1024.0 / 1024.0}%.1f MB " +
+        f"rows=${recsRead.get - r0}%d")
       r
     }
 
-    // yesterday's labeling, persisted (production reads this from the
-    // last run's output — its cost is NOT part of the daily increment)
+    // yesterday's state, persisted (production reads both from the last
+    // run's output — neither cost is part of the daily increment)
+    val idx = s"/tmp/graft_incrbench_idx_${System.nanoTime()}"
+    val base = docs.filter(!isBatch)
+    timed("base_index_build") {
+      Dedup.NearDupIndex.build(base, idx)
+    }
     val c0 = timed("base_labeling") {
-      GraphOps2.connectedComponents(Dedup.nearDupEdges(docs.filter(!isBatch)), 20)
+      GraphOps2.connectedComponents(Dedup.nearDupEdges(base), 20)
         .localCheckpoint(true)
     }
-    // the daily increment: delta pairs (batch-restricted SSJoin) + fold-in
+    // the daily increment: batch pairs from the persisted index (frozen
+    // gram order — no corpus rescan) + supernode fold-in
     timed("incremental_stage") {
+      val newPairs = Dedup.NearDupIndex.query(spark, idx, docs.filter(isBatch))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      GraphOps2.incrementalComponents(c0, newPairs).count()
+    }
+    // the in-query form (q_dedup_cc_incr's delta source): restricts the
+    // candidate join but still rebuilds profiles corpus-wide
+    timed("incremental_inquery") {
       val newPairs = Dedup.jaccardPairsPrefixAgainst(
           docs, "doc_id", "text", 3, 0.5, col("id") % 5 === 0)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       GraphOps2.incrementalComponents(c0, newPairs).count()
     }
-    // what it replaces: CC from scratch over the full corpus pair graph
+    // what both replace: CC from scratch over the full corpus pair graph
     timed("from_scratch") {
       GraphOps2.connectedComponents(Dedup.nearDupEdges(docs), 20).count()
     }

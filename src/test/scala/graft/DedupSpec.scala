@@ -118,6 +118,27 @@ class DedupSpec extends SparkSpec {
       s"missing=${naive -- got} extra=${got -- naive}")
   }
 
+  test("persisted near-dup index: frozen-order query equals the live SSJoin") {
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+    val isBatch = col("doc_id") % 5 === 0
+    val idx = s"/tmp/graft_ndidx_${System.nanoTime()}"
+    // index yesterday's corpus; query today's batch against it
+    Dedup.NearDupIndex.build(docs.filter(!isBatch), idx)
+    val got = Dedup.NearDupIndex.query(spark, idx, docs.filter(isBatch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    // ground truth: the live (corpus-rescanning) batch-restricted SSJoin
+    val want = Dedup.jaccardPairsPrefixAgainst(
+        docs, "doc_id", "text", 3, 0.5, col("id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(want.nonEmpty, "generator plants near-dups across the batch split")
+    assert(got == want, s"index query diverged: missing=${want -- got} extra=${got -- want}")
+    // append folds the batch in; a later batch finds pairs across BOTH
+    Dedup.NearDupIndex.append(spark, idx, docs.filter(isBatch))
+    val again = Dedup.NearDupIndex.query(spark, idx, docs.filter(isBatch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(again == want, "self-requery after append changed the pair set")
+  }
+
   test("cosine candidates+verify: precision 1 vs brute force; high-cos recall bounded") {
     import graft.ops.Similarity
     val emb = graft.sources.Tables.embeddings(spark, TinyDir)
