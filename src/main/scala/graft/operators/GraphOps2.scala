@@ -168,10 +168,19 @@ object GraphOps2 {
     var e = e0Checkpoint(e0.select(
         greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst")).distinct())
+    // convergence = the edge set IS a star forest: no node is both child
+    // and parent, and every child has exactly one parent. Both phases
+    // preserve connectivity exactly and keep edges oriented src > dst, so
+    // once E is a star forest each star spans one input component with
+    // the component MINIMUM at its center — the structural test is the
+    // correctness condition itself (cheaper than an exceptAll fixpoint
+    // equality, and it can never accept a partial merge)
+    def isStarForest(t: DataFrame): Boolean =
+      t.select("src").intersect(t.select("dst")).isEmpty &&
+        t.groupBy("src").agg(count(lit(1)).as("np")).filter(col("np") > 1).isEmpty
     var it = 0
-    var converged = false
+    var converged = isStarForest(e)
     while (!converged && it < maxIters) {
-      val before = e.count()
       // large-star over the symmetric adjacency
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mL = sym.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
@@ -189,22 +198,12 @@ object GraphOps2 {
           .select(col("v").as("src"), col("mn").as("dst"))
           .union(ssIn.select(col("u").as("src"), col("mn").as("dst")))
           .filter(col("src") =!= col("dst")).distinct())
-      // fixpoint: the full round left the edge set unchanged (a min-rooted
-      // star forest is invariant under both phases)
-      converged = eS.count() == before && eS.exceptAll(e).isEmpty
+      converged = isStarForest(eS)
       e = eS
       it += 1
     }
     require(converged,
       s"connectedComponents did not converge after $maxIters rounds; raise maxIters")
-    // structural validation of the star forest the fixpoint claims: no
-    // node is both child and parent, and every child has ONE parent —
-    // together these make the labeling below well-defined and complete
-    require(e.select("src").intersect(e.select("dst")).isEmpty,
-      "connectedComponents fixpoint is not a star forest (chained parents)")
-    require(e.groupBy("src").agg(countDistinct(col("dst")).as("np"))
-        .filter(col("np") > 1).isEmpty,
-      "connectedComponents fixpoint has a multi-parent child")
     nodes.join(e, col("node") === col("src"), "left")
       .select(col("node"), coalesce(col("dst"), col("node")).as("lbl"))
   }
@@ -298,29 +297,30 @@ object GraphOps2 {
   /** Triangle enumeration over the near-dup pair graph (a < b < c, each
     * triangle once): the clustering-coefficient primitive for PPI-style
     * graphs (loaders/load-BioPlexPPIs.py communities). Edge-edge-edge hash
-    * joins on the oriented edge list — no per-node adjacency blowup. This
-    * form is the small-N oracle baseline (its pair generation is the
-    * cosine BNLJ); the 100 TB path is [[qTriangleLsh]]: LSH candidate
-    * pairs + degree-ordered orientation. */
+    * joins on the oriented edge list — no per-node adjacency blowup.
+    * r8: the pair source is the prefix-filtered SSJoin
+    * ([[graft.ops.Dedup.nearDupEdges]] — no O(n²) stage; the naive
+    * all-pairs oracle hash-matches); [[qTriangleLsh]] is the
+    * MinHash-candidate twin with degree-ordered orientation. */
   val qTriangleCount: Q = Q(
     "q_triangle_count",
-    """WITH ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ee),
-      |e AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |      WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38)
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |       FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |e AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  JOIN sz sa ON sa.doc_id = a.doc_id
+      |  JOIN sz sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING round(CAST(COUNT(*) AS DOUBLE) /
+      |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5)
       |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       |FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
       |ORDER BY a, b, c""".stripMargin) { (s, d) =>
-    import graft.functions.VectorFunctions.dotProduct
-    val emb = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     // checkpoint: the oriented edge list anchors three join inputs below
-    val e = a.join(b, col("id_a") < col("id_b"))
-      .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val e = graft.ops.Dedup.nearDupEdges(T.documents(s, d))
       .localCheckpoint(true)
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
     val e2 = e.select(col("src").as("b2"), col("dst").as("c"))
@@ -455,12 +455,18 @@ object GraphOps2 {
     * their residual degree. */
   val qKCore: Q = Q(
     "q_kcore",
-    """WITH ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ee),
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |  sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |         FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |  pairs AS (
-      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |    FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |    WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38),
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |    JOIN sz sa ON sa.doc_id = a.doc_id
+      |    JOIN sz sb ON sb.doc_id = b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id
+      |    HAVING round(CAST(COUNT(*) AS DOUBLE) /
+      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5),
       |  e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |         UNION SELECT id_b, id_a FROM pairs),
       |  d1 AS (SELECT src, COUNT(*) AS c FROM e0 GROUP BY 1),
@@ -475,20 +481,11 @@ object GraphOps2 {
       |  k3 AS (SELECT src FROM d3 WHERE c >= 2),
       |  e3 AS (SELECT e2.src, e2.dst FROM e2
       |         JOIN k3 x ON e2.src = x.src JOIN k3 y ON e2.dst = y.src)
-      |SELECT src AS vec_id, COUNT(*) AS degree
-      |FROM e3 GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
-    import graft.functions.VectorFunctions.dotProduct
-    val e = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = a.join(b, col("id_a") < col("id_b"))
-      .filter(round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.38)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    // materialize the O(n²) pair scan ONCE before mirroring — a plain
-    // union would recompute the cosine BNLJ in both branches
-    val half = e0Checkpoint(pairs)
+      |SELECT src AS doc_id, COUNT(*) AS degree
+      |FROM e3 GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // r8: SSJoin pair source (no O(n²) stage); materialize the halved
+    // pair stream ONCE before mirroring
+    val half = e0Checkpoint(graft.ops.Dedup.nearDupEdges(T.documents(s, d)))
     var edges = e0Checkpoint(
       half.union(half.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     // no per-round checkpoint: depth is FIXED at 3 and every reference
@@ -504,9 +501,9 @@ object GraphOps2 {
         .join(keep.select(col("src").as("dst")), "dst")
         .select("src", "dst")
     }
-    edges.groupBy(col("src").as("vec_id"))
+    edges.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("degree"))
-      .orderBy("vec_id")
+      .orderBy("doc_id")
   }
 
   /** Hop-bounded weighted single-source shortest paths by distributed
@@ -687,15 +684,21 @@ object GraphOps2 {
       |FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = T.documents(s, d)
-    val isBatch = col("doc_id") % 5 === 0
-    // the labeling "from the last run": CC over old↔old pairs only
+    def isB(c: org.apache.spark.sql.Column) = c % 5 === 0
+    // ONE SSJoin feeds both sides of the scenario: base↔base pairs
+    // rebuild "yesterday's" labeling (pure scaffolding so the oracle can
+    // see one plan — production reads c0 from the last run's output and
+    // gets delta pairs from the persisted NearDupIndex, spec-equal), and
+    // batch-touching pairs are today's delta. Restricting the full-corpus
+    // pair set by endpoint equals running the SSJoin per subset — Jaccard
+    // doesn't depend on the corpus — so the split is exact.
+    val pairs = graft.ops.Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").localCheckpoint(true)
     val c0 = connectedComponents(
-      graft.ops.Dedup.nearDupEdges(docs.filter(!isBatch)), 20).localCheckpoint(true)
-    // today's delta pairs: every >= 0.5 pair with a batch endpoint, via
-    // the batch-restricted SSJoin — the base↔base pair space is never
-    // re-scanned (that's the point)
-    val newPairs = graft.ops.Dedup.jaccardPairsPrefixAgainst(
-        docs, "doc_id", "text", 3, 0.5, col("id") % 5 === 0)
+      pairs.filter(!isB(col("id_a")) && !isB(col("id_b")))
+        .select(col("id_a").as("src"), col("id_b").as("dst")), 20)
+      .localCheckpoint(true)
+    val newPairs = pairs.filter(isB(col("id_a")) || isB(col("id_b")))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val merged = incrementalComponents(c0, newPairs)
     docs.select(col("doc_id"))

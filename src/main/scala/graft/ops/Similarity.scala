@@ -499,6 +499,31 @@ object Similarity {
       .orderBy("node", "rnk")
   }
 
+  /** kNN graph from a CANDIDATE pair source — the concrete drop-in scale
+    * twin of [[qKnnGraph]]'s all-pairs baseline: exact cosine is computed
+    * only on candidate pairs (default source: [[lshCandidatePairs]] —
+    * band-bucket equi-join, no O(n²) stage), then the same per-node
+    * top-k + mutuality tail as the baseline. Precision of every edge is
+    * exact (true cosine); recall is the candidate source's — tune
+    * bands/bits, or feed IVF cell-mate pairs, through the same
+    * parameter. */
+  def knnGraphFromCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                             k: Int, candidates: DataFrame): DataFrame = {
+    // tau = -1: keep every candidate's cosine; ranking does the cutting
+    val p = cosinePairsVerified(emb, idCol, vecCol, candidates, tau = -1.0)
+    val sym = p.select(col("id_a").as("node"), col("id_b").as("nbr"), col("cos"))
+      .union(p.select(col("id_b").as("node"), col("id_a").as("nbr"), col("cos")))
+    val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))
+    val kk = sym.withColumn("rnk", lng(row_number().over(w)))
+      .filter(col("rnk") <= k)
+      .localCheckpoint(true)
+    val m = kk.select(col("node").as("m_node"), col("nbr").as("m_nbr"), lit(1).as("m_hit"))
+    kk.join(m, col("nbr") === col("m_node") && col("node") === col("m_nbr"), "left")
+      .select(col("node"), col("nbr"), col("cos"), col("rnk"),
+        col("m_hit").isNotNull.as("mutual"))
+      .orderBy("node", "rnk")
+  }
+
   val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf, qAnnPq, qHardNegatives,
     qAnnEval, qKnnGraph)
 }

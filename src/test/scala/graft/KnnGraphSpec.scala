@@ -35,6 +35,33 @@ class KnnGraphSpec extends SparkSpec {
     got.groupBy(_._1).foreach { case (n, es) => assert(es.length == 4, s"node $n") }
   }
 
+  test("candidate-sourced knn graph: valid structure, exact-cosine edges, high-cos recall") {
+    val emb = graft.sources.Tables.embeddings(spark, TinyDir)
+    val exact = Similarity.qKnnGraph.fn(spark, TinyDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = Similarity.knnGraphFromCandidates(emb, "vec_id", "embedding", 4,
+        Similarity.lshCandidatePairs(emb, "vec_id", "embedding", bands = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // structure: <= k edges per node, contiguous ranks, cosines exact
+    val exactCos = exact.map(t => (t._1, t._2) -> t._3).toMap
+    got.groupBy(_._1).foreach { case (n, es) =>
+      assert(es.length <= 4)
+      assert(es.map(_._4).sorted.toSeq == (1L to es.length).toSeq, s"ranks at $n")
+    }
+    // every emitted edge in the exact graph's pair universe carries the
+    // same exact cosine (candidates+verify never distorts scores)
+    got.foreach { case (n, m, c, _) =>
+      exactCos.get((n, m)).foreach(ec => assert(ec == c, s"cos mismatch ($n,$m)"))
+    }
+    // recall on the high-similarity edges (the near-dup signal the graph
+    // exists for): 8x8-bit hyperplane banding keeps those
+    val high = exact.filter(_._3 >= 0.8).map(t => (t._1, t._2)).toSet
+    val gotEdges = got.map(t => (t._1, t._2)).toSet
+    val hit = high.intersect(gotEdges).size.toDouble
+    assert(high.isEmpty || hit / high.size >= 0.6,
+      s"high-cos knn recall too low: $hit/${high.size}")
+  }
+
   test("epoch shuffle: each epoch is a permutation of 0..n-1 and epochs disagree") {
     val out = PipelineOps3.qEpochShuffle.fn(spark, TinyDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -22,11 +22,10 @@ class PlanSweepSpec extends SparkSpec {
     "q_dedup_embed",       // exact O(n^2) baseline for q_dedup_minhash/lsh
     "q_knn_graph",         // same exact pair-scan baseline (LSH/IVF = scale path)
     // q_connected_components / q_dedup_cluster_pick / q_dedup_cc_incr /
-    // q_split_leakage_safe are NOT whitelisted: their pair source is the
-    // prefix-filtered SSJoin (equi-join on gram keys) — a reintroduced
-    // all-pairs scan fails this sweep
-    "q_kcore",             // cosine near-dup pair generation (small-N)
-    "q_triangle_count",    // same near-dup pair generation
+    // q_split_leakage_safe / q_kcore / q_triangle_count are NOT
+    // whitelisted: their pair source is the prefix-filtered SSJoin
+    // (equi-join on gram keys) — a reintroduced all-pairs scan fails
+    // this sweep
     "q_dedup_ngram",       // candidate pair join refined by Jaccard
     "q_date_spine",        // spine x 1-row bounds (constant-size side)
     "q_histogram",         // rows x 1-row global min/max (constant side)

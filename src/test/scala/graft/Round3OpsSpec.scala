@@ -159,7 +159,7 @@ class Round3OpsSpec extends SparkSpec {
 
   test("triangles are oriented a<b<c and all three edges are near-dup pairs") {
     val tris = GraphOps2.qTriangleCount.fn(spark, TinyDir).collect()
-    val edges = graft.ops.Dedup.qDedupEmbed.fn(spark, TinyDir).collect()
+    val edges = graft.ops.Dedup.qDedupNgram.fn(spark, TinyDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     tris.foreach { t =>
       val (a, b, c) = (t.getLong(0), t.getLong(1), t.getLong(2))
