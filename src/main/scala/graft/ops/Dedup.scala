@@ -201,23 +201,29 @@ object Dedup {
       val spark = docs.sparkSession
       val frozen = freeze(docs, spark.read.parquet(s"$path/vocab"), n, threshold)
         .localCheckpoint(true)
+      // region-per-batch layout (part=<name> dirs): appends become
+      // OVERWRITE-idempotent region writes, so a crashed ingest replays
+      // cleanly — same convention as the streaming batch_id= sinks
       frozen.select("id", "nsh", "vset")
-        .write.mode("overwrite").parquet(s"$path/profiles")
+        .write.mode("overwrite").parquet(s"$path/profiles/part=base")
       frozen.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
         .repartition(col("sh"))
-        .write.mode("overwrite").parquet(s"$path/prefix")
+        .write.mode("overwrite").parquet(s"$path/prefix/part=base")
     }
 
     /** Append a batch to the index under the FROZEN ordering (profiles
-      * are immutable, so this is two O(delta) appends). */
+      * are immutable, so this is two O(delta) region writes). `region`
+      * names the batch's dir — re-running the same region OVERWRITES it,
+      * making crashed-ingest replays idempotent. */
     def append(spark: SparkSession, path: String, batch: DataFrame,
-               n: Int = 3, threshold: Double = 0.5): Unit = {
+               n: Int = 3, threshold: Double = 0.5,
+               region: String = "delta"): Unit = {
       val frozen = freeze(batch, spark.read.parquet(s"$path/vocab"), n, threshold)
         .localCheckpoint(true)
       frozen.select("id", "nsh", "vset")
-        .write.mode("append").parquet(s"$path/profiles")
+        .write.mode("overwrite").parquet(s"$path/profiles/part=$region")
       frozen.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
-        .write.mode("append").parquet(s"$path/prefix")
+        .write.mode("overwrite").parquet(s"$path/prefix/part=$region")
     }
 
     /** Exact Jaccard >= threshold pairs with at least one endpoint in
@@ -242,6 +248,7 @@ object Dedup {
       // dropDuplicates: a batch already folded in by [[append]] would
       // otherwise appear on both sides and multiply the verify join
       val sets = spark.read.parquet(s"$path/profiles")
+        .select("id", "nsh", "vset") // drop the part= region column
         .unionByName(bprof.select("id", "nsh", "vset"))
         .dropDuplicates("id")
         .select("id", "vset", "nsh")

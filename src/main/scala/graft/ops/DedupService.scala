@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.sources.AtomicSwap
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The maintained corpus-dedup SERVICE: the full daily loop behind
+  * q_dedup_cc_incr as one persisted, crash-safe API — a
+  * [[Dedup.NearDupIndex]] (frozen-order SSJoin postings) plus a
+  * component labeling, advanced one batch at a time at O(delta):
+  *
+  *  1. `init(base)` — index the base corpus, solve components once,
+  *     commit the labeling snapshot;
+  *  2. `ingest(batchId, docs)` — batch pairs from the persisted index
+  *     (no corpus rescan), supernode fold-in
+  *     ([[graft.operators.GraphOps2.incrementalComponents]]), commit the
+  *     new labeling, append the batch to the index.
+  *
+  * Crash safety composes from the parts: index regions are
+  * overwrite-idempotent `part=<batch>` dirs, the labeling commits via
+  * [[AtomicSwap]] with the applied batch id INSIDE the snapshot (the
+  * stream_upsert `_last_batch` pattern), and ingest order is
+  * index-append FIRST (idempotent) then labels-commit (skipped if the
+  * snapshot already carries the batch id) — a re-run from any crash
+  * point converges without double-applying. DedupServiceSpec proves
+  * multi-batch equality with from-scratch CC and replay idempotence. */
+object DedupService {
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def labelsDir(path: String) = s"$path/labels"
+
+  /** Current labeling: (doc_id, component), every ingested doc. */
+  def labels(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(labelsDir(path))
+    val live = AtomicSwap.live(fs(spark, path), p)
+      .getOrElse(throw new IllegalStateException(s"no labeling at $p"))
+    spark.read.parquet(live.toString)
+      .select("doc_id", "component")
+  }
+
+  private def lastBatch(spark: SparkSession, path: String): Long = {
+    val p = new Path(labelsDir(path))
+    val live = AtomicSwap.live(fs(spark, path), p).get
+    spark.read.parquet(live.toString).select(max(col("__batch"))).head.getLong(0)
+  }
+
+  private def commitLabels(spark: SparkSession, path: String,
+                           lbl: DataFrame, batchId: Long): Unit = {
+    val cur = new Path(labelsDir(path))
+    val f = fs(spark, path)
+    val next = AtomicSwap.nextOf(cur)
+    f.delete(next, true)
+    lbl.select(col("doc_id"), col("component"), lit(batchId).as("__batch"))
+      .write.mode("overwrite").parquet(next.toString)
+    AtomicSwap.commit(f, cur)
+  }
+
+  /** Index the base corpus and solve its components once. */
+  def init(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    Dedup.NearDupIndex.build(docs, path)
+    val comp = graft.operators.GraphOps2.connectedComponents(
+      Dedup.nearDupEdges(docs), 20)
+    val lbl = docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
+    commitLabels(spark, path, lbl, batchId = 0L)
+  }
+
+  /** Fold one batch in at O(delta). Replay-safe: re-running a batch id
+    * the labeling already carries re-does only the idempotent index
+    * append. Batch ids must be handed out monotonically (the streaming
+    * micro-batch contract). */
+  def ingest(spark: SparkSession, path: String, batchId: Long,
+             batch: DataFrame): Unit = {
+    require(batchId >= 1, "batch ids start at 1 (0 is the base build)")
+    // 1. index append — overwrite-idempotent region write
+    Dedup.NearDupIndex.append(spark, path, batch, region = s"b$batchId")
+    // 2. labels — skip if this batch already committed (crash replay)
+    if (lastBatch(spark, path) >= batchId) return
+    val pairs = Dedup.NearDupIndex.query(spark, path, batch)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val c0 = labels(spark, path)
+      .select(col("doc_id").as("node"), col("component").as("lbl"))
+    val merged = graft.operators.GraphOps2.incrementalComponents(c0, pairs)
+    // pair-less batch docs are their own singletons; fold-in output wins
+    val lbl = c0.select(col("node").as("doc_id"))
+      .unionByName(batch.select(col("doc_id")))
+      .distinct()
+      .join(merged, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
+      .localCheckpoint(true) // materialize BEFORE the swap renames our input
+    commitLabels(spark, path, lbl, batchId)
+  }
+
+  /** Streaming twin: foreachBatch drives [[ingest]] with the
+    * checkpointed micro-batch id (+1 — id 0 is the base build).
+    * Exactly-once per batch composes from the parts: a replayed
+    * micro-batch overwrites its idempotent index region and skips the
+    * already-committed labels — the corpus dedup index and labeling stay
+    * fresh as the stream runs. Requires [[init]] to have run first. */
+  def ingestSink(docs: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingest(batch.sparkSession, path, bid + 1, batch)
+      }
+}

@@ -383,17 +383,27 @@ object PipelineOps3 {
       m(1 + z2 + i * z2 - i * (i - 1) / 2 + (j - i))
     }
     var beta = new Array[Double](d1)
+    // the per-round weight vector rides in a broadcast 1-row DataFrame,
+    // NOT a literal: a typedlit(beta) bakes the values into the generated
+    // code, so every Newton round would Janino-compile a fresh plan —
+    // with a column reference the generated code is identical across
+    // rounds and the codegen cache absorbs all but the first compile
+    def withBeta(df: DataFrame, b: Array[Double]): DataFrame = {
+      import s.implicits._
+      df.crossJoin(broadcast(
+        Seq((b.take(dim).toSeq, b(dim))).toDF("__w", "__b0")))
+    }
+    def etaCol: org.apache.spark.sql.Column =
+      aggregate(zip_with(col("x"), col("__w"), _ * _), lit(0.0), _ + _) + col("__b0")
     for (_ <- 0 until iters) {
-      val wLit = typedlit(beta.take(dim))
-      val eta = aggregate(zip_with(col("x"), wLit, _ * _), lit(0.0), _ + _) +
-        lit(beta(dim))
-      val p = lit(1.0) / (lit(1.0) + exp(-eta))
+      val p = lit(1.0) / (lit(1.0) + exp(-etaCol))
       val wgt = greatest(p * (lit(1.0) - p), lit(1e-6))
       val sq = sqrt(wgt)
       val z = concat(
         transform(concat(col("x"), array(lit(1.0))), v => v * sq),
         array((col("y") - p) / sq))
-      val m = vecs.select(z.as("z")).agg(GramianAgg(col("z"), z2).as("m"))
+      val m = withBeta(vecs, beta).select(z.as("z"))
+        .agg(GramianAgg(col("z"), z2).as("m"))
         .head.getSeq[Double](0).toArray
       // Newton step: (X'WX + λI) Δ = X'(y − p); intercept unregularized
       val a = Array.tabulate(d1, d1)((i, j) =>
@@ -403,12 +413,9 @@ object PipelineOps3 {
       beta = Array.tabulate(d1)(i => beta(i) + delta(i))
     }
     // one final pass for the fit metrics
-    val wLit = typedlit(beta.take(dim))
-    val eta = aggregate(zip_with(col("x"), wLit, _ * _), lit(0.0), _ + _) +
-      lit(beta(dim))
-    val p = lit(1.0) / (lit(1.0) + exp(-eta))
+    val p = lit(1.0) / (lit(1.0) + exp(-etaCol))
     val pc = least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
-    val mrow = vecs.agg(
+    val mrow = withBeta(vecs, beta).agg(
       avg(-(col("y") * log(pc) + (lit(1.0) - col("y")) * log(lit(1.0) - pc))).as("ll"),
       avg(when((pc >= 0.5) === (col("y") >= 0.5), 1.0).otherwise(0.0)).as("acc"))
       .head()

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.{Dedup, DedupService}
+import graft.operators.GraphOps2
+import org.apache.spark.sql.functions._
+
+/** The maintained dedup service: multi-batch incremental ingestion must
+  * equal from-scratch component solving after every batch, and a
+  * crash-replayed batch must be a no-op. */
+class DedupServiceSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables.documents(spark, TinyDir)
+
+  private def scratchLabels(upTo: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    val comp = GraphOps2.connectedComponents(Dedup.nearDupEdges(upTo), 20)
+    upTo.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def serviceLabels(path: String): Map[Long, Long] =
+    DedupService.labels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incremental ingestion equals from-scratch components after every batch") {
+    val path = s"/tmp/graft_dedupsvc/${System.nanoTime()}"
+    val part = (m: Int) => docs.filter(col("doc_id") % 3 === m)
+    DedupService.init(part(0), path)
+    assert(serviceLabels(path) == scratchLabels(part(0)), "base labeling")
+    DedupService.ingest(spark, path, 1L, part(1))
+    assert(serviceLabels(path) ==
+      scratchLabels(docs.filter(col("doc_id") % 3 <= 1)), "after batch 1")
+    DedupService.ingest(spark, path, 2L, part(2))
+    assert(serviceLabels(path) == scratchLabels(docs), "after batch 2")
+    // non-degenerate: some doc got merged into another's component
+    assert(serviceLabels(path).exists { case (id, c) => id != c })
+  }
+
+  test("streaming ingestSink keeps labels equal to from-scratch across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val path = s"/tmp/graft_dedupsvc/stream_${System.nanoTime()}"
+    val all = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (base, rest) = all.partition(_._1 % 3 == 0)
+    DedupService.init(base.toSeq.toDF("doc_id", "text"), path)
+    val (b1, b2) = rest.partition(_._1 % 3 == 1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = DedupService.ingestSink(mem.toDF().toDF("doc_id", "text"), path).start()
+    try {
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(serviceLabels(path) == scratchLabels(docs),
+      "streamed ingestion diverged from from-scratch components")
+  }
+
+  test("replaying an already-committed batch is a no-op") {
+    val path = s"/tmp/graft_dedupsvc/replay_${System.nanoTime()}"
+    DedupService.init(docs.filter(col("doc_id") % 2 === 0), path)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    DedupService.ingest(spark, path, 1L, batch)
+    val after = serviceLabels(path)
+    // the crash-replay: same batch id again (index region overwrites,
+    // labels commit skipped)
+    DedupService.ingest(spark, path, 1L, batch)
+    assert(serviceLabels(path) == after, "replay changed the labeling")
+    assert(after == scratchLabels(docs), "final labeling wrong")
+  }
+}
