@@ -652,13 +652,15 @@ object GraphOps2 {
     * components from scratch over the FULL pair graph, so the hash match
     * IS the proof that incremental maintenance equals recomputation.
     *
-    * BOTH pair sources are the subquadratic SSJoin: yesterday's labeling
-    * re-derives from [[graft.ops.Dedup.nearDupEdges]] over the base docs
-    * (in-query scaffolding so the oracle sees one plan — production reads
-    * it from the last run's output), and today's delta pairs come from
-    * [[graft.ops.Dedup.jaccardPairsPrefixAgainst]]: prefix(batch) ⋈
-    * prefix(corpus), candidate volume following the DELTA. No stage
-    * anywhere scales with corpus². */
+    * This IN-QUERY form runs ONE corpus-wide SSJoin (subquadratic
+    * candidates, no O(n²) stage) and splits its pair set by endpoint —
+    * base↔base pairs rebuild "yesterday's" labeling as scaffolding so
+    * the oracle sees one plan, batch-touching pairs are the delta. The
+    * PRODUCTION forms that actually follow the delta are
+    * [[graft.ops.Dedup.jaccardPairsPrefixAgainst]] (prefix(batch) ⋈
+    * prefix(corpus) — no base↔base candidates) and, without any corpus
+    * rescan at all, the persisted [[graft.ops.Dedup.NearDupIndex]] /
+    * [[graft.ops.DedupService]] (both spec-equal to this pair set). */
   val qDedupCcIncr: Q = Q(
     "q_dedup_cc_incr",
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

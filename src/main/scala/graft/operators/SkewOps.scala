@@ -49,7 +49,10 @@ object SkewOps {
     * no key needs salting. Key-cardinality-sized, never the fact table. */
   def suggestedSaltFactors(df: DataFrame, key: String, topN: Int,
                            parts: Int): DataFrame = {
-    val c = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    // materialize the key counts once: both the total and the rows read
+    // them, and an uncached reference would scan + aggregate the FACT
+    // table twice (the audit must stay key-cardinality-sized)
+    val c = df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).localCheckpoint(true)
     val t = c.agg(sum(col("cnt")).cast("long").as("n"))
     c.crossJoin(broadcast(t))
       .select(col(key), col("cnt"),

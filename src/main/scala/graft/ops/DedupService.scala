@@ -70,17 +70,27 @@ object DedupService {
     commitLabels(spark, path, lbl, batchId = 0L)
   }
 
-  /** Fold one batch in at O(delta). Replay-safe: re-running a batch id
-    * the labeling already carries re-does only the idempotent index
-    * append. Batch ids must be handed out monotonically (the streaming
-    * micro-batch contract). */
+  /** Fold one batch in at O(delta). Replay-safe under the streaming
+    * micro-batch contract (ids handed out monotonically): batchId ==
+    * lastBatch is the benign committed-batch replay and skips WITHOUT
+    * touching the index (its region already holds the committed run's
+    * content); batchId == lastBatch+1 proceeds (a crash between index
+    * write and labels commit re-runs here — the region overwrite is
+    * idempotent). Anything else fails LOUD: a stream restarted with a
+    * fresh checkpoint would replay id 1 and silently OVERWRITE an old
+    * batch's index region with different docs while its labels stand —
+    * index/labels divergence with no error. */
   def ingest(spark: SparkSession, path: String, batchId: Long,
              batch: DataFrame): Unit = {
     require(batchId >= 1, "batch ids start at 1 (0 is the base build)")
+    val last = lastBatch(spark, path)
+    if (batchId == last) return // committed replay: no writes at all
+    require(batchId == last + 1,
+      s"ingest: batch id $batchId breaks the monotone contract (labeling " +
+        s"carries $last) — restarting the stream with a fresh checkpoint " +
+        "against an existing service path would corrupt the index")
     // 1. index append — overwrite-idempotent region write
     Dedup.NearDupIndex.append(spark, path, batch, region = s"b$batchId")
-    // 2. labels — skip if this batch already committed (crash replay)
-    if (lastBatch(spark, path) >= batchId) return
     val pairs = Dedup.NearDupIndex.query(spark, path, batch)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val c0 = labels(spark, path)

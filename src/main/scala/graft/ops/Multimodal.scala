@@ -160,9 +160,15 @@ object Multimodal {
     * "codec is a fake" corner: the stub remains for byte-determinism
     * specs; this path decodes actual pixels. */
   object ImageCodec {
-    /** (width, height, mean luminance 0-255) of a decodable image. */
+    /** (width, height, mean luminance 0-255) of a decodable image.
+      * Corrupt payloads flag as None rather than killing the task — that
+      * covers BOTH failure shapes: unrecognized bytes (ImageIO returns
+      * null) and a recognized-but-damaged image (valid signature,
+      * truncated body — the reader THROWS IIOException mid-decode). */
     def decode(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
       if (img == null) None
       else {
         var sum = 0.0
@@ -189,9 +195,12 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Real resize: decode, repaint at (w, h), re-encode PNG. */
+    /** Real resize: decode, repaint at (w, h), re-encode PNG. Corrupt
+      * payloads (incl. truncated-body IIOExceptions) drop as None. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
-      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val src =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
       if (src == null) None
       else {
         val dst = new java.awt.image.BufferedImage(

@@ -119,7 +119,11 @@ object FreqIndex {
     val stage = new Path(root, "_append_stage")
     fs.delete(stage, true)
     df.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
-    val staged = spark.read.parquet(stage.toString)
+    // read back under df's OWN schema: partition-column type inference
+    // would otherwise rewrite non-canonical values (string "007" becomes
+    // int 7), splitting one logical partition across two directories and
+    // mislabeling its sidecar row
+    val staged = spark.read.schema(df.schema).parquet(stage.toString)
     sketchRows(staged, partCol, keyCol, dims.width, dims.depth)
       .write.mode("append").parquet(sidecarOf(root))
     if (crashBeforeData) throw AtomicSwap.CrashPoint(1)

@@ -142,8 +142,12 @@ object SidecarLayout {
     val expire = batches.dropRight(keepLast).map(_.getPath)
     if (expire.isEmpty) {
       // nothing to expire: finish a predecessor that crashed after its
-      // swap (stale backup dir)
+      // swap — delete the stale backup AND run the sidecar refreshes it
+      // never reached (the rebuilt sidecar only covers the folded rows;
+      // without this, kept-batch files stay unindexed and sidecar-served
+      // lookups silently lose their rows)
       if (liveDir == cur.toString) fs.delete(AtomicSwap.prevOf(cur), true)
+      refresh.foreach(f => f(spark, path): Unit)
       return 0
     }
     val keepNames = keep.map(_.getName).toSet

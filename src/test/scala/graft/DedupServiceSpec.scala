@@ -70,4 +70,22 @@ class DedupServiceSpec extends SparkSpec {
     assert(serviceLabels(path) == after, "replay changed the labeling")
     assert(after == scratchLabels(docs), "final labeling wrong")
   }
+
+  test("a non-monotone batch id fails loud instead of corrupting the index") {
+    val path = s"/tmp/graft_dedupsvc/guard_${System.nanoTime()}"
+    DedupService.init(docs.filter(col("doc_id") % 2 === 0), path)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    DedupService.ingest(spark, path, 1L, odd)
+    DedupService.ingest(spark, path, 2L, odd.limit(1))
+    // a stream restarted with a FRESH checkpoint would replay id 1 with
+    // different docs — overwriting batch 1's index region while its
+    // labels stand; the guard must reject it (review r8)
+    intercept[IllegalArgumentException] {
+      DedupService.ingest(spark, path, 1L, docs.limit(3))
+    }
+    // and a gap breaks the monotone contract too
+    intercept[IllegalArgumentException] {
+      DedupService.ingest(spark, path, 9L, docs.limit(3))
+    }
+  }
 }

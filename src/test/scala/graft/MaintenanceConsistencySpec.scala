@@ -17,10 +17,15 @@ class MaintenanceConsistencySpec extends SparkSpec {
   private def fs(dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def tmp(name: String): String = {
-    val d = s"/tmp/graft_maint/${name}_${System.nanoTime()}"
-    fs(d).delete(new Path(s"/tmp/graft_maint/$name"), true)
-    d
+  private def tmp(name: String): String =
+    s"/tmp/graft_maint/${name}_${System.nanoTime()}"
+
+  // one sweep of previous runs' fixtures, not per-test (unique suffixes
+  // keep tests isolated within a run)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    fs("/tmp/graft_maint").delete(new Path("/tmp/graft_maint"), true)
+    ()
   }
 
   // ---- zone-map refresh: staged sidecar swap ------------------------

@@ -56,6 +56,22 @@ class MultimodalImageSpec extends SparkSpec {
     assert(got(4L) == ((false, 0L, 0L, 0.0)), s"junk: ${got(4L)}")
   }
 
+  test("a recognized-but-truncated PNG flags instead of killing the task") {
+    import spark.implicits._
+    // valid PNG signature + headers, body cut off: ImageIO's PNG reader
+    // claims the stream and THROWS mid-decode (unlike unrecognized bytes,
+    // where read() returns null) — the pipeline must absorb both
+    val whole = gradientPng(32, 32)
+    val truncated = java.util.Arrays.copyOfRange(whole, 0, 60)
+    val df = Seq((1L, truncated), (2L, whole)).toDF("doc_id", "payload")
+    val got = Multimodal.extractImageFeatures(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> true), s"$got")
+    val resized = Multimodal.resizeImages(df, "doc_id", "payload", 4, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(resized == Set(2L), "truncated payload must drop from resize, whole must survive")
+  }
+
   test("real resize: repainted PNG decodes at the target resolution") {
     import spark.implicits._
     val df = Seq((1L, gradientPng(32, 32)), (2L, "junk".getBytes("UTF-8")))

@@ -92,5 +92,12 @@ class VacuumSpec extends SparkSpec {
       assert(!fs(dir).exists(new Path(s"$dir/batch_id=0")))
       assert(fs(dir).exists(new Path(s"$dir/batch_id=2")))
       assert(!fs(dir).exists(new Path(s"${dir}_prev")))
+      // SIDECAR-served reads must also be whole after the heal: a
+      // post-commit crash leaves the rebuilt sidecar covering only the
+      // folded rows — the re-run's refresh has to pick up the kept
+      // batch's files or range lookups silently lose rows (review r8)
+      val (rows, _) = ZoneIndex.rangeLookup(spark, dir, "k", 401.0, 450.0)
+      assert(rows.count() == 50L,
+        s"kept-batch rows missing from sidecar lookups at crash point $crashAt")
     }
 }
