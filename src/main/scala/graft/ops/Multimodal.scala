@@ -212,6 +212,74 @@ object Multimodal {
     }
   }
 
+  /** 64-bit AVERAGE-HASH perceptual signature (aHash): decode, repaint
+    * to an 8×8 grayscale grid, bit i = pixel_i > grid mean. Robust to
+    * re-encoding, resizing, and uniform brightness shifts — the classic
+    * cheap perceptual fingerprint. None for undecodable payloads. */
+  def aHash(bytes: Array[Byte]): Option[Long] =
+    ImageCodec.resize(bytes, 8, 8).map { png =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val luma = new Array[Double](64)
+      var i = 0
+      while (i < 64) {
+        val rgb = img.getRGB(i % 8, i / 8)
+        luma(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        i += 1
+      }
+      val mean = luma.sum / 64
+      var h = 0L
+      i = 0
+      while (i < 64) { if (luma(i) > mean) h |= (1L << i); i += 1 }
+      h
+    }
+
+  /** Per-image perceptual signatures: (doc_id, ahash, decoded) — corrupt
+    * payloads flagged, never dropped. mapPartitions so a real codec
+    * amortizes init per partition. */
+  def imageSignatures(binDf: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    binDf.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          aHash(r.getAs[Array[Byte]](1)) match {
+            case Some(h) => Row(r.getLong(0), h, true)
+            case None => Row(r.getLong(0), 0L, false)
+          }
+        }
+      }(enc)
+  }
+
+  /** IMAGE near-dup pairs at hamming <= maxDist over the aHash — the
+    * pixel-domain leg of the dedup family, on the exact machinery
+    * q_dedup_simhash uses for text: 16-bit band buckets as candidate
+    * keys (PIGEONHOLE-LOSSLESS for maxDist <= 3: a pair differing in
+    * <= 3 bits leaves at least one of the 4 bands identical), verified
+    * with the codegen bit_count(xor). The only shuffle is the band
+    * equi-join — no image pair is ever compared that shares no band. */
+  def imageNearDupPairs(binDf: DataFrame, idCol: String, binCol: String,
+                        maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding is only lossless for hamming <= 3")
+    val sig = imageSignatures(binDf, idCol, binCol)
+      .filter(col("decoded")).select(col("doc_id").as("id"), col("ahash"))
+    val banded = sig.select(col("id"), col("ahash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("ahash"), 16 * j).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x"))
+      .select(col("id"), col("ahash"), col("x.band").as("band"), col("x.bval").as("bval"))
+    val a = banded.select(col("band"), col("bval"), col("id").as("id_a"), col("ahash").as("ha"))
+    val b = banded.select(col("band"), col("bval"), col("id").as("id_b"), col("ahash").as("hb"))
+    a.join(b, Seq("band", "bval")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   val imageFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("byte_len", LongType, nullable = false),

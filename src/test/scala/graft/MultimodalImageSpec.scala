@@ -82,6 +82,40 @@ class MultimodalImageSpec extends SparkSpec {
     assert((w, h) == ((4, 4)), s"resized to ${(w, h)}")
   }
 
+  /** Structured test image: left portion dark, right bright — an aHash
+    * that survives resizing and uniform brightness shifts. */
+  private def splitPng(w: Int, h: Int, dark: Int, bright: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x < w / 2) dark else bright
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    Multimodal.ImageCodec.encodePng(img)
+  }
+
+  test("perceptual near-dup: re-encoded/resized/brightened copies pair, unrelated don't") {
+    import spark.implicits._
+    val original = splitPng(64, 64, 40, 200)
+    val resized = splitPng(32, 16, 40, 200)     // same scene, other resolution
+    val brighter = splitPng(64, 64, 70, 230)    // uniform brightness shift
+    val inverted = splitPng(64, 64, 200, 40)    // opposite scene
+    val junk = "corrupt bytes".getBytes("UTF-8")
+    val df = Seq((1L, original), (2L, resized), (3L, brighter),
+      (4L, inverted), (5L, junk)).toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"resized copy not paired: $pairs")
+    assert(pairs.contains((1L, 3L)), s"brightness shift not absorbed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"inverted scene wrongly paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "corrupt payload paired")
+    // the signature itself: decodable images flagged true, junk false
+    val sigs = Multimodal.imageSignatures(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(sigs == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true, 5L -> false))
+  }
+
   test("frame sampling + batched inference run unchanged over real PNG payloads") {
     import spark.implicits._
     val df = (1L to 9L).map(i => (i, solidPng(8 + i.toInt, 8, 0x336699)))

@@ -492,4 +492,33 @@ class PropertySpec extends SparkSpec {
         twice.map(t => t._1 -> t._3).toMap == once.toMap
     }, n = 8)
   }
+
+  test("NearDupIndex frozen-order query equals the live SSJoin on random corpora") {
+    import spark.implicits._
+    // small vocab -> high gram overlap -> non-trivial pair sets; docs of
+    // >= 3 tokens so every doc has at least one trigram
+    val genCorpus = for {
+      nd <- Gen.choose(4, 12)
+      docs <- Gen.listOfN(nd, for {
+        nt <- Gen.choose(3, 12)
+        toks <- Gen.listOfN(nt, Gen.oneOf("a", "b", "c"))
+      } yield toks.mkString(" "))
+      batchMod <- Gen.choose(2, 4)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, batchMod)
+    check(forAll(genCorpus) { case (docs, m) =>
+      val df = docs.toDF("doc_id", "text")
+      val base = df.filter(col("doc_id") % m =!= 0)
+      val batch = df.filter(col("doc_id") % m === 0)
+      base.isEmpty || batch.isEmpty || {
+        val idx = s"/tmp/graft_ndidx_prop/${System.nanoTime()}"
+        graft.ops.Dedup.NearDupIndex.build(base, idx)
+        val got = graft.ops.Dedup.NearDupIndex.query(spark, idx, batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+        val want = graft.ops.Dedup.jaccardPairsPrefixAgainst(
+            df, "doc_id", "text", 3, 0.5, col("id") % m === 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+        got == want
+      }
+    }, n = 6)
+  }
 }
