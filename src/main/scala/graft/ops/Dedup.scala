@@ -178,6 +178,16 @@ object Dedup {
     * the postings table is bucketed by `sh` so the candidate join
     * co-locates. */
   object NearDupIndex {
+
+    /** The live index root: `path`, or its `_prev` backup if a
+      * [[rebuild]] crashed between its renames — every read resolves
+      * through this (the maintenance-consistency contract). */
+    private def liveRoot(spark: SparkSession, path: String): String = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.sources.AtomicSwap.live(fs, p).map(_.toString).getOrElse(path)
+    }
+
     private def freeze(docs: DataFrame, vocab: DataFrame, n: Int,
                        threshold: Double): DataFrame = {
       val sh = wordShingleHashes(docs, "doc_id", "text", n)
@@ -218,12 +228,13 @@ object Dedup {
     def append(spark: SparkSession, path: String, batch: DataFrame,
                n: Int = 3, threshold: Double = 0.5,
                region: String = "delta"): Unit = {
-      val frozen = freeze(batch, spark.read.parquet(s"$path/vocab"), n, threshold)
+      val root = liveRoot(spark, path)
+      val frozen = freeze(batch, spark.read.parquet(s"$root/vocab"), n, threshold)
         .localCheckpoint(true)
       frozen.select("id", "nsh", "vset")
-        .write.mode("overwrite").parquet(s"$path/profiles/part=$region")
+        .write.mode("overwrite").parquet(s"$root/profiles/part=$region")
       frozen.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
-        .write.mode("overwrite").parquet(s"$path/prefix/part=$region")
+        .write.mode("overwrite").parquet(s"$root/prefix/part=$region")
     }
 
     /** Exact Jaccard >= threshold pairs with at least one endpoint in
@@ -232,10 +243,11 @@ object Dedup {
       * indexed ∪ batch (spec-pinned) at O(delta + touched postings). */
     def query(spark: SparkSession, path: String, batch: DataFrame,
               n: Int = 3, threshold: Double = 0.5): DataFrame = {
-      val bprof = freeze(batch, spark.read.parquet(s"$path/vocab"), n, threshold)
+      val root = liveRoot(spark, path)
+      val bprof = freeze(batch, spark.read.parquet(s"$root/vocab"), n, threshold)
         .localCheckpoint(true)
       val bpref = bprof.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
-      val ipref = spark.read.parquet(s"$path/prefix").select("id", "nsh", "sh")
+      val ipref = spark.read.parquet(s"$root/prefix").select("id", "nsh", "sh")
       val cand = bpref.select(col("id").as("id_a"), col("nsh").as("na"), col("sh"))
         .join(ipref.unionByName(bpref).select(
           col("id").as("id_b"), col("nsh").as("nb"), col("sh")), Seq("sh"))
@@ -247,7 +259,7 @@ object Dedup {
         .distinct()
       // dropDuplicates: a batch already folded in by [[append]] would
       // otherwise appear on both sides and multiply the verify join
-      val sets = spark.read.parquet(s"$path/profiles")
+      val sets = spark.read.parquet(s"$root/profiles")
         .select("id", "nsh", "vset") // drop the part= region column
         .unionByName(bprof.select("id", "nsh", "vset"))
         .dropDuplicates("id")
@@ -261,6 +273,55 @@ object Dedup {
           round(dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")), 6))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
+    }
+
+    /** SERVING point lookup: the near-dups of ONE already-indexed doc —
+      * read its profile row (pushed id filter), join its prefix postings,
+      * verify. Cost is the doc's posting fanout, never the corpus: the
+      * "show me this page's duplicates" endpoint. Empty if unindexed. */
+    def lookup(spark: SparkSession, path: String, docId: Long,
+               threshold: Double = 0.5): DataFrame = {
+      val root = liveRoot(spark, path)
+      val mine = spark.read.parquet(s"$root/prefix")
+        .filter(col("id") === docId).select(col("nsh").as("na"), col("sh"))
+      val cand = spark.read.parquet(s"$root/prefix")
+        .join(mine, Seq("sh"))
+        .filter(col("id") =!= docId)
+        .filter(dbl(least(col("na"), col("nsh"))) >=
+          lit(threshold) * dbl(greatest(col("na"), col("nsh"))))
+        .select(col("id").as("id_b")).distinct()
+      val sets = spark.read.parquet(s"$root/profiles").select("id", "nsh", "vset")
+      val me = sets.filter(col("id") === docId)
+        .select(col("vset").as("sa"), col("nsh").as("na"))
+      cand
+        .join(sets.select(col("id").as("id_b"), col("vset").as("sb"), col("nsh").as("nb")), "id_b")
+        .crossJoin(broadcast(me))
+        .withColumn("n_common",
+          graft.functions.SetFunctions.intersectCountSorted(col("sa"), col("sb")))
+        .withColumn("jaccard",
+          round(dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_b").as("other_id"), col("n_common"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("other_id"))
+    }
+
+    /** The ORDERING-REFRESH operation: re-freeze the whole index from the
+      * current corpus (fresh df order — appends accumulated under a stale
+      * order inflate candidate volume over time) into `<path>_next`, then
+      * land it via [[graft.sources.AtomicSwap.commit]]. Readers resolving
+      * [[liveRoot]] see the old or the new index at every instant, and a
+      * re-run converges from any crash point. Run on a slow cadence; the
+      * frozen order only affects candidate VOLUME, never pair
+      * correctness. */
+    def rebuild(spark: SparkSession, path: String, docs: DataFrame,
+                n: Int = 3, threshold: Double = 0.5,
+                crashAfter: Int = Int.MaxValue): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(path)
+      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val next = graft.sources.AtomicSwap.nextOf(cur)
+      fs.delete(next, true)
+      build(docs, next.toString, n, threshold)
+      graft.sources.AtomicSwap.commit(fs, cur, crashAfter = crashAfter)
     }
   }
 

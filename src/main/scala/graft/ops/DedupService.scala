@@ -31,6 +31,7 @@ object DedupService {
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def labelsDir(path: String) = s"$path/labels"
+  private def indexDir(path: String) = s"$path/index"
 
   /** Current labeling: (doc_id, component), every ingested doc. */
   def labels(spark: SparkSession, path: String): DataFrame = {
@@ -61,7 +62,7 @@ object DedupService {
   /** Index the base corpus and solve its components once. */
   def init(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
-    Dedup.NearDupIndex.build(docs, path)
+    Dedup.NearDupIndex.build(docs, indexDir(path))
     val comp = graft.operators.GraphOps2.connectedComponents(
       Dedup.nearDupEdges(docs), 20)
     val lbl = docs.select(col("doc_id"))
@@ -90,8 +91,8 @@ object DedupService {
         s"carries $last) — restarting the stream with a fresh checkpoint " +
         "against an existing service path would corrupt the index")
     // 1. index append — overwrite-idempotent region write
-    Dedup.NearDupIndex.append(spark, path, batch, region = s"b$batchId")
-    val pairs = Dedup.NearDupIndex.query(spark, path, batch)
+    Dedup.NearDupIndex.append(spark, indexDir(path), batch, region = s"b$batchId")
+    val pairs = Dedup.NearDupIndex.query(spark, indexDir(path), batch)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val c0 = labels(spark, path)
       .select(col("doc_id").as("node"), col("component").as("lbl"))

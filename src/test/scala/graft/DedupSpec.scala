@@ -139,6 +139,50 @@ class DedupSpec extends SparkSpec {
     assert(again == want, "self-requery after append changed the pair set")
   }
 
+  test("index point lookup serves one doc's near-dups without a corpus pass") {
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+    val idx = s"/tmp/graft_ndidx_lookup_${System.nanoTime()}"
+    Dedup.NearDupIndex.build(docs, idx)
+    val all = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(all.nonEmpty, "generator plants near-dups")
+    // pick a doc with at least one pair; its lookup must return exactly
+    // the pairs touching it
+    val probe = all.head._1
+    val want = all.collect {
+      case (a, b, j) if a == probe => b -> j
+      case (a, b, j) if b == probe => a -> j
+    }.toSet
+    val got = Dedup.NearDupIndex.lookup(spark, idx, probe)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toSet
+    assert(got == want, s"lookup($probe): got=$got want=$want")
+    // unindexed id: empty, not an error
+    assert(Dedup.NearDupIndex.lookup(spark, idx, -1L).isEmpty)
+  }
+
+  for (crashAt <- 1 to 4)
+    test(s"index rebuild crash point $crashAt: queries stay whole, re-run converges") {
+      val docs = graft.sources.Tables.documents(spark, TinyDir)
+      val isBatch = col("doc_id") % 5 === 0
+      val idx = s"/tmp/graft_ndidx_rb${crashAt}_${System.nanoTime()}"
+      Dedup.NearDupIndex.build(docs.filter(!isBatch), idx)
+      val want = Dedup.NearDupIndex.query(spark, idx, docs.filter(isBatch))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      intercept[graft.sources.AtomicSwap.CrashPoint] {
+        Dedup.NearDupIndex.rebuild(spark, idx, docs.filter(!isBatch),
+          crashAfter = crashAt)
+      }
+      // reader mid-crash resolves one complete index (old or new — same
+      // corpus, so the pair set is identical either way)
+      val mid = Dedup.NearDupIndex.query(spark, idx, docs.filter(isBatch))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(mid == want, s"torn index read at crash point $crashAt")
+      Dedup.NearDupIndex.rebuild(spark, idx, docs.filter(!isBatch))
+      val after = Dedup.NearDupIndex.query(spark, idx, docs.filter(isBatch))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == want, "re-run rebuild changed the pair set")
+    }
+
   test("cosine candidates+verify: precision 1 vs brute force; high-cos recall bounded") {
     import graft.ops.Similarity
     val emb = graft.sources.Tables.embeddings(spark, TinyDir)
