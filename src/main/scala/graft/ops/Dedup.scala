@@ -214,7 +214,11 @@ object Dedup {
       // region-per-batch layout (part=<name> dirs): appends become
       // OVERWRITE-idempotent region writes, so a crashed ingest replays
       // cleanly — same convention as the streaming batch_id= sinks
-      frozen.select("id", "nsh", "vset")
+      // profiles carry the prefix too (the serving lookup reads ONE row
+      // and probes postings by its grams) and sort by id so parquet
+      // row-group min/max prunes point reads
+      frozen.select("id", "nsh", "vset", "prefix")
+        .repartitionByRange(col("id")).sortWithinPartitions("id")
         .write.mode("overwrite").parquet(s"$path/profiles/part=base")
       frozen.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
         .repartition(col("sh"))
@@ -231,7 +235,8 @@ object Dedup {
       val root = liveRoot(spark, path)
       val frozen = freeze(batch, spark.read.parquet(s"$root/vocab"), n, threshold)
         .localCheckpoint(true)
-      frozen.select("id", "nsh", "vset")
+      frozen.select("id", "nsh", "vset", "prefix")
+        .repartitionByRange(col("id")).sortWithinPartitions("id")
         .write.mode("overwrite").parquet(s"$root/profiles/part=$region")
       frozen.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
         .write.mode("overwrite").parquet(s"$root/prefix/part=$region")
@@ -275,31 +280,42 @@ object Dedup {
         .select("id_a", "id_b", "n_common", "jaccard")
     }
 
-    /** SERVING point lookup: the near-dups of ONE already-indexed doc —
-      * read its profile row (pushed id filter), join its prefix postings,
-      * verify. Cost is the doc's posting fanout, never the corpus: the
-      * "show me this page's duplicates" endpoint. Empty if unindexed. */
+    /** SERVING point lookup: the near-dups of ONE already-indexed doc.
+      * Reads the doc's OWN profile row first (profiles are id-sorted, so
+      * the pushed equality prunes row groups), then probes the postings
+      * with a pushed `sh IN (its prefix grams)` filter — the plan touches
+      * the doc's posting fanout plus the candidates' profile rows, never
+      * the corpus. Empty if unindexed. The "show me this page's
+      * duplicates" endpoint over the same index the batch jobs maintain. */
     def lookup(spark: SparkSession, path: String, docId: Long,
                threshold: Double = 0.5): DataFrame = {
       val root = liveRoot(spark, path)
-      val mine = spark.read.parquet(s"$root/prefix")
-        .filter(col("id") === docId).select(col("nsh").as("na"), col("sh"))
+      val meRows = spark.read.parquet(s"$root/profiles")
+        .filter(col("id") === docId)
+        .select("nsh", "vset", "prefix").collect()
+      if (meRows.isEmpty)
+        return spark.emptyDataFrame
+          .withColumn("other_id", lit(0L))
+          .withColumn("n_common", lit(0L))
+          .withColumn("jaccard", lit(0.0))
+          .limit(0)
+      val me = meRows.head
+      val (myNsh, myVset, myPrefix) =
+        (me.getInt(0), me.getSeq[Long](1), me.getSeq[Long](2))
       val cand = spark.read.parquet(s"$root/prefix")
-        .join(mine, Seq("sh"))
+        .filter(col("sh").isin(myPrefix: _*)) // pushed IN filter
         .filter(col("id") =!= docId)
-        .filter(dbl(least(col("na"), col("nsh"))) >=
-          lit(threshold) * dbl(greatest(col("na"), col("nsh"))))
+        .filter(dbl(least(lit(myNsh), col("nsh"))) >=
+          lit(threshold) * dbl(greatest(lit(myNsh), col("nsh"))))
         .select(col("id").as("id_b")).distinct()
-      val sets = spark.read.parquet(s"$root/profiles").select("id", "nsh", "vset")
-      val me = sets.filter(col("id") === docId)
-        .select(col("vset").as("sa"), col("nsh").as("na"))
       cand
-        .join(sets.select(col("id").as("id_b"), col("vset").as("sb"), col("nsh").as("nb")), "id_b")
-        .crossJoin(broadcast(me))
+        .join(spark.read.parquet(s"$root/profiles")
+          .select(col("id").as("id_b"), col("vset").as("sb"), col("nsh").as("nb")), "id_b")
         .withColumn("n_common",
-          graft.functions.SetFunctions.intersectCountSorted(col("sa"), col("sb")))
+          graft.functions.SetFunctions.intersectCountSorted(
+            typedlit(myVset), col("sb")))
         .withColumn("jaccard",
-          round(dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")), 6))
+          round(dbl(col("n_common")) / dbl(lit(myNsh) + col("nb") - col("n_common")), 6))
         .filter(col("jaccard") >= threshold)
         .select(col("id_b").as("other_id"), col("n_common"), col("jaccard"))
         .orderBy(col("jaccard").desc, col("other_id"))
