@@ -280,6 +280,27 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** IMAGE dedup end-to-end: perceptual pairs → connected components →
+    * min-id survivor per cluster — [[imageNearDupPairs]] composed with
+    * the same component machinery the text family uses. Returns
+    * (doc_id, survivor_id, keep) for every DECODABLE image; corrupt
+    * payloads are excluded here (count them via [[imageSignatures]]'
+    * decoded flag — a corrupt payload has no pixels to match on). */
+  def imageDedupPick(binDf: DataFrame, idCol: String, binCol: String,
+                     maxDist: Int = 3): DataFrame = {
+    val sigs = imageSignatures(binDf, idCol, binCol)
+      .filter(col("decoded")).select(col("doc_id")).localCheckpoint(true)
+    val pairs = imageNearDupPairs(binDf, idCol, binCol, maxDist)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = graft.operators.GraphOps2.connectedComponents(pairs, 20)
+    sigs
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("survivor_id"),
+        (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val imageFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("byte_len", LongType, nullable = false),

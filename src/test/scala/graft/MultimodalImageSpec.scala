@@ -116,6 +116,24 @@ class MultimodalImageSpec extends SparkSpec {
     assert(sigs == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true, 5L -> false))
   }
 
+  test("image dedup end-to-end: variants collapse to one survivor, corrupt rows excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, splitPng(64, 64, 40, 200)),
+      (2L, splitPng(32, 16, 40, 200)),   // resized copy -> cluster of 1
+      (3L, splitPng(64, 64, 70, 230)),   // brightened copy -> cluster of 1
+      (4L, splitPng(64, 64, 200, 40)),   // different scene -> own survivor
+      (5L, "junk".getBytes("UTF-8")))    // corrupt -> excluded
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imageDedupPick(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false)) && got(3L) == ((1L, false)),
+      s"variants must map to survivor 1: $got")
+    assert(got(4L) == ((4L, true)))
+  }
+
   test("frame sampling + batched inference run unchanged over real PNG payloads") {
     import spark.implicits._
     val df = (1L to 9L).map(i => (i, solidPng(8 + i.toInt, 8, 0x336699)))
