@@ -250,10 +250,11 @@ object PipelineOps2 {
     val toks = T.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .filter(size(col("l")) >= 8)
+    // native codegen gram hasher (expr_ngram_hashes): bit-identical to
+    // the interpreted transform+xxhash64 lambda, no gram strings built
     val g = toks
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("l")) - 7),
-        i => xxhash64(array_join(slice(col("l"), i, lit(8)), " ")))).as("gh"))
+      .select(col("doc_id"),
+        explode(graft.functions.NgramHashes(array_join(col("l"), " "), 8)).as("gh"))
       .distinct()
     val a = g.select(col("doc_id").as("id_a"), col("gh"))
     val b = g.select(col("doc_id").as("id_b"), col("gh"))
@@ -304,9 +305,8 @@ object PipelineOps2 {
     val toks = T.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .filter(size(col("l")) >= 8)
-    val g = toks.select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), size(col("l")) - 7),
-        i => xxhash64(array_join(slice(col("l"), i, lit(8)), " ")))).as(Seq("p0", "gh")))
+    val g = toks.select(col("doc_id"), posexplode(
+        graft.functions.NgramHashes(array_join(col("l"), " "), 8)).as(Seq("p0", "gh")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
     val p = g.select(col("doc_id").as("id_a"), col("pos"), col("gh"))
       .join(g.select(col("doc_id").as("id_b"), col("gh")), "gh")
@@ -503,9 +503,8 @@ object PipelineOps2 {
     val toks = T.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
     val g = toks.filter(size(col("l")) >= 8)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), size(col("l")) - 7),
-        i => xxhash64(array_join(slice(col("l"), i, lit(8)), " ")))).as(Seq("p0", "gh")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.NgramHashes(array_join(col("l"), " "), 8)).as(Seq("p0", "gh")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
     val firstDoc = g.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
     val hit = g.join(firstDoc, "gh")
@@ -582,9 +581,8 @@ object PipelineOps2 {
       .select(col("doc_id"), split(col("text"), " ").as("l"))
     def gramHashes(t: DataFrame): DataFrame = t
       .filter(size(col("l")) >= 8)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), size(col("l")) - 7),
-        i => xxhash64(array_join(slice(col("l"), i, lit(8)), " ")))).as(Seq("p0", "gh")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.NgramHashes(array_join(col("l"), " "), 8)).as(Seq("p0", "gh")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
     def dupPositions(g: DataFrame): DataFrame = g
       .join(g.groupBy("gh").agg(min(col("doc_id")).as("first_doc")), "gh")
