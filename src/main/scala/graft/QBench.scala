@@ -2,8 +2,8 @@ package graft
 
 /** Dev utility: warmed per-query timing for a list of queries.
   * Usage: runMain graft.QBench <sfDir> <query...>  (each query runs
-  * twice; the second, warmed time is the one to compare — see
-  * .claude/skills/verify/SKILL.md on host-contention noise). */
+  * twice; the second, warmed time is the one to compare — cold runs on a
+  * shared host carry JIT + page-cache + contention noise). */
 object QBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head

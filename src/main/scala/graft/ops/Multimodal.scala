@@ -162,13 +162,18 @@ object Multimodal {
   object ImageCodec {
     /** (width, height, mean luminance 0-255) of a decodable image.
       * Corrupt payloads flag as None rather than killing the task — that
-      * covers BOTH failure shapes: unrecognized bytes (ImageIO returns
-      * null) and a recognized-but-damaged image (valid signature,
-      * truncated body — the reader THROWS IIOException mid-decode). */
+      * covers ALL failure shapes: unrecognized bytes (ImageIO returns
+      * null), a recognized-but-damaged image (valid signature, truncated
+      * body — the reader THROWS IIOException mid-decode), and malformed
+      * payloads that make a plugin reader throw a RUNTIME exception
+      * (ArrayIndexOutOfBounds / NegativeArraySize / CMMException are all
+      * observed ImageIO failure modes) — hence NonFatal, not just
+      * IOException: "flagged, never fatal" has to hold for every
+      * reachable throw. */
     def decode(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         var sum = 0.0
@@ -196,11 +201,12 @@ object Multimodal {
     }
 
     /** Real resize: decode, repaint at (w, h), re-encode PNG. Corrupt
-      * payloads (incl. truncated-body IIOExceptions) drop as None. */
+      * payloads (incl. truncated-body IIOExceptions and plugin-reader
+      * RuntimeExceptions — see [[decode]]) drop as None. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
       val src =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (src == null) None
       else {
         val dst = new java.awt.image.BufferedImage(
@@ -234,50 +240,133 @@ object Multimodal {
       h
     }
 
-  /** Per-image perceptual signatures: (doc_id, ahash, decoded) — corrupt
-    * payloads flagged, never dropped. mapPartitions so a real codec
-    * amortizes init per partition. */
+  /** 64-bit DIFFERENCE-HASH perceptual signature (dHash): decode, repaint
+    * to a 9×8 grayscale grid, bit (y*8+x) = luma(x,y) < luma(x+1,y) — the
+    * horizontal-GRADIENT fingerprint. Complements [[aHash]]: a crop or a
+    * small rotation shifts every pixel against the global mean (aHash
+    * bits churn) but mostly preserves local left-to-right gradients, so
+    * dHash survives edits aHash misses — and vice versa for global
+    * re-lighting. None for undecodable payloads. */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    ImageCodec.resize(bytes, 9, 8).map { png =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      def luma(x: Int, y: Int): Double = {
+        val rgb = img.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(x, y) < luma(x + 1, y)) h |= (1L << (y * 8 + x))
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
+  /** How far from flat the 8×8 luma grid must span for its hashes to
+    * carry signal; below this every bit is noise around the mean. */
+  private val FlatLumaRange = 8.0
+
+  /** Per-image perceptual signatures: (doc_id, ahash, dhash, mean_luma,
+    * flat, decoded) — corrupt payloads flagged, never dropped. `flat` is
+    * the degenerate-signature guard: a near-uniform image (solid color,
+    * blank page) hashes to all-zero bits under BOTH aHash (no pixel above
+    * the mean) and dHash (no gradients), so hash distance alone would
+    * collapse every flat image into one cluster; `mean_luma` is the cheap
+    * secondary signal that still separates them ([[imageNearDupPairs]]).
+    * mapPartitions so a real codec amortizes init per partition. */
   def imageSignatures(binDf: DataFrame, idCol: String, binCol: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("ahash", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false),
+      StructField("flat", BooleanType, nullable = false),
       StructField("decoded", BooleanType, nullable = false)))
     val enc = RowEncoder.encoderFor(schema)
     binDf.select(col(idCol).cast("long"), col(binCol))
       .mapPartitions { it =>
         it.map { r =>
-          aHash(r.getAs[Array[Byte]](1)) match {
-            case Some(h) => Row(r.getLong(0), h, true)
-            case None => Row(r.getLong(0), 0L, false)
+          val bytes = r.getAs[Array[Byte]](1)
+          ImageCodec.resize(bytes, 8, 8) match {
+            case None => Row(r.getLong(0), 0L, 0L, 0.0, false, false)
+            case Some(png) =>
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+              val luma = new Array[Double](64)
+              var i = 0
+              while (i < 64) {
+                val rgb = img.getRGB(i % 8, i / 8)
+                luma(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                  0.114 * (rgb & 0xff)
+                i += 1
+              }
+              val mean = luma.sum / 64
+              var ah = 0L
+              i = 0
+              while (i < 64) { if (luma(i) > mean) ah |= (1L << i); i += 1 }
+              val flat = (luma.max - luma.min) < FlatLumaRange
+              // dHash re-decodes at 9×8 — the gradient grid needs the
+              // extra column; the payload is already hot in page cache
+              val dh = dHash(bytes).getOrElse(0L)
+              Row(r.getLong(0), ah, dh, mean, flat, true)
           }
         }
       }(enc)
   }
 
-  /** IMAGE near-dup pairs at hamming <= maxDist over the aHash — the
-    * pixel-domain leg of the dedup family, on the exact machinery
-    * q_dedup_simhash uses for text: 16-bit band buckets as candidate
-    * keys (PIGEONHOLE-LOSSLESS for maxDist <= 3: a pair differing in
-    * <= 3 bits leaves at least one of the 4 bands identical), verified
-    * with the codegen bit_count(xor). The only shuffle is the band
+  /** IMAGE near-dup pairs at hamming <= maxDist over EITHER perceptual
+    * hash — the pixel-domain leg of the dedup family, on the exact
+    * machinery q_dedup_simhash uses for text: 16-bit band buckets as
+    * candidate keys (PIGEONHOLE-LOSSLESS per hash for maxDist <= 3: a
+    * pair differing in <= 3 bits of a hash leaves at least one of that
+    * hash's 4 bands identical), verified with the codegen
+    * bit_count(xor). A pair qualifies when its aHash OR its dHash is
+    * within maxDist — aHash catches re-encodes/resizes/brightness
+    * shifts, dHash catches crops and small rotations whose global-mean
+    * churn defeats aHash; each hash's own banding stays lossless for
+    * its qualifying pairs, so the union misses nothing either leg
+    * claims. Flat-image guard: near-uniform images hash to all-zero
+    * bits under both hashes, so a candidate pair of two FLAT images
+    * must also agree on mean luma — solid black and solid white stop
+    * collapsing into one cluster. The only shuffle is the band
     * equi-join — no image pair is ever compared that shares no band. */
   def imageNearDupPairs(binDf: DataFrame, idCol: String, binCol: String,
                         maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4x16-bit banding is only lossless for hamming <= 3")
     val sig = imageSignatures(binDf, idCol, binCol)
-      .filter(col("decoded")).select(col("doc_id").as("id"), col("ahash"))
-    val banded = sig.select(col("id"), col("ahash"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band"),
-            shiftright(col("ahash"), 16 * j).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x"))
-      .select(col("id"), col("ahash"), col("x.band").as("band"), col("x.bval").as("bval"))
-    val a = banded.select(col("band"), col("bval"), col("id").as("id_a"), col("ahash").as("ha"))
-    val b = banded.select(col("band"), col("bval"), col("id").as("id_b"), col("ahash").as("hb"))
+      .filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("ahash"), col("dhash"),
+        col("mean_luma"), col("flat"))
+    // band space: hash index (0=aHash, 1=dHash) × 4 16-bit slices
+    val banded = sig.select(col("id"), col("ahash"), col("dhash"),
+        col("mean_luma"), col("flat"),
+        explode(array((for (h <- 0 until 2; j <- 0 until 4) yield
+          struct(lit(h * 4 + j).as("band"),
+            shiftright(if (h == 0) col("ahash") else col("dhash"), 16 * j)
+              .bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x"))
+      .select(col("id"), col("ahash"), col("dhash"), col("mean_luma"),
+        col("flat"), col("x.band").as("band"), col("x.bval").as("bval"))
+    val a = banded.select(col("band"), col("bval"), col("id").as("id_a"),
+      col("ahash").as("aa"), col("dhash").as("da"),
+      col("mean_luma").as("la"), col("flat").as("fa"))
+    val b = banded.select(col("band"), col("bval"), col("id").as("id_b"),
+      col("ahash").as("ab"), col("dhash").as("db"),
+      col("mean_luma").as("lb"), col("flat").as("fb"))
     a.join(b, Seq("band", "bval")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+        bit_count(col("aa").bitwiseXOR(col("ab"))).cast("long").as("hamming"),
+        bit_count(col("da").bitwiseXOR(col("db"))).cast("long").as("hamming_d"),
+        abs(col("la") - col("lb")).as("luma_delta"),
+        (col("fa") && col("fb")).as("both_flat"))
       .distinct()
-      .filter(col("hamming") <= maxDist)
+      .filter(least(col("hamming"), col("hamming_d")) <= maxDist)
+      .filter(!col("both_flat") || col("luma_delta") < lit(FlatLumaRange))
+      .select("id_a", "id_b", "hamming", "hamming_d", "luma_delta")
   }
 
   /** IMAGE dedup end-to-end: perceptual pairs → connected components →

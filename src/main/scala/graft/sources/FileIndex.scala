@@ -108,13 +108,20 @@ object FileIndex {
     * contain `value`. Returns (matched rows, files scanned) so callers
     * and specs can observe the skipping. Candidate paths resolve by
     * BASENAME against the live listing, so the sidecar survives
-    * directory moves/renames (compactSwap builds it under `_next`). */
+    * directory moves/renames (compactSwap builds it under `_next`); the
+    * listing itself resolves through [[AtomicSwap.live]] so a reader
+    * landing between a swap's two renames (dir momentarily at `_prev`)
+    * still sees one complete snapshot — same contract as
+    * [[SidecarLayout.readData]]. */
   def pointLookup(spark: SparkSession, path: String, keyCol: String,
                   value: Long): (DataFrame, Seq[String]) = {
-    val live = SidecarLayout.dataFiles(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDir = AtomicSwap.live(fs, p).map(_.toString).getOrElse(path)
+    val live = SidecarLayout.dataFiles(spark, liveDir)
       .map(st => st.getPath.getName -> st.getPath.toString).toMap
     val candidates = spark.read
-      .parquet(SidecarLayout.sidecarDir(spark, path, "_bloom_index"))
+      .parquet(SidecarLayout.sidecarDir(spark, liveDir, "_bloom_index"))
       .collect() // sidecar = one row per data file
       .filter { r =>
         BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))

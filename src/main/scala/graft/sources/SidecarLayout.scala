@@ -123,9 +123,12 @@ object SidecarLayout {
     * indexed write that bootstrapped the dir, so the new flat region
     * carries a fresh minimal sidecar), copy kept batch dirs in, then
     * [[AtomicSwap.commit]] — a reader at every crash point resolves one
-    * complete snapshot; re-runs converge. Callers then run their sidecar
-    * `refresh` fns (kept-batch files get statted O(delta); vanished
-    * expired files were never in the rebuilt sidecar). Returns the
+    * complete snapshot; re-runs converge. The sidecar `refresh` fns run
+    * against the STAGED `next` directory BEFORE the commit (kept-batch
+    * files get statted O(delta) into the staged sidecar; vanished
+    * expired files were never in the rebuilt one) — so the swap is
+    * atomic for sidecar-served reads too: at no instant does a resolved
+    * snapshot carry a sidecar that misses kept-batch rows. Returns the
     * number of batch dirs expired. */
   def vacuumBatches(spark: SparkSession, path: String, keepLast: Int,
                     rebuild: (DataFrame, String) => Unit,
@@ -166,8 +169,13 @@ object SidecarLayout {
         spark.sparkContext.hadoopConfiguration),
         s"vacuum: copy of kept batch $b failed")
     }
+    // refresh the staged sidecar BEFORE the commit: the rebuilt sidecar
+    // covers only folded rows; statting the kept-batch copies here means
+    // the snapshot that lands is sidecar-complete at the commit instant
+    // (and at every crash point — the reader resolves either the old
+    // complete snapshot or this one)
+    refresh.foreach(f => f(spark, next.toString): Unit)
     AtomicSwap.commit(fs, cur, crashAfter = crashAfter)
-    refresh.foreach(f => f(spark, path): Unit)
     expire.length
   }
 }

@@ -139,8 +139,14 @@ object ZoneIndex {
     // a non-numeric column (e.g. a string) has NULL zmin/zmax (the
     // double cast) but a perfectly valid KMV sketch — its zone rows must
     // CONTRIBUTE, not vanish through a three-valued range comparison:
-    // range-prune only zones that provably cannot intersect [lo, hi]
-    val rows = spark.read.parquet(SidecarLayout.sidecarDir(spark, path, "_zone_index"))
+    // range-prune only zones that provably cannot intersect [lo, hi].
+    // The data dir resolves through AtomicSwap.live first (a swap may
+    // hold the only complete snapshot at `_prev` mid-rename), then the
+    // sidecar resolves within it.
+    val zp = new org.apache.hadoop.fs.Path(path)
+    val zfs = zp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zLive = AtomicSwap.live(zfs, zp).map(_.toString).getOrElse(path)
+    val rows = spark.read.parquet(SidecarLayout.sidecarDir(spark, zLive, "_zone_index"))
       .filter(col("col") === colName)
       .filter(col("nulls") < col("cnt"))
       .filter((col("zmax").isNull || col("zmax") >= lo) &&
@@ -157,12 +163,19 @@ object ZoneIndex {
   /** Files whose [zmin, zmax] zone for `colName` may intersect [lo, hi].
     * All-null zones never match a range predicate and are skipped.
     * Paths resolve by BASENAME against the live listing so the sidecar
-    * survives directory moves/renames (compactSwap builds under `_next`). */
+    * survives directory moves/renames (compactSwap builds under `_next`).
+    * The listing itself resolves through [[AtomicSwap.live]] — a reader
+    * landing between a swap's two renames (dir momentarily at `_prev`)
+    * still sees one complete snapshot, same contract as
+    * [[SidecarLayout.readData]]. */
   def candidateFiles(spark: SparkSession, path: String, colName: String,
                      lo: Double, hi: Double): Seq[String] = {
-    val live = SidecarLayout.dataFiles(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDir = AtomicSwap.live(fs, p).map(_.toString).getOrElse(path)
+    val live = SidecarLayout.dataFiles(spark, liveDir)
       .map(st => st.getPath.getName -> st.getPath.toString).toMap
-    spark.read.parquet(SidecarLayout.sidecarDir(spark, path, "_zone_index"))
+    spark.read.parquet(SidecarLayout.sidecarDir(spark, liveDir, "_zone_index"))
       .filter(col("col") === colName)
       .filter(col("nulls") < col("cnt"))
       .filter(col("zmax") >= lo && col("zmin") <= hi)

@@ -112,8 +112,61 @@ class MultimodalImageSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "corrupt payload paired")
     // the signature itself: decodable images flagged true, junk false
     val sigs = Multimodal.imageSignatures(df, "doc_id", "payload")
-      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("decoded")).toMap
     assert(sigs == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true, 5L -> false))
+  }
+
+  /** Nonlinear horizontal gradient over [x0, x1) of the source ramp:
+    * luma(x) = (t²)·255 for t linear in [x0, x1]. A CROP of the ramp is
+    * the same function over a sub-interval — still monotone, so dHash
+    * (adjacent-column gradients) is crop-INVARIANT, while aHash's
+    * above-global-mean threshold crossing shifts with the cropped value
+    * distribution and its bits churn. */
+  private def rampPng(w: Int, h: Int, t0: Double, t1: Double): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val t = t0 + (t1 - t0) * x / math.max(w - 1, 1)
+      val v = math.min(255, (t * t * 255).toInt)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    Multimodal.ImageCodec.encodePng(img)
+  }
+
+  test("dHash catches a crop that aHash misses (either-hash pairing)") {
+    import spark.implicits._
+    val full = rampPng(64, 64, 0.0, 1.0)
+    val cropped = rampPng(40, 64, 0.375, 1.0) // right 62.5% of the ramp
+    val df = Seq((1L, full), (2L, cropped)).toDF("doc_id", "payload")
+    val sig = Multimodal.imageSignatures(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("ahash"), r.getAs[Long]("dhash"))).toMap
+    val aDist = java.lang.Long.bitCount(sig(1L)._1 ^ sig(2L)._1)
+    val dDist = java.lang.Long.bitCount(sig(1L)._2 ^ sig(2L)._2)
+    assert(aDist > 3, s"crop should defeat aHash in this construction (got $aDist)")
+    assert(dDist <= 3, s"monotone ramp's gradients must survive the crop (got $dDist)")
+    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"either-hash banding must surface the crop: $pairs")
+  }
+
+  test("flat-image guard: distinct solid colors stay apart, identical solids still pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, solidPng(16, 16, 0x000000)),  // solid black
+      (2L, solidPng(16, 16, 0xffffff)),  // solid white — both hash to 0L
+      (3L, solidPng(8, 8, 0x010101)))    // black re-encoded at another size
+      .toDF("doc_id", "payload")
+    val sigs = Multimodal.imageSignatures(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("ahash"), r.getAs[Long]("dhash"), r.getAs[Boolean]("flat"))).toMap
+    assert(sigs.values.forall(_._3), s"solid images must flag flat: $sigs")
+    assert(sigs(1L)._1 == sigs(2L)._1 && sigs(1L)._2 == sigs(2L)._2,
+      "black and white hash identically — exactly why the guard exists")
+    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((1L, 2L)), s"black/white must NOT pair on zero hashes: $pairs")
+    assert(pairs.contains((1L, 3L)), s"same-color solids are true near-dups: $pairs")
   }
 
   test("image dedup end-to-end: variants collapse to one survivor, corrupt rows excluded") {

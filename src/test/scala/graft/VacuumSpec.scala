@@ -81,10 +81,20 @@ class VacuumSpec extends SparkSpec {
       val before = fullRead(dir)
       intercept[AtomicSwap.CrashPoint] {
         SidecarLayout.vacuumBatches(spark, dir, keepLast = 1, rebuild,
+          refresh = Seq(ZoneIndex.refreshIncremental(_, _)),
           crashAfter = crashAt)
       }
       // reader mid-crash resolves one complete snapshot
       assert(fullRead(dir) == before, s"torn read at crash point $crashAt")
+      // ...and a complete SIDECAR with it: the refresh runs against the
+      // staged dir BEFORE the commit, so whichever snapshot the reader
+      // resolves (old at points 1-2, new at 3-4), its sidecar already
+      // covers every row — including the kept batch — with no healing
+      // re-run in between (review r9: the old post-commit refresh left
+      // exactly this window lossy)
+      val (midRows, _) = ZoneIndex.rangeLookup(spark, dir, "k", 401.0, 450.0)
+      assert(midRows.count() == 50L,
+        s"kept-batch rows missing from sidecar lookups MID-crash at point $crashAt")
       // plain re-run converges (vacuums or finishes cleanup)
       SidecarLayout.vacuumBatches(spark, dir, keepLast = 1, rebuild,
         refresh = Seq(ZoneIndex.refreshIncremental(_, _)))
