@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pushed big-IN parquet filters (NearDupIndex point reads) evaluate as
+  // a left-nested OR chain — recursion depth = id count, and the 10k cap
+  // overflows the default 512k task-thread stack (local mode: executor
+  // threads live in this JVM; on a cluster the same knob is
+  // spark.executor.extraJavaOptions — see GraftSession.clusterConf)
+  "-Xss16m",
 )

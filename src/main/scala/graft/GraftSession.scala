@@ -26,6 +26,13 @@ object GraftSession {
       // filter built from the selective side into the big side's scan —
       // at 100 TB this skips whole row groups before the shuffle
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // point-read patterns (NearDupIndex.query's candidate-id verify,
+      // lookup's gram probes) push BIG id lists into id-clustered parquet:
+      // above this threshold Spark degrades an In to a min/max range
+      // filter, which is useless for scattered ids — raise it so the
+      // pushed predicate keeps per-file/row-group skipping up to the
+      // collect caps those operators enforce
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
       .config("spark.sql.debug.maxToStringFields", "200")
       // iterative operators localCheckpoint each round; the blocks are
       // freed by the ContextCleaner only after a driver GC notices the
@@ -75,6 +82,10 @@ object GraftSession {
     "spark.sql.files.maxPartitionBytes" -> (256L << 20).toString,
     "spark.speculation" -> "true",
     "spark.speculation.multiplier" -> "3",
+    // pushed big-IN parquet filters (the NearDupIndex candidate-id verify
+    // read) evaluate as an id-count-deep OR chain in parquet-mr — give
+    // task threads stack for the 10k-id cap those operators enforce
+    "spark.executor.extraJavaOptions" -> "-Xss16m",
     "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
     "spark.checkpoint.dir" -> checkpointDir,
     // cost-based optimization: catalog tables ANALYZEd after each load

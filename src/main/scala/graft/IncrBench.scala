@@ -60,6 +60,17 @@ object IncrBench {
     timed("base_index_build") {
       Dedup.NearDupIndex.build(base, idx)
     }
+    // index footprint on disk, for reading the scan numbers below in
+    // context: the O(delta) claim is "incremental reads ∝ batch", and
+    // these are the corpus-sized denominators
+    locally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def mb(d: String) = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$idx/$d")).getLength / 1024.0 / 1024.0
+      println(f"INCRBENCH index_bytes profiles=${mb("profiles")}%.1f MB " +
+        f"prefix=${mb("prefix")}%.1f MB vocab=${mb("vocab")}%.1f MB")
+    }
     val c0 = timed("base_labeling") {
       GraphOps2.connectedComponents(Dedup.nearDupEdges(base), 20)
         .localCheckpoint(true)
@@ -68,6 +79,18 @@ object IncrBench {
     // gram order — no corpus rescan) + supernode fold-in
     timed("incremental_stage") {
       val newPairs = Dedup.NearDupIndex.query(spark, idx, docs.filter(isBatch))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      GraphOps2.incrementalComponents(c0, newPairs).count()
+    }
+    // the ~1% daily batch — the size the O(delta) claim is ABOUT: the
+    // pair query's reads must track the batch (candidate-id pushdown on
+    // profiles + shb partition pruning on postings), and the fold-in
+    // must track the new pairs. Compare this phase's read= MB against
+    // index_bytes above and against the 20% phase: scan ∝ batch, with a
+    // small fixed floor (vocab + touched postings buckets).
+    val is1pct = col("doc_id") % 100 === 0 // subset of the 20% batch: new vs base
+    timed("incremental_stage_1pct") {
+      val newPairs = Dedup.NearDupIndex.query(spark, idx, docs.filter(is1pct))
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       GraphOps2.incrementalComponents(c0, newPairs).count()
     }

@@ -96,7 +96,14 @@ object Dedup {
 
   /** Exact-Jaccard verification of a normalized (id_a < id_b) candidate
     * list against the profile table: |A∩B| via the codegen sorted-merge
-    * intersect, emit pairs at >= threshold. */
+    * intersect, emit pairs at >= threshold. The threshold compares the
+    * UNROUNDED ratio (rounding is display-only): the prefix filter's
+    * completeness theorem guarantees a shared prefix gram only for exact
+    * J >= t — a pair with J in [t-5e-7, t) that ROUNDS to t would be
+    * emitted by a round-then-compare filter whenever it happened to share
+    * a prefix gram, yet legitimately dropped when it didn't, a silent
+    * threshold-semantics divergence (review r9). The oracle SQL filters
+    * the same unrounded ratio. */
   private def verifyJaccard(cand: DataFrame, profiles: DataFrame,
                             threshold: Double): DataFrame = {
     val sets = profiles.select(col("id"), col("vset"), col("nsh"))
@@ -105,9 +112,9 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("vset").as("sb"), col("nsh").as("nb")), "id_b")
       .withColumn("n_common",
         graft.functions.SetFunctions.intersectCountSorted(col("sa"), col("sb")))
-      .withColumn("jaccard",
-        round(dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")), 6))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("__j", dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")))
+      .filter(col("__j") >= threshold)
+      .withColumn("jaccard", round(col("__j"), 6))
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
@@ -203,8 +210,17 @@ object Dedup {
         .withColumn("vset", sort_array(col("set")))
     }
 
+    /** Directory-partition fanout of the postings layout: every posting
+      * row lands under `shb=pmod(sh, PostingBuckets)` — the bucketed-by-
+      * gram layout. Two scale effects: (a) a query's candidate join
+      * prunes to the batch's touched buckets before any row is read
+      * (tiny batches and point lookups touch a handful of dirs), and
+      * (b) within a bucket rows sort by `sh`, so row-group min/max
+      * carries the pruning below directory granularity. */
+    val PostingBuckets = 64
+
     def build(docs: DataFrame, path: String, n: Int = 3,
-              threshold: Double = 0.5): Unit = {
+              threshold: Double = 0.5, profileFiles: Int = 32): Unit = {
       val sh = wordShingleHashes(docs, "doc_id", "text", n)
       val vocab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       vocab.write.mode("overwrite").parquet(s"$path/vocab")
@@ -213,47 +229,81 @@ object Dedup {
         .localCheckpoint(true)
       // region-per-batch layout (part=<name> dirs): appends become
       // OVERWRITE-idempotent region writes, so a crashed ingest replays
-      // cleanly — same convention as the streaming batch_id= sinks
-      // profiles carry the prefix too (the serving lookup reads ONE row
-      // and probes postings by its grams) and sort by id so parquet
-      // row-group min/max prunes point reads
+      // cleanly — same convention as the streaming batch_id= sinks.
+      // Profiles carry the prefix too (the serving lookup reads ONE row
+      // and probes postings by its grams) and range-cluster + sort by id
+      // so a pushed id filter prunes to the candidate rows' files/row
+      // groups — the O(candidates) verify read (query() pushes one).
       frozen.select("id", "nsh", "vset", "prefix")
-        .repartitionByRange(col("id")).sortWithinPartitions("id")
+        .repartitionByRange(profileFiles, col("id")).sortWithinPartitions("id")
         .write.mode("overwrite").parquet(s"$path/profiles/part=base")
+      writePostings(frozen, s"$path/prefix/part=base")
+    }
+
+    private def writePostings(frozen: DataFrame, dir: String): Unit =
       frozen.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
-        .repartition(col("sh"))
-        .write.mode("overwrite").parquet(s"$path/prefix/part=base")
+        .withColumn("shb", pmod(col("sh"), lit(PostingBuckets.toLong)))
+        .repartition(col("shb"))
+        .sortWithinPartitions("sh")
+        .write.mode("overwrite").partitionBy("shb").parquet(dir)
+
+    /** Next free auto-numbered append region (`delta<N>`), derived from
+      * the `part=` dirs already on disk — so two successive [[append]]s
+      * with the default region land in DISTINCT dirs instead of silently
+      * overwriting each other (review r9: the old fixed "delta" default
+      * made the second append erase the first's profiles and postings,
+      * and query() then missed true pairs with no error). */
+    private def nextRegion(spark: SparkSession, root: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/profiles")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val taken = fs.listStatus(p).toIndexedSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("part=")).map(_.stripPrefix("part="))
+      val used = taken.collect {
+        case r if r == "delta" => 0L // legacy fixed-name region
+        case r if r.startsWith("delta") && r.drop(5).forall(_.isDigit) =>
+          r.drop(5).toLong
+      }
+      s"delta${if (used.isEmpty) 1L else used.max + 1L}"
     }
 
     /** Append a batch to the index under the FROZEN ordering (profiles
       * are immutable, so this is two O(delta) region writes). `region`
-      * names the batch's dir — re-running the same region OVERWRITES it,
-      * making crashed-ingest replays idempotent. */
+      * names the batch's dir: pass an explicit stable id (e.g. the
+      * micro-batch id — [[DedupService]] does) to make crashed-ingest
+      * replays overwrite-idempotent; the default auto-numbers from the
+      * dirs on disk, so ad-hoc successive appends never clobber each
+      * other. */
     def append(spark: SparkSession, path: String, batch: DataFrame,
                n: Int = 3, threshold: Double = 0.5,
-               region: String = "delta"): Unit = {
+               region: String = ""): Unit = {
       val root = liveRoot(spark, path)
+      val reg = if (region.nonEmpty) region else nextRegion(spark, root)
       val frozen = freeze(batch, spark.read.parquet(s"$root/vocab"), n, threshold)
         .localCheckpoint(true)
       frozen.select("id", "nsh", "vset", "prefix")
         .repartitionByRange(col("id")).sortWithinPartitions("id")
-        .write.mode("overwrite").parquet(s"$root/profiles/part=$region")
-      frozen.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
-        .write.mode("overwrite").parquet(s"$root/prefix/part=$region")
+        .write.mode("overwrite").parquet(s"$root/profiles/part=$reg")
+      writePostings(frozen, s"$root/prefix/part=$reg")
     }
 
-    /** Exact Jaccard >= threshold pairs with at least one endpoint in
-      * `batch`, against everything indexed so far plus the batch itself.
-      * Identical output to [[jaccardPairsPrefixAgainst]] over
-      * indexed ∪ batch (spec-pinned) at O(delta + touched postings). */
-    def query(spark: SparkSession, path: String, batch: DataFrame,
-              n: Int = 3, threshold: Double = 0.5): DataFrame = {
-      val root = liveRoot(spark, path)
-      val bprof = freeze(batch, spark.read.parquet(s"$root/vocab"), n, threshold)
-        .localCheckpoint(true)
+    /** The LAZY candidate stage of [[query]] (exposed so plans are
+      * inspectable — NearDupIndexScaleSpec pins the partition pruning
+      * and broadcast): batch prefix grams, BROADCAST, equi-joined on
+      * `sh` against the postings read pruned to the batch's touched
+      * `shb=` buckets — the postings table neither shuffles nor reads
+      * untouched buckets. */
+    def candidateStage(spark: SparkSession, root: String, bprof: DataFrame,
+                       threshold: Double): DataFrame = {
       val bpref = bprof.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
-      val ipref = spark.read.parquet(s"$root/prefix").select("id", "nsh", "sh")
-      val cand = bpref.select(col("id").as("id_a"), col("nsh").as("na"), col("sh"))
+        .localCheckpoint(true) // read 3x below (shb set, both join sides); batch-sized
+      val shbs = bpref.select(pmod(col("sh"), lit(PostingBuckets.toLong)).as("shb"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val ipref = spark.read.parquet(s"$root/prefix")
+        .filter(col("shb").isin(shbs: _*)) // partition pruning: touched buckets only
+        .select("id", "nsh", "sh")
+      broadcast(
+          bpref.select(col("id").as("id_a"), col("nsh").as("na"), col("sh")))
         .join(ipref.unionByName(bpref).select(
           col("id").as("id_b"), col("nsh").as("nb"), col("sh")), Seq("sh"))
         .filter(col("id_a") =!= col("id_b"))
@@ -262,22 +312,70 @@ object Dedup {
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
         .distinct()
+    }
+
+    /** The frozen-order profile of a batch against the live index vocab
+      * — the input [[candidateStage]] expects (exposed for the same
+      * plan-inspection reason). */
+    def batchProfile(spark: SparkSession, path: String, batch: DataFrame,
+                     n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      val root = liveRoot(spark, path)
+      freeze(batch, spark.read.parquet(s"$root/vocab"), n, threshold)
+    }
+
+    /** Exact Jaccard >= threshold pairs with at least one endpoint in
+      * `batch`, against everything indexed so far plus the batch itself.
+      * Identical output to [[jaccardPairsPrefixAgainst]] over
+      * indexed ∪ batch (spec-pinned) at O(delta) in BOTH join work and
+      * scan bytes:
+      *
+      *  - the candidate join BROADCASTS the batch prefix, so the
+      *    postings side never shuffles, and reads only the `shb=`
+      *    buckets the batch's grams touch (partition pruning over the
+      *    bucketed layout);
+      *  - the verify join reads the corpus-sized `profiles` table (the
+      *    heavy side — every doc's full gram set) through a PUSHED
+      *    `id IN (candidate ids)` filter over the id-clustered layout:
+      *    candidate count follows the batch, so file/row-group min-max
+      *    skipping makes the heavy read O(candidates), not O(corpus).
+      *    The id list is collected driver-side (it is candidate-sized —
+      *    the same bound the join output already has); above
+      *    `maxPushIds` the filter is skipped and the plain hash join
+      *    carries the query (correct either way, scan-optimal only
+      *    below the cap). NearDupIndexScaleSpec asserts the pushed
+      *    filter in the executed plan; IncrBench measures the bytes. */
+    def query(spark: SparkSession, path: String, batch: DataFrame,
+              n: Int = 3, threshold: Double = 0.5,
+              maxPushIds: Int = 10000): DataFrame = {
+      val root = liveRoot(spark, path)
+      val bprof = freeze(batch, spark.read.parquet(s"$root/vocab"), n, threshold)
+        .localCheckpoint(true)
+      val candAll = candidateStage(spark, root, bprof, threshold)
+      // candidate-count gate via take(cap+1): one execution either way.
+      // Below the cap the pairs become a LOCAL relation (they are about
+      // to be collected for the id pushdown anyway) — no re-execution,
+      // no checkpoint re-reads; above it, checkpoint for the two verify
+      // consumers and keep the plain full-profile hash join.
+      val head = candAll.take(maxPushIds + 1)
+      val (cand, candIds) =
+        if (head.length > maxPushIds) (candAll.localCheckpoint(true), None)
+        else {
+          import spark.implicits._
+          val pairs = head.map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+          (pairs.toDF("id_a", "id_b"),
+            Some(pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted.toArray))
+        }
+      val indexed0 = spark.read.parquet(s"$root/profiles")
+        .select("id", "nsh", "vset") // drop the part= region column
+      val indexed = candIds.fold(indexed0)(ids =>
+        indexed0.filter(col("id").isin(ids: _*)))
       // dropDuplicates: a batch already folded in by [[append]] would
       // otherwise appear on both sides and multiply the verify join
-      val sets = spark.read.parquet(s"$root/profiles")
-        .select("id", "nsh", "vset") // drop the part= region column
+      val sets = indexed
         .unionByName(bprof.select("id", "nsh", "vset"))
         .dropDuplicates("id")
         .select("id", "vset", "nsh")
-      cand
-        .join(sets.select(col("id").as("id_a"), col("vset").as("sa"), col("nsh").as("na")), "id_a")
-        .join(sets.select(col("id").as("id_b"), col("vset").as("sb"), col("nsh").as("nb")), "id_b")
-        .withColumn("n_common",
-          graft.functions.SetFunctions.intersectCountSorted(col("sa"), col("sb")))
-        .withColumn("jaccard",
-          round(dbl(col("n_common")) / dbl(col("na") + col("nb") - col("n_common")), 6))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
+      verifyJaccard(cand, sets.select(col("id"), col("vset"), col("nsh")), threshold)
     }
 
     /** SERVING point lookup: the near-dups of ONE already-indexed doc.
@@ -302,8 +400,11 @@ object Dedup {
       val me = meRows.head
       val (myNsh, myVset, myPrefix) =
         (me.getInt(0), me.getSeq[Long](1), me.getSeq[Long](2))
+      val myShbs = myPrefix.map(h => java.lang.Math.floorMod(h, PostingBuckets.toLong))
+        .distinct.sorted
       val cand = spark.read.parquet(s"$root/prefix")
-        .filter(col("sh").isin(myPrefix: _*)) // pushed IN filter
+        .filter(col("shb").isin(myShbs: _*)) // partition pruning: ≤ plen buckets
+        .filter(col("sh").isin(myPrefix: _*)) // pushed IN filter within them
         .filter(col("id") =!= docId)
         .filter(dbl(least(lit(myNsh), col("nsh"))) >=
           lit(threshold) * dbl(greatest(lit(myNsh), col("nsh"))))
@@ -321,9 +422,73 @@ object Dedup {
         .orderBy(col("jaccard").desc, col("other_id"))
     }
 
+    /** ORDERING-STALENESS metric — the planner-sized health check that
+      * closes [[rebuild]]'s operational loop. The frozen gram order only
+      * affects candidate VOLUME (never correctness): appends accumulated
+      * under a stale order put now-common grams (unseen at build time →
+      * frozen df 0 → prefix-first) into prefixes, inflating the
+      * candidate join. This measures that inflation on a bounded
+      * hash-sample of indexed docs: with df estimated WITHIN the sample,
+      * candidate volume ≈ Σ over prefix grams of their posting length —
+      * computed once for the STORED (frozen-order) prefixes and once for
+      * prefixes re-derived under the sample's live df order. Returns one
+      * row (n_sample, frozen_volume, live_volume, inflation); inflation
+      * ≈ 1 for a fresh index, and grows as the ordering drifts. Cost is
+      * sample-bounded — this can run on every ingest tick. */
+    def stalenessMetric(spark: SparkSession, path: String,
+                        threshold: Double = 0.5,
+                        sampleCap: Long = 2000L): DataFrame = {
+      val root = liveRoot(spark, path)
+      val profiles = spark.read.parquet(s"$root/profiles")
+        .select("id", "nsh", "vset", "prefix")
+      val sample = boundedHashSample(profiles, "id", sampleCap)
+        .localCheckpoint(true)
+      // within-sample document frequency — the posting-length estimate
+      val sdf = sample.select(explode(col("vset")).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val frozenVol = sample.select(explode(col("prefix")).as("sh"))
+        .join(sdf, "sh")
+        .agg(sum(col("cnt"))).head.getLong(0)
+      val liveVol = sample
+        .select(col("id"), col("nsh"), explode(col("vset")).as("sh"))
+        .join(sdf, "sh")
+        .groupBy("id")
+        .agg(first(col("nsh")).as("nsh"),
+          sort_array(collect_list(struct(col("cnt"), col("sh")))).as("arr"))
+        .withColumn("plen", (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
+        .withColumn("vol",
+          aggregate(transform(slice(col("arr"), lit(1), col("plen")),
+            x => x.getField("cnt")), lit(0L), _ + _))
+        .agg(sum(col("vol"))).head.getLong(0)
+      val nSample = sample.count()
+      import spark.implicits._
+      Seq((nSample, frozenVol, liveVol,
+        math.rint(frozenVol.toDouble / math.max(liveVol, 1L) * 1e6) / 1e6))
+        .toDF("n_sample", "frozen_volume", "live_volume", "inflation")
+    }
+
+    /** The REBUILD-CADENCE policy: measure [[stalenessMetric]]; when the
+      * frozen ordering inflates candidate volume beyond `maxInflation`
+      * (default 1.5 — candidate joins paying ≥50% over the fresh-order
+      * cost), [[rebuild]] from the supplied current corpus. Returns true
+      * iff a rebuild ran. Run on the ingest cadence; the metric is
+      * sample-bounded, the rebuild is the (rare) corpus-sized refresh. */
+    def rebuildIfStale(spark: SparkSession, path: String, docs: DataFrame,
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxInflation: Double = 1.5,
+                       sampleCap: Long = 2000L): Boolean = {
+      val m = stalenessMetric(spark, path, threshold, sampleCap).head
+      val stale = m.getDouble(3) > maxInflation
+      if (stale) rebuild(spark, path, docs, n, threshold)
+      stale
+    }
+
     /** The ORDERING-REFRESH operation: re-freeze the whole index from the
       * current corpus (fresh df order — appends accumulated under a stale
-      * order inflate candidate volume over time) into `<path>_next`, then
+      * order inflate candidate volume over time; [[stalenessMetric]]
+      * quantifies it, [[rebuildIfStale]] is the trigger) into
+      * `<path>_next`, then
       * land it via [[graft.sources.AtomicSwap.commit]]. Readers resolving
       * [[liveRoot]] see the old or the new index at every instant, and a
       * re-run converges from any crash point. Run on a slow cadence; the
@@ -368,8 +533,8 @@ object Dedup {
       |JOIN sz sa ON sa.doc_id = a.doc_id
       |JOIN sz sb ON sb.doc_id = b.doc_id
       |GROUP BY a.doc_id, b.doc_id
-      |HAVING round(CAST(COUNT(*) AS DOUBLE) /
-      |    CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5
+      |HAVING CAST(COUNT(*) AS DOUBLE) /
+      |    CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     jaccardPairsPrefix(T.documents(s, d), "doc_id", "text", 3, 0.5)
       .orderBy("id_a", "id_b")
@@ -489,10 +654,16 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Embedding-cosine near-dup pairs. Brute-force pair join is the small-N
-    * baseline; the LSH-bucketed path (Similarity.qAnnLsh, r2) is the scale
-    * route. Dot/norm are left-fold double aggregates in index order —
-    * bit-identical to the oracle's list_inner_product. */
+  /** Embedding-cosine near-dup pairs. SHIPPED plan (r9): the LOSSLESS
+    * cell-bounded candidate join ([[Similarity.cellCandidatePairs]] —
+    * triangle-inequality-complete on the unit sphere, hash equi-joins
+    * on cell ids, no all-pairs stage) followed by exact verification.
+    * The oracle still computes the naive all-pairs join in SQL, and the
+    * hash compare proves the candidate source drops nothing. Dot/norm
+    * are left-fold double aggregates in index order — bit-identical to
+    * the oracle's list_inner_product. The probabilistic scale twin
+    * (LSH banding, Similarity.qAnnLsh) remains for corpora whose
+    * clustering the exact bound can't exploit. */
   val qDedupEmbed: Q = Q(
     "q_dedup_embed",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -503,16 +674,17 @@ object Dedup {
       |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     import graft.functions.VectorFunctions.dotProduct
-    // precompute each norm ONCE per vector (n sqrt's) instead of twice per
-    // pair (n^2): the O(pairs) loop then does only the dot product — same
-    // left-fold accumulation order, so results stay bit-identical to the
-    // fused form and to the oracle (which also precomputes norms)
-    val e = T.embeddings(s, d)
+    val emb = T.embeddings(s, d)
+    val cand = graft.ops.Similarity.cellCandidatePairs(emb, "vec_id", "embedding", 0.38)
+    // norms precomputed ONCE per vector; the candidate-keyed verify then
+    // does only the dot product — same left-fold accumulation order as
+    // the oracle (which also precomputes norms)
+    val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cos",
         round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= 0.38)
@@ -588,8 +760,8 @@ object Dedup {
       |  JOIN sz sa ON sa.doc_id = a.doc_id
       |  JOIN sz sb ON sb.doc_id = b.doc_id
       |  GROUP BY a.doc_id, b.doc_id
-      |  HAVING round(CAST(COUNT(*) AS DOUBLE) /
-      |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5)
+      |  HAVING CAST(COUNT(*) AS DOUBLE) /
+      |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5)
       |SELECT LEAST(sa.source, sb.source) AS source_a,
       |  GREATEST(sa.source, sb.source) AS source_b, COUNT(*) AS n_pairs
       |FROM pairs

@@ -42,11 +42,32 @@ object DedupService {
       .select("doc_id", "component")
   }
 
-  private def lastBatch(spark: SparkSession, path: String): Long = {
+  private val MarkerFile = "_applied_batch"
+
+  /** The batch id the live labeling snapshot carries — the replay-check
+    * marker. O(1): one metadata read of the `_applied_batch` sidecar
+    * file inside the snapshot dir (written before the snapshot's commit,
+    * so it is swap-atomic with the labels), touching NO label data files
+    * — the labeling itself is corpus-sized and a per-ingest marker check
+    * must not scan it (review r9; DedupServiceSpec asserts the zero-job
+    * read). Falls back to max(__batch) over the snapshot for dirs
+    * written before the marker existed. */
+  def appliedBatch(spark: SparkSession, path: String): Long = {
     val p = new Path(labelsDir(path))
-    val live = AtomicSwap.live(fs(spark, path), p).get
-    spark.read.parquet(live.toString).select(max(col("__batch"))).head.getLong(0)
+    val f = fs(spark, path)
+    val live = AtomicSwap.live(f, p).get
+    val marker = new Path(live, MarkerFile)
+    if (f.exists(marker)) {
+      val in = f.open(marker)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } else
+      spark.read.parquet(live.toString).select(max(col("__batch"))).head.getLong(0)
   }
+
+  private def lastBatch(spark: SparkSession, path: String): Long =
+    appliedBatch(spark, path)
 
   private def commitLabels(spark: SparkSession, path: String,
                            lbl: DataFrame, batchId: Long): Unit = {
@@ -56,6 +77,11 @@ object DedupService {
     f.delete(next, true)
     lbl.select(col("doc_id"), col("component"), lit(batchId).as("__batch"))
       .write.mode("overwrite").parquet(next.toString)
+    // the applied-batch marker rides INSIDE the staged snapshot: it
+    // lands (or not) atomically with the labels at the swap commit
+    val out = f.create(new Path(next, MarkerFile), true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     AtomicSwap.commit(f, cur)
   }
 

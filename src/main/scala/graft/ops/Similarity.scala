@@ -228,6 +228,193 @@ object Similarity {
     cents
   }
 
+  /** Squared euclidean distance between two double-array columns, as the
+    * usual left-fold (index order — deterministic). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** DRIVER-side deterministic k-means on a bounded hash-sample — the
+    * coarse-quantizer fit for the cell-pruned candidate operators.
+    * Identical sampling story to [[fitKmeansCodebook]] (adaptive-modulus
+    * hash-sample, seeded init order, empty cells keep their centroid),
+    * but Lloyd runs in plain Scala on the COLLECTED sample: the model is
+    * ≤ maxSample·dim doubles, so per-round Spark jobs buy nothing and
+    * cost ~0.5 s each — three jobs total (count, emptiness, collect)
+    * instead of ~3 per round. Single-threaded → bit-deterministic. */
+  def fitKmeansLocal(vecs: DataFrame, k: Int, iters: Int = 8,
+                     maxSample: Long = 2048): Array[Array[Double]] = {
+    val hashed = Dedup.boundedHashSample(vecs.select(col("id"), col("v")), "id", maxSample)
+    val base = if (hashed.isEmpty) vecs.select(col("id"), col("v")) else hashed
+    val sample: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id"), lit(7)), col("id")).limit(maxSample.toInt)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "fitKmeansLocal: empty input corpus")
+    val dim = sample.head.length
+    var cents = sample.map(_.toVector).distinct.take(k).map(_.toArray)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnts = new Array[Long](cents.length)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var s = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - cents(c)(i); s += t * t; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        if (cnts(c) == 0) prev else sums(c).map(_ / cnts(c))
+      }
+    }
+    cents
+  }
+
+  /** LOSSLESS cell-bounded candidate pairs for cosine >= tau — the
+    * EXACT subquadratic pair source that replaces the all-pairs scan in
+    * q_dedup_embed (and any thresholded cosine-pair query) without
+    * changing its output by one row. Unlike LSH banding (probabilistic
+    * recall), completeness here is a triangle-inequality THEOREM on the
+    * unit sphere: normalize vectors (cos(a,b) becomes 2 - ‖â-b̂‖²/2 …
+    * monotone in distance), quantize into K cells with per-cell radius
+    * r_c = max member-to-centroid distance, and observe that a pair
+    * within distance t must live in cells with ‖c_i - c_j‖ ≤ r_i + r_j
+    * + t. The admissible cell-pair list is computed driver-side from
+    * the K-row model; candidates flow through two hash equi-joins on
+    * cell id — no non-equi stage anywhere. Pruning power follows the
+    * data's clustering (tight clusters → few admissible cell pairs);
+    * completeness never depends on it. A small margin on t absorbs the
+    * caller's round-to-6 threshold semantics and normalization
+    * round-off. */
+  def cellCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                         tau: Double, k: Int = 16): DataFrame = {
+    val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
+      .select(col("id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    // k = 16 cells: nearestCell stays inside one codegen method (k=64
+    // tripped the Janino size limit and fell back interpreted — the
+    // PLANS.md q_ann_pq lesson); driver-side fit on a bounded sample
+    val codebook = fitKmeansLocal(e.select(col("id"), col("u").as("v")), k)
+    val centsLit = typedlit(codebook.map(_.toSeq).toSeq)
+    val assigned = e.select(col("id"), col("u"),
+        nearestCell(col("u"), codebook).as("cell"))
+      .localCheckpoint(true) // model-sized radii agg + both join sides read it
+    val dOwn = sqrt(sqDist(col("u"), element_at(centsLit, (col("cell") + 1).cast("int"))))
+    val radiiMap = assigned.select(col("cell"), dOwn.as("d"))
+      .groupBy("cell").agg(max(col("d")).as("r"))
+      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    val radii = Array.tabulate(codebook.length)(i => radiiMap.getOrElse(i, 0.0))
+    // rounded-threshold + normalization margin: pairs down to cos =
+    // tau - 1e-6 stay candidates, so a round(·,6)-to-threshold caller
+    // keeps every boundary pair
+    val t = math.sqrt(math.max(0.0, 2.0 - 2.0 * (tau - 1e-6)))
+    def cdist(i: Int, j: Int): Double = {
+      var s = 0.0; var d = 0
+      while (d < codebook(i).length) {
+        val x = codebook(i)(d) - codebook(j)(d); s += x * x; d += 1
+      }
+      math.sqrt(s)
+    }
+    val admissible = for {
+      i <- codebook.indices; j <- codebook.indices
+      if cdist(i, j) <= radii(i) + radii(j) + t
+    } yield (i.toLong, j.toLong)
+    import emb.sparkSession.implicits._
+    val cellPairs = admissible.toDF("cell_a", "cell_b")
+    assigned.select(col("id").as("id_a"), col("cell").as("cell_a"))
+      .join(broadcast(cellPairs), "cell_a")
+      .join(assigned.select(col("id").as("id_b"), col("cell").as("cell_b")), Seq("cell_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  /** EXACT corpus kNN edges through the cell quantizer — the two-pass
+    * pruned form that replaces q_knn_graph's all-pairs scan with hash
+    * equi-joins while provably returning the identical top-k:
+    *
+    *  1. score each node against its OWN cell (equi-join on cell id) —
+    *     the k-th best same-cell cosine is a valid LOWER bound on the
+    *     node's true k-th neighbor cosine;
+    *  2. a cell c can hold a better neighbor only if ‖û - cent_c‖ - r_c
+    *     ≤ the distance bound that lower cosine implies (triangle
+    *     inequality again) — each node's admissible-cell list is a
+    *     projection over the literal (centroid, radius) model, exploded
+    *     to (node, cell) rows and equi-joined back to the corpus; the
+    *     final per-node top-k ranks exact cosines over that provably
+    *     complete candidate set.
+    *
+    * Nodes with fewer than k same-cell neighbors take an unbounded
+    * radius (their candidates degrade toward a full sweep — rare, and
+    * correct). Margins absorb round-to-6 ranking and normalization
+    * round-off. Output: (node, nbr, cos, rnk) with rnk ≤ kNbrs under
+    * (cos desc, nbr asc) — bit-equal to the all-pairs window. */
+  def exactKnnEdges(emb: DataFrame, idCol: String, vecCol: String,
+                    kNbrs: Int, nCells: Int = 16): DataFrame = {
+    val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
+      .select(col("id"), col("v"), col("nrm"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+    // 16 cells: nearestCell stays codegen'd (see cellCandidatePairs); a
+    // cell with < kNbrs members just widens its nodes' pass-2 bound —
+    // correctness never depends on cell sizing. Driver-side fit.
+    val codebook = fitKmeansLocal(e.select(col("id"), col("u").as("v")), nCells)
+    val centsLit = typedlit(codebook.map(_.toSeq).toSeq)
+    val assigned = e.select(col("id"), col("v"), col("nrm"), col("u"),
+        nearestCell(col("u"), codebook).as("cell"))
+      .localCheckpoint(true) // radii agg + pass-1 sides + pass-2 corpus side
+    val dOwn = sqrt(sqDist(col("u"), element_at(centsLit, (col("cell") + 1).cast("int"))))
+    val radiiMap = assigned.select(col("cell"), dOwn.as("d"))
+      .groupBy("cell").agg(max(col("d")).as("r"))
+      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    val cellModel = typedlit(codebook.indices.map(i =>
+      (i.toLong, codebook(i).toSeq, radiiMap.getOrElse(i, 0.0))))
+    def cosExact(va: Column, na: Column, vb: Column, nb: Column): Column =
+      round(VectorFunctions.dotProduct(va, vb) / (na * nb), 6)
+    // pass 1: same-cell k-th best cosine per node (missing row = fewer
+    // than k same-cell neighbors)
+    val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))
+    val kth = assigned.select(col("cell"), col("id").as("node"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(assigned.select(col("cell"), col("id").as("nbr"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
+      .filter(col("node") =!= col("nbr"))
+      .select(col("node"), col("nbr"),
+        cosExact(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === kNbrs)
+      .select(col("node"), col("cos").as("kth"))
+    // pass 2: per-node admissible cells under the pass-1 bound
+    val bounds = assigned
+      .join(kth, col("id") === col("node"), "left")
+      .select(col("id"), col("v"), col("nrm"), col("u"),
+        coalesce(col("kth"), lit(-1.01)).as("kth"))
+      .withColumn("dbound",
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * (col("kth") - lit(1e-6)))))
+    val adm = bounds.select(col("id").as("node"), col("v").as("va"),
+        col("nrm").as("na"), col("kth"),
+        explode(filter(cellModel, s =>
+          sqrt(sqDist(col("u"), s.getField("_2"))) - s.getField("_3") <= col("dbound")))
+          .as("s"))
+      .select(col("node"), col("va"), col("na"), col("kth"), col("s._1").as("cell"))
+    // pre-filter on the pass-1 bound BEFORE the ranking window: a pair
+    // whose rounded cosine is below the node's same-cell k-th can never
+    // rank <= k (there are already k candidates at or above it under the
+    // same (cos desc, nbr) order), so the window sorts ~k rows per node
+    // instead of every scored candidate
+    val cand = adm
+      .join(assigned.select(col("cell"), col("id").as("nbr"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
+      .filter(col("node") =!= col("nbr"))
+      .select(col("node"), col("nbr"), col("kth"),
+        cosExact(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+      .filter(col("cos") >= col("kth"))
+      .select("node", "nbr", "cos")
+    cand.withColumn("rnk", graft.functions.Exact.lng(row_number().over(w)))
+      .filter(col("rnk") <= kNbrs)
+  }
+
   /** IVF-style ANN (the other 100 TB path, complementing LSH): a coarse
     * quantizer (K centroids) partitions the corpus into cells; each vector
     * is assigned to its nearest centroid once (one broadcast pass over the
@@ -479,19 +666,12 @@ object Similarity {
       |  (m.node IS NOT NULL) AS mutual
       |FROM k LEFT JOIN k m ON m.node = k.nbr AND m.nbr = k.node
       |ORDER BY k.node, k.rnk""".stripMargin) { (s, d) =>
-    val e = withNorms(T.embeddings(s, d), "vec_id", "embedding")
-    val a = e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val p = a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(VectorFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-          .as("cos"))
-    val sym = p.select(col("id_a").as("node"), col("id_b").as("nbr"), col("cos"))
-      .union(p.select(col("id_b").as("node"), col("id_a").as("nbr"), col("cos")))
-    val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))
-    val k = sym.withColumn("rnk", lng(row_number().over(w)))
-      .filter(col("rnk") <= 4)
-      .localCheckpoint(true) // two consumers below: never re-run the pair scan
+    // SHIPPED plan (r9): the two-pass cell-pruned EXACT kNN — hash
+    // equi-joins only, provably the same top-k as the all-pairs window
+    // (the oracle still computes the naive O(n²) form in SQL; the hash
+    // compare is what makes "provably" an empirical statement too)
+    val k = exactKnnEdges(T.embeddings(s, d), "vec_id", "embedding", 4)
+      .localCheckpoint(true) // two consumers below: never re-run the scoring
     val m = k.select(col("node").as("m_node"), col("nbr").as("m_nbr"), lit(1).as("m_hit"))
     k.join(m, col("nbr") === col("m_node") && col("node") === col("m_nbr"), "left")
       .select(col("node"), col("nbr"), col("cos"), col("rnk"),

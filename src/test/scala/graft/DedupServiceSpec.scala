@@ -71,6 +71,35 @@ class DedupServiceSpec extends SparkSpec {
     assert(after == scratchLabels(docs), "final labeling wrong")
   }
 
+  test("the replay marker check reads no label data: zero Spark jobs") {
+    val path = s"/tmp/graft_dedupsvc/marker_${System.nanoTime()}"
+    DedupService.init(docs.filter(col("doc_id") % 2 === 0), path)
+    DedupService.ingest(spark, path, 1L, docs.filter(col("doc_id") % 2 === 1))
+    // the applied-batch marker is a one-file sidecar inside the labels
+    // snapshot — reading it must launch NO job (the labeling is
+    // corpus-sized; a per-ingest max(__batch) scan over it was the r8
+    // bookkeeping leak). Job-count listener, drained both sides.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    Thread.sleep(300)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val got = DedupService.appliedBatch(spark, path)
+      Thread.sleep(300) // listener bus drain
+      assert(got == 1L, s"marker value $got")
+      assert(jobs.get == 0,
+        s"marker check launched ${jobs.get} Spark job(s) — it is scanning label data")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // a replayed ingest rides the same O(1) check and stays a no-op
+    val before = serviceLabels(path)
+    DedupService.ingest(spark, path, 1L, docs.filter(col("doc_id") % 2 === 1))
+    assert(serviceLabels(path) == before)
+  }
+
   test("a non-monotone batch id fails loud instead of corrupting the index") {
     val path = s"/tmp/graft_dedupsvc/guard_${System.nanoTime()}"
     DedupService.init(docs.filter(col("doc_id") % 2 === 0), path)

@@ -19,8 +19,10 @@ class PlanSweepSpec extends SparkSpec {
     "q_eval_ndcg",         // 5-probe-broadcast grading scan (eval harness)
     "q_mmr_rerank",        // same 1-probe candidate scan; greedy fold is
                            // driver-side over 20 candidates by design
-    "q_dedup_embed",       // exact O(n^2) baseline for q_dedup_minhash/lsh
-    "q_knn_graph",         // same exact pair-scan baseline (LSH/IVF = scale path)
+    // q_dedup_embed / q_knn_graph are NOT whitelisted (r9): their pair
+    // source is the lossless cell-bounded candidate join / two-pass
+    // cell-pruned exact kNN (hash equi-joins on cell ids) — a
+    // reintroduced all-pairs cosine scan fails this sweep
     // q_connected_components / q_dedup_cluster_pick / q_dedup_cc_incr /
     // q_split_leakage_safe / q_kcore / q_triangle_count are NOT
     // whitelisted: their pair source is the prefix-filtered SSJoin
