@@ -371,23 +371,31 @@ object PipelineOps3 {
     * shuffles; iterations are fixed (3) for a bounded plan. */
   private[graft] def logisticProbe(vecs: DataFrame, lambda: Double,
                                    iters: Int): DataFrame = {
-    import graft.functions.GramianAgg
+    import graft.functions.MulticlassIrlsAgg
     val s = vecs.sparkSession
     val dim = vecs.select(size(col("x"))).head.getInt(0)
     val d1 = dim + 1 // + intercept slot
-    val z2 = d1 + 1  // + residual slot
-    // raw second moment Σ z_i z_j from the gramian buffer layout
-    // [n, Σz (z2), upper-tri Σ zz' (row-major from the diagonal)]
-    def raw(m: Array[Double], i0: Int, j0: Int): Double = {
-      val (i, j) = if (i0 <= j0) (i0, j0) else (j0, i0)
-      m(1 + z2 + i * z2 - i * (i - 1) / 2 + (j - i))
-    }
+    // The Newton rounds run through MulticlassIrlsAgg with K=1 (class
+    // {1}: y_c = y exactly), accumulating A = X'WX and g = X'(y−p) in
+    // hand-written loops — the declarative augmented-vector gramian
+    // (z = [√w·x̃, (y−p)/√w] through HOF fold/transform) computes the
+    // identical system but evaluates the lambda pipeline interpreted
+    // once expressions outgrow Janino, and is ~4× slower per pass even
+    // when compiled. β rides on the aggregate instance, so rounds don't
+    // recompile the scan.
+    val xy = vecs.select(col("x").cast("array<double>").as("x"),
+      col("y").cast("long").as("y"))
+    val one = Array(1L)
     var beta = new Array[Double](d1)
-    // the per-round weight vector rides in a broadcast 1-row DataFrame,
-    // NOT a literal: a typedlit(beta) bakes the values into the generated
-    // code, so every Newton round would Janino-compile a fresh plan —
-    // with a column reference the generated code is identical across
-    // rounds and the codegen cache absorbs all but the first compile
+    for (_ <- 0 until iters) {
+      val flat = xy.agg(MulticlassIrlsAgg(col("x"), col("y"), Array(beta), dim, one).as("m"))
+        .head.getSeq[Double](0).toArray
+      // Newton step: (X'WX + λI) Δ = X'(y − p); intercept unregularized
+      val delta = MulticlassIrlsAgg.newtonStep(flat, 0, dim, lambda)
+      beta = Array.tabulate(d1)(i => beta(i) + delta(i))
+    }
+    // one final declarative pass for the fit metrics (a single compiled
+    // eta expression — no codegen cliff at K=1)
     def withBeta(df: DataFrame, b: Array[Double]): DataFrame = {
       import s.implicits._
       df.crossJoin(broadcast(
@@ -395,24 +403,6 @@ object PipelineOps3 {
     }
     def etaCol: org.apache.spark.sql.Column =
       aggregate(zip_with(col("x"), col("__w"), _ * _), lit(0.0), _ + _) + col("__b0")
-    for (_ <- 0 until iters) {
-      val p = lit(1.0) / (lit(1.0) + exp(-etaCol))
-      val wgt = greatest(p * (lit(1.0) - p), lit(1e-6))
-      val sq = sqrt(wgt)
-      val z = concat(
-        transform(concat(col("x"), array(lit(1.0))), v => v * sq),
-        array((col("y") - p) / sq))
-      val m = withBeta(vecs, beta).select(z.as("z"))
-        .agg(GramianAgg(col("z"), z2).as("m"))
-        .head.getSeq[Double](0).toArray
-      // Newton step: (X'WX + λI) Δ = X'(y − p); intercept unregularized
-      val a = Array.tabulate(d1, d1)((i, j) =>
-        raw(m, i, j) + (if (i == j && i < dim) lambda else 0.0))
-      val g = Array.tabulate(d1)(i => raw(m, i, d1))
-      val delta = GramianAgg.solve(a, g)
-      beta = Array.tabulate(d1)(i => beta(i) + delta(i))
-    }
-    // one final pass for the fit metrics
     val p = lit(1.0) / (lit(1.0) + exp(-etaCol))
     val pc = least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
     val mrow = withBeta(vecs, beta).agg(
@@ -435,6 +425,70 @@ object PipelineOps3 {
       .select(col("embedding").cast("array<double>").as("x"),
         (col("label").cast("long") % 2).cast("double").as("y"))
     logisticProbe(vecs, lambda = 1e-3, iters = 3)
+  }
+
+  /** MULTICLASS logistic probe via one-vs-rest IRLS — the K-class
+    * extension of [[logisticProbe]], matching the reference's multiclass
+    * assay→family MLP training shape (`python/Go_idg_mlp_DbCreate.sh:1`,
+    * `python/mlpassay_xml2targets.py:1`). Scale shape: every Newton
+    * round is STILL one corpus pass — ALL K weighted normal-equation
+    * systems A_c = X'W_cX, g_c = X'(y_c − p_c) accumulate in ONE
+    * [[graft.functions.MulticlassIrlsAgg]] buffer (a hand-looped
+    * TypedImperativeAggregate; the declarative K-sibling-gramian form is
+    * semantically identical but its K copies of the HOF lambda pipeline
+    * blow Janino's method limit at K ≈ 10 and drop the whole stage to
+    * interpreted eval, ~10× slower — the PLANS.md q_ann_pq lesson, in an
+    * aggregate). The pass count is `iters + 1`, independent of K; the
+    * K (D+1)-system buffer is model-sized and mergeable (map-side
+    * partials apply), the K D×D Newton solves run driver-side, and
+    * nothing vector-sized shuffles. The per-round coefficient matrix
+    * rides on the aggregate instance — never through codegen, so rounds
+    * don't recompile the scan. Output: per-class weights + intercept
+    * rows, plus argmax-accuracy (ties to the lowest class index) and
+    * mean per-class one-vs-rest log-loss summary rows (class = -1). */
+  private[graft] def multiclassProbe(vecs: DataFrame, lambda: Double,
+                                     iters: Int): DataFrame = {
+    import graft.functions.MulticlassIrlsAgg
+    val s = vecs.sparkSession
+    val classes: Array[Long] = vecs.select(col("y").cast("long").as("y"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    require(classes.nonEmpty, "multiclassProbe: no labeled rows")
+    val dim = vecs.select(size(col("x"))).head.getInt(0)
+    val d1 = dim + 1 // + intercept slot
+    val per = d1 * (d1 + 1) / 2 + d1 // per-class [A upper-tri, g] doubles
+    val xy = vecs.select(col("x").cast("array<double>").as("x"),
+      col("y").cast("long").as("y"))
+    var betas: Array[Array[Double]] = Array.fill(classes.length)(new Array[Double](d1))
+    for (_ <- 0 until iters) {
+      val flat = xy.agg(MulticlassIrlsAgg(col("x"), col("y"), betas, dim, classes).as("m"))
+        .head.getSeq[Double](0).toArray
+      betas = classes.indices.toArray.map { c =>
+        val delta = MulticlassIrlsAgg.newtonStep(flat, c * per, dim, lambda)
+        Array.tabulate(d1)(i => betas(c)(i) + delta(i))
+      }
+    }
+    // one final pass for the fit metrics: [n, argmax-correct, Σ mean loss]
+    val m = xy.agg(MulticlassIrlsAgg.metrics(col("x"), col("y"), betas, dim, classes).as("m"))
+      .head.getSeq[Double](0).toArray
+    val n = math.max(m(0), 1.0)
+    val rows = classes.indices.flatMap { c =>
+      (0 until dim).map(i => (classes(c), f"w_$i%03d", round6(betas(c)(i)))) :+
+        ((classes(c), "intercept", round6(betas(c)(dim))))
+    } ++ Seq((-1L, "accuracy", round6(m(1) / n)),
+      (-1L, "log_loss", round6(m(2) / n)))
+    s.createDataFrame(rows).toDF("class", "term", "value")
+      .orderBy("class", "term")
+  }
+
+  /** Rows-only: the one-pass-per-round multiclass classifier over the
+    * embedding column (targets = the label's K values). Spec: agrees
+    * with driver-side per-class Newton fits, recovers a separable
+    * 3-class synthetic by argmax, partition-invariant. */
+  val qMulticlassProbe: Q = Q.rowsOnly("q_multiclass_probe") { (s, d) =>
+    val vecs = T.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("x"),
+        col("label").cast("long").as("y"))
+    multiclassProbe(vecs, lambda = 1e-3, iters = 3)
   }
 
   /** Per-epoch deterministic training order: each epoch permutes the
@@ -521,5 +575,6 @@ object PipelineOps3 {
 
   val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed,
     qCorpusExport, qLangConfusion, qDupMatrix, qLinearProbe, qLogisticProbe,
+    qMulticlassProbe,
     qEpochShuffle, qSplitTemporal)
 }

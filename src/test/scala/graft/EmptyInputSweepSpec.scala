@@ -22,6 +22,7 @@ class EmptyInputSweepSpec extends SparkSpec {
     "q_semdedup" -> "k-means codebook fit needs at least one vector",
     "q_linear_probe" -> "probe fit needs labeled vectors",
     "q_logistic_probe" -> "probe fit needs labeled vectors",
+    "q_multiclass_probe" -> "probe fit needs labeled vectors",
     "q_pca_embed" -> "covariance undefined over zero vectors",
     "q_embed_outliers" -> "covariance undefined over zero vectors",
     "q_stats_table" -> "zone-sidecar demo requires rows to index")

@@ -76,6 +76,63 @@ class LogisticProbeSpec extends SparkSpec {
       assert(math.abs(a(k) - b(k)) < 1e-5, s"$k: ${a(k)} vs ${b(k)}"))
   }
 
+  private def mcMap(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Double] =
+    df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+  test("multiclass one-vs-rest matches K independent driver-side Newton fits") {
+    import spark.implicits._
+    // 3 well-separated 4-d clusters, deterministic jitter
+    val centers = Array(
+      Array(3.0, 0.0, -1.0, 0.5),
+      Array(-2.0, 2.5, 0.5, -0.5),
+      Array(0.0, -3.0, 2.0, 1.0))
+    val rows = (0 until 240).map { i =>
+      val c = i % 3
+      val x = Array.tabulate(4)(j => centers(c)(j) + 0.4 * math.sin(i * 11.3 + j * 3.7))
+      (x, c.toLong)
+    }
+    val df = rows.toDF("x", "y").repartition(7)
+    val got = mcMap(PipelineOps3.multiclassProbe(df, lambda = 1e-3, iters = 3))
+    // each class's one-vs-rest fit must equal the binary driver fit
+    for (c <- 0L until 3L) {
+      val ys = rows.map(r => if (r._2 == c) 1.0 else 0.0).toArray
+      val ref = driverFit(rows.map(_._1).toArray, ys, 1e-3, 3)
+      for (j <- 0 until 4)
+        assert(math.abs(got((c, f"w_$j%03d")) - ref(j)) < 1e-4,
+          s"class $c w_$j: ${got((c, f"w_$j%03d"))} vs ${ref(j)}")
+      assert(math.abs(got((c, "intercept")) - ref(4)) < 1e-4, s"class $c intercept")
+    }
+    // separable 3-class synthetic: argmax recovers the labels
+    assert(got((-1L, "accuracy")) >= 0.99, s"accuracy ${got((-1L, "accuracy"))}")
+    assert(got((-1L, "log_loss")) < 0.3)
+  }
+
+  test("multiclass fit is partition-invariant (within float-sum wobble)") {
+    import spark.implicits._
+    val rows = (0 until 180).map { i =>
+      (Array.tabulate(3)(j => math.cos(i * 7.3 + j * 2.9)), (i % 4).toLong)
+    }
+    val a = mcMap(PipelineOps3.multiclassProbe(
+      rows.toDF("x", "y").repartition(2), 1e-3, 3))
+    val b = mcMap(PipelineOps3.multiclassProbe(
+      rows.toDF("x", "y").repartition(13), 1e-3, 3))
+    a.keySet.foreach(k =>
+      assert(math.abs(a(k) - b(k)) < 1e-5, s"$k: ${a(k)} vs ${b(k)}"))
+  }
+
+  test("q_multiclass_probe runs over the corpus embeddings with sane output") {
+    val out = mcMap(SparkEntry.queries("q_multiclass_probe")(spark, TinyDir))
+    val classes = out.keySet.map(_._1).filter(_ >= 0)
+    assert(classes.nonEmpty)
+    // K (D+1) coefficient rows per class + the two summary rows
+    classes.foreach { c =>
+      assert(out.contains((c, "intercept")), s"class $c missing intercept")
+      assert(out.count { case ((cc, t), _) => cc == c && t.startsWith("w_") } == 64)
+    }
+    assert(out((-1L, "accuracy")) >= 0.0 && out((-1L, "accuracy")) <= 1.0)
+    assert(out((-1L, "log_loss")) >= 0.0)
+  }
+
   test("q_logistic_probe runs over the corpus embeddings with sane output") {
     val out = probeMap(SparkEntry.queries("q_logistic_probe")(spark, TinyDir))
     assert(out.contains("intercept") && out.contains("log_loss"))
