@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   *                    ([[Tables.writeSorted]] — tight disjoint file stats,
   *                    point/range lookups skip whole files);
   *  - `card/`       — the q_corpus_card datasheet rows;
+  *  - `dedup/`      — the maintained near-dup state ([[graft.ops.DedupService.init]]):
+  *                    frozen-order SSJoin postings index (serves
+  *                    `NearDupIndex.lookup` point queries and O(delta)
+  *                    batch queries) plus the component-labeling
+  *                    snapshot — a published release carries its dedup
+  *                    state like its ANN/inverted indexes, and
+  *                    post-release ingest can resume from it directly;
   *  - `provenance/` — one ledger row per artifact (rows + content
   *                    fingerprint, read back from what was persisted).
   *
@@ -50,6 +57,19 @@ object Serving {
     T.writeSorted(docs, s"$outDir/docs_sorted", "doc_id", 8)
     ProvenanceOps.record(spark.read.parquet(s"$outDir/docs_sorted"),
       col("text"), "docs_sorted", sourceTag, loadedAtUs, prov)
+
+    // dedup state: index + labeling via the service's own init, so the
+    // bundle inherits its crash contract and ingest() resumes from the
+    // published path unchanged. Ledger rows read back what serves:
+    // the labeling snapshot and the index's profile table.
+    graft.ops.DedupService.init(docs.select("doc_id", "text"), s"$outDir/dedup")
+    ProvenanceOps.record(graft.ops.DedupService.labels(spark, s"$outDir/dedup"),
+      concat_ws(",", col("doc_id"), col("component")),
+      "dedup_labels", sourceTag, loadedAtUs, prov)
+    ProvenanceOps.record(
+      spark.read.parquet(s"$outDir/dedup/index/profiles").select("id", "nsh"),
+      concat_ws(",", col("id"), col("nsh")),
+      "dedup_index", sourceTag, loadedAtUs, prov)
 
     card.foreach { c =>
       ProvenanceOps.writeWithProvenance(c, s"$outDir/card",

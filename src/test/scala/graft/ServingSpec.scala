@@ -27,13 +27,36 @@ class ServingSpec extends SparkSpec {
     // the datasheet rides along
     assert(spark.read.parquet(s"$out/card").count() == 7)
 
+    // the dedup state serves from the published artifacts: batch query
+    // against the bundled index equals the from-scratch SSJoin edges,
+    // the labeling covers every doc, and the point-lookup endpoint
+    // answers from the same files
+    val expectPairs = graft.ops.Dedup.nearDupEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = graft.ops.Dedup.NearDupIndex
+      .query(spark, s"$out/dedup/index", docs.select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == expectPairs, s"bundle dedup index serves $served, want $expectPairs")
+    val labels = graft.ops.DedupService.labels(spark, s"$out/dedup")
+    assert(labels.count() == docs.count())
+    expectPairs.headOption.foreach { case (a, b) =>
+      val hits = graft.ops.Dedup.NearDupIndex.lookup(spark, s"$out/dedup/index", a)
+        .collect().map(_.getLong(0)).toSet
+      assert(hits.contains(b), s"lookup($a) missing near-dup $b (got $hits)")
+    }
+    // and post-release ingest resumes from the published path directly
+    assert(graft.ops.DedupService.appliedBatch(spark, s"$out/dedup") == 0L)
+
     // one ledger row per artifact, row counts honest
     val ledger = graft.operators.ProvenanceOps.ledger(spark, s"$out/provenance")
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(ledger.keySet ==
-      Set("ann_index", "inverted_index", "docs_sorted", "corpus_card"))
+      Set("ann_index", "inverted_index", "docs_sorted", "corpus_card",
+        "dedup_labels", "dedup_index"))
     assert(ledger("docs_sorted") == docs.count())
     assert(ledger("corpus_card") == 7L)
+    assert(ledger("dedup_labels") == docs.count())
+    assert(ledger("dedup_index") == docs.count())
     assert(ledger("ann_index") ==
       graft.sources.Tables.embeddings(spark, TinyDir).count())
   }
@@ -70,10 +93,16 @@ class ServingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(annIds.exists(_ >= 100000L))
     assert(audit("patch_size") == annIds.count(_ >= 100000L))
-    // ledger rows for all three artifacts at the caller's batch time
+    // ledger rows for every artifact at the caller's batch time — the
+    // dedup state is rebuilt over the PATCHED ids too
     val ledger = graft.operators.ProvenanceOps.ledger(spark, s"$out/provenance").collect()
     assert(ledger.map(_.getString(0)).toSet ==
-      Set("ann_index", "inverted_index", "docs_sorted"))
+      Set("ann_index", "inverted_index", "docs_sorted",
+        "dedup_labels", "dedup_index"))
     assert(ledger.forall(_.getAs[Long]("loaded_at_us") == 9L))
+    val dedupIds = graft.ops.DedupService.labels(spark, s"$out/dedup")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dedupIds.exists(_ >= 100000L))
+    assert(dedupIds.forall(id => id % 7 != 0 || id >= 100000L))
   }
 }
