@@ -337,10 +337,31 @@ object GraphOps2 {
     * oriented from its lower-(degree, id) endpoint to the higher, so wedges
     * fan out on the SMALL adjacency lists (Σ oriented-out-deg² = O(m^1.5)
     * worst case, vs Σ raw-deg² which a hub node makes quadratic). Every
-    * triangle closes exactly once. Rows-only (seeded minhash isn't
-    * SQL-portable); the spec cross-validates against exact triangles over
-    * the same pair graph. */
-  val qTriangleLsh: Q = Q.rowsOnly("q_triangle_lsh") { (s, d) =>
+    * triangle closes exactly once. Fully oracled (r9): each emitted
+    * triangle carries `edges_exact` — all three edges re-checked against
+    * the exact SSJoin pair graph — and the oracle enumerates the exact
+    * graph's triangles with the flag pinned TRUE, so the hash compare
+    * asserts both precision (no spurious-estimate triangle survives) and
+    * recall (the calibrated 16×4 banding loses no triangle edge at
+    * threshold 0.5 — a banding regression surfaces as a row-count
+    * mismatch). The spec still bounds general candidate recall. */
+  val qTriangleLsh: Q = Q(
+    "q_triangle_lsh",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |       FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |e AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  JOIN sz sa ON sa.doc_id = a.doc_id
+      |  JOIN sz sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING round(CAST(COUNT(*) AS DOUBLE) /
+      |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5)
+      |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c, TRUE AS edges_exact
+      |FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      |ORDER BY a, b, c""".stripMargin) { (s, d) =>
     val pairs = graft.ops.Dedup.qDedupMinhash.fn(s, d).select("id_a", "id_b")
     val deg = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -362,11 +383,25 @@ object GraphOps2 {
     val e1 = e.select(col("src").as("u"), col("dst").as("v"), col("rdst").as("rv"))
     val e2 = e.select(col("src").as("u"), col("dst").as("w"), col("rdst").as("rw"))
     val e3 = e.select(col("src").as("v"), col("dst").as("w"))
-    e1.join(e2, "u").filter(col("rv") < col("rw"))
+    val tri = e1.join(e2, "u").filter(col("rv") < col("rw"))
       .join(e3, Seq("v", "w"))
       .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
       .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
         col("t").getItem(2).as("c"))
+    // exact re-verification of every triangle edge against the SSJoin
+    // pair graph (normalized src < dst, so (a,b)/(a,c)/(b,c) probe
+    // directly); triangles are candidate-bounded, the joins are tiny
+    val exact = graft.ops.Dedup.nearDupEdges(T.documents(s, d))
+      .localCheckpoint(true)
+    def mark(t: DataFrame, x: String, y: String, m: String): DataFrame =
+      t.join(exact.select(col("src").as("__ex"), col("dst").as("__ey"),
+          lit(true).as(m)),
+        t(x) === col("__ex") && t(y) === col("__ey"), "left")
+        .drop("__ex", "__ey")
+    mark(mark(mark(tri, "a", "b", "m1"), "a", "c", "m2"), "b", "c", "m3")
+      .select(col("a"), col("b"), col("c"),
+        (coalesce(col("m1"), lit(false)) && coalesce(col("m2"), lit(false)) &&
+          coalesce(col("m3"), lit(false))).as("edges_exact"))
       .orderBy("a", "b", "c")
   }
 

@@ -607,19 +607,58 @@ object Dedup {
 
   /** The 100 TB dedup path END TO END: MinHash/LSH candidate pairs (no
     * O(n²) stage) → connected components → min-id survivor per cluster →
-    * keep/drop decision for every document. The exact-cosine twin
-    * (GraphOps2.qDedupClusterPick) is the oracle-checked baseline; this is
-    * the shape that actually runs on a corpus — every stage is a bounded
-    * hash shuffle. Rows-only (seeded hashes aren't SQL-portable); the spec
-    * checks the decision's structural invariants. */
-  val qDedupMinhashPick: Q = Q.rowsOnly("q_dedup_minhash_pick") { (s, d) =>
-    val pairs = qDedupMinhash.fn(s, d).select(col("id_a").as("src"), col("id_b").as("dst"))
-    val comp = graft.operators.GraphOps2.connectedComponents(pairs, 20)
+    * keep/drop decision for every document. Fully oracled (r9): the
+    * output carries `pairs_exact_verified` — the minhash candidate graph
+    * compared edge-for-edge against the exact SSJoin pair graph (both
+    * subquadratic; the diff join is pair-table-sized) — and the oracle
+    * computes the EXACT graph's recursive-CC pick with the flag pinned
+    * TRUE. CC is deterministic in its edge set, so graph equality ⇒ pick
+    * equality: the hash compare certifies the whole minhash path
+    * end-to-end, and a banding regression (lost or spurious pair, hence
+    * a diverging survivor) surfaces as a mismatch. The spec still bounds
+    * general recall on synthetic corpora the S-curve doesn't saturate. */
+  val qDedupMinhashPick: Q = Q(
+    "q_dedup_minhash_pick",
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |  sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |         FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |  pairs AS (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |    JOIN sz sa ON sa.doc_id = a.doc_id
+      |    JOIN sz sb ON sb.doc_id = b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id
+      |    HAVING round(CAST(COUNT(*) AS DOUBLE) /
+      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5),
+      |  e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |  reach(node, lbl) AS (
+      |    SELECT DISTINCT src, src FROM e
+      |    UNION
+      |    SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node),
+      |  comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+      |SELECT d.doc_id,
+      |  COALESCE(comp.component, d.doc_id) AS survivor_id,
+      |  (d.doc_id = COALESCE(comp.component, d.doc_id)) AS keep,
+      |  TRUE AS pairs_exact_verified
+      |FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mh = qDedupMinhash.fn(s, d).select("id_a", "id_b").localCheckpoint(true)
+    val exact = nearDupEdges(T.documents(s, d))
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val mismatches = mh.withColumn("__m", lit(1))
+      .join(exact.withColumn("__e", lit(1)), Seq("id_a", "id_b"), "full_outer")
+      .filter(col("__m").isNull || col("__e").isNull)
+      .count()
+    val comp = graft.operators.GraphOps2.connectedComponents(
+      mh.select(col("id_a").as("src"), col("id_b").as("dst")), 20)
     T.documents(s, d).select(col("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("survivor_id"),
-        (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("keep"))
+        (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("keep"),
+        lit(mismatches == 0L).as("pairs_exact_verified"))
       .orderBy("doc_id")
   }
 

@@ -61,13 +61,58 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(if (((next() >> 33) & 1L) == 0L) -1.0 else 1.0))
   }
 
+  /** The 4-band × 8-bit hyperplane signature pipeline as ORACLE SQL: the
+    * planes are deterministic ±1 LCG vectors, so they inline as DuckDB
+    * list literals and the whole LSH path — signing, banding, bucket
+    * join, exact re-rank — is SQL-portable (what upgraded q_ann_lsh and
+    * q_ann_eval from rows-only to full hash in r9). `list_inner_product`
+    * against a ±1 plane accumulates the same 64 in-order terms Spark's
+    * dotProduct folds, and a sign decision only diverges if a dot lands
+    * within float-noise of zero — checked empirically green at all three
+    * test SFs. */
+  private def lshBandedSql(bands: Int = 4, bitsPerBand: Int = 8,
+                           dim: Int = 64): String = {
+    val planes = hyperplanes(bands * bitsPerBand, dim)
+    def planeLit(p: Array[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bandExprs = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        val lit = planeLit(planes(b * bitsPerBand + i))
+        s"(CASE WHEN list_inner_product(v, $lit) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ") + s" AS band$b"
+    }.mkString(",\n      ")
+    val sigCase = (0 until bands)
+      .map(b => s"WHEN $b THEN band$b").mkString(" ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |  sg AS (SELECT vec_id, v, nrm,
+       |      $bandExprs
+       |    FROM n),
+       |  banded AS (SELECT vec_id, v, nrm, b.band,
+       |      CASE b.band $sigCase END AS sig
+       |    FROM sg, (VALUES (0),(1),(2),(3)) b(band)),
+       |  cand AS (SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos
+       |    FROM banded p JOIN banded c ON p.band = c.band AND p.sig = c.sig
+       |      AND p.vec_id <> c.vec_id
+       |    WHERE p.vec_id < 10),
+       |  rnked AS (SELECT *, RANK() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM cand)""".stripMargin
+  }
+
   /** LSH-bucketed ANN (the 100 TB path): 4 bands x 8 sign-bits. Candidate
     * pairs share a band signature — a hash join on (band, sig) — then only
     * candidates get exact cosine. No O(n^2) stage anywhere: at scale the
     * corpus shuffles once by band signature; probes are broadcast.
-    * Rows-only check (signature internals aren't SQL-portable); the spec
-    * cross-validates candidates against brute force. */
-  val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
+    * Fully oracled (r9): the deterministic ±1 planes inline as SQL
+    * literals — see [[lshBandedSql]]. */
+  val qAnnLsh: Q = Q(
+    "q_ann_lsh",
+    s"""WITH ${lshBandedSql()}
+       |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM rnked WHERE rnk <= 5
+       |ORDER BY query_id, rnk, neighbor_id""".stripMargin) { (s, d) =>
     val bands = 4; val bitsPerBand = 8; val dim = 64
     val planes = hyperplanes(bands * bitsPerBand, dim)
     val corpus = T.embeddings(s, d)
@@ -623,16 +668,36 @@ object Similarity {
     * own operators; the join is per-(probe, neighbor) over k·|probes|
     * rows — evaluation cost is probe-sized, not corpus-sized (the corpus
     * cost is the two candidate paths themselves, each already shaped for
-    * scale). Rows-only: the LSH side's signatures aren't SQL-portable;
-    * the spec bounds mean recall from below. */
-  val qAnnEval: Q = Q.rowsOnly("q_ann_eval") { (s, d) =>
+    * scale). Fully oracled (r9): both legs are SQL — the exact side is
+    * q_ann_topk's brute force, the LSH side inlines the deterministic
+    * planes via [[lshBandedSql]]. */
+  val qAnnEval: Q = Q(
+    "q_ann_eval",
+    s"""WITH ${lshBandedSql()},
+       |  approx AS (SELECT query_id, neighbor_id FROM rnked WHERE rnk <= 5),
+       |  exactc AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos
+       |    FROM n p JOIN n c ON p.vec_id <> c.vec_id
+       |    WHERE p.vec_id < 10),
+       |  exact AS (SELECT query_id, neighbor_id FROM (
+       |      SELECT *, RANK() OVER (
+       |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM exactc)
+       |    WHERE rnk <= 5)
+       |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found,
+       |  round(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin) { (s, d) =>
     val exact = qAnnTopk.fn(s, d).select(col("query_id"), col("neighbor_id"))
     val approx = qAnnLsh.fn(s, d).select(col("query_id"), col("neighbor_id"))
     exact.join(approx.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k"),
         sum(coalesce(col("hit"), lit(0L))).cast("long").as("found"))
-      .select(col("query_id"), col("k"),
+      .select(col("query_id"), col("k"), col("found"),
         round(dbl(col("found")) / dbl(col("k")), 6).as("recall"))
       .orderBy("query_id")
   }

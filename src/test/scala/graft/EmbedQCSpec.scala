@@ -77,12 +77,14 @@ class EmbedQCSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == exact.keySet)
     rows.foreach { r =>
       val q = r.getLong(0)
-      val expected = (exact(q) & lsh.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+      val found = (exact(q) & lsh.getOrElse(q, Set.empty)).size.toLong
+      val expected = found.toDouble / exact(q).size
       assert(r.getLong(1) == exact(q).size)
-      assert(math.abs(r.getDouble(2) - expected) < 1e-9,
-        s"probe $q recall ${r.getDouble(2)} != $expected")
+      assert(r.getLong(2) == found)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-9,
+        s"probe $q recall ${r.getDouble(3)} != $expected")
     }
-    info(f"q_ann_eval mean recall@5 = ${rows.map(_.getDouble(2)).sum / rows.length}%.3f" +
+    info(f"q_ann_eval mean recall@5 = ${rows.map(_.getDouble(3)).sum / rows.length}%.3f" +
       " (random tiny-SF vectors: low recall is the honest answer)")
   }
 

@@ -118,9 +118,11 @@ class GraphOpsSpec extends SparkSpec {
       (a, b) <- pairs
       (b2, c) <- pairs if b2 == b && pairs.contains((a, c))
     } yield (a, b, c)
-    val got = graft.operators.GraphOps2.qTriangleLsh.fn(spark, TinyDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotRows = graft.operators.GraphOps2.qTriangleLsh.fn(spark, TinyDir).collect()
+    val got = gotRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected, s"got=${got.size} expected=${expected.size}")
     assert(got.forall { case (a, b, c) => a < b && b < c })
+    // every triangle edge re-verifies against the exact pair graph
+    assert(gotRows.forall(_.getBoolean(3)), "edges_exact false on a triangle")
   }
 }

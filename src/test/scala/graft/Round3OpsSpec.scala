@@ -256,6 +256,10 @@ class Round3OpsSpec extends SparkSpec {
     }
     // every doc gets exactly one decision
     assert(rows.map(_._1).distinct.length == rows.length)
+    // and the candidate graph matched the exact pair graph edge-for-edge
+    val flags = graft.ops.Dedup.qDedupMinhashPick.fn(spark, TinyDir)
+      .select("pairs_exact_verified").distinct().collect().map(_.getBoolean(0))
+    assert(flags.sameElements(Array(true)), "minhash graph diverged from exact")
   }
 
   test("sorted write produces disjoint per-file key ranges (file-skipping layout)") {
