@@ -107,6 +107,38 @@ class LogisticProbeSpec extends SparkSpec {
     assert(got((-1L, "log_loss")) < 0.3)
   }
 
+  test("K=16 classes stay one pass per round — past the declarative codegen cliff") {
+    import spark.implicits._
+    // 16 classes x 8 dims: the declarative K-sibling-gramian form falls
+    // off whole-stage codegen around K=10 (Janino method limit) and runs
+    // ~10x slower interpreted; the hand-looped aggregate must stay both
+    // correct and fast here. Separable-by-construction: class c's cluster
+    // center is 4*e_{c%8} +/- offset jitter.
+    val rows = (0 until 640).map { i =>
+      val c = i % 16
+      val x = Array.tabulate(8)(j =>
+        (if (j == c % 8) 4.0 else 0.0) + (if (c >= 8) 1.5 else -1.5) *
+          (if (j == (c + 3) % 8) 1.0 else 0.0) + 0.3 * math.sin(i * 5.7 + j * 2.1))
+      (x, c.toLong)
+    }
+    val df = rows.toDF("x", "y").repartition(9)
+    val t0 = System.nanoTime()
+    val got = mcMap(PipelineOps3.multiclassProbe(df, lambda = 1e-3, iters = 3))
+    val secs = (System.nanoTime() - t0) / 1e9
+    for (c <- 0L until 16L) {
+      val ys = rows.map(r => if (r._2 == c) 1.0 else 0.0).toArray
+      val ref = driverFit(rows.map(_._1).toArray, ys, 1e-3, 3)
+      for (j <- 0 until 8)
+        assert(math.abs(got((c, f"w_$j%03d")) - ref(j)) < 1e-4,
+          s"class $c w_$j: ${got((c, f"w_$j%03d"))} vs ${ref(j)}")
+      assert(math.abs(got((c, "intercept")) - ref(8)) < 1e-4, s"class $c intercept")
+    }
+    assert(got((-1L, "accuracy")) >= 0.95, s"accuracy ${got((-1L, "accuracy"))}")
+    // generous wall bound: an interpreted-fallback regression lands
+    // minutes, a compiled pass lands seconds
+    assert(secs < 60.0, f"K=16 fit took $secs%.1f s — codegen-cliff regression?")
+  }
+
   test("multiclass fit is partition-invariant (within float-sum wobble)") {
     import spark.implicits._
     val rows = (0 until 180).map { i =>
