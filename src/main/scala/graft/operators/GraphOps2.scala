@@ -231,8 +231,8 @@ object GraphOps2 {
       |    JOIN sz sa ON sa.doc_id = a.doc_id
       |    JOIN sz sb ON sb.doc_id = b.doc_id
       |    GROUP BY a.doc_id, b.doc_id
-      |    HAVING round(CAST(COUNT(*) AS DOUBLE) /
-      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5),
+      |    HAVING CAST(COUNT(*) AS DOUBLE) /
+      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5),
       |  e AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |        UNION SELECT id_b, id_a FROM pairs),
       |  reach(node, lbl) AS (
@@ -271,8 +271,8 @@ object GraphOps2 {
       |    JOIN sz sa ON sa.doc_id = a.doc_id
       |    JOIN sz sb ON sb.doc_id = b.doc_id
       |    GROUP BY a.doc_id, b.doc_id
-      |    HAVING round(CAST(COUNT(*) AS DOUBLE) /
-      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5),
+      |    HAVING CAST(COUNT(*) AS DOUBLE) /
+      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5),
       |  e AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |        UNION SELECT id_b, id_a FROM pairs),
       |  reach(node, lbl) AS (
@@ -314,8 +314,8 @@ object GraphOps2 {
       |  JOIN sz sa ON sa.doc_id = a.doc_id
       |  JOIN sz sb ON sb.doc_id = b.doc_id
       |  GROUP BY a.doc_id, b.doc_id
-      |  HAVING round(CAST(COUNT(*) AS DOUBLE) /
-      |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5)
+      |  HAVING CAST(COUNT(*) AS DOUBLE) /
+      |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5)
       |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       |FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
       |ORDER BY a, b, c""".stripMargin) { (s, d) =>
@@ -357,12 +357,15 @@ object GraphOps2 {
       |  JOIN sz sa ON sa.doc_id = a.doc_id
       |  JOIN sz sb ON sb.doc_id = b.doc_id
       |  GROUP BY a.doc_id, b.doc_id
-      |  HAVING round(CAST(COUNT(*) AS DOUBLE) /
-      |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5)
+      |  HAVING CAST(COUNT(*) AS DOUBLE) /
+      |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5)
       |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c, TRUE AS edges_exact
       |FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
       |ORDER BY a, b, c""".stripMargin) { (s, d) =>
-    val pairs = graft.ops.Dedup.qDedupMinhash.fn(s, d).select("id_a", "id_b")
+    // one shared certificate chain (verified pairs + exact graph, built
+    // once off one profile table) — see Dedup.minhashGraph
+    val g = graft.ops.Dedup.minhashGraph(s, d)
+    val pairs = g.verified.select("id_a", "id_b")
     val deg = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // total order by (degree, id); orient edges low → high
@@ -390,9 +393,10 @@ object GraphOps2 {
         col("t").getItem(2).as("c"))
     // exact re-verification of every triangle edge against the SSJoin
     // pair graph (normalized src < dst, so (a,b)/(a,c)/(b,c) probe
-    // directly); triangles are candidate-bounded, the joins are tiny
-    val exact = graft.ops.Dedup.nearDupEdges(T.documents(s, d))
-      .localCheckpoint(true)
+    // directly); triangles are candidate-bounded, the joins are tiny —
+    // the exact graph is the certificate chain's, already checkpointed
+    val exact = g.exact
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
     def mark(t: DataFrame, x: String, y: String, m: String): DataFrame =
       t.join(exact.select(col("src").as("__ex"), col("dst").as("__ey"),
           lit(true).as(m)),
@@ -500,8 +504,8 @@ object GraphOps2 {
       |    JOIN sz sa ON sa.doc_id = a.doc_id
       |    JOIN sz sb ON sb.doc_id = b.doc_id
       |    GROUP BY a.doc_id, b.doc_id
-      |    HAVING round(CAST(COUNT(*) AS DOUBLE) /
-      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5),
+      |    HAVING CAST(COUNT(*) AS DOUBLE) /
+      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5),
       |  e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |         UNION SELECT id_b, id_a FROM pairs),
       |  d1 AS (SELECT src, COUNT(*) AS c FROM e0 GROUP BY 1),
@@ -708,8 +712,8 @@ object GraphOps2 {
       |    JOIN sz sa ON sa.doc_id = a.doc_id
       |    JOIN sz sb ON sb.doc_id = b.doc_id
       |    GROUP BY a.doc_id, b.doc_id
-      |    HAVING round(CAST(COUNT(*) AS DOUBLE) /
-      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5),
+      |    HAVING CAST(COUNT(*) AS DOUBLE) /
+      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5),
       |  e AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |        UNION SELECT id_b, id_a FROM pairs),
       |  reach(node, lbl) AS (

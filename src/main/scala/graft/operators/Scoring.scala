@@ -233,29 +233,64 @@ object Scoring {
     * builtins): the 100 TB answer to "how many distinct parts per
     * supplier" QC rollups — sketches merge associatively, so partial
     * aggregation and re-aggregation across days/partitions are exact
-    * sketch merges instead of distinct-row shuffles. Rows-only (sketch
-    * internals aren't oracle-portable); spec bounds the error vs exact. */
-  val qSketchDistinct: Q = Q.rowsOnly("q_sketch_distinct") { (s, d) =>
+    * sketch merges instead of distinct-row shuffles. Fully oracled (r9)
+    * via the exact-half + certificate recipe: exact distinct counts
+    * hash-match DuckDB, and the HLL estimate rides `rel_err_le_5pct`
+    * (well beyond lgK=12's ~1.6% RSE; deterministic for this fixed
+    * dataset, empirically green at all three SFs) which the oracle pins
+    * TRUE — an estimator regression becomes a hash mismatch. The raw
+    * estimates stay spec-bounded (Round2OpsSpec). */
+  val qSketchDistinct: Q = Q(
+    "q_sketch_distinct",
+    """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS rel_err_le_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY l_suppkey""".stripMargin) { (s, d) =>
     T.lineitem(s, d)
       .groupBy("l_suppkey")
       .agg(
-        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("approx_parts"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("__approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_suppkey"), col("exact_parts"),
+        (abs(col("__approx") - col("exact_parts")) <=
+          lit(0.05) * col("exact_parts")).as("rel_err_le_5pct"))
       .orderBy("l_suppkey")
   }
 
   /** Approximate per-group quantiles via percentile_approx (the mergeable
     * KLL-style sketch): the 100 TB path where the exact per-group sort of
-    * q_percentile is unaffordable. Rows-only (sketch internals aren't
-    * oracle-portable); the spec bounds the estimate against the exact
-    * percentile. */
-  val qApproxQuantile: Q = Q.rowsOnly("q_approx_quantile") { (s, d) =>
-    T.orders(s, d)
-      .groupBy("o_orderpriority")
+    * q_percentile is unaffordable. Fully oracled (r9) via the exact-half +
+    * provable-certificate recipe (q_join_size_est's): the exact median and
+    * count hash-match DuckDB's quantile_cont (both engines interpolate at
+    * (n-1)·p), and the sketch leg is bound by its rank guarantee — the
+    * returned value is an observed element whose rank sits within
+    * n/accuracy of the target rank. `rank_err_ok` re-ranks the sketch
+    * value against the data (one certificate join) and the oracle pins it
+    * TRUE, so a sketch regression becomes a hash mismatch instead of a
+    * silent drift. */
+  val qApproxQuantile: Q = Q(
+    "q_approx_quantile",
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 6) AS exact_median,
+      |  COUNT(*) AS cnt, TRUE AS rank_err_ok
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = T.orders(s, d).select("o_orderpriority", "o_totalprice")
+    val agg = o.groupBy("o_orderpriority")
       .agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),
-        percentile(col("o_totalprice"), lit(0.5)).as("exact_median"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("__av"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 6).as("exact_median"),
         count(lit(1)).as("cnt"))
+    // certificate: rank the sketch's answer within its group (groups-sized
+    // broadcast, one extra scan — the price of a provable bound)
+    val rk = o.join(broadcast(agg.select(col("o_orderpriority"), col("__av"))),
+        Seq("o_orderpriority"))
+      .groupBy("o_orderpriority")
+      .agg(sum(when(col("o_totalprice") < col("__av"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(col("o_totalprice") <= col("__av"), 1L).otherwise(0L)).as("__le"))
+    agg.join(rk, Seq("o_orderpriority"))
+      .withColumn("rank_err_ok",
+        (dbl(col("__lt")) <= lit(0.5) * dbl(col("cnt")) + dbl(col("cnt")) / 1000.0 + 1.0) &&
+          (dbl(col("__le")) >= lit(0.5) * dbl(col("cnt")) - dbl(col("cnt")) / 1000.0 - 1.0))
+      .select("o_orderpriority", "exact_median", "cnt", "rank_err_ok")
       .orderBy("o_orderpriority")
   }
 

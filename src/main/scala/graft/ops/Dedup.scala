@@ -583,25 +583,79 @@ object Dedup {
     dbl(aggregate(zip_with(a, b,
       (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)) / k
 
-  /** MinHash + LSH banding: candidates share at least one of `bands` band
-    * signatures; est_jaccard = matching minhash fraction. No oracle —
-    * murmur3 isn't portable to DuckDB — so this is a rows-only check; the
-    * ScalaTest spec cross-validates against exact Jaccard. */
-  val qDedupMinhash: Q = Q.rowsOnly("q_dedup_minhash") { (s, d) =>
+  /** The q_dedup_minhash certificate chain, built ONCE and shared by the
+    * whole LSH-graph family (q_dedup_minhash, q_dedup_minhash_pick,
+    * q_triangle_lsh — each pays it once, never twice): band-collision
+    * candidates verified to exact Jaccard, the exact SSJoin pair graph
+    * off the SAME profile table, and the edge-for-edge mismatch count
+    * between the two graphs. */
+  private[graft] final case class MinhashGraph(
+      verified: DataFrame, exact: DataFrame, mismatches: Long)
+
+  private[graft] def minhashGraph(s: SparkSession, d: String): MinhashGraph = {
     val k = 64; val bands = 16; val rows = k / bands
-    // signatures are a pure projection (minhashSigProjected) — the ONLY
-    // shuffle in this whole operator is the band-bucket candidate join.
-    // Materialize them once: both join sides read the same tiny table.
-    val sig = minhashSigProjected(T.documents(s, d), "doc_id", "text", 3, k)
+    val docs = T.documents(s, d)
+    val sig = minhashSigProjected(docs, "doc_id", "text", 3, k)
       .localCheckpoint(true)
-    val banded = bandSignatures(sig, bands, rows)
-    val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bsig")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
-      .groupBy("id_a", "id_b").agg(max(col("est_jaccard")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+    val banded = bandSignatures(sig, bands, rows).select("id", "band", "bsig")
+    val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bsig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // one profile build serves both the candidate verify and the
+    // equality certificate's exact SSJoin side
+    val profiles = shingleProfiles(docs, "doc_id", "text", 3, 0.5)
+      .localCheckpoint(true)
+    val verified = verifyJaccard(cand, profiles, 0.5).localCheckpoint(true)
+    val prefix = profiles.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
+    val exactCand = prefix.select(col("id").as("id_a"), col("nsh").as("na"), col("sh"))
+      .join(prefix.select(col("id").as("id_b"), col("nsh").as("nb"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dbl(least(col("na"), col("nb"))) >=
+        lit(0.5) * dbl(greatest(col("na"), col("nb"))))
+      .select("id_a", "id_b").distinct()
+    val exact = verifyJaccard(exactCand, profiles, 0.5).localCheckpoint(true)
+    val mismatches = verified.select("id_a", "id_b").withColumn("__m", lit(1))
+      .join(exact.select("id_a", "id_b").withColumn("__e", lit(1)),
+        Seq("id_a", "id_b"), "full_outer")
+      .filter(col("__m").isNull || col("__e").isNull)
+      .count()
+    MinhashGraph(verified, exact, mismatches)
+  }
+
+  /** MinHash + LSH banding, exact-verified: band-collision candidates
+    * (the ONLY shuffle — signatures are a pure projection) get EXACT
+    * trigram Jaccard from the profile table, candidate-keyed, so the
+    * operator is the full production near-dup shape: probabilistic
+    * candidate generation + lossless verification, no O(n²) stage.
+    * Fully oracled (r9) by the graph-equality recipe
+    * (q_dedup_minhash_pick's): `pairs_exact_verified` diffs the verified
+    * graph edge-for-edge against the exact SSJoin graph, and the oracle
+    * computes the naive exact pairs with the flag pinned TRUE — 16×4
+    * banding at j≥0.5 sits on the saturated arm of the S-curve, so a
+    * banding regression (a missed pair) surfaces as a hash mismatch.
+    * The seed-dependent signature-agreement estimate (estJaccard) stays
+    * spec-bounded on corpora the S-curve doesn't saturate. */
+  val qDedupMinhash: Q = Q(
+    "q_dedup_minhash",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |  sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |         FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  COUNT(*) AS n_common,
+      |  round(CAST(COUNT(*) AS DOUBLE) /
+      |    CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) AS jaccard,
+      |  TRUE AS pairs_exact_verified
+      |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |JOIN sz sa ON sa.doc_id = a.doc_id
+      |JOIN sz sb ON sb.doc_id = b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING CAST(COUNT(*) AS DOUBLE) /
+      |    CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val g = minhashGraph(s, d)
+    g.verified.withColumn("pairs_exact_verified", lit(g.mismatches == 0L))
       .orderBy("id_a", "id_b")
   }
 
@@ -629,8 +683,8 @@ object Dedup {
       |    JOIN sz sa ON sa.doc_id = a.doc_id
       |    JOIN sz sb ON sb.doc_id = b.doc_id
       |    GROUP BY a.doc_id, b.doc_id
-      |    HAVING round(CAST(COUNT(*) AS DOUBLE) /
-      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5),
+      |    HAVING CAST(COUNT(*) AS DOUBLE) /
+      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5),
       |  e AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |        UNION SELECT id_b, id_a FROM pairs),
       |  reach(node, lbl) AS (
@@ -644,21 +698,17 @@ object Dedup {
       |  TRUE AS pairs_exact_verified
       |FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val mh = qDedupMinhash.fn(s, d).select("id_a", "id_b").localCheckpoint(true)
-    val exact = nearDupEdges(T.documents(s, d))
-      .select(col("src").as("id_a"), col("dst").as("id_b"))
-    val mismatches = mh.withColumn("__m", lit(1))
-      .join(exact.withColumn("__e", lit(1)), Seq("id_a", "id_b"), "full_outer")
-      .filter(col("__m").isNull || col("__e").isNull)
-      .count()
+    // one shared certificate chain: verified pairs, the exact graph, and
+    // the edge diff all come from minhashGraph — never recomputed here
+    val g = minhashGraph(s, d)
     val comp = graft.operators.GraphOps2.connectedComponents(
-      mh.select(col("id_a").as("src"), col("id_b").as("dst")), 20)
+      g.verified.select(col("id_a").as("src"), col("id_b").as("dst")), 20)
     T.documents(s, d).select(col("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("survivor_id"),
         (col("doc_id") === coalesce(col("lbl"), col("doc_id"))).as("keep"),
-        lit(mismatches == 0L).as("pairs_exact_verified"))
+        lit(g.mismatches == 0L).as("pairs_exact_verified"))
       .orderBy("doc_id")
   }
 

@@ -76,8 +76,8 @@ object PipelineOps3 {
       |    JOIN sz sa ON sa.doc_id = a.doc_id
       |    JOIN sz sb ON sb.doc_id = b.doc_id
       |    GROUP BY a.doc_id, b.doc_id
-      |    HAVING round(CAST(COUNT(*) AS DOUBLE) /
-      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) >= 0.5),
+      |    HAVING CAST(COUNT(*) AS DOUBLE) /
+      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5),
       |  e AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |        UNION SELECT id_b, id_a FROM pairs),
       |  reach(node, lbl) AS (

@@ -30,41 +30,107 @@ object Sketches {
     * ONE pass over tokens builds a 1024-value sketch per source; every
     * pairwise union/intersection/Jaccard estimate after that reads only
     * sketch bytes. Contrast q_vocab_overlap (exact, token-shuffle per
-    * pair): same report at a fixed cost per SOURCE, not per token. */
-  val qSketchSetops: Q = Q.rowsOnly("q_sketch_setops") { (s, d) =>
-    val sk = toks(s, d)
-      .groupBy("source")
+    * pair): same report at a fixed cost per SOURCE, not per token.
+    * Fully oracled (r9) via the exact-half + certificate recipe: the
+    * exact union/intersect/Jaccard per pair hash-match DuckDB, and the
+    * seed-dependent KMV estimates ride `est_within_tol` (union ≤15%,
+    * intersect ≤ max(25%·i, 5%·u), jaccard ≤0.07 abs — the k=1024
+    * bottom-k error band with slack; probabilistic in general but a
+    * deterministic function of this fixed-seed sketch and dataset,
+    * empirically green at all three SFs) which the oracle pins TRUE.
+    * The raw estimates stay spec-bounded (SketchesSpec). */
+  val qSketchSetops: Q = Q(
+    "q_sketch_setops",
+    """WITH v AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS t
+      |           FROM documents),
+      |sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY 1),
+      |common AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS c
+      |  FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b,
+      |  CAST(sa.n + sb.n - c AS BIGINT) AS exact_union,
+      |  CAST(c AS BIGINT) AS exact_intersect,
+      |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS exact_jaccard,
+      |  TRUE AS est_within_tol
+      |FROM common JOIN sz sa ON sa.source = source_a
+      |            JOIN sz sb ON sb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val tk = toks(s, d)
+    val v = tk.distinct().localCheckpoint(true)
+    val sz = v.groupBy("source").agg(count(lit(1)).as("n"))
+    val common = v.select(col("source").as("source_a"), col("token"))
+      .join(v.select(col("source").as("source_b"), col("token")), "token")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("c"))
+    val sk = tk.groupBy("source")
       .agg(KmvAgg.agg(xxhash64(col("token")), 1024).as("sk"))
-    val est = udf((a: Array[Byte], b: Array[Byte]) => {
-      val (u, i, j) = KmvAgg.setOps(a, b)
-      (math.round(u), math.round(i), math.rint(j * 1e6) / 1e6)
-    })
-    val l = sk.select(col("source").as("source_a"), col("sk").as("ska"))
-    val r = sk.select(col("source").as("source_b"), col("sk").as("skb"))
-    l.join(r, col("source_a") < col("source_b")) // few sources: tiny cross
+    val est = udf((a: Array[Byte], b: Array[Byte]) => KmvAgg.setOps(a, b))
+    common
+      .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .join(broadcast(sk.select(col("source").as("source_a"), col("sk").as("ska"))), "source_a")
+      .join(broadcast(sk.select(col("source").as("source_b"), col("sk").as("skb"))), "source_b")
+      .withColumn("exact_union", (col("na") + col("nb") - col("c")).cast("long"))
+      .withColumn("exact_intersect", col("c").cast("long"))
+      .withColumn("xj", col("exact_intersect").cast("double") /
+        col("exact_union").cast("double"))
       .withColumn("e", est(col("ska"), col("skb")))
       .select(col("source_a"), col("source_b"),
-        col("e._1").as("est_union"), col("e._2").as("est_intersect"),
-        col("e._3").as("est_jaccard"))
+        col("exact_union"), col("exact_intersect"),
+        round(col("xj"), 6).as("exact_jaccard"),
+        ((abs(col("e._1") - col("exact_union")) <= lit(0.15) * col("exact_union")) &&
+          (abs(col("e._2") - col("exact_intersect")) <=
+            greatest(lit(0.25) * col("exact_intersect"), lit(0.05) * col("exact_union"))) &&
+          (abs(col("e._3") - col("xj")) <= lit(0.07))).as("est_within_tol"))
       .orderBy("source_a", "source_b")
   }
 
   /** Per-flag price quantiles from a deterministic 4096-row bottom-k
     * sample (stable row hash = xxhash64(orderkey, linenumber)). The
     * sketch column is what a daily sidecar would persist; p50/p90/p99
-    * are read off it driver-free. */
-  val qSketchQuantile: Q = Q.rowsOnly("q_sketch_quantile") { (s, d) =>
-    val q = udf((b: Array[Byte], p: Double) =>
-      math.rint(SampleQuantileAgg.quantile(b, p) * 100) / 100)
-    T.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+    * are read off it driver-free. Fully oracled (r9) via the exact-half
+    * + rank-certificate recipe (q_approx_quantile's): exact p50/p90/p99
+    * and counts hash-match DuckDB's quantile_cont, and each sample value
+    * is re-ranked against the data — its empirical CDF position must sit
+    * within 5% of the target p (≈6σ of the k=4096 binomial sampling
+    * band), a flag the oracle pins TRUE. */
+  val qSketchQuantile: Q = Q(
+    "q_sketch_quantile",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+      |  COUNT(*) AS cnt, TRUE AS rank_err_ok
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val q = udf((b: Array[Byte], p: Double) => SampleQuantileAgg.quantile(b, p))
+    val li = T.lineitem(s, d)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val agg = li.groupBy(col("l_returnflag"))
       .agg(SampleQuantileAgg.agg(
         xxhash64(col("l_orderkey"), col("l_linenumber")),
-        col("l_extendedprice"), 4096).as("sk"))
-      .select(col("l_returnflag"),
-        q(col("sk"), lit(0.5)).as("p50"),
-        q(col("sk"), lit(0.9)).as("p90"),
-        q(col("sk"), lit(0.99)).as("p99"))
+        col("l_extendedprice"), 4096).as("sk"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("exact_p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("exact_p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("exact_p99"),
+        count(lit(1)).as("cnt"))
+      .withColumn("v50", q(col("sk"), lit(0.5)))
+      .withColumn("v90", q(col("sk"), lit(0.9)))
+      .withColumn("v99", q(col("sk"), lit(0.99)))
+      .localCheckpoint(true) // flag-sized; anchors the certificate join
+    // certificate: one extra scan re-ranks the three sample values
+    val rk = li
+      .join(broadcast(agg.select("l_returnflag", "v50", "v90", "v99")), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(col("l_extendedprice") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") <= col("v90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("l_extendedprice") <= col("v99"), 1L).otherwise(0L)).as("le99"))
+    def ok(le: org.apache.spark.sql.Column, p: Double) =
+      abs(le.cast("double") / col("cnt").cast("double") - lit(p)) <= lit(0.05)
+    agg.join(rk, "l_returnflag")
+      .withColumn("rank_err_ok",
+        ok(col("le50"), 0.5) && ok(col("le90"), 0.9) && ok(col("le99"), 0.99))
+      .select("l_returnflag", "exact_p50", "exact_p90", "exact_p99", "cnt", "rank_err_ok")
       .orderBy("l_returnflag")
   }
 
@@ -80,12 +146,37 @@ object Sketches {
     * is what a per-source/per-day sidecar persists, and at 100 TB every
     * "how often does token x occur in source s" probe reads sketch bytes,
     * never re-scans the corpus (sketches of different days/sources merge
-    * by counter addition). CMS guarantees est ≥ exact; the spec bounds
-    * the overcount at the classic εN. */
-  val qSketchCms: Q = Q.rowsOnly("q_sketch_cms") { (s, d) =>
+    * by counter addition). Fully oracled (r9) via the exact-half +
+    * provable-certificate recipe (q_join_size_est's): exact per-probe
+    * counts hash-match DuckDB; the sketch leg rides two flags the oracle
+    * pins TRUE — `est_ge_exact` (a CMS NEVER under-counts: each key adds
+    * its full frequency to its own cells, cross-terms are non-negative)
+    * and `overcount_le_eps` (est ≤ exact + ⌈(e/width)·N_source⌉, the
+    * classic bound at the sketch's own ε — probabilistic in general but a
+    * deterministic function of this fixed-seed sketch and dataset;
+    * empirically green at all three SFs, and the min-over-4-rows estimate
+    * makes a violation odds ~e⁻⁴ per probe). The numeric overcounts stay
+    * spec-bounded (SketchesSpec). */
+  val qSketchCms: Q = Q(
+    "q_sketch_cms",
+    """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |            FROM documents),
+      |  probes AS (SELECT token FROM tk GROUP BY token
+      |             ORDER BY COUNT(*) DESC, token LIMIT 10),
+      |  grid AS (SELECT s.source, p.token
+      |           FROM (SELECT DISTINCT source FROM tk) s, probes p),
+      |  exact AS (SELECT source, token, COUNT(*) AS exact_n FROM tk
+      |            WHERE token IN (SELECT token FROM probes) GROUP BY 1, 2)
+      |SELECT g.source, g.token, COALESCE(e.exact_n, 0) AS exact_n,
+      |  TRUE AS est_ge_exact, TRUE AS overcount_le_eps
+      |FROM grid g LEFT JOIN exact e
+      |  ON e.source = g.source AND e.token = g.token
+      |ORDER BY g.source, g.token""".stripMargin) { (s, d) =>
+    val W = 1024
     val tk = toks(s, d)
     val sk = tk.groupBy("source")
-      .agg(CmsAgg.agg(xxhash64(col("token")), 1024, 4).as("sk"))
+      .agg(CmsAgg.agg(xxhash64(col("token")), W, 4).as("sk"),
+        count(lit(1)).as("__n"))
     // deterministic global probe set: top-10 tokens (count desc, token asc)
     val probes = tk.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(10).select("token")
@@ -93,11 +184,13 @@ object Sketches {
       .groupBy("source", "token").agg(count(lit(1)).as("exact_n"))
     val est = udf((b: Array[Byte], h: Long) => CmsAgg.estimate(b, h))
     sk.join(broadcast(probes)) // |sources| × 10 grid — constant-size side
-      .withColumn("est_n", est(col("sk"), xxhash64(col("token"))))
+      .withColumn("__est", est(col("sk"), xxhash64(col("token"))))
       .join(exact, Seq("source", "token"), "left")
-      .select(col("source"), col("token"),
-        coalesce(col("exact_n"), lit(0L)).as("exact_n"), col("est_n"),
-        (col("est_n") - coalesce(col("exact_n"), lit(0L))).as("overcount"))
+      .withColumn("exact_n", coalesce(col("exact_n"), lit(0L)))
+      .select(col("source"), col("token"), col("exact_n"),
+        (col("__est") >= col("exact_n")).as("est_ge_exact"),
+        (col("__est") <= col("exact_n") +
+          ceil(lit(math.E / W) * col("__n")).cast("long")).as("overcount_le_eps"))
       .orderBy("source", "token")
   }
 

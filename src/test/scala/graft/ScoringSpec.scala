@@ -45,8 +45,21 @@ class ScoringSpec extends SparkSpec {
   }
 
   test("hll sketch distinct is within 5% of exact per supplier") {
+    // the query carries the oracled exact half + the 5% flag; every
+    // group's flag must hold
     val r = Scoring.qSketchDistinct.fn(spark, SmallDir).collect()
+    assert(r.nonEmpty)
     r.foreach { row =>
+      assert(row.getAs[Boolean]("rel_err_le_5pct"),
+        s"supplier ${row.get(0)}: estimate strays beyond 5% of ${row.get(1)}")
+    }
+    // independent numeric bound on the raw estimates
+    val raw = graft.sources.Tables.lineitem(spark, SmallDir)
+      .groupBy("l_suppkey")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    raw.foreach { row =>
       val approx = row.getLong(1).toDouble
       val exact = row.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.05, s"supplier ${row.get(0)}: $approx vs $exact")

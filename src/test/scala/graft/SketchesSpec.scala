@@ -37,28 +37,54 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("q_sketch_setops tracks the exact per-pair vocabulary overlap") {
-    val est = SparkEntry.queries("q_sketch_setops")(spark, TinyDir).collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
-    assert(est.nonEmpty)
-    val toks = graft.sources.Tables.documents(spark, TinyDir)
+    // the query carries the oracled exact half + the tolerance flag
+    val out = SparkEntry.queries("q_sketch_setops")(spark, TinyDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("est_within_tol"),
+        s"${r.getString(0)}-${r.getString(1)} KMV estimate outside tolerance")
+    }
+    // independent numeric bound: rebuild the sketches, estimate directly
+    val tk = graft.sources.Tables.documents(spark, TinyDir)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
-      .select("source", "token").distinct().collect()
+    val sk = tk.groupBy("source")
+      .agg(KmvAgg.agg(xxhash64(col("token")), 1024).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val toks = tk.select("source", "token").distinct().collect()
       .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
-    for (((sa, sb), (eu, ei, ej)) <- est) {
+    for (sa <- sk.keys; sb <- sk.keys if sa < sb) {
+      val (eu, ei, ej) = KmvAgg.setOps(sk(sa), sk(sb))
       val (va, vb) = (toks(sa), toks(sb))
       val (u, i) = ((va ++ vb).size, (va & vb).size)
       val j = i.toDouble / u
-      assert(math.abs(eu - u).toDouble / u < 0.15, s"$sa-$sb union est=$eu exact=$u")
-      assert(math.abs(ei - i).toDouble / math.max(i, 1) < 0.25,
+      assert(math.abs(eu - u) / u < 0.15, s"$sa-$sb union est=$eu exact=$u")
+      assert(math.abs(ei - i) / math.max(i, 1) < 0.25,
         s"$sa-$sb intersect est=$ei exact=$i")
       assert(math.abs(ej - j) < 0.1, s"$sa-$sb jaccard est=$ej exact=$j")
     }
   }
 
   test("q_sketch_quantile tracks exact percentiles within 5%") {
-    val est = SparkEntry.queries("q_sketch_quantile")(spark, TinyDir).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // the query carries the oracled exact half + the rank certificate
+    val out = SparkEntry.queries("q_sketch_quantile")(spark, TinyDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("rank_err_ok"),
+        s"${r.getString(0)} sample value strays beyond 5% CDF position")
+    }
+    // independent numeric bound: rebuild the sample sketch, read the
+    // quantiles off it directly, compare against exact percentiles
+    val est = graft.sources.Tables.lineitem(spark, TinyDir)
+      .groupBy("l_returnflag")
+      .agg(SampleQuantileAgg.agg(
+        xxhash64(col("l_orderkey"), col("l_linenumber")),
+        col("l_extendedprice"), 4096).as("sk"))
+      .collect()
+      .map { r =>
+        val b = r.getAs[Array[Byte]]("sk")
+        r.getString(0) -> (SampleQuantileAgg.quantile(b, 0.5),
+          SampleQuantileAgg.quantile(b, 0.9), SampleQuantileAgg.quantile(b, 0.99))
+      }.toMap
     val exact = graft.sources.Tables.lineitem(spark, TinyDir)
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
@@ -152,16 +178,38 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("q_sketch_cms: per-source estimates cover exact counts, bounded overcount") {
+    import spark.implicits._
     val out = SparkEntry.queries("q_sketch_cms")(spark, TinyDir).collect()
     assert(out.nonEmpty)
-    val totalTokens = graft.sources.Tables.documents(spark, TinyDir)
-      .select(explode(split(col("text"), " "))).count()
-    val epsN = math.ceil(math.E / 1024 * totalTokens).toLong + 1
     out.foreach { r =>
-      val (exact, over) = (r.getAs[Long]("exact_n"), r.getAs[Long]("overcount"))
-      assert(over >= 0L, s"${r.getString(0)}/${r.getString(1)} under-counted")
-      assert(over <= epsN, s"${r.getString(0)}/${r.getString(1)} overcount $over > εN=$epsN")
-      assert(exact >= 0L)
+      assert(r.getAs[Boolean]("est_ge_exact"),
+        s"${r.getString(0)}/${r.getString(1)} under-counted")
+      assert(r.getAs[Boolean]("overcount_le_eps"),
+        s"${r.getString(0)}/${r.getString(1)} overcount above its εN bound")
+      assert(r.getAs[Long]("exact_n") >= 0L)
+    }
+    // independent numeric bound: rebuild the per-source sketch, probe the
+    // same tokens through CmsAgg.estimate directly, and re-derive εN from
+    // scratch — the query's own flag computation is not trusted here
+    val tk = graft.sources.Tables.documents(spark, TinyDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val probes = out.map(_.getString(1)).distinct.toSeq
+    val hashes = probes.toDF("token").withColumn("h", xxhash64(col("token")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = tk.filter(col("token").isin(probes: _*))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val sk = tk.groupBy("source")
+      .agg(graft.functions.CmsAgg.agg(xxhash64(col("token")), 1024, 4).as("sk"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getAs[Array[Byte]]("sk"), r.getLong(2))))
+    for ((src, (bytes, n)) <- sk; t <- probes) {
+      val est = graft.functions.CmsAgg.estimate(bytes, hashes(t))
+      val x = exact((src, t))
+      val epsN = math.ceil(math.E / 1024 * n).toLong
+      assert(est >= x, s"$src/$t under-counted: $est < $x")
+      assert(est <= x + epsN, s"$src/$t overcount ${est - x} > εN=$epsN")
     }
     // every top-10 probe token occurs somewhere in the corpus
     val byToken = out.groupBy(_.getString(1)).view
