@@ -163,6 +163,11 @@ case class MulticlassMetricsAgg(
     val vy = childY.eval(input)
     if (vx != null && vy != null) {
       val arr = vx.asInstanceOf[ArrayData]
+      // same guard as the IRLS sibling: UnsafeArrayData.getDouble is an
+      // unchecked Platform read — a short vector would silently corrupt
+      // the metrics with adjacent buffer memory instead of failing
+      require(arr.numElements() == dim,
+        s"multiclass_metrics_agg(dim=$dim) got a vector of ${arr.numElements()}")
       val y = vy.asInstanceOf[Long]
       var best = 0
       var bestEta = Double.NegativeInfinity

@@ -219,6 +219,42 @@ object Dedup {
       * carries the pruning below directory granularity. */
     val PostingBuckets = 64
 
+    /** Postings-LAYOUT version marker: v2 = shb-bucketed postings +
+      * id-clustered profiles carrying the prefix (r9). The index is a
+      * DURABLE artifact (bundled with releases, crash-replay contracts),
+      * so readers REQUIRE the marker — an index persisted under an older
+      * layout fails LOUD with a rebuild instruction instead of an
+      * AnalysisException on the missing `shb` column, and an append on
+      * it can never mix flat and bucketed dirs under one postings root
+      * (which would break partition discovery for every later reader). */
+    private val LayoutFile = "_layout"
+    private val LayoutVersion = "2"
+
+    private def writeLayout(spark: SparkSession, root: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(root, LayoutFile)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(LayoutVersion.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    private def requireLayout(spark: SparkSession, root: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(root, LayoutFile)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ok = fs.exists(p) && {
+        val in = fs.open(p)
+        try {
+          val b = new Array[Byte](16)
+          val read = in.read(b)
+          read > 0 && new String(b, 0, read,
+            java.nio.charset.StandardCharsets.UTF_8).trim == LayoutVersion
+        } finally in.close()
+      }
+      require(ok, s"NearDupIndex at $root predates postings layout v$LayoutVersion " +
+        "(shb-bucketed postings, id-clustered profiles) — run NearDupIndex.rebuild " +
+        "to refresh it; reading or appending a mixed layout would fail or misread")
+    }
+
     def build(docs: DataFrame, path: String, n: Int = 3,
               threshold: Double = 0.5, profileFiles: Int = 32): Unit = {
       val sh = wordShingleHashes(docs, "doc_id", "text", n)
@@ -238,6 +274,8 @@ object Dedup {
         .repartitionByRange(profileFiles, col("id")).sortWithinPartitions("id")
         .write.mode("overwrite").parquet(s"$path/profiles/part=base")
       writePostings(frozen, s"$path/prefix/part=base")
+      // marker LAST: a crashed partial build never reads as a valid index
+      writeLayout(spark, path)
     }
 
     private def writePostings(frozen: DataFrame, dir: String): Unit =
@@ -278,6 +316,7 @@ object Dedup {
                n: Int = 3, threshold: Double = 0.5,
                region: String = ""): Unit = {
       val root = liveRoot(spark, path)
+      requireLayout(spark, root)
       val reg = if (region.nonEmpty) region else nextRegion(spark, root)
       val frozen = freeze(batch, spark.read.parquet(s"$root/vocab"), n, threshold)
         .localCheckpoint(true)
@@ -340,14 +379,21 @@ object Dedup {
       *    skipping makes the heavy read O(candidates), not O(corpus).
       *    The id list is collected driver-side (it is candidate-sized —
       *    the same bound the join output already has); above
-      *    `maxPushIds` the filter is skipped and the plain hash join
-      *    carries the query (correct either way, scan-optimal only
-      *    below the cap). NearDupIndexScaleSpec asserts the pushed
-      *    filter in the executed plan; IncrBench measures the bytes. */
+      *    `maxPushIds` DISTINCT ids the filter is skipped and the plain
+      *    hash join carries the query (correct either way, scan-optimal
+      *    only below the cap). The cap is on the pushed ID count, not
+      *    the pair count: parquet's inFilterThreshold (GraftSession
+      *    sets 10000) silently degrades an over-long IN to a min/max
+      *    range filter — useless for scattered ids — so pushing more
+      *    than the threshold would keep the O(candidates) CLAIM while
+      *    scanning the corpus (review r9). NearDupIndexScaleSpec
+      *    asserts the pushed filter in the executed plan; IncrBench
+      *    measures the bytes. */
     def query(spark: SparkSession, path: String, batch: DataFrame,
               n: Int = 3, threshold: Double = 0.5,
               maxPushIds: Int = 10000): DataFrame = {
       val root = liveRoot(spark, path)
+      requireLayout(spark, root)
       val bprof = freeze(batch, spark.read.parquet(s"$root/vocab"), n, threshold)
         .localCheckpoint(true)
       val candAll = candidateStage(spark, root, bprof, threshold)
@@ -362,8 +408,12 @@ object Dedup {
         else {
           import spark.implicits._
           val pairs = head.map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+          val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted.toArray
+          // pairs stay a local relation either way; the pushdown itself
+          // only fires when the DISTINCT id count fits the parquet IN
+          // threshold (≤ 2× pairs, so the pair gate alone can overshoot)
           (pairs.toDF("id_a", "id_b"),
-            Some(pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted.toArray))
+            if (ids.length <= maxPushIds) Some(ids) else None)
         }
       val indexed0 = spark.read.parquet(s"$root/profiles")
         .select("id", "nsh", "vset") // drop the part= region column
@@ -388,6 +438,7 @@ object Dedup {
     def lookup(spark: SparkSession, path: String, docId: Long,
                threshold: Double = 0.5): DataFrame = {
       val root = liveRoot(spark, path)
+      requireLayout(spark, root)
       val meRows = spark.read.parquet(s"$root/profiles")
         .filter(col("id") === docId)
         .select("nsh", "vset", "prefix").collect()
@@ -415,9 +466,13 @@ object Dedup {
         .withColumn("n_common",
           graft.functions.SetFunctions.intersectCountSorted(
             typedlit(myVset), col("sb")))
-        .withColumn("jaccard",
-          round(dbl(col("n_common")) / dbl(lit(myNsh) + col("nb") - col("n_common")), 6))
-        .filter(col("jaccard") >= threshold)
+        // UNROUNDED threshold compare — the same prefix-theorem semantics
+        // as verifyJaccard/query (review r9: a rounded compare here made
+        // the serving point-lookup disagree with the batch path over the
+        // SAME index for pairs in [t-5e-7, t))
+        .withColumn("__j", dbl(col("n_common")) / dbl(lit(myNsh) + col("nb") - col("n_common")))
+        .filter(col("__j") >= threshold)
+        .withColumn("jaccard", round(col("__j"), 6))
         .select(col("id_b").as("other_id"), col("n_common"), col("jaccard"))
         .orderBy(col("jaccard").desc, col("other_id"))
     }
@@ -439,17 +494,27 @@ object Dedup {
                         threshold: Double = 0.5,
                         sampleCap: Long = 2000L): DataFrame = {
       val root = liveRoot(spark, path)
+      requireLayout(spark, root)
       val profiles = spark.read.parquet(s"$root/profiles")
         .select("id", "nsh", "vset", "prefix")
       val sample = boundedHashSample(profiles, "id", sampleCap)
         .localCheckpoint(true)
+      val nSample0 = sample.count()
+      if (nSample0 == 0L) {
+        // empty index: nothing to be stale about — inflation 1, not an
+        // NPE from sum() over zero rows (rebuildIfStale runs on every
+        // ingest tick, including before the first non-empty batch)
+        import spark.implicits._
+        return Seq((0L, 0L, 0L, 1.0))
+          .toDF("n_sample", "frozen_volume", "live_volume", "inflation")
+      }
       // within-sample document frequency — the posting-length estimate
       val sdf = sample.select(explode(col("vset")).as("sh"))
         .groupBy("sh").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
       val frozenVol = sample.select(explode(col("prefix")).as("sh"))
         .join(sdf, "sh")
-        .agg(sum(col("cnt"))).head.getLong(0)
+        .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
       val liveVol = sample
         .select(col("id"), col("nsh"), explode(col("vset")).as("sh"))
         .join(sdf, "sh")
@@ -460,8 +525,8 @@ object Dedup {
         .withColumn("vol",
           aggregate(transform(slice(col("arr"), lit(1), col("plen")),
             x => x.getField("cnt")), lit(0L), _ + _))
-        .agg(sum(col("vol"))).head.getLong(0)
-      val nSample = sample.count()
+        .agg(coalesce(sum(col("vol")), lit(0L))).head.getLong(0)
+      val nSample = nSample0
       import spark.implicits._
       Seq((nSample, frozenVol, liveVol,
         math.rint(frozenVol.toDouble / math.max(liveVol, 1L) * 1e6) / 1e6))
@@ -756,7 +821,8 @@ object Dedup {
   val qDedupEmbed: Q = Q(
     "q_dedup_embed",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e
+      |        WHERE list_inner_product(v, v) > 0)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
       |FROM n a JOIN n b ON a.vec_id < b.vec_id

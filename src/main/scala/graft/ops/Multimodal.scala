@@ -218,6 +218,26 @@ object Multimodal {
     }
   }
 
+  /** Repaint an already-decoded image at (w, h) and return the BT.601
+    * luma grid (row-major) — the shared primitive behind the perceptual
+    * hashes; [[imageSignatures]] calls it twice per ONE decode. */
+  private def lumaGrid(src: java.awt.image.BufferedImage,
+                       w: Int, h: Int): Array[Double] = {
+    val dst = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+    val out = new Array[Double](w * h)
+    var i = 0
+    while (i < w * h) {
+      val rgb = dst.getRGB(i % w, i / w)
+      out(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      i += 1
+    }
+    out
+  }
+
   /** 64-bit AVERAGE-HASH perceptual signature (aHash): decode, repaint
     * to an 8×8 grayscale grid, bit i = pixel_i > grid mean. Robust to
     * re-encoding, resizing, and uniform brightness shifts — the classic
@@ -293,27 +313,35 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          ImageCodec.resize(bytes, 8, 8) match {
-            case None => Row(r.getLong(0), 0L, 0L, 0.0, false, false)
-            case Some(png) =>
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-              val luma = new Array[Double](64)
-              var i = 0
-              while (i < 64) {
-                val rgb = img.getRGB(i % 8, i / 8)
-                luma(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-                  0.114 * (rgb & 0xff)
-                i += 1
+          // decode ONCE per row — the full-size ImageIO decode dominates
+          // per-row cost on an image corpus; both perceptual grids (8×8
+          // aHash, 9×8 dHash) repaint from the one decoded image.
+          // Repaint-without-PNG-round-trip is pixel-identical to
+          // aHash/dHash over the same payload (PNG is lossless), so the
+          // standalone functions and this fused path agree bit-for-bit.
+          val src =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (src == null) Row(r.getLong(0), 0L, 0L, 0.0, false, false)
+          else {
+            val luma = lumaGrid(src, 8, 8)
+            val mean = luma.sum / 64
+            var ah = 0L
+            var i = 0
+            while (i < 64) { if (luma(i) > mean) ah |= (1L << i); i += 1 }
+            val flat = (luma.max - luma.min) < FlatLumaRange
+            val l9 = lumaGrid(src, 9, 8)
+            var dh = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (l9(y * 9 + x) < l9(y * 9 + x + 1)) dh |= (1L << (y * 8 + x))
+                x += 1
               }
-              val mean = luma.sum / 64
-              var ah = 0L
-              i = 0
-              while (i < 64) { if (luma(i) > mean) ah |= (1L << i); i += 1 }
-              val flat = (luma.max - luma.min) < FlatLumaRange
-              // dHash re-decodes at 9×8 — the gradient grid needs the
-              // extra column; the payload is already hot in page cache
-              val dh = dHash(bytes).getOrElse(0L)
-              Row(r.getLong(0), ah, dh, mean, flat, true)
+              y += 1
+            }
+            Row(r.getLong(0), ah, dh, mean, flat, true)
           }
         }
       }(enc)

@@ -453,6 +453,12 @@ object PipelineOps3 {
     val classes: Array[Long] = vecs.select(col("y").cast("long").as("y"))
       .distinct().collect().map(_.getLong(0)).sorted
     require(classes.nonEmpty, "multiclassProbe: no labeled rows")
+    // class = -1 keys the accuracy/log_loss summary rows in the output;
+    // a genuine -1 label (a common "unknown" encoding) would interleave
+    // coefficient rows with metric rows indistinguishably — fail loud
+    require(classes.head >= 0L,
+      s"multiclassProbe: labels must be >= 0 (got ${classes.head}); " +
+        "class = -1 is reserved for the summary rows")
     val dim = vecs.select(size(col("x"))).head.getInt(0)
     val d1 = dim + 1 // + intercept slot
     val per = d1 * (d1 + 1) / 2 + d1 // per-class [A upper-tri, g] doubles

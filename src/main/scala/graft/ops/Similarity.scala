@@ -717,7 +717,8 @@ object Similarity {
   val qKnnGraph: Q = Q(
     "q_knn_graph",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |  n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e
+      |        WHERE list_inner_product(v, v) > 0),
       |  p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |          round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
       |        FROM n a JOIN n b ON a.vec_id < b.vec_id),
@@ -734,7 +735,10 @@ object Similarity {
     // SHIPPED plan (r9): the two-pass cell-pruned EXACT kNN — hash
     // equi-joins only, provably the same top-k as the all-pairs window
     // (the oracle still computes the naive O(n²) form in SQL; the hash
-    // compare is what makes "provably" an empirical statement too)
+    // compare is what makes "provably" an empirical statement too).
+    // Zero-norm vectors are EXCLUDED on both engine and oracle sides:
+    // cosine is undefined for them (the old all-pairs form emitted NaN
+    // rows whose cross-engine ordering was luck, not semantics)
     val k = exactKnnEdges(T.embeddings(s, d), "vec_id", "embedding", 4)
       .localCheckpoint(true) // two consumers below: never re-run the scoring
     val m = k.select(col("node").as("m_node"), col("nbr").as("m_nbr"), lit(1).as("m_hit"))

@@ -151,13 +151,32 @@ object SidecarStats {
   /** The approximate half: per-column NDV from the unioned per-file KMV
     * sketches (deterministic, but the estimator isn't SQL-portable →
     * rows-only; SidecarStatsSpec pins the ≤10% parity vs exact). */
-  val qStatsNdv: Q = Q.rowsOnly("q_stats_ndv") { (s, d) =>
+  val qStatsNdv: Q = Q(
+    "q_stats_ndv",
+    """SELECT col, exact_ndv, TRUE AS ndv_within_tol FROM (
+      |  SELECT 'l_extendedprice' AS col,
+      |         COUNT(DISTINCT l_extendedprice) AS exact_ndv FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity', COUNT(DISTINCT l_quantity) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_suppkey', COUNT(DISTINCT l_suppkey) FROM lineitem)
+      |ORDER BY col""".stripMargin) { (s, d) =>
+    // fully oracled (r9) via the exact-half + certificate recipe: exact
+    // per-column NDVs hash-match DuckDB; the sidecar's KMV-merged ndv
+    // rides `ndv_within_tol` (±15% ≈ 5× the k=1024 bottom-k RSE; exact
+    // below k) pinned TRUE by the oracle
     val tmp = java.nio.file.Files.createTempDirectory("graft_statsndv").toFile.getAbsolutePath
     val li = T.lineitem(s, d).select((("l_orderkey" +: Covered).map(col)): _*)
     ZoneIndex.writeWithZoneIndex(li, s"$tmp/li", "l_orderkey", 8, Covered)
     val st = tableStats(s, s"$tmp/li")
+    val exact = T.lineitem(s, d)
+      .select(Covered.map(c => countDistinct(col(c)).as(c)): _*).head
     import s.implicits._
-    st.toSeq.sortBy(_._1).map { case (c, cs) => (c, cs.ndv) }.toDF("col", "ndv")
+    Covered.sorted.map { c =>
+      val ex = exact.getAs[Long](c)
+      val est = st(c).ndv
+      (c, ex, math.abs(est - ex) <= math.max(math.ceil(0.15 * ex).toLong, 2L))
+    }.toDF("col", "exact_ndv", "ndv_within_tol")
   }
 
   val all: Seq[Q] = Seq(qStatsTable, qStatsNdv)

@@ -107,6 +107,15 @@ class LogisticProbeSpec extends SparkSpec {
     assert(got((-1L, "log_loss")) < 0.3)
   }
 
+  test("a -1 label fails loud (the summary-row sentinel must never collide)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 0.0), -1L), (Array(0.0, 1.0), 1L)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      PipelineOps3.multiclassProbe(df, lambda = 1e-3, iters = 1).collect()
+    }
+    assert(e.getMessage.contains("reserved"), s"got: ${e.getMessage}")
+  }
+
   test("K=16 classes stay one pass per round — past the declarative codegen cliff") {
     import spark.implicits._
     // 16 classes x 8 dims: the declarative K-sibling-gramian form falls

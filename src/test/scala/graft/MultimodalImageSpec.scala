@@ -114,6 +114,22 @@ class MultimodalImageSpec extends SparkSpec {
     val sigs = Multimodal.imageSignatures(df, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("decoded")).toMap
     assert(sigs == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true, 5L -> false))
+    // the fused single-decode path (review r9: imageSignatures decoded
+    // every payload twice) must agree bit-for-bit with the standalone
+    // aHash/dHash over the same payloads
+    val fused = Multimodal.imageSignatures(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("ahash"), r.getAs[Long]("dhash"), r.getAs[Boolean]("decoded")))).toMap
+    df.collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val (ah, dh, dec) = fused(id)
+      assert(dec === Multimodal.aHash(bytes).isDefined)
+      if (dec) {
+        assert(ah === Multimodal.aHash(bytes).get, s"doc $id aHash diverged")
+        assert(dh === Multimodal.dHash(bytes).get, s"doc $id dHash diverged")
+      }
+    }
   }
 
   /** Nonlinear horizontal gradient over [x0, x1) of the source ramp:

@@ -137,4 +137,68 @@ class NearDupIndexScaleSpec extends SparkSpec {
     assert(!Dedup.NearDupIndex.rebuildIfStale(spark, idx, all),
       "a fresh index must not re-trigger")
   }
+
+  test("staleness metric on an empty index reports inflation 1, no NPE") {
+    import spark.implicits._
+    val idx = s"/tmp/graft_ndidx_empty_${System.nanoTime()}"
+    Dedup.NearDupIndex.build(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    val m = Dedup.NearDupIndex.stalenessMetric(spark, idx).head
+    assert(m.getLong(0) === 0L)
+    assert(m.getDouble(3) === 1.0,
+      "empty index: nothing to be stale about — rebuildIfStale runs on " +
+        "every ingest tick, including before the first non-empty batch")
+    assert(!Dedup.NearDupIndex.rebuildIfStale(spark, idx, docs))
+  }
+
+  test("pre-v2 layouts fail loud with a rebuild instruction, not an AnalysisException") {
+    val idx = s"/tmp/graft_ndidx_layout_${System.nanoTime()}"
+    Dedup.NearDupIndex.build(docs, idx)
+    // simulate an index persisted before the shb-bucketed layout: the
+    // marker is absent (older writers never produced one)
+    val p = new org.apache.hadoop.fs.Path(s"$idx/_layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    val batch = docs.filter(col("doc_id") % 50 === 0)
+    val eq = intercept[IllegalArgumentException] {
+      Dedup.NearDupIndex.query(spark, idx, batch).count()
+    }
+    assert(eq.getMessage.contains("rebuild"), s"got: ${eq.getMessage}")
+    val ea = intercept[IllegalArgumentException] {
+      Dedup.NearDupIndex.append(spark, idx, batch)
+    }
+    assert(ea.getMessage.contains("rebuild"))
+    val el = intercept[IllegalArgumentException] {
+      Dedup.NearDupIndex.lookup(spark, idx, 0L).count()
+    }
+    assert(el.getMessage.contains("rebuild"))
+    // rebuild IS the migration path: it writes the marker and reads flow
+    Dedup.NearDupIndex.rebuild(spark, idx, docs)
+    assert(Dedup.NearDupIndex.query(spark, idx, batch).count() >= 0L)
+  }
+
+  test("pushdown only fires when the DISTINCT id count fits the parquet IN threshold") {
+    import spark.implicits._
+    // the window the pair-count gate alone would get wrong: PAIRS fit
+    // the cap but their DISTINCT endpoints exceed it (parquet's
+    // inFilterThreshold would silently degrade the over-long IN to a
+    // useless min/max range filter — review r9). 8 disjoint twin pairs:
+    // 8 candidate pairs, 16 distinct ids; cap 8 admits the pairs but
+    // must NOT push 16 ids — the fallback hash join carries the query,
+    // value-identical to the pushed plan.
+    val idx = s"/tmp/graft_ndidx_cap_${System.nanoTime()}"
+    val twins = (0L until 8L).flatMap { i =>
+      val text = (1 to 12).map(k => s"pair${i}tok$k").mkString(" ")
+      Seq((2 * i, text), (2 * i + 1, text + " tail"))
+    }.toDF("doc_id", "text")
+    Dedup.NearDupIndex.build(twins, idx)
+    val batch = twins.filter(col("doc_id") % 2 === 0)
+    val pushed = Dedup.NearDupIndex.query(spark, idx, batch)
+      .orderBy("id_a", "id_b").collect()
+    assert(pushed.length === 8, s"planted twins must pair, got ${pushed.length}")
+    val capped = Dedup.NearDupIndex.query(spark, idx, batch, maxPushIds = 8)
+      .orderBy("id_a", "id_b").collect()
+    assert(pushed.map(_.toString).toSeq === capped.map(_.toString).toSeq,
+      "the id-cap fallback path must be value-identical to the pushed path")
+  }
 }
