@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   * re-rank, top-k. */
 object AnnIndex {
 
+  /** The live index ROOT: `path`, or its `_prev` backup if a [[refit]]
+    * crashed between its renames — a refit swaps the WHOLE root
+    * (codebook + pqbooks + index) as one snapshot, because the codebook
+    * and the cell partitioning must never mix generations: a new-index/
+    * old-codebook reader would probe geometrically meaningless cell ids
+    * and silently lose recall. Every reader resolves through this. */
+  private def liveRoot(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.live(fs, p).map(_.toString).getOrElse(path)
+  }
+
   /** Fit the coarse quantizer on `corpus` (id, v), assign each vector to
     * its nearest cell map-side, and persist index + codebook sidecar.
     * Rows carry the PQ codes alongside the full vector (the FAISS IVF-PQ
@@ -56,7 +68,7 @@ object AnnIndex {
 
   /** The persisted PQ sub-codebooks, reassembled in (j, cid) order. */
   def readPqBooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
-    spark.read.parquet(s"$path/pqbooks")
+    spark.read.parquet(s"${liveRoot(spark, path)}/pqbooks")
       .select("j", "cid", "cv").orderBy("j", "cid").collect()
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)
       .map(_._2.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray))
@@ -73,9 +85,13 @@ object AnnIndex {
   def appendStream(vectors: DataFrame, path: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
-    val codebook = spark.read.parquet(s"$path/codebook")
+    // resolve once at stream start; STOP append streams across a refit —
+    // the refit folds appends present when it reads the index, and a
+    // write racing the root swap would land in the outgoing snapshot
+    val root = liveRoot(spark, path)
+    val codebook = spark.read.parquet(s"$root/codebook")
       .select("cid", "cv").orderBy("cid").collect().map(_.getSeq[Double](1).toArray)
-    val books = readPqBooks(spark, path)
+    val books = readPqBooks(spark, root)
     vectors
       .select(col("id"), col("v"),
         graft.functions.PqFunctions.pqEncode(col("v"), books).as("codes"),
@@ -85,7 +101,7 @@ object AnnIndex {
       // separate directory: the file sink's _spark_metadata commit log
       // claims its whole directory — streaming into index/ would make
       // readers see ONLY streamed files and lose the batch build
-      .option("path", s"$path/index_stream")
+      .option("path", s"$root/index_stream")
       .option("checkpointLocation", checkpointDir)
       .partitionBy("cell")
       .outputMode("append")
@@ -118,8 +134,9 @@ object AnnIndex {
 
   def compact(spark: SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val cur = new org.apache.hadoop.fs.Path(s"$path/index")
-    val stream = new org.apache.hadoop.fs.Path(s"$path/index_stream")
+    val root = liveRoot(spark, path)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/index")
+    val stream = new org.apache.hadoop.fs.Path(s"$root/index_stream")
     val fs = cur.getFileSystem(conf)
     // capture the stream files being folded BEFORE the rebuild: until the
     // post-commit cleanup lands, these exact files are duplicates of the
@@ -128,7 +145,7 @@ object AnnIndex {
     // exclude them — without any read-side shuffle or lost pruning
     val foldedFiles =
       if (fs.exists(stream)) parquetBasenames(fs, stream) else Seq.empty
-    readIndex(spark, path)
+    readIndex(spark, root)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(AtomicSwap.nextOf(cur).toString)
     if (foldedFiles.nonEmpty) {
@@ -152,11 +169,12 @@ object AnnIndex {
     * metadata filter that costs nothing in the steady state. Resolves
     * the swap backup if a compact crashed between its renames. */
   def readIndex(spark: SparkSession, path: String): DataFrame = {
-    val cur = new org.apache.hadoop.fs.Path(s"$path/index")
+    val root = liveRoot(spark, path) // refit swaps the whole root…
+    val cur = new org.apache.hadoop.fs.Path(s"$root/index")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val liveDir = AtomicSwap.live(fs, cur).getOrElse(cur)
+    val liveDir = AtomicSwap.live(fs, cur).getOrElse(cur) // …compact, index/
     val base = spark.read.parquet(liveDir.toString)
-    val streamDir = new org.apache.hadoop.fs.Path(s"$path/index_stream")
+    val streamDir = new org.apache.hadoop.fs.Path(s"$root/index_stream")
     if (!fs.exists(streamDir)) base
     else {
       val markerPath = new org.apache.hadoop.fs.Path(liveDir, FoldedMarker)
@@ -185,7 +203,8 @@ object AnnIndex {
     * neighbor id). Self-matches (query_id == neighbor id) are dropped. */
   def query(spark: SparkSession, path: String, probes: DataFrame,
             nProbe: Int, topK: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$path/codebook")
+    val root = liveRoot(spark, path)
+    val cents = spark.read.parquet(s"$root/codebook")
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
     val probeCells = probes
       .crossJoin(broadcast(cents))
@@ -197,7 +216,7 @@ object AnnIndex {
     // literal partition filters prune index directories at planning time
     val cells = probeCells.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val cands = readIndex(spark, path)
+    val cands = readIndex(spark, root)
       .filter(col("cell").isin(cells: _*))
       .join(broadcast(probeCells), Seq("cell"))
       .filter(col("query_id") =!= col("id"))
@@ -220,8 +239,9 @@ object AnnIndex {
     * corpus. */
   def queryAdc(spark: SparkSession, path: String, probes: DataFrame,
                nProbe: Int, topK: Int, shortlist: Int = 50): DataFrame = {
-    val cents = spark.read.parquet(s"$path/codebook")
-    val books = readPqBooks(spark, path)
+    val root = liveRoot(spark, path)
+    val cents = spark.read.parquet(s"$root/codebook")
+    val books = readPqBooks(spark, root)
     val m = books.length
     val sub = books.head.head.length
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
@@ -236,7 +256,7 @@ object AnnIndex {
     val ps = probes.select("query_id", "qv").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
-    val short = readIndex(spark, path)
+    val short = readIndex(spark, root)
       .filter(col("cell").isin(cells: _*))
       .select(col("id").as("neighbor_id"), explode(array(ps.map { case (qid, qv) =>
         val qn = math.sqrt(qv.map(x => x * x).sum)
@@ -254,7 +274,7 @@ object AnnIndex {
       .filter(col("arnk") <= shortlist)
       .select("query_id", "neighbor_id")
     val qvs = typedlit(ps.map { case (qid, qv) => qid -> qv.toSeq }.toMap)
-    val vecs = readIndex(spark, path)
+    val vecs = readIndex(spark, root)
       .filter(col("cell").isin(cells: _*))
       .select(col("id").as("neighbor_id"), col("v"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -265,5 +285,111 @@ object AnnIndex {
       .filter(col("rnk") <= topK)
       .select("query_id", "neighbor_id", "cos", "rnk")
       .orderBy("query_id", "rnk", "neighbor_id")
+  }
+
+  /** Serving-index HEALTH metric — the recall/scan-drift analog of
+    * [[graft.ops.Dedup.NearDupIndex.stalenessMetric]], closing the refit
+    * loop for the ANN index. Appends assign under the FROZEN codebook
+    * (correct but drift-blind), so as the corpus distribution drifts the
+    * index degrades along two axes this measures on a bounded probe
+    * sample replayed from the index itself:
+    *
+    *  - `recall_at_k`: the nProbe-pruned [[query]] vs exact brute-force
+    *    top-k over the same rows (ground truth = ONE probe-broadcast
+    *    linear scan — the price of a health tick, not of a query);
+    *  - `probe_inflation`: rows a probe's nProbe cells actually scan vs
+    *    the balanced ideal nProbe·n/K — drift that piles appends into a
+    *    few cells inflates every query's pruned read long before recall
+    *    visibly drops.
+    *
+    * Returns one row (n_probes, recall_at_k, rows_per_probe,
+    * probe_inflation). */
+  def healthMetric(spark: SparkSession, path: String, nProbe: Int = 4,
+                   topK: Int = 5, sampleCap: Int = 64): DataFrame = {
+    val root = liveRoot(spark, path)
+    val idx = readIndex(spark, root).select(col("id"), col("v"), col("cell"))
+    val n = idx.count()
+    require(n > 0, s"healthMetric: empty index at $root")
+    val probes = graft.ops.Dedup.boundedHashSample(
+        idx.select(col("id"), col("v")), "id", sampleCap.toLong)
+      .orderBy(xxhash64(col("id"), lit(3)), col("id")).limit(sampleCap)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val nP = probes.count()
+    // exact ground truth over the index rows: row_number(), not rank() —
+    // the truth SET must be exactly topK per probe (deterministic
+    // tie-break by neighbor id) or tie-heavy corpora inflate the
+    // denominator and recall reads as drift that isn't there; query()'s
+    // rank-ties on the other side can only ever ADD hits
+    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = idx.select(col("id").as("neighbor_id"), col("v"))
+      .join(broadcast(probes), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosineSim(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rnk", lng(row_number().over(wq)))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    val got = query(spark, root, probes, nProbe, topK)
+      .select("query_id", "neighbor_id")
+    val hits = got.join(exact, Seq("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / math.max(1L, exact.count())
+    // probed-volume drift at fixed nProbe
+    val cents = spark.read.parquet(s"$root/codebook")
+    val k = cents.count()
+    val sizes = idx.groupBy("cell").agg(count(lit(1)).as("cn"))
+    val wP = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val probedRows = probes.crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorFunctions.cosineSim(col("qv"), col("cv")))
+      .withColumn("prnk", row_number().over(wP))
+      .filter(col("prnk") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+      .join(sizes, "cell")
+      .agg(coalesce(sum(col("cn")), lit(0L))).head.getLong(0)
+    val rowsPerProbe = probedRows.toDouble / math.max(1L, nP)
+    val ideal = nProbe.toDouble * n.toDouble / math.max(1L, k)
+    import spark.implicits._
+    Seq((nP, math.rint(recall * 1e6) / 1e6,
+      math.rint(rowsPerProbe * 100) / 100,
+      math.rint(rowsPerProbe / math.max(ideal, 1e-9) * 1e6) / 1e6))
+      .toDF("n_probes", "recall_at_k", "rows_per_probe", "probe_inflation")
+  }
+
+  /** The REFIT-CADENCE policy: measure [[healthMetric]]; when drift has
+    * cost recall (< `minRecall`) or inflated the per-probe pruned read
+    * (> `maxProbeInflation`× the balanced ideal), [[refit]] the whole
+    * index from its own current rows. Returns true iff a refit ran. Run
+    * on the ingest cadence — the metric is probe-sample-bounded plus one
+    * linear scan; the refit is the (rare) corpus-sized refresh. */
+  def refitIfStale(spark: SparkSession, path: String,
+                   minRecall: Double = 0.7, maxProbeInflation: Double = 3.0,
+                   nProbe: Int = 4, topK: Int = 5, sampleCap: Int = 64,
+                   k: Int = 16, pqM: Int = 16, pqK: Int = 16): Boolean = {
+    val m = healthMetric(spark, path, nProbe, topK, sampleCap).head
+    val stale = m.getDouble(1) < minRecall || m.getDouble(3) > maxProbeInflation
+    if (stale) refit(spark, path, k, pqM, pqK)
+    stale
+  }
+
+  /** The GEOMETRY-REFRESH operation: re-fit quantizer + PQ books on the
+    * index's CURRENT rows (appends included) and re-partition, staged at
+    * `<path>_next` and landed via [[AtomicSwap.commit]] — the whole root
+    * (codebook + pqbooks + index) swaps as ONE snapshot, since a reader
+    * mixing codebook and index generations would probe geometrically
+    * meaningless cell ids. Readers resolve [[liveRoot]] at every crash
+    * point; a re-run converges. STOP streaming appends across a refit
+    * (the fold carries appends present at read time; a write racing the
+    * swap lands in the outgoing snapshot). */
+  def refit(spark: SparkSession, path: String, k: Int = 16,
+            pqM: Int = 16, pqK: Int = 16,
+            crashAfter: Int = Int.MaxValue): Unit = {
+    val rows = readIndex(spark, path).select(col("id"), col("v"))
+      .localCheckpoint(true) // pin BEFORE the swap renames the source away
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = AtomicSwap.nextOf(cur)
+    fs.delete(next, true)
+    build(rows, next.toString, k, pqM, pqK)
+    AtomicSwap.commit(fs, cur, crashAfter = crashAfter)
   }
 }

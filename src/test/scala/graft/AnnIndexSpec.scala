@@ -145,4 +145,77 @@ class AnnIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan.take(2000))
     assert(plan.contains("cell") && plan.contains(" IN "), plan.take(2000))
   }
+
+  /** A drifted append wave: 3000 vectors in a tight cluster FAR from the
+    * corpus — under the frozen codebook they all assign to one old cell
+    * (correct, but every probe near them scans that whole cell). */
+  private def driftWave = {
+    import spark.implicits._
+    // jitter wide enough that round-6 cosines stay DISTINCT — a wave of
+    // near-identical vectors would make top-k a tie lottery, which is a
+    // data pathology, not the drift this test plants
+    (10000L until 13000L).map { i =>
+      (i, Seq.tabulate(64)(j => 10.0 + math.sin(i * 7.3 + j * 1.7)))
+    }.toDF("id", "v")
+  }
+
+  test("health metric flags probe-volume drift; swap-protected refit restores it") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.build(corpus, dir, k = 16)
+    val fresh = AnnIndex.healthMetric(spark, dir, nProbe = 2, topK = 5).head
+    assert(fresh.getDouble(1) > 0.3 && fresh.getDouble(1) <= 1.0,
+      s"fresh recall out of band: $fresh")
+    assert(fresh.getDouble(3) < 2.5,
+      s"fresh index should probe near the balanced ideal, got $fresh")
+    // drift: the wave piles into one frozen cell
+    AnnIndex.build(corpus, dir, k = 16) // rebuild clean, then append via union write
+    val books = AnnIndex.readPqBooks(spark, dir)
+    val codebook = spark.read.parquet(s"$dir/codebook")
+      .select("cid", "cv").orderBy("cid").collect().map(_.getSeq[Double](1).toArray)
+    driftWave
+      .select(col("id"), col("v"),
+        graft.functions.PqFunctions.pqEncode(col("v"), books).as("codes"),
+        graft.ops.Similarity.nearestCell(col("v"), codebook).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/index")
+    val drifted = AnnIndex.healthMetric(spark, dir, nProbe = 2, topK = 5).head
+    assert(drifted.getDouble(3) > 3.0,
+      s"planted one-cell drift must inflate the pruned read, got $drifted")
+    // the policy fires, refits geometry on the current rows, and the
+    // balanced pruning comes back
+    // minRecall = 0.2: this test plants the INFLATION axis; recall at
+    // nProbe=2 of 16 cells legitimately floats with the data's geometry
+    assert(AnnIndex.refitIfStale(spark, dir, minRecall = 0.2, nProbe = 2, topK = 5),
+      "refitIfStale must fire above the inflation threshold")
+    val after = AnnIndex.healthMetric(spark, dir, nProbe = 2, topK = 5).head
+    assert(after.getDouble(3) < 2.5,
+      s"refit must restore balanced probing, got $after")
+    assert(!AnnIndex.refitIfStale(spark, dir, minRecall = 0.2, nProbe = 2, topK = 5),
+      "a fresh refit must not re-trigger")
+  }
+
+  test("refit crash matrix: readers resolve the live root at every crash point") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString + "/idx"
+    AnnIndex.build(corpus, dir, k = 8)
+    val before = AnnIndex.query(spark, dir, probes, nProbe = 8, topK = 3)
+      .collect().map(_.toString).sorted.toSeq
+    for (crashAt <- 1 to 3) {
+      intercept[graft.sources.AtomicSwap.CrashPoint] {
+        AnnIndex.refit(spark, dir, k = 8, crashAfter = crashAt)
+      }
+      // whichever side of the swap the crash landed on, a reader sees ONE
+      // complete snapshot: same corpus rows, a working query
+      assert(AnnIndex.readIndex(spark, dir).count() === corpus.count(),
+        s"crash at $crashAt: torn index")
+      assert(AnnIndex.query(spark, dir, probes, nProbe = 8, topK = 3).count()
+        === before.length, s"crash at $crashAt: query broken")
+      // the re-run converges
+      AnnIndex.refit(spark, dir, k = 8)
+      assert(AnnIndex.readIndex(spark, dir).count() === corpus.count())
+    }
+    // nProbe = K: the pruned query is exhaustive, so results survive the
+    // geometry refresh bit-for-bit
+    val afterAll = AnnIndex.query(spark, dir, probes, nProbe = 8, topK = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterAll === before, "exhaustive-probe results must survive refits")
+  }
 }
