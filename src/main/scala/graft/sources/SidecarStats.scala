@@ -174,7 +174,8 @@ object SidecarStats {
     import s.implicits._
     Covered.sorted.map { c =>
       val ex = exact.getAs[Long](c)
-      val est = st(c).ndv
+      // empty input writes no sidecar rows — ndv 0, matching exact 0
+      val est = st.get(c).map(_.ndv).getOrElse(0L)
       (c, ex, math.abs(est - ex) <= math.max(math.ceil(0.15 * ex).toLong, 2L))
     }.toDF("col", "exact_ndv", "ndv_within_tol")
   }
