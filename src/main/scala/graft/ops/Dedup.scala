@@ -808,14 +808,19 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Embedding-cosine near-dup pairs. SHIPPED plan (r9): the LOSSLESS
-    * cell-bounded candidate join ([[Similarity.cellCandidatePairs]] —
-    * triangle-inequality-complete on the unit sphere, hash equi-joins
-    * on cell ids, no all-pairs stage) followed by exact verification.
-    * The oracle still computes the naive all-pairs join in SQL, and the
-    * hash compare proves the candidate source drops nothing. Dot/norm
-    * are left-fold double aggregates in index order — bit-identical to
-    * the oracle's list_inner_product. The probabilistic scale twin
+  /** Embedding-cosine near-dup pairs. SHIPPED plan (r10): the
+    * MEASURED-ROUTED exact pair source
+    * ([[Similarity.cosineNearDupPairs]]) — the lossless cell-bounded
+    * candidate equi-joins when the measured [[Similarity.CellPruneStats]]
+    * says the triangle bound prunes (clustered corpora; CellPruneSpec
+    * pins both the routing and the losslessness), the fused
+    * broadcast-range scan when it doesn't (this bench corpus: isotropic
+    * 64-dim, measured admissible fraction 1.0 — r9 shipped the cell form
+    * unconditionally and reproduced the cross product through a
+    * shuffle). Output identical either way; the oracle computes the
+    * naive all-pairs join in SQL and the hash compare proves it. Dot/
+    * norm are left-fold double aggregates in index order — bit-identical
+    * to the oracle's list_inner_product. The probabilistic scale twin
     * (LSH banding, Similarity.qAnnLsh) remains for corpora whose
     * clustering the exact bound can't exploit. */
   val qDedupEmbed: Q = Q(
@@ -828,22 +833,8 @@ object Dedup {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    import graft.functions.VectorFunctions.dotProduct
     val emb = T.embeddings(s, d)
-    val cand = graft.ops.Similarity.cellCandidatePairs(emb, "vec_id", "embedding", 0.38)
-    // norms precomputed ONCE per vector; the candidate-keyed verify then
-    // does only the dot product — same left-fold accumulation order as
-    // the oracle (which also precomputes norms)
-    val e = emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .withColumn("cos",
-        round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .filter(col("cos") >= 0.38)
-      .select("id_a", "id_b", "cos")
+    graft.ops.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.38)._1
       .orderBy("id_a", "id_b")
   }
 

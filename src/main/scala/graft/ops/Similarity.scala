@@ -196,19 +196,65 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** Nearest-centroid id for a vector column, as ONE map-side expression:
-    * the codebook is inlined as a literal array of (cid, centroid) structs,
-    * scored with the same codegen cosine, and the argmax is array_max over
-    * (ccos, -cid) structs — best cosine wins, ties to the LOWEST cid. No
-    * row blowup, no window shuffle: assignment costs one projection,
-    * which is what lets the corpus-wide pass scale. */
-  def nearestCell(v: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        VectorFunctions.cosineSim(v, typedlit(c)).as("ccos"),
-        lit(-i.toLong).as("negCid"))
+  /** Nearest-centroid id for a vector column, as ONE map-side expression.
+    * Two forms, same semantics (argmax cosine, ties to the LOWEST cid):
+    *
+    *  - K ≤ 16: the codebook is UNROLLED as K (ccos, -cid) structs and the
+    *    argmax is array_max — every score stays inside whole-stage codegen.
+    *  - K > 16: unrolling K copies of the dot product used to trip the
+    *    Janino per-method bytecode limit (the codegen cliff PLANS.md
+    *    documents for q_ann_pq at K=64 — the whole stage silently fell
+    *    back interpreted). Instead the codebook becomes ONE literal
+    *    array<array<double>> and scoring is `transform` over it: the loop
+    *    over K runs at RUNTIME over the literal array, so generated code
+    *    size is constant in K and the ceiling is gone. `array_position`
+    *    of the max returns the FIRST maximal index — identical
+    *    ties-to-lowest-cid semantics, same fold-order doubles.
+    *
+    * Either way: no row blowup, no window shuffle — assignment costs one
+    * projection, which is what lets the corpus-wide pass scale, and what
+    * lets callers scale K with n instead of freezing K=16. */
+  def nearestCell(v: Column, cents: Array[Array[Double]]): Column =
+    if (cents.length <= 16) {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          VectorFunctions.cosineSim(v, typedlit(c)).as("ccos"),
+          lit(-i.toLong).as("negCid"))
+      }
+      -array_max(array(scored: _*)).getField("negCid")
+    } else {
+      val cl = typedlit(cents.map(_.toSeq).toSeq)
+      val scored = transform(cl, c => VectorFunctions.cosineSim(v, c))
+      (array_position(scored, array_max(scored)) - 1).cast("long")
     }
-    -array_max(array(scored: _*)).getField("negCid")
+
+  /** Quantizer sizing for the cell-pruned pair plans: K ≈ √n (clamped to
+    * [16, 1024]) makes the unavoidable same-cell work Θ(n²/K) = Θ(n^1.5)
+    * on balanced cells — K grows WITH the corpus instead of freezing at
+    * the old codegen ceiling (lifted above). The clamp caps the literal
+    * codebook a task ships at 1024·dim doubles. */
+  def cellCountFor(n: Long): Int =
+    math.min(1024L, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** Measured pruning power of a cell-bounded candidate plan — computed
+    * from the K-row cell model (sizes + radii) BEFORE the pair join runs,
+    * so callers can ROUTE: ship the cell equi-join when it prunes, ship
+    * the plain fused all-pairs scan when the corpus geometry defeats the
+    * triangle-inequality bound (isotropic high-dim data: r_i + r_j + t
+    * exceeds the sphere diameter and every cell pair stays admissible —
+    * the r7 PLANS.md measurement, now carried by the plan itself). */
+  final case class CellPruneStats(
+      nVectors: Long, cells: Int,
+      admissibleCellPairs: Long, totalCellPairs: Long,
+      candidateVolume: Long, allPairsVolume: Long) {
+    def admissibleFraction: Double =
+      if (totalCellPairs == 0) 1.0 else admissibleCellPairs.toDouble / totalCellPairs
+    def candidateFraction: Double =
+      if (allPairsVolume == 0) 1.0 else candidateVolume.toDouble / allPairsVolume
+    /** No meaningful pruning: the cell joins would reproduce ≥ half the
+      * cross product THROUGH A SHUFFLE — strictly worse than the fused
+      * broadcast-nested-loop scan they were meant to replace. */
+    def degenerate: Boolean = candidateFraction >= 0.5
   }
 
   /** The quantizer-fit sample: rows whose xxhash64(id) falls in residue 0
@@ -338,20 +384,36 @@ object Similarity {
   def cellCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
                          tau: Double, k: Int = 16): DataFrame = {
     val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
-      .select(col("id"), transform(col("v"), x => x / col("nrm")).as("u"))
-    // k = 16 cells: nearestCell stays inside one codegen method (k=64
-    // tripped the Janino size limit and fell back interpreted — the
-    // PLANS.md q_ann_pq lesson); driver-side fit on a bounded sample
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+    val (assigned, _, admissible, _) = cellModelFor(e, tau, k)
+    import emb.sparkSession.implicits._
+    val cellPairs = admissible.toDF("cell_a", "cell_b")
+    assigned.select(col("id").as("id_a"), col("cell").as("cell_a"))
+      .join(broadcast(cellPairs), "cell_a")
+      .join(assigned.select(col("id").as("id_b"), col("cell").as("cell_b")), Seq("cell_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  /** Shared machinery behind the cell-bounded plans: fit the quantizer on
+    * a bounded sample, assign (one projection), measure per-cell radius
+    * AND size in one model-sized agg, list the admissible ordered cell
+    * pairs under the triangle bound, and price the plan — the returned
+    * [[CellPruneStats]] is the routing signal. `e` must carry
+    * (id, u) with u unit-normalized; extra columns ride along into
+    * `assigned` untouched. */
+  private def cellModelFor(e: DataFrame, tau: Double, k: Int)
+      : (DataFrame, Array[Array[Double]], Seq[(Long, Long)], CellPruneStats) = {
     val codebook = fitKmeansLocal(e.select(col("id"), col("u").as("v")), k)
     val centsLit = typedlit(codebook.map(_.toSeq).toSeq)
-    val assigned = e.select(col("id"), col("u"),
-        nearestCell(col("u"), codebook).as("cell"))
+    val assigned = e.withColumn("cell", nearestCell(col("u"), codebook))
       .localCheckpoint(true) // model-sized radii agg + both join sides read it
     val dOwn = sqrt(sqDist(col("u"), element_at(centsLit, (col("cell") + 1).cast("int"))))
-    val radiiMap = assigned.select(col("cell"), dOwn.as("d"))
-      .groupBy("cell").agg(max(col("d")).as("r"))
-      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-    val radii = Array.tabulate(codebook.length)(i => radiiMap.getOrElse(i, 0.0))
+    val cellRows = assigned.select(col("cell"), dOwn.as("d"))
+      .groupBy("cell").agg(max(col("d")).as("r"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getDouble(1), r.getLong(2))).toMap
+    val radii = Array.tabulate(codebook.length)(i => cellRows.get(i).map(_._1).getOrElse(0.0))
+    val sizes = Array.tabulate(codebook.length)(i => cellRows.get(i).map(_._2).getOrElse(0L))
     // rounded-threshold + normalization margin: pairs down to cos =
     // tau - 1e-6 stay candidates, so a round(·,6)-to-threshold caller
     // keeps every boundary pair
@@ -363,17 +425,71 @@ object Similarity {
       }
       math.sqrt(s)
     }
-    val admissible = for {
+    val admIdx = for {
       i <- codebook.indices; j <- codebook.indices
       if cdist(i, j) <= radii(i) + radii(j) + t
-    } yield (i.toLong, j.toLong)
-    import emb.sparkSession.implicits._
-    val cellPairs = admissible.toDF("cell_a", "cell_b")
-    assigned.select(col("id").as("id_a"), col("cell").as("cell_a"))
-      .join(broadcast(cellPairs), "cell_a")
-      .join(assigned.select(col("id").as("id_b"), col("cell").as("cell_b")), Seq("cell_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    } yield (i, j)
+    val n = sizes.sum
+    val candVolume = admIdx.iterator.map { case (i, j) =>
+      if (i == j) sizes(i) * (sizes(i) - 1) / 2
+      else if (i < j) sizes(i) * sizes(j)
+      else 0L
+    }.sum
+    val stats = CellPruneStats(
+      nVectors = n, cells = codebook.length,
+      admissibleCellPairs = admIdx.count { case (i, j) => i <= j },
+      totalCellPairs = codebook.length.toLong * (codebook.length + 1) / 2,
+      candidateVolume = candVolume,
+      allPairsVolume = n * (n - 1) / 2)
+    (assigned, codebook, admIdx.map { case (i, j) => (i.toLong, j.toLong) }, stats)
+  }
+
+  /** MEASURED-ROUTED exact cosine near-dup pairs (the q_dedup_embed plan):
+    * output is always the exact thresholded pair set
+    * (id_a < id_b, cos = round(dot/(nrm·nrm), 6) ≥ tau, zero-norm rows
+    * excluded); the PLAN is chosen by the measured [[CellPruneStats]]:
+    *
+    *  - pruning real (clustered corpus): the lossless cell-bounded
+    *    candidate equi-joins, carrying (v, nrm) through the join so the
+    *    verify is a projection — no rejoin, no all-pairs stage, candidate
+    *    volume = the measured `candidateVolume`;
+    *  - degenerate (isotropic high-dim corpus — the bench embeddings: the
+    *    triangle bound admits every cell pair, measured fraction 1.0):
+    *    the fused broadcast-range scan, which does the SAME n²/2 dot
+    *    products without shuffling a reproduced cross product.
+    *
+    * K scales as √n via [[cellCountFor]] (assignment is HOF-form past 16,
+    * so no codegen ceiling). The decision is driver-side off the K-row
+    * model — no extra corpus pass beyond the assignment the cell plan
+    * needs anyway. */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         tau: Double, kOpt: Option[Int] = None)
+      : (DataFrame, CellPruneStats) = {
+    import VectorFunctions.dotProduct
+    val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+    val k = kOpt.getOrElse(cellCountFor(e.count()))
+    val (assigned, _, admissible, stats) = cellModelFor(e, tau, k)
+    val cosCol = round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    val scored =
+      if (stats.degenerate) {
+        val base = assigned.select(col("id"), col("v"), col("nrm"))
+        base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+          .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+            col("id_a") < col("id_b"))
+          .withColumn("cos", cosCol)
+      } else {
+        import emb.sparkSession.implicits._
+        val cellPairs = admissible.toDF("cell_a", "cell_b")
+        assigned.select(col("id").as("id_a"), col("v").as("va"),
+            col("nrm").as("na"), col("cell").as("cell_a"))
+          .join(broadcast(cellPairs), "cell_a")
+          .join(assigned.select(col("id").as("id_b"), col("v").as("vb"),
+            col("nrm").as("nb"), col("cell").as("cell_b")), Seq("cell_b"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos", cosCol)
+      }
+    (scored.filter(col("cos") >= tau).select("id_a", "id_b", "cos"), stats)
   }
 
   /** EXACT corpus kNN edges through the cell quantizer — the two-pass
@@ -397,24 +513,59 @@ object Similarity {
     * round-off. Output: (node, nbr, cos, rnk) with rnk ≤ kNbrs under
     * (cos desc, nbr asc) — bit-equal to the all-pairs window. */
   def exactKnnEdges(emb: DataFrame, idCol: String, vecCol: String,
-                    kNbrs: Int, nCells: Int = 16): DataFrame = {
+                    kNbrs: Int, nCells: Int = 16): DataFrame =
+    exactKnnEdgesMeasured(emb, idCol, vecCol, kNbrs, Some(nCells), route = false)._1
+
+  /** Measured pruning power of [[exactKnnEdges]]'s pass 2: how many
+    * (node, cell) probes the pass-1 bound actually admits, out of n·K.
+    * On clustered corpora each node's bound confines it to its own
+    * cluster's cell(s) — fraction ≈ 1/K; on isotropic high-dim corpora
+    * the k-th same-cell cosine is weak, every cell stays admissible, and
+    * pass 2 would reproduce the cross product through a shuffle. */
+  final case class KnnPruneStats(nVectors: Long, cells: Int, admissibleNodeCells: Long) {
+    def totalNodeCells: Long = nVectors * cells
+    def admissibleFraction: Double =
+      if (totalNodeCells == 0) 1.0 else admissibleNodeCells.toDouble / totalNodeCells
+    def degenerate: Boolean = admissibleFraction >= 0.5
+  }
+
+  /** MEASURED-ROUTED exact corpus kNN (the q_knn_graph edge source):
+    * always the bit-identical top-k; the PLAN routes on the measured
+    * [[KnnPruneStats]] — the two-pass cell-pruned equi-join form when the
+    * pass-1 bounds actually prune, the fused all-pairs broadcast-range
+    * window when they don't (isotropic bench corpus: measured admissible
+    * fraction 1.0 — shuffling the reproduced cross product through cell
+    * joins is strictly worse than scanning it). K scales as √n via
+    * [[cellCountFor]]; pass 1 (same-cell scoring, the measurement's
+    * input) costs Θ(n²/K) = Θ(n^1.5) either way — the expensive stage,
+    * pass 2, is what the measurement gates. */
+  def exactKnnEdgesRouted(emb: DataFrame, idCol: String, vecCol: String,
+                          kNbrs: Int, kOpt: Option[Int] = None)
+      : (DataFrame, KnnPruneStats) =
+    exactKnnEdgesMeasured(emb, idCol, vecCol, kNbrs, kOpt, route = true)
+
+  private def exactKnnEdgesMeasured(emb: DataFrame, idCol: String, vecCol: String,
+                                    kNbrs: Int, kOpt: Option[Int], route: Boolean)
+      : (DataFrame, KnnPruneStats) = {
     val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
       .select(col("id"), col("v"), col("nrm"),
         transform(col("v"), x => x / col("nrm")).as("u"))
-    // 16 cells: nearestCell stays codegen'd (see cellCandidatePairs); a
+    // K = √n by default (HOF assignment past 16 — no codegen ceiling); a
     // cell with < kNbrs members just widens its nodes' pass-2 bound —
     // correctness never depends on cell sizing. Driver-side fit.
+    val nCells = kOpt.getOrElse(cellCountFor(e.count()))
     val codebook = fitKmeansLocal(e.select(col("id"), col("u").as("v")), nCells)
     val centsLit = typedlit(codebook.map(_.toSeq).toSeq)
     val assigned = e.select(col("id"), col("v"), col("nrm"), col("u"),
         nearestCell(col("u"), codebook).as("cell"))
       .localCheckpoint(true) // radii agg + pass-1 sides + pass-2 corpus side
     val dOwn = sqrt(sqDist(col("u"), element_at(centsLit, (col("cell") + 1).cast("int"))))
-    val radiiMap = assigned.select(col("cell"), dOwn.as("d"))
-      .groupBy("cell").agg(max(col("d")).as("r"))
-      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    val cellRows = assigned.select(col("cell"), dOwn.as("d"))
+      .groupBy("cell").agg(max(col("d")).as("r"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getDouble(1), r.getLong(2))).toMap
+    val n = cellRows.valuesIterator.map(_._2).sum
     val cellModel = typedlit(codebook.indices.map(i =>
-      (i.toLong, codebook(i).toSeq, radiiMap.getOrElse(i, 0.0))))
+      (i.toLong, codebook(i).toSeq, cellRows.get(i).map(_._1).getOrElse(0.0))))
     def cosExact(va: Column, na: Column, vb: Column, nb: Column): Column =
       round(VectorFunctions.dotProduct(va, vb) / (na * nb), 6)
     // pass 1: same-cell k-th best cosine per node (missing row = fewer
@@ -430,34 +581,68 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === kNbrs)
       .select(col("node"), col("cos").as("kth"))
-    // pass 2: per-node admissible cells under the pass-1 bound
+    // pass 2: per-node admissible cells under the pass-1 bound.
+    // localCheckpoint'ed (corpus-sized, like `assigned`): the admissible
+    // count below and whichever plan ships both read it — pass 1 (the
+    // Θ(n²/K) stage) never runs twice.
     val bounds = assigned
       .join(kth, col("id") === col("node"), "left")
       .select(col("id"), col("v"), col("nrm"), col("u"),
         coalesce(col("kth"), lit(-1.01)).as("kth"))
       .withColumn("dbound",
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * (col("kth") - lit(1e-6)))))
-    val adm = bounds.select(col("id").as("node"), col("v").as("va"),
-        col("nrm").as("na"), col("kth"),
-        explode(filter(cellModel, s =>
-          sqrt(sqDist(col("u"), s.getField("_2"))) - s.getField("_3") <= col("dbound")))
-          .as("s"))
-      .select(col("node"), col("va"), col("na"), col("kth"), col("s._1").as("cell"))
-    // pre-filter on the pass-1 bound BEFORE the ranking window: a pair
-    // whose rounded cosine is below the node's same-cell k-th can never
-    // rank <= k (there are already k candidates at or above it under the
-    // same (cos desc, nbr) order), so the window sorts ~k rows per node
-    // instead of every scored candidate
-    val cand = adm
-      .join(assigned.select(col("cell"), col("id").as("nbr"),
-        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
-      .filter(col("node") =!= col("nbr"))
-      .select(col("node"), col("nbr"), col("kth"),
-        cosExact(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
-      .filter(col("cos") >= col("kth"))
-      .select("node", "nbr", "cos")
-    cand.withColumn("rnk", graft.functions.Exact.lng(row_number().over(w)))
-      .filter(col("rnk") <= kNbrs)
+      .localCheckpoint(true)
+    val admPred: Column => Column = u =>
+      size(filter(cellModel, s =>
+        sqrt(sqDist(u, s.getField("_2"))) - s.getField("_3") <= col("dbound"))).cast("long")
+    // the routing measurement: one model-vs-corpus projection + sum —
+    // O(n·K) work, decided BEFORE the candidate join materializes
+    val admCount = bounds.select(admPred(col("u")).as("na"))
+      .agg(sum(col("na"))).collect()(0).getLong(0)
+    val stats = KnnPruneStats(n, codebook.length, admCount)
+    val result =
+      if (route && stats.degenerate) {
+        // fused all-pairs window baseline: same output, no reproduced
+        // cross product through a shuffle (bench corpus is isotropic —
+        // see KnnPruneStats scaladoc)
+        val base = bounds.select(col("id"), col("v"), col("nrm"))
+        val p = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+          .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+            col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            cosExact(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+        // mirror each scored pair via ONE Generate instead of a self-union
+        // (a union would run the n²/2-dot-product scan twice)
+        val sym = p.select(explode(array(
+            struct(col("id_a").as("node"), col("id_b").as("nbr"), col("cos")),
+            struct(col("id_b").as("node"), col("id_a").as("nbr"), col("cos")))).as("e"))
+          .select(col("e.node").as("node"), col("e.nbr").as("nbr"), col("e.cos").as("cos"))
+        sym.withColumn("rnk", graft.functions.Exact.lng(row_number().over(w)))
+          .filter(col("rnk") <= kNbrs)
+      } else {
+        val adm = bounds.select(col("id").as("node"), col("v").as("va"),
+            col("nrm").as("na"), col("kth"),
+            explode(filter(cellModel, s =>
+              sqrt(sqDist(col("u"), s.getField("_2"))) - s.getField("_3") <= col("dbound")))
+              .as("s"))
+          .select(col("node"), col("va"), col("na"), col("kth"), col("s._1").as("cell"))
+        // pre-filter on the pass-1 bound BEFORE the ranking window: a pair
+        // whose rounded cosine is below the node's same-cell k-th can never
+        // rank <= k (there are already k candidates at or above it under the
+        // same (cos desc, nbr) order), so the window sorts ~k rows per node
+        // instead of every scored candidate
+        val cand = adm
+          .join(assigned.select(col("cell"), col("id").as("nbr"),
+            col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
+          .filter(col("node") =!= col("nbr"))
+          .select(col("node"), col("nbr"), col("kth"),
+            cosExact(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+          .filter(col("cos") >= col("kth"))
+          .select("node", "nbr", "cos")
+        cand.withColumn("rnk", graft.functions.Exact.lng(row_number().over(w)))
+          .filter(col("rnk") <= kNbrs)
+      }
+    (result, stats)
   }
 
   /** IVF-style ANN (the other 100 TB path, complementing LSH): a coarse
@@ -732,14 +917,18 @@ object Similarity {
       |  (m.node IS NOT NULL) AS mutual
       |FROM k LEFT JOIN k m ON m.node = k.nbr AND m.nbr = k.node
       |ORDER BY k.node, k.rnk""".stripMargin) { (s, d) =>
-    // SHIPPED plan (r9): the two-pass cell-pruned EXACT kNN — hash
-    // equi-joins only, provably the same top-k as the all-pairs window
-    // (the oracle still computes the naive O(n²) form in SQL; the hash
-    // compare is what makes "provably" an empirical statement too).
+    // SHIPPED plan (r10): MEASURED-ROUTED exact kNN — the two-pass
+    // cell-pruned equi-join form when the pass-1 bounds prune (clustered
+    // corpora; CellPruneSpec pins it), the fused all-pairs window when
+    // the measurement says they don't (this bench corpus: isotropic
+    // 64-dim, admissible fraction 1.0 — r9 shipped the cell form
+    // unconditionally and just reproduced the cross product through a
+    // shuffle). Output is bit-identical either way; the oracle computes
+    // the naive O(n²) form in SQL and the hash compare proves it.
     // Zero-norm vectors are EXCLUDED on both engine and oracle sides:
     // cosine is undefined for them (the old all-pairs form emitted NaN
     // rows whose cross-engine ordering was luck, not semantics)
-    val k = exactKnnEdges(T.embeddings(s, d), "vec_id", "embedding", 4)
+    val k = exactKnnEdgesRouted(T.embeddings(s, d), "vec_id", "embedding", 4)._1
       .localCheckpoint(true) // two consumers below: never re-run the scoring
     val m = k.select(col("node").as("m_node"), col("nbr").as("m_nbr"), lit(1).as("m_hit"))
     k.join(m, col("nbr") === col("m_node") && col("node") === col("m_nbr"), "left")
