@@ -74,10 +74,39 @@ object Bench {
     // queries dropped from the map for line-length only)
     val attempted = results.length
     val ran = results.count(_._3)
+    // PRODUCTION twins (VERDICT r9 #2): the certify=false forms of the
+    // certificate-carrying gate queries, timed into their own field so
+    // the production cost and the certificate cost stay separately
+    // visible round-over-round. Kept OUT of `total` (the headline stays
+    // comparable across rounds).
+    val prodTimes = Production.forms.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (secs, ok) = runOne(name, fn)
+      (name, secs, ok)
+    }
+    val prodPart = {
+      val entries = prodTimes.collect { case (k, v, true) => s""""$k":${d3(v)}""" }
+      if (entries.isEmpty) "" else s""","prod":${entries.mkString("{", ",", "}")}"""
+    }
+    // Incremental-dedup scan-bytes sweep (VERDICT r9 #8): the IncrBench
+    // phases' input MB, inlined so a scan regression (like r9's
+    // above-cap fallback reading more than from-scratch) is caught by
+    // diffing bench files round-over-round. Seconds stay IncrBench's
+    // concern; the JSON carries the scale-relevant bytes.
+    val incrPart =
+      try {
+        val ps = IncrBench.phases(spark, sfDir)
+        def mb1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+        val keyOf = Map(
+          "incremental_1pct" -> "i1", "incremental_5pct" -> "i5",
+          "incremental_10pct" -> "i10", "incremental_20pct" -> "i20",
+          "incremental_inquery" -> "inq", "from_scratch" -> "scratch")
+        val entries = ps.flatMap(p => keyOf.get(p.name).map(k => s""""$k":${mb1(p.readMb)}"""))
+        if (entries.isEmpty) "" else s""","incr_mb":${entries.mkString("{", ",", "}")}"""
+      } catch { case _: Throwable => "" }
     def line(qs: Seq[(String, Double, Boolean)], omitted: Int): String = {
       val m = qs.map { case (k, v, _) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
       val om = if (omitted == 0) "" else s""","omitted_fast":$omitted"""
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","attempted":$attempted,"ran":$ran,"queries":$m,"sf":"$sfDir"$om$failedPart}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","attempted":$attempted,"ran":$ran,"queries":$m,"sf":"$sfDir"$om$failedPart$prodPart$incrPart}"""
     }
     // the queries map carries passing queries only (failed ones are fully
     // accounted by the failed array + attempted-ran)

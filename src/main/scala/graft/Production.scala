@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Production twins of the certified gate queries (VERDICT r9 #2).
+  *
+  * Several SparkEntry queries ship with an embedded equality certificate
+  * — the exact pair graph / exact percentile / exact count computed
+  * BESIDE the probabilistic plan, so the DuckDB hash compare can certify
+  * the sketch or LSH leg end-to-end. That is the right GATE shape, but a
+  * scale twin that strictly contains the exact path it exists to avoid
+  * has no reason to exist at 100 TB. These are the `certify = false`
+  * forms — the sketch/LSH plan ALONE — keyed by the gate query they
+  * twin. Bench times them into a separate `"prod"` JSON field so the
+  * certificate cost and the production cost stay separately visible
+  * round-over-round; ProductionFormsSpec pins each twin's values against
+  * its certified sibling.
+  */
+object Production {
+  private def docs(s: SparkSession, d: String) = sources.Tables.documents(s, d)
+
+  val forms: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash" -> ((s, d) =>
+      ops.Dedup.minhashVerifiedPairs(docs(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    "q_dedup_simhash" -> ((s, d) =>
+      ops.Dedup.simhashVerifiedPairs(docs(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    "q_dedup_minhash_pick" -> ((s, d) =>
+      ops.Dedup.survivorPick(docs(s, d),
+          ops.Dedup.minhashVerifiedPairs(docs(s, d), "doc_id", "text"))
+        .orderBy("doc_id")),
+    "q_triangle_lsh" -> ((s, d) =>
+      operators.GraphOps2.orientedTriangles(
+          ops.Dedup.minhashVerifiedPairs(docs(s, d), "doc_id", "text")
+            .select("id_a", "id_b"))
+        .orderBy("a", "b", "c")),
+    "q_sketch_quantile" -> ((s, d) => ops.Sketches.sketchQuantileProd(s, d)),
+    "q_sketch_setops" -> ((s, d) => ops.Sketches.sketchSetopsProd(s, d)),
+    "q_sketch_cms" -> ((s, d) => ops.Sketches.sketchCmsProd(s, d)),
+    "q_sketch_distinct" -> ((s, d) => operators.Scoring.sketchDistinctProd(s, d)),
+    "q_approx_quantile" -> ((s, d) => operators.Scoring.approxQuantileProd(s, d)))
+}

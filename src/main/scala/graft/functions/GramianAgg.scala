@@ -133,17 +133,35 @@ object GramianAgg {
     * dense system Ax = b (model-sized: D ≤ a few hundred, driver-side —
     * the same posture as [[powerIteration]] and the k-means fits).
     * Mutates copies; ties in pivot choice break to the lowest row index,
-    * so the result is bit-reproducible for identical inputs. */
-  def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    * so the result is bit-reproducible for identical inputs.
+    *
+    * CONDITION GUARD (r10): beyond the absolute near-zero pivot check,
+    * the elimination tracks the max/min pivot-magnitude ratio — a cheap,
+    * deterministic condition estimate that catches the failure the probe
+    * family actually hits (collinear embedding dims under too little
+    * ridge: the solve "succeeds" and returns coefficients in the 1e9
+    * range that round-trip to garbage probabilities). Ill-conditioned
+    * systems fail LOUD with the remedy in the message instead of
+    * returning silently meaningless coefficients. */
+  def solve(a0: Array[Array[Double]], b0: Array[Double],
+            maxPivotRatio: Double = 1e12): Array[Double] = {
     val d = b0.length
     val a = a0.map(_.clone())
     val b = b0.clone()
+    var maxPiv = 0.0
+    var minPiv = Double.PositiveInfinity
     var col = 0
     while (col < d) {
       var p = col
       var r = col + 1
       while (r < d) { if (math.abs(a(r)(col)) > math.abs(a(p)(col))) p = r; r += 1 }
       require(math.abs(a(p)(col)) > 1e-12, s"singular system at column $col")
+      val piv = math.abs(a(p)(col))
+      if (piv > maxPiv) maxPiv = piv
+      if (piv < minPiv) minPiv = piv
+      require(maxPiv / minPiv < maxPivotRatio,
+        f"ill-conditioned system at column $col (pivot ratio ${maxPiv / minPiv}%.3g " +
+          f">= $maxPivotRatio%.1g): near-collinear inputs - raise the ridge lambda")
       if (p != col) { val t = a(p); a(p) = a(col); a(col) = t
         val tb = b(p); b(p) = b(col); b(col) = tb }
       var i = col + 1

@@ -364,8 +364,32 @@ object GraphOps2 {
       |ORDER BY a, b, c""".stripMargin) { (s, d) =>
     // one shared certificate chain (verified pairs + exact graph, built
     // once off one profile table) — see Dedup.minhashGraph
-    val g = graft.ops.Dedup.minhashGraph(s, d)
+    val g = graft.ops.Dedup.minhashGraph(s, d, certify = true)
     val pairs = g.verified.select("id_a", "id_b")
+    val tri = orientedTriangles(pairs)
+    // exact re-verification of every triangle edge against the SSJoin
+    // pair graph (normalized src < dst, so (a,b)/(a,c)/(b,c) probe
+    // directly); triangles are candidate-bounded, the joins are tiny —
+    // the exact graph is the certificate chain's, already checkpointed
+    val exact = g.exact.get
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    def mark(t: DataFrame, x: String, y: String, m: String): DataFrame =
+      t.join(exact.select(col("src").as("__ex"), col("dst").as("__ey"),
+          lit(true).as(m)),
+        t(x) === col("__ex") && t(y) === col("__ey"), "left")
+        .drop("__ex", "__ey")
+    mark(mark(mark(tri, "a", "b", "m1"), "a", "c", "m2"), "b", "c", "m3")
+      .select(col("a"), col("b"), col("c"),
+        (coalesce(col("m1"), lit(false)) && coalesce(col("m2"), lit(false)) &&
+          coalesce(col("m3"), lit(false))).as("edges_exact"))
+      .orderBy("a", "b", "c")
+  }
+
+  /** Degree-oriented triangle enumeration over an (id_a, id_b) pair
+    * graph (id_a < id_b): each triangle closes exactly once through the
+    * (degree, id) total order. Shared by the certified gate form above
+    * and the production twin (no certificate marks). */
+  def orientedTriangles(pairs: DataFrame): DataFrame = {
     val deg = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // total order by (degree, id); orient edges low → high
@@ -386,27 +410,11 @@ object GraphOps2 {
     val e1 = e.select(col("src").as("u"), col("dst").as("v"), col("rdst").as("rv"))
     val e2 = e.select(col("src").as("u"), col("dst").as("w"), col("rdst").as("rw"))
     val e3 = e.select(col("src").as("v"), col("dst").as("w"))
-    val tri = e1.join(e2, "u").filter(col("rv") < col("rw"))
+    e1.join(e2, "u").filter(col("rv") < col("rw"))
       .join(e3, Seq("v", "w"))
       .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
       .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
         col("t").getItem(2).as("c"))
-    // exact re-verification of every triangle edge against the SSJoin
-    // pair graph (normalized src < dst, so (a,b)/(a,c)/(b,c) probe
-    // directly); triangles are candidate-bounded, the joins are tiny —
-    // the exact graph is the certificate chain's, already checkpointed
-    val exact = g.exact
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    def mark(t: DataFrame, x: String, y: String, m: String): DataFrame =
-      t.join(exact.select(col("src").as("__ex"), col("dst").as("__ey"),
-          lit(true).as(m)),
-        t(x) === col("__ex") && t(y) === col("__ey"), "left")
-        .drop("__ex", "__ey")
-    mark(mark(mark(tri, "a", "b", "m1"), "a", "c", "m2"), "b", "c", "m3")
-      .select(col("a"), col("b"), col("c"),
-        (coalesce(col("m1"), lit(false)) && coalesce(col("m2"), lit(false)) &&
-          coalesce(col("m3"), lit(false))).as("edges_exact"))
-      .orderBy("a", "b", "c")
   }
 
   /** Synchronous label propagation: every round, each node adopts the

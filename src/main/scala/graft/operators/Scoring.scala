@@ -391,6 +391,25 @@ object Scoring {
       .orderBy("tdl_from", "tdl_to")
   }
 
+  // ---- PRODUCTION forms (VERDICT r9 #2): the sketch alone — no exact
+  // co-aggregate, no certificate join. Bench times these beside the
+  // certified gate forms above.
+
+  /** Per-supplier distinct-part counts from the HLL sketch only. */
+  def sketchDistinctProd(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    T.lineitem(s, d).groupBy("l_suppkey")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("approx_parts"))
+      .orderBy("l_suppkey")
+
+  /** Per-priority approximate median from percentile_approx only. */
+  def approxQuantileProd(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    T.orders(s, d).groupBy("o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("median_est"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+
   val all: Seq[Q] = Seq(qCdf, qGaussianCdf, qConsensusMode, qTau, qTdl,
     qTinxNovelty, qTinxImportance, qPubscore, qSketchDistinct, qApproxQuantile,
     qQuantileNorm, qTdlTransition)

@@ -130,12 +130,23 @@ object Multimodal {
       }(enc)
   }
 
-  /** Rows-only. The registered output emits only the partition-INVARIANT
-    * columns (doc_id, score): batch lineage (batch_id/batch_size/slot)
+  /** The registered output emits only the partition-INVARIANT columns
+    * (doc_id, score): batch lineage (batch_id/batch_size/slot)
     * legitimately depends on the physical partitioning, so exposing it here
     * would make cross-parallelism verify dumps flake by design. The lineage
-    * columns stay on [[batchedInfer]] and its spec. */
-  val qModalityBatch: Q = Q.rowsOnly("q_modality_batch") { (s, d) =>
+    * columns stay on [[batchedInfer]] and its spec.
+    *
+    * Fully oracled (r10): the stub model's score is a pure function of
+    * the payload's byte length — `(len % 97) / 97` — and the payload is
+    * the document text's UTF-8 bytes, so DuckDB reproduces it from
+    * `strlen(text)` (bytes, not chars) without ever seeing a binary
+    * column. The hash compare certifies the whole mapPartitions batching
+    * path end-to-end: every row reached exactly one batch slot and came
+    * back with the model output for ITS payload. */
+  val qModalityBatch: Q = Q(
+    "q_modality_batch",
+    """SELECT doc_id, CAST(strlen(text) % 97 AS DOUBLE) / 97.0 AS score
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     batchedInfer(
       T.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")),
       "doc_id", "payload")
@@ -143,14 +154,32 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Rows-only: per-doc frame counts + first-frame fingerprint (binary
-    * frame payloads aren't oracle-comparable; spec checks the slicing). */
-  val qFrameSample: Q = Q.rowsOnly("q_frame_sample") { (s, d) =>
+  /** Per-doc frame summary off [[sampleFrames]]: sampled-frame count,
+    * first sampled index, and the first frame's MD5 fingerprint.
+    *
+    * Fully oracled (r10): the stub codec slices fixed 64-byte frames at
+    * stride 4 off the payload (= the text's UTF-8 bytes), so every
+    * output column is a pure function DuckDB can recompute — frame
+    * count from `strlen`, the first-frame fingerprint as
+    * `md5(substr(text, 1, 64))` (MD5 of the same bytes; `substr` slices
+    * CHARS, which equals the byte slice while the corpus is ASCII — a
+    * non-ASCII generator change would surface as a loud hash mismatch,
+    * not silent corruption). This certifies the one-to-many
+    * mapPartitions expansion: per-doc frame cardinality, stride
+    * arithmetic, and the actual sliced bytes all hash-match. */
+  val qFrameSample: Q = Q(
+    "q_frame_sample",
+    """SELECT doc_id,
+      |  (GREATEST(strlen(text) // 64, 1) - 1) // 4 + 1 AS n_frames,
+      |  CAST(0 AS BIGINT) AS first_idx,
+      |  md5(substr(text, 1, 64)) AS first_fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     sampleFrames(
       T.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")),
       "doc_id", "payload")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_frames"), min(col("frame_idx")).as("first_idx"))
+      .agg(count(lit(1)).as("n_frames"), min(col("frame_idx")).as("first_idx"),
+        min_by(col("frame_fp"), col("frame_idx")).as("first_fp"))
       .orderBy("doc_id")
   }
 

