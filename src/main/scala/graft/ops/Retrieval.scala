@@ -291,9 +291,46 @@ object Retrieval {
     * hash-partition by source, sort (source, tokens desc, doc_id) within
     * partitions, run FFD per source inside mapPartitions — bounded state
     * (open-bin fills for one source), no shuffle beyond the repartition,
-    * deterministic bin ids. Rows-only: greedy bin state is not
-    * SQL-expressible; the spec pins the packing invariants. */
-  val qPackBestfit: Q = Q.rowsOnly("q_pack_bestfit") { (s, d) =>
+    * deterministic bin ids.
+    *
+    * Fully oracled (r10): greedy FFD is sequential but INTEGER-EXACT and
+    * deterministic in the (tokens desc, doc_id) order, so DuckDB replays
+    * it as a recursive CTE — one row per source per step, open-bin fills
+    * as an INT[] list, first-fit via `list_position` over the fills
+    * (NULLIF-guarded: not-found returns 0, not NULL). The hash compare
+    * certifies the distributed mapPartitions run against the sequential
+    * definition doc for doc. */
+  val qPackBestfit: Q = Q(
+    "q_pack_bestfit",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text,' ')) AS INT) AS ntok,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY len(string_split(text,' ')) DESC, doc_id) AS INT) AS rn
+      |  FROM documents),
+      |ffd AS (
+      |  SELECT source, 0 AS step, CAST([] AS INT[]) AS fills,
+      |    CAST([] AS STRUCT(doc_id BIGINT, bin_id BIGINT, tokens INT)[]) AS placed
+      |  FROM (SELECT DISTINCT source FROM t)
+      |  UNION ALL
+      |  SELECT f.source, f.step + 1,
+      |    CASE WHEN b.pos IS NULL THEN list_append(f.fills, d.ntok)
+      |         ELSE list_transform(range(1, len(f.fills)+1),
+      |                i -> CASE WHEN i = b.pos THEN f.fills[i] + d.ntok ELSE f.fills[i] END)
+      |    END,
+      |    list_append(f.placed, {'doc_id': d.doc_id,
+      |      'bin_id': CAST(coalesce(b.pos, len(f.fills)+1) - 1 AS BIGINT), 'tokens': d.ntok})
+      |  FROM ffd f
+      |  JOIN t d ON d.source = f.source AND d.rn = f.step + 1
+      |  LEFT JOIN LATERAL (
+      |    SELECT nullif(list_position(
+      |      list_transform(f.fills, x -> x + d.ntok <= 256), true), 0) AS pos
+      |  ) b ON true
+      |)
+      |SELECT source, p.bin_id AS bin_id, p.doc_id AS doc_id, CAST(p.tokens AS INT) AS tokens
+      |FROM (SELECT source, placed FROM ffd f
+      |      WHERE step = (SELECT max(rn) FROM t WHERE t.source = f.source)),
+      |  unnest(placed) AS u(p)
+      |ORDER BY source, 2, 3""".stripMargin) { (s, d) =>
     import s.implicits._
     val budget = 256
     val docs = T.documents(s, d)
