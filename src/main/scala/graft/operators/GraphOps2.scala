@@ -159,9 +159,25 @@ object GraphOps2 {
     * Returns (node, lbl = component min) for every edge endpoint;
     * convergence is verified structurally (src/dst disjoint + unique
     * parent per child), so a partial merge can never return silently. */
+  /** Edge-count gate below which CC runs as driver union-find: 1M edges
+    * collect to ~16 MB and label in milliseconds, where the star
+    * contraction loop pays ~5 Spark jobs PER ROUND (two phases, two
+    * structural-convergence probes, a checkpoint) — ~4.6s for a
+    * 2000-edge dedup graph at bench scale (r10 measurement). Near-dup
+    * pair graphs are pair-table-sized, usually far under corpus size, so
+    * this is the common serving case; a corpus-scale edge set (entity
+    * resolution over billions) stays on the distributed loop. Both
+    * routes emit identical labels (component minimum), which the CC
+    * oracle hashes and PropertySpec cross-pins. */
+  val DriverCcMaxEdges: Long = 1000000L
+
   def connectedComponents(edges: DataFrame, maxIters: Int): DataFrame = {
     val e0 = e0Checkpoint(edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")))
+    val longIds = e0.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds && e0.count() <= DriverCcMaxEdges)
+      return driverComponents(e0)
     val nodes = e0Checkpoint(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct())
     // orient child→parent (src > dst): small-star groups by the child side
@@ -206,6 +222,32 @@ object GraphOps2 {
       s"connectedComponents did not converge after $maxIters rounds; raise maxIters")
     nodes.join(e, col("node") === col("src"), "left")
       .select(col("node"), coalesce(col("dst"), col("node")).as("lbl"))
+  }
+
+  /** The small-graph CC route: path-compressing union-find over the
+    * collected edge list, labels = component minimum (identical contract
+    * to the distributed loop), parallelized back as one local relation.
+    * Deterministic: labels depend only on the edge SET. */
+  private def driverComponents(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // root chosen by min-union above is already the component minimum id
+    val labels = parent.keysIterator.map(n => (n, find(n))).toSeq.sorted
+    labels.toDF("node", "lbl")
   }
 
   /** Near-duplicate clustering: connected components over the near-dup

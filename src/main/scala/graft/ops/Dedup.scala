@@ -923,11 +923,24 @@ object Dedup {
     * from the one-pass [[graft.functions.SimHashAgg]] sketch, verified
     * to EXACT n-gram Jaccard — same output contract as
     * [[minhashVerifiedPairs]], different (cheaper, coarser) candidate
-    * generator: the signature is ONE long per doc, not k ints. */
+    * generator: the signature is ONE long per doc, not k ints.
+    *
+    * The hamming prefilter is load-bearing: 8-bit bands put ~n/256 docs
+    * in a bucket, so raw band collisions are ~n²/2048 per band — 400k
+    * pairs at sf0.1, and EVERY one would pay the sorted-merge Jaccard
+    * verify (the r10 bench measured 13s; r9's hamming-only form was
+    * 1.6s). `hamming <= maxHamming` is a one-word XOR/popcount on the
+    * collision row, cuts the verify set to the near-identical pairs the
+    * threshold can accept, and with maxHamming = bands − 1 the filtered
+    * candidate set is EXACTLY the all-pairs hamming ball (pigeonhole:
+    * every h < bands pair shares a clean band) — the filter costs no
+    * recall the banding had. */
   def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, bands: Int = 8,
-                           threshold: Double = 0.9): DataFrame = {
+                           threshold: Double = 0.9,
+                           maxHamming: Int = 7): DataFrame = {
     val cand = simhashBandCandidates(simhashes(docs, idCol, textCol), bands)
+      .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b")
     verifyJaccard(cand, shingleProfiles(docs, idCol, textCol, n, threshold), threshold)
   }
@@ -937,13 +950,16 @@ object Dedup {
     * the edge diff. */
   private[graft] def simhashGraphOf(docs: DataFrame, idCol: String, textCol: String,
                                     n: Int, bands: Int, threshold: Double,
-                                    certify: Boolean): MinhashGraph = {
+                                    certify: Boolean,
+                                    maxHamming: Int = 7): MinhashGraph = {
     if (!certify)
       return MinhashGraph(
-        simhashVerifiedPairs(docs, idCol, textCol, n, bands, threshold), None, None)
+        simhashVerifiedPairs(docs, idCol, textCol, n, bands, threshold, maxHamming),
+        None, None)
     val profiles = shingleProfiles(docs, idCol, textCol, n, threshold)
       .localCheckpoint(true)
     val cand = simhashBandCandidates(simhashes(docs, idCol, textCol), bands)
+      .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b")
     val verified = verifyJaccard(cand, profiles, threshold).localCheckpoint(true)
     val prefix = profiles.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
@@ -1182,7 +1198,111 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** MULTI-SIGNAL dedup fusion — the production dedup pipeline as ONE
+    * decision table: the exact-text dup graph, the MinHash/LSH
+    * near-text graph (j >= 0.5), and the embedding-cosine semantic
+    * graph (cos >= 0.38) union into a single pair set; connected
+    * components over the union pick one min-id survivor per fused
+    * cluster; every doc carries keep/drop plus WHICH signals implicated
+    * it. This is the operator a training-data pipeline actually runs —
+    * signals disagree (a paraphrase trips the embedding graph but not
+    * Jaccard; boilerplate twins trip Jaccard but embed apart), and the
+    * keep decision must be one transitive closure over all of them, not
+    * three independent passes whose survivors contradict.
+    *
+    * Scale shape: three subquadratic pair sources (star edges off the
+    * text-hash groupBy; banded LSH + candidate-keyed verify; the
+    * measured-routed cell/fused cosine scan), one pair-table-sized
+    * union + CC, doc-keyed flag joins. Nothing corpus².
+    *
+    * Fully oracled: every fused edge is an EXACT property (text
+    * equality, exact verified Jaccard, exact cosine), so DuckDB rebuilds
+    * the same union graph declaratively and replays CC recursively; the
+    * hash compare certifies graph + closure + survivor choice + flags
+    * end-to-end. */
+  val qDedupFuse: Q = Q(
+    "q_dedup_fuse",
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |  sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |         FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |  tpairs AS (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |    JOIN sz sa ON sa.doc_id = a.doc_id
+      |    JOIN sz sb ON sb.doc_id = b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id
+      |    HAVING CAST(COUNT(*) AS DOUBLE) /
+      |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5),
+      |  ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  en AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ev
+      |         WHERE list_inner_product(v, v) > 0),
+      |  epairs AS (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |    FROM en a JOIN en b ON a.vec_id < b.vec_id
+      |    WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.38),
+      |  xgrp AS (SELECT text, MIN(doc_id) AS m FROM documents
+      |           GROUP BY text HAVING COUNT(*) > 1),
+      |  xpairs AS (SELECT g.m AS id_a, d.doc_id AS id_b
+      |             FROM documents d JOIN xgrp g ON d.text = g.text AND d.doc_id <> g.m),
+      |  allp AS (SELECT id_a, id_b FROM tpairs
+      |           UNION SELECT id_a, id_b FROM epairs
+      |           UNION SELECT id_a, id_b FROM xpairs),
+      |  e AS (SELECT id_a AS src, id_b AS dst FROM allp
+      |        UNION SELECT id_b, id_a FROM allp),
+      |  reach(node, lbl) AS (
+      |    SELECT DISTINCT src, src FROM e
+      |    UNION
+      |    SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node),
+      |  comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+      |  tm AS (SELECT DISTINCT doc_id FROM (
+      |         SELECT id_a AS doc_id FROM tpairs UNION ALL SELECT id_b FROM tpairs)),
+      |  em AS (SELECT DISTINCT doc_id FROM (
+      |         SELECT id_a AS doc_id FROM epairs UNION ALL SELECT id_b FROM epairs)),
+      |  xm AS (SELECT DISTINCT doc_id FROM (
+      |         SELECT id_a AS doc_id FROM xpairs UNION ALL SELECT id_b FROM xpairs))
+      |SELECT d.doc_id,
+      |  COALESCE(comp.component, d.doc_id) AS survivor_id,
+      |  (d.doc_id = COALESCE(comp.component, d.doc_id)) AS keep,
+      |  (tm.doc_id IS NOT NULL) AS text_dup,
+      |  (em.doc_id IS NOT NULL) AS embed_dup,
+      |  (xm.doc_id IS NOT NULL) AS exact_dup
+      |FROM documents d
+      |LEFT JOIN comp ON comp.node = d.doc_id
+      |LEFT JOIN tm ON tm.doc_id = d.doc_id
+      |LEFT JOIN em ON em.doc_id = d.doc_id
+      |LEFT JOIN xm ON xm.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    // each pair source is read TWICE (the fused union + its flag join):
+    // checkpoint once or the full LSH/scan pipelines run twice over
+    val textPairs = minhashVerifiedPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").localCheckpoint(true)
+    val embedPairs = Similarity.cosineNearDupPairs(
+        T.embeddings(s, d), "vec_id", "embedding", 0.38)._1
+      .select("id_a", "id_b").localCheckpoint(true)
+    // exact-text groups as STAR edges (min-id hub): same components as
+    // the clique, group-size work instead of group-size²
+    val exactPairs = docs.groupBy("text")
+      .agg(min(col("doc_id")).as("m"), collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("m").as("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .localCheckpoint(true)
+    def flagOf(pairs: DataFrame, name: String): DataFrame =
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct().withColumn(name, lit(true))
+    val fused = textPairs.unionByName(embedPairs).unionByName(exactPairs)
+      .distinct().localCheckpoint(true)
+    survivorPick(docs, fused)
+      .join(flagOf(textPairs, "text_dup"), Seq("doc_id"), "left")
+      .join(flagOf(embedPairs, "embed_dup"), Seq("doc_id"), "left")
+      .join(flagOf(exactPairs, "exact_dup"), Seq("doc_id"), "left")
+      .na.fill(false, Seq("text_dup", "embed_dup", "exact_dup"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash,
     qDedupMinhashPick, qDedupSimhash, qDedupEmbed, qNearDupMatrix,
-    qDedupCalibration, qDedupContainment)
+    qDedupCalibration, qDedupContainment, qDedupFuse)
 }

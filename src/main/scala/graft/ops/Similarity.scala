@@ -444,6 +444,130 @@ object Similarity {
     (assigned, codebook, admIdx.map { case (i, j) => (i.toLong, j.toLong) }, stats)
   }
 
+  // ---- DRIVER-SIDE route pricing (r10): the routing decision must cost
+  // less than either plan it prices. The first routed form measured the
+  // cell model with corpus passes (assignment + radii agg + checkpoints)
+  // and paid ~2s of jobs before the all-pairs scan it then shipped
+  // anyway. Here the WHOLE estimate — spherical Lloyd, assignment,
+  // radii, triangle-bound admissibility, kth-neighbor bounds — runs on a
+  // collected ≤256-row hash-sample in driver arrays: two tiny jobs
+  // (count + sample collect), zero corpus passes. Sampling errs in the
+  // safe direction on the case that hurt: isotropic high-dim corpora
+  // concentrate pairwise distances, so sampled radii/kth sit close to
+  // (or conservatively under) truth and the degenerate verdict is
+  // robust; mis-routing can only cost time, never correctness — both
+  // plans are exact.
+
+  private def collectUnitSample(e: DataFrame, cap: Long): Array[Array[Double]] =
+    Dedup.boundedHashSample(e.select(col("id"), col("u")), "id", cap)
+      .orderBy(xxhash64(col("id"), lit(7)), col("id")).limit(cap.toInt)
+      .select("u").collect().map(_.getSeq[Double](0).toArray)
+
+  /** Plain Lloyd on driver arrays (euclidean argmin, ties to lowest cid,
+    * first-k-distinct init — the [[fitKmeansLocal]] recipe without the
+    * DataFrame): routing-model only. */
+  private def lloydArr(pts: Array[Array[Double]], k: Int,
+                       iters: Int = 8): Array[Array[Double]] = {
+    val dim = pts.head.length
+    var cents = pts.map(_.toVector).distinct.take(k).map(_.toArray)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnts = new Array[Long](cents.length)
+      pts.foreach { p =>
+        val best = argminEuclid(p, cents)
+        cnts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        if (cnts(c) == 0) prev else sums(c).map(_ / cnts(c))
+      }
+    }
+    cents
+  }
+
+  private def argminEuclid(p: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      var s = 0.0; var i = 0
+      while (i < p.length) { val t = p(i) - cents(c)(i); s += t * t; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Sampled [[CellPruneStats]] for the tau-threshold pair plan: the same
+    * triangle-bound admissibility math as [[cellModelFor]], on the
+    * sample's cells/radii, with candidate volume read off sample cell
+    * sizes (the FRACTION is what routes; it is scale-free). */
+  private[graft] def routePairsSample(us: Array[Array[Double]], n: Long,
+                                      tau: Double): CellPruneStats = {
+    if (us.isEmpty) return CellPruneStats(n, 0, 0, 0, 0, 0) // empty: fused (trivial)
+    val k = math.min(cellCountFor(n), math.max(8, us.length / 8))
+    val cents = lloydArr(us, k)
+    val assign = us.map(argminEuclid(_, cents))
+    val radii = new Array[Double](cents.length)
+    val sizes = new Array[Long](cents.length)
+    us.zip(assign).foreach { case (u, c) =>
+      var s = 0.0; var i = 0
+      while (i < u.length) { val t = u(i) - cents(c)(i); s += t * t; i += 1 }
+      val d = math.sqrt(s)
+      if (d > radii(c)) radii(c) = d
+      sizes(c) += 1
+    }
+    val t = math.sqrt(math.max(0.0, 2.0 - 2.0 * (tau - 1e-6)))
+    def cdist(i: Int, j: Int): Double = {
+      var s = 0.0; var d = 0
+      while (d < cents(i).length) { val x = cents(i)(d) - cents(j)(d); s += x * x; d += 1 }
+      math.sqrt(s)
+    }
+    var adm = 0L; var cand = 0L
+    for (i <- cents.indices; j <- i until cents.length)
+      if (cdist(i, j) <= radii(i) + radii(j) + t) {
+        adm += 1
+        cand += (if (i == j) sizes(i) * (sizes(i) - 1) / 2 else sizes(i) * sizes(j))
+      }
+    val m = us.length.toLong
+    CellPruneStats(n, cents.length, adm,
+      cents.length.toLong * (cents.length + 1) / 2, cand, m * (m - 1) / 2)
+  }
+
+  /** Sampled [[KnnPruneStats]]: per sample node, the kNbrs-th best
+    * in-sample cosine gives the pass-1 bound; admissible cells counted
+    * against the sampled cell model. In-sample kth UNDERestimates the
+    * true bound (fewer candidates), which OVERestimates admissibility —
+    * the safe direction: borderline corpora route to the fused scan. */
+  private[graft] def routeKnnSample(us: Array[Array[Double]], n: Long,
+                                    kNbrs: Int): KnnPruneStats = {
+    if (us.isEmpty) return KnnPruneStats(n, 0, 0, 0) // empty: fused (trivial)
+    val k = math.min(cellCountFor(n), math.max(8, us.length / 8))
+    val cents = lloydArr(us, k)
+    val radii = new Array[Double](cents.length)
+    val assign = us.map(argminEuclid(_, cents))
+    us.zip(assign).foreach { case (u, c) =>
+      var s = 0.0; var i = 0
+      while (i < u.length) { val t = u(i) - cents(c)(i); s += t * t; i += 1 }
+      radii(c) = math.max(radii(c), math.sqrt(s))
+    }
+    var admissible = 0L
+    us.indices.foreach { a =>
+      val cos = us.indices.collect { case b if b != a =>
+        var s = 0.0; var i = 0
+        while (i < us(a).length) { s += us(a)(i) * us(b)(i); i += 1 }
+        s
+      }.sorted(Ordering[Double].reverse)
+      val kth = if (cos.length >= kNbrs) cos(kNbrs - 1) else -1.01
+      val dbound = math.sqrt(math.max(0.0, 2.0 - 2.0 * (kth - 1e-6)))
+      cents.indices.foreach { c =>
+        var s = 0.0; var i = 0
+        while (i < us(a).length) { val t = us(a)(i) - cents(c)(i); s += t * t; i += 1 }
+        if (math.sqrt(s) - radii(c) <= dbound) admissible += 1
+      }
+    }
+    KnnPruneStats(n, cents.length, admissible, us.length.toLong)
+  }
+
   /** MEASURED-ROUTED exact cosine near-dup pairs (the q_dedup_embed plan):
     * output is always the exact thresholded pair set
     * (id_a < id_b, cos = round(dot/(nrm·nrm), 6) ≥ tau, zero-norm rows
@@ -452,42 +576,45 @@ object Similarity {
     *  - pruning real (clustered corpus): the lossless cell-bounded
     *    candidate equi-joins, carrying (v, nrm) through the join so the
     *    verify is a projection — no rejoin, no all-pairs stage, candidate
-    *    volume = the measured `candidateVolume`;
+    *    volume = the measured `candidateVolume` (reported from the FULL
+    *    corpus model the shipped plan builds anyway);
     *  - degenerate (isotropic high-dim corpus — the bench embeddings: the
     *    triangle bound admits every cell pair, measured fraction 1.0):
     *    the fused broadcast-range scan, which does the SAME n²/2 dot
-    *    products without shuffling a reproduced cross product.
+    *    products without shuffling a reproduced cross product — and with
+    *    the r10 driver-side router, without ever assigning the corpus to
+    *    cells it will not use.
     *
     * K scales as √n via [[cellCountFor]] (assignment is HOF-form past 16,
-    * so no codegen ceiling). The decision is driver-side off the K-row
-    * model — no extra corpus pass beyond the assignment the cell plan
-    * needs anyway. */
+    * so no codegen ceiling). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          tau: Double, kOpt: Option[Int] = None)
       : (DataFrame, CellPruneStats) = {
     import VectorFunctions.dotProduct
     val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
       .withColumn("u", transform(col("v"), x => x / col("nrm")))
-    val k = kOpt.getOrElse(cellCountFor(e.count()))
-    val (assigned, _, admissible, stats) = cellModelFor(e, tau, k)
+    val n = e.count()
     val cosCol = round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-    val scored =
-      if (stats.degenerate) {
-        val base = assigned.select(col("id"), col("v"), col("nrm"))
-        base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val routeStats = routePairsSample(collectUnitSample(e, 256), n, tau)
+    val (scored, stats) =
+      if (routeStats.degenerate) {
+        val base = e.select(col("id"), col("v"), col("nrm"))
+        (base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
           .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
             col("id_a") < col("id_b"))
-          .withColumn("cos", cosCol)
+          .withColumn("cos", cosCol), routeStats)
       } else {
+        val k = kOpt.getOrElse(cellCountFor(n))
+        val (assigned, _, admissible, fullStats) = cellModelFor(e, tau, k)
         import emb.sparkSession.implicits._
         val cellPairs = admissible.toDF("cell_a", "cell_b")
-        assigned.select(col("id").as("id_a"), col("v").as("va"),
+        (assigned.select(col("id").as("id_a"), col("v").as("va"),
             col("nrm").as("na"), col("cell").as("cell_a"))
           .join(broadcast(cellPairs), "cell_a")
           .join(assigned.select(col("id").as("id_b"), col("v").as("vb"),
             col("nrm").as("nb"), col("cell").as("cell_b")), Seq("cell_b"))
           .filter(col("id_a") < col("id_b"))
-          .withColumn("cos", cosCol)
+          .withColumn("cos", cosCol), fullStats)
       }
     (scored.filter(col("cos") >= tau).select("id_a", "id_b", "cos"), stats)
   }
@@ -522,8 +649,16 @@ object Similarity {
     * cluster's cell(s) — fraction ≈ 1/K; on isotropic high-dim corpora
     * the k-th same-cell cosine is weak, every cell stays admissible, and
     * pass 2 would reproduce the cross product through a shuffle. */
-  final case class KnnPruneStats(nVectors: Long, cells: Int, admissibleNodeCells: Long) {
-    def totalNodeCells: Long = nVectors * cells
+  final case class KnnPruneStats(nVectors: Long, cells: Int,
+                                 admissibleNodeCells: Long,
+                                 measuredNodes: Long) {
+    /** Probes the measurement covered: `measuredNodes`·K — the full
+      * corpus when the cell plan ships (its pass 1 computes every bound
+      * anyway), a ≤256-node hash sample when only ROUTING is at stake
+      * (r10: paying the full Θ(n²/K) pass 1 just to decide to THROW IT
+      * AWAY on an isotropic corpus was the r10-bench q_knn_graph
+      * regression — the sample prices the decision at ~256·n/K dots). */
+    def totalNodeCells: Long = measuredNodes * cells
     def admissibleFraction: Double =
       if (totalNodeCells == 0) 1.0 else admissibleNodeCells.toDouble / totalNodeCells
     def degenerate: Boolean = admissibleFraction >= 0.5
@@ -550,62 +685,23 @@ object Similarity {
     val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
       .select(col("id"), col("v"), col("nrm"),
         transform(col("v"), x => x / col("nrm")).as("u"))
-    // K = √n by default (HOF assignment past 16 — no codegen ceiling); a
-    // cell with < kNbrs members just widens its nodes' pass-2 bound —
-    // correctness never depends on cell sizing. Driver-side fit.
-    val nCells = kOpt.getOrElse(cellCountFor(e.count()))
-    val codebook = fitKmeansLocal(e.select(col("id"), col("u").as("v")), nCells)
-    val centsLit = typedlit(codebook.map(_.toSeq).toSeq)
-    val assigned = e.select(col("id"), col("v"), col("nrm"), col("u"),
-        nearestCell(col("u"), codebook).as("cell"))
-      .localCheckpoint(true) // radii agg + pass-1 sides + pass-2 corpus side
-    val dOwn = sqrt(sqDist(col("u"), element_at(centsLit, (col("cell") + 1).cast("int"))))
-    val cellRows = assigned.select(col("cell"), dOwn.as("d"))
-      .groupBy("cell").agg(max(col("d")).as("r"), count(lit(1)).as("cnt"))
-      .collect().map(r => r.getLong(0).toInt -> (r.getDouble(1), r.getLong(2))).toMap
-    val n = cellRows.valuesIterator.map(_._2).sum
-    val cellModel = typedlit(codebook.indices.map(i =>
-      (i.toLong, codebook(i).toSeq, cellRows.get(i).map(_._1).getOrElse(0.0))))
+    val n = e.count()
     def cosExact(va: Column, na: Column, vb: Column, nb: Column): Column =
       round(VectorFunctions.dotProduct(va, vb) / (na * nb), 6)
-    // pass 1: same-cell k-th best cosine per node (missing row = fewer
-    // than k same-cell neighbors)
     val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))
-    val kth = assigned.select(col("cell"), col("id").as("node"),
-        col("v").as("va"), col("nrm").as("na"))
-      .join(assigned.select(col("cell"), col("id").as("nbr"),
-        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
-      .filter(col("node") =!= col("nbr"))
-      .select(col("node"), col("nbr"),
-        cosExact(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === kNbrs)
-      .select(col("node"), col("cos").as("kth"))
-    // pass 2: per-node admissible cells under the pass-1 bound.
-    // localCheckpoint'ed (corpus-sized, like `assigned`): the admissible
-    // count below and whichever plan ships both read it — pass 1 (the
-    // Θ(n²/K) stage) never runs twice.
-    val bounds = assigned
-      .join(kth, col("id") === col("node"), "left")
-      .select(col("id"), col("v"), col("nrm"), col("u"),
-        coalesce(col("kth"), lit(-1.01)).as("kth"))
-      .withColumn("dbound",
-        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * (col("kth") - lit(1e-6)))))
-      .localCheckpoint(true)
-    val admPred: Column => Column = u =>
-      size(filter(cellModel, s =>
-        sqrt(sqDist(u, s.getField("_2"))) - s.getField("_3") <= col("dbound"))).cast("long")
-    // the routing measurement: one model-vs-corpus projection + sum —
-    // O(n·K) work, decided BEFORE the candidate join materializes
-    val admCount = bounds.select(admPred(col("u")).as("na"))
-      .agg(sum(col("na"))).collect()(0).getLong(0)
-    val stats = KnnPruneStats(n, codebook.length, admCount)
-    val result =
-      if (route && stats.degenerate) {
+    // the ROUTING decision must cost less than either plan it prices:
+    // it runs ENTIRELY driver-side on a ≤256-row sample (see
+    // routeKnnSample) — the first routed form measured with corpus
+    // passes and the r10 bench caught it paying the Θ(n²/K) pass 1 and
+    // then ALSO running the all-pairs scan it routed to (q_knn_graph
+    // 4.9s vs the plain scan's ~2s).
+    if (route) {
+      val routeStats = routeKnnSample(collectUnitSample(e, 256), n, kNbrs)
+      if (routeStats.degenerate) {
         // fused all-pairs window baseline: same output, no reproduced
-        // cross product through a shuffle (bench corpus is isotropic —
-        // see KnnPruneStats scaladoc)
-        val base = bounds.select(col("id"), col("v"), col("nrm"))
+        // cross product through a shuffle, no quantizer fit, no corpus
+        // assignment — one scan plus the per-node ranking window
+        val base = e.select(col("id"), col("v"), col("nrm"))
         val p = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
           .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
             col("id_a") < col("id_b"))
@@ -617,9 +713,57 @@ object Similarity {
             struct(col("id_a").as("node"), col("id_b").as("nbr"), col("cos")),
             struct(col("id_b").as("node"), col("id_a").as("nbr"), col("cos")))).as("e"))
           .select(col("e.node").as("node"), col("e.nbr").as("nbr"), col("e.cos").as("cos"))
-        sym.withColumn("rnk", graft.functions.Exact.lng(row_number().over(w)))
+        val fused = sym.withColumn("rnk", graft.functions.Exact.lng(row_number().over(w)))
           .filter(col("rnk") <= kNbrs)
-      } else {
+        return (fused, routeStats)
+      }
+    }
+    // K = √n by default (HOF assignment past 16 — no codegen ceiling); a
+    // cell with < kNbrs members just widens its nodes' pass-2 bound —
+    // correctness never depends on cell sizing. Driver-side fit.
+    val nCells = kOpt.getOrElse(cellCountFor(n))
+    val codebook = fitKmeansLocal(e.select(col("id"), col("u").as("v")), nCells)
+    val centsLit = typedlit(codebook.map(_.toSeq).toSeq)
+    val assigned = e.select(col("id"), col("v"), col("nrm"), col("u"),
+        nearestCell(col("u"), codebook).as("cell"))
+      .localCheckpoint(true) // radii agg + pass-1 sides + pass-2 corpus side
+    val dOwn = sqrt(sqDist(col("u"), element_at(centsLit, (col("cell") + 1).cast("int"))))
+    val cellRows = assigned.select(col("cell"), dOwn.as("d"))
+      .groupBy("cell").agg(max(col("d")).as("r"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getDouble(1), r.getLong(2))).toMap
+    val cellModel = typedlit(codebook.indices.map(i =>
+      (i.toLong, codebook(i).toSeq, cellRows.get(i).map(_._1).getOrElse(0.0))))
+    // pass 1: same-cell k-th best cosine per node (missing row = fewer
+    // than k same-cell neighbors)
+    val kth = assigned
+      .select(col("cell"), col("id").as("node"), col("v").as("va"), col("nrm").as("na"))
+      .join(assigned.select(col("cell"), col("id").as("nbr"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
+      .filter(col("node") =!= col("nbr"))
+      .select(col("node"), col("nbr"),
+        cosExact(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === kNbrs)
+      .select(col("node"), col("cos").as("kth"))
+    // pass 2 bounds: localCheckpoint'ed (corpus-sized, like `assigned`):
+    // the full-measurement count and the shipped plan both read it —
+    // pass 1 (the Θ(n²/K) stage) never runs twice
+    val bounds = assigned
+      .join(kth, col("id") === col("node"), "left")
+      .select(col("id"), col("v"), col("nrm"), col("u"),
+        coalesce(col("kth"), lit(-1.01)).as("kth"))
+      .withColumn("dbound",
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * (col("kth") - lit(1e-6)))))
+      .localCheckpoint(true)
+    // the reported stats when the cell plan ships are the FULL corpus
+    // measurement (the plan pays for the bounds anyway — report truth)
+    val admCount = bounds
+      .select(size(filter(cellModel, s =>
+        sqrt(sqDist(col("u"), s.getField("_2"))) - s.getField("_3") <= col("dbound")))
+        .cast("long").as("na"))
+      .agg(sum(col("na"))).collect()(0).getLong(0)
+    val stats = KnnPruneStats(n, codebook.length, admCount, n)
+    val result = {
         val adm = bounds.select(col("id").as("node"), col("v").as("va"),
             col("nrm").as("na"), col("kth"),
             explode(filter(cellModel, s =>

@@ -16,8 +16,9 @@ class EmptyInputSweepSpec extends SparkSpec {
   private val requiresData: Map[String, String] = Map(
     "q_ann_ivf" -> "k-means codebook fit needs at least one vector",
     "q_ann_pq" -> "PQ codebook fit needs at least one vector",
-    "q_dedup_embed" -> "cell-bound candidate fit needs at least one vector",
-    "q_knn_graph" -> "cell-bound candidate fit needs at least one vector",
+    // q_dedup_embed / q_knn_graph left this list in r10: the driver-side
+    // router treats an empty sample as degenerate and ships the fused
+    // scan, which is trivially empty-correct
     "q_embed_cluster" -> "k-means codebook fit needs at least one vector",
     "q_semdedup" -> "k-means codebook fit needs at least one vector",
     "q_linear_probe" -> "probe fit needs labeled vectors",
