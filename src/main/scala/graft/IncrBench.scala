@@ -112,15 +112,22 @@ object IncrBench {
     ps.foreach { p =>
       println(f"INCRBENCH ${p.name} ${p.secs}%.2f s read=${p.readMb}%.1f MB rows=${p.rows}%d")
     }
-    // the crossover read-out: largest batch fraction whose incremental
-    // read stays under from-scratch — the number maxBatchFraction encodes
+    // the crossover read-out: phases below the routing gate must read
+    // UNDER from-scratch (their wins shrink with the batch); the routed
+    // oversized phase reads stored profiles ≈ the corpus the rebuild
+    // would re-shingle, so its contract is PARITY (≤ 1.1×), not a win —
+    // r9's unrouted shape read 1.8× here, silently worse than rebuild
     val scratch = ps.find(_.name == "from_scratch").map(_.readMb).getOrElse(0.0)
     val sweep = ps.filter(_.name.startsWith("incremental_"))
       .filterNot(_.name == "incremental_inquery")
     sweep.foreach { p =>
-      val verdict = if (p.readMb <= scratch) "under" else "OVER"
+      val ratio = if (scratch > 0) p.readMb / scratch else 0.0
+      val verdict =
+        if (p.readMb <= scratch) "under"
+        else if (ratio <= 1.1) "parity(routed)"
+        else "OVER"
       println(f"INCRBENCH crossover ${p.name} read=${p.readMb}%.1f MB " +
-        f"vs from_scratch=$scratch%.1f MB -> $verdict")
+        f"vs from_scratch=$scratch%.1f MB ratio=$ratio%.2f -> $verdict")
     }
     spark.stop()
   }

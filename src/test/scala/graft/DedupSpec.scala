@@ -62,6 +62,33 @@ class DedupSpec extends SparkSpec {
     p.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.9))
   }
 
+  test("decontam screen == cross pairs of the exact SSJoin; index side broadcasts") {
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+    val idx = s"/tmp/graft_screen_spec_${System.nanoTime()}"
+    Dedup.NearDupIndex.build(docs.filter(col("doc_id") < 25), idx)
+    val screened = Dedup.NearDupIndex.screen(spark, idx, docs.filter(col("doc_id") >= 25))
+    val got = screened.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    // ground truth: the live SSJoin over the WHOLE corpus, restricted to
+    // cross pairs (one endpoint in the eval set)
+    val want = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .filter((col("id_a") < 25 && col("id_b") >= 25) ||
+        (col("id_a") >= 25 && col("id_b") < 25))
+      .collect()
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (train, ev) = if (a < 25) (b, a) else (a, b)
+        (train, ev, r.getAs[Number](2).longValue)
+      }.toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "spec corpus must have cross-boundary near-dups")
+    // scale orientation: the SMALL index side broadcasts; the corpus
+    // side must not (a corpus broadcast would OOM the real use)
+    val plan = screened.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "index side should broadcast-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("embedding near-dup pairs are symmetric-free and thresholded") {
     val p = Dedup.qDedupEmbed.fn(spark, TinyDir)
     assert(p.filter(col("id_a") >= col("id_b")).isEmpty)
