@@ -37,6 +37,9 @@ object GraphOps2 {
     // previous round's, and Catalyst itself becomes the bottleneck. On a
     // cluster use a reliable checkpoint dir instead (executor loss).
     val e = e0Checkpoint(edges.select("src", "dst"))
+    smallLongEdges(e).foreach { arr =>
+      return driverPrRounds(e.sparkSession, arr, seeds = None, iters)
+    }
     val deg = e0Checkpoint(e.groupBy("src").agg(count(lit(1)).as("d")))
     // degree folded into the edge table ONCE: each round then needs a
     // single edge⋈rank join (the per-edge `pr div d` replicates a value
@@ -67,6 +70,56 @@ object GraphOps2 {
     * LogicalRDD — constant-size plans across iterative rounds. */
   private def e0Checkpoint(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** SIZE-ROUTING for the fixed-round iterative ops (r10, the
+    * [[connectedComponents]] driver-route generalized): every round of a
+    * distributed iteration pays a handful of Spark jobs (join + agg +
+    * checkpoint), which dominates wall time whenever the graph itself is
+    * small — and the bipartite incidence / near-dup graphs these queries
+    * iterate are edge-table-sized, not corpus-sized. All four routed ops
+    * (pagerank, PPR, SSSP, label propagation) are INTEGER-EXACT with
+    * deterministic tie-breaks, so a driver replay of the same rounds is
+    * bit-identical to the distributed plan — the DuckDB oracles pin it
+    * per query. Returns the collected (src, dst) array when the
+    * (long-keyed) edge set fits [[DriverCcMaxEdges]]; None keeps the
+    * distributed loop. `e` must already be checkpointed (the count is a
+    * cached-RDD pass). */
+  private def smallLongEdges(e: DataFrame): Option[Array[(Long, Long)]] = {
+    val longIds = e.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds && e.count() <= DriverCcMaxEdges)
+      Some(e.collect().map(r => (r.getLong(0), r.getLong(1))))
+    else None
+  }
+
+  /** Driver replay of the pagerank/PPR integer rounds: identical long
+    * algebra as [[pagerankInt]]/[[pprInt]] (init PrScale — seed-masked
+    * for PPR — then pr' = teleport + 85·Σ pr(src) div d(src) div 100;
+    * `div` truncates and every value is non-negative, so Scala `/`
+    * matches both Spark `div` and DuckDB `//`). */
+  private def driverPrRounds(spark: org.apache.spark.sql.SparkSession,
+                             edges: Array[(Long, Long)],
+                             seeds: Option[Set[Long]],
+                             iters: Int): DataFrame = {
+    import spark.implicits._
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    edges.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1 }
+    def seedMask(n: Long): Long = seeds match {
+      case Some(set) => if (set.contains(n)) 1L else 0L
+      case None      => 1L
+    }
+    var pr = deg.keysIterator.map(n => n -> seedMask(n) * PrScale).toMap
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (s, d) =>
+        sums(d) = sums.getOrElse(d, 0L) + pr(s) / deg(s)
+      }
+      pr = deg.keysIterator.map { n =>
+        n -> (seedMask(n) * PrTeleport + 85L * sums.getOrElse(n, 0L) / 100L)
+      }.toMap
+    }
+    pr.toSeq.sorted.toDF("node", "pr")
+  }
+
   /** Personalized PageRank: [[pagerankInt]] with the restart mass pinned
     * to a seed set instead of spread uniformly — rank flows OUT of the
     * seeds through the graph and decays with distance, which is the
@@ -77,6 +130,11 @@ object GraphOps2 {
     * PrTeleport·1[node ∈ seeds], carried on the anchored node table. */
   def pprInt(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     val e = e0Checkpoint(edges.select("src", "dst"))
+    smallLongEdges(e).foreach { arr =>
+      val seedSet = seeds.select(col("node").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      return driverPrRounds(e.sparkSession, arr, Some(seedSet), iters)
+    }
     val deg = e0Checkpoint(e.groupBy("src").agg(count(lit(1)).as("d")))
     // same degree-folded edge table as pagerankInt: one join per round
     val ed = e0Checkpoint(e.join(deg, "src"))
@@ -467,6 +525,32 @@ object GraphOps2 {
     * cadence as [[pagerankInt]] (linear chain: every other round). */
   def labelPropagation(symEdges: DataFrame, iters: Int): DataFrame = {
     val e = e0Checkpoint(symEdges.select("src", "dst"))
+    smallLongEdges(e).foreach { arr =>
+      val spark = e.sparkSession
+      import spark.implicits._
+      // round semantics mirrored exactly: contributions flow along edges
+      // from CURRENTLY-labeled sources (the distributed inner join), the
+      // next label is argmax count with ties to the LOWEST label, and
+      // round 1's label map is the identity
+      var l: Map[Long, Long] = null
+      for (_ <- 1 to iters) {
+        val counts = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        arr.foreach { case (src, dst) =>
+          val lbl = if (l == null) Some(src) else l.get(src)
+          lbl.foreach(lb =>
+            counts((dst, lb)) = counts.getOrElse((dst, lb), 0L) + 1)
+        }
+        val best = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+        counts.foreach { case ((node, lb), c) =>
+          best.get(node) match {
+            case Some((bc, bl)) if bc > c || (bc == c && bl <= lb) => ()
+            case _ => best(node) = (c, lb)
+          }
+        }
+        l = best.iterator.map { case (n, (_, lb)) => n -> lb }.toMap
+      }
+      return l.toSeq.sorted.toDF("node", "lbl")
+    }
     // round 1's "join labels" is the identity mapping (lbl = node id), so
     // the neighbor-label stream is just the edge list relabeled — no node
     // distinct, no first join. Node set = distinct dst (same set: edges
@@ -609,6 +693,28 @@ object GraphOps2 {
     * long arithmetic — no float drift under any partitioning. */
   def ssspInt(edges: DataFrame, sources: DataFrame, hops: Int): DataFrame = {
     val e = e0Checkpoint(edges.select(col("src"), col("dst"), col("w")))
+    // size route (see smallLongEdges): min-plus over longs replays
+    // bit-identically on the driver; the weighted collect is its own
+    // shape, but the gate is the same
+    if (e.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
+        && e.count() <= DriverCcMaxEdges) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val arr = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var d = sources.select(col("node").cast("long")).distinct()
+        .collect().map(_.getLong(0) -> 0L).toMap
+      for (_ <- 1 to hops) {
+        val next = scala.collection.mutable.HashMap.empty[Long, Long] ++ d
+        arr.foreach { case (s, t, w) =>
+          d.get(s).foreach { ds =>
+            val cand = ds + w
+            if (next.get(t).forall(_ > cand)) next(t) = cand
+          }
+        }
+        d = next.toMap
+      }
+      return d.toSeq.sorted.toDF("node", "dist")
+    }
     var dist = e0Checkpoint(sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)))
     for (h <- 1 to hops) {

@@ -511,6 +511,35 @@ object StreamingOps {
       .dropDuplicates("doc_id", "dup_id")
   }
 
+  /** Streaming DECONTAMINATION screen (r10): every arriving micro-batch
+    * of documents is screened against the FROZEN
+    * [[graft.ops.Dedup.NearDupIndex]] of the eval suite via
+    * [[graft.ops.Dedup.NearDupIndex.screen]] — exact (train, eval)
+    * Jaccard >= threshold pairs at ingest time, i.e. "does this scrape
+    * page leak a benchmark doc" answered BEFORE the page enters the
+    * corpus. Unlike [[nearDupStream]] (estimated Jaccard off the minhash
+    * band index), this leg is exact: screen freezes the batch to the
+    * index's gram order and verifies against its profiles — and because
+    * screen emits NO batch↔batch pairs, screening is compositional:
+    * micro-batching never changes a doc's verdict, so the streamed
+    * union equals the one-shot batch screen (spec-pinned).
+    *
+    * Exactly-once: each micro-batch writes its pairs as an
+    * overwrite-idempotent region `part=batch_<id>` (the repo's regioned
+    * append convention) — a crash replay rewrites the same region with
+    * the same content and converges. */
+  def screenSink(docs: DataFrame, indexPath: String, outDir: String,
+                 n: Int = 3, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Dedup.NearDupIndex
+            .screen(batch.sparkSession, indexPath, batch, n, threshold)
+            .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
+        ()
+      }
+
   /** Streaming CDC into the time-traveled table: each micro-batch commits
     * one [[graft.sources.Versioned]] version (upsert semantics, only
     * batch-touched partitions rewritten) — the streamed table keeps its

@@ -345,6 +345,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontam screen: micro-batched union == one-shot batch screen") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+    val idx = s"/tmp/graft_screen_stream_${System.nanoTime()}"
+    graft.ops.Dedup.NearDupIndex.build(docs.filter(col("doc_id") < 25), idx)
+    val out = java.nio.file.Files.createTempDirectory("screen_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("screen_ck").toString
+    val train = docs.filter(col("doc_id") >= 25)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = train.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.screenSink(
+        mem.toDF().toDF("doc_id", "text"), idx, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // screen emits no batch<->batch pairs, so micro-batching cannot
+    // change any doc's verdict: streamed union == one-shot screen
+    val streamed = spark.read.parquet(out)
+      .select("id", "index_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = graft.ops.Dedup.NearDupIndex
+      .screen(spark, idx, docs.filter(col("doc_id") >= 25))
+      .select("id", "index_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == oneShot,
+      s"missing=${oneShot -- streamed} extra=${streamed -- oneShot}")
+    assert(oneShot.nonEmpty, "spec corpus must have cross-boundary near-dups")
+    // regioned layout: one overwrite-idempotent dir per micro-batch
+    val regions = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part=batch_")).map(_.getName).sorted
+    assert(regions.length == 2, regions.mkString(","))
+  }
+
   test("streaming fan-out: one cached batch feeds N sinks; batch dirs + ledger idempotent layout") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
