@@ -31,13 +31,14 @@ object GraphOps2 {
     * aggregation); the degree join reuses the edge partitioning. At cluster
     * scale: edges hash-partitioned by src once, ranks co-partitioned,
     * iterations reuse the same exchange. */
-  def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerankInt(edges: DataFrame, iters: Int,
+                  driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     // localCheckpoint (eager) truncates the LOGICAL plan each round, not
     // just the RDD lineage — without it every round's plan embeds the
     // previous round's, and Catalyst itself becomes the bottleneck. On a
     // cluster use a reliable checkpoint dir instead (executor loss).
     val e = e0Checkpoint(edges.select("src", "dst"))
-    smallLongEdges(e).foreach { arr =>
+    smallLongEdges(e, driverMaxEdges).foreach { arr =>
       return driverPrRounds(e.sparkSession, arr, seeds = None, iters)
     }
     val deg = e0Checkpoint(e.groupBy("src").agg(count(lit(1)).as("d")))
@@ -83,10 +84,11 @@ object GraphOps2 {
     * (long-keyed) edge set fits [[DriverCcMaxEdges]]; None keeps the
     * distributed loop. `e` must already be checkpointed (the count is a
     * cached-RDD pass). */
-  private def smallLongEdges(e: DataFrame): Option[Array[(Long, Long)]] = {
+  private def smallLongEdges(e: DataFrame,
+                             maxEdges: Long): Option[Array[(Long, Long)]] = {
     val longIds = e.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (longIds && e.count() <= DriverCcMaxEdges)
+    if (longIds && e.count() <= maxEdges)
       Some(e.collect().map(r => (r.getLong(0), r.getLong(1))))
     else None
   }
@@ -128,9 +130,10 @@ object GraphOps2 {
     * algebra as pagerankInt (exact long sums, partition-invariant), same
     * one-shuffle-per-round shape; the only change is the teleport column:
     * PrTeleport·1[node ∈ seeds], carried on the anchored node table. */
-  def pprInt(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+  def pprInt(edges: DataFrame, seeds: DataFrame, iters: Int,
+             driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val e = e0Checkpoint(edges.select("src", "dst"))
-    smallLongEdges(e).foreach { arr =>
+    smallLongEdges(e, driverMaxEdges).foreach { arr =>
       val seedSet = seeds.select(col("node").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet
       return driverPrRounds(e.sparkSession, arr, Some(seedSet), iters)
@@ -229,12 +232,13 @@ object GraphOps2 {
     * oracle hashes and PropertySpec cross-pins. */
   val DriverCcMaxEdges: Long = 1000000L
 
-  def connectedComponents(edges: DataFrame, maxIters: Int): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int,
+                          driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val e0 = e0Checkpoint(edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")))
     val longIds = e0.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (longIds && e0.count() <= DriverCcMaxEdges)
+    if (longIds && e0.count() <= driverMaxEdges)
       return driverComponents(e0)
     val nodes = e0Checkpoint(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct())
@@ -523,9 +527,10 @@ object GraphOps2 {
     * edge⋈labels join + one (node,label) count + a struct-max argmax —
     * no window, no collect; labels stay node-sized. Same checkpoint
     * cadence as [[pagerankInt]] (linear chain: every other round). */
-  def labelPropagation(symEdges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(symEdges: DataFrame, iters: Int,
+                       driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val e = e0Checkpoint(symEdges.select("src", "dst"))
-    smallLongEdges(e).foreach { arr =>
+    smallLongEdges(e, driverMaxEdges).foreach { arr =>
       val spark = e.sparkSession
       import spark.implicits._
       // round semantics mirrored exactly: contributions flow along edges
@@ -691,13 +696,14 @@ object GraphOps2 {
     * the distance table stays node-sized — at cluster scale, pre-partition
     * edges by src and the per-round join becomes co-partitioned. Exact
     * long arithmetic — no float drift under any partitioning. */
-  def ssspInt(edges: DataFrame, sources: DataFrame, hops: Int): DataFrame = {
+  def ssspInt(edges: DataFrame, sources: DataFrame, hops: Int,
+              driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val e = e0Checkpoint(edges.select(col("src"), col("dst"), col("w")))
     // size route (see smallLongEdges): min-plus over longs replays
     // bit-identically on the driver; the weighted collect is its own
     // shape, but the gate is the same
     if (e.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
-        && e.count() <= DriverCcMaxEdges) {
+        && e.count() <= driverMaxEdges) {
       val spark = e.sparkSession
       import spark.implicits._
       val arr = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
