@@ -120,11 +120,18 @@ object IncrBench {
     val scratch = ps.find(_.name == "from_scratch").map(_.readMb).getOrElse(0.0)
     val sweep = ps.filter(_.name.startsWith("incremental_"))
       .filterNot(_.name == "incremental_inquery")
+    // which phases the default maxBatchFraction (10%) routes to the
+    // oversized profiles-SSJoin — ONLY those hold the parity contract;
+    // a sub-gate phase reading near from-scratch is a regression, not
+    // parity, and must print OVER
+    val routedPhases = Set("incremental_20pct")
     sweep.foreach { p =>
-      val ratio = if (scratch > 0) p.readMb / scratch else 0.0
+      // a zero/missing from_scratch measurement means the denominators
+      // are broken — flag loud, never absolve
+      val ratio = if (scratch > 0) p.readMb / scratch else Double.PositiveInfinity
       val verdict =
         if (p.readMb <= scratch) "under"
-        else if (ratio <= 1.1) "parity(routed)"
+        else if (routedPhases.contains(p.name) && ratio <= 1.1) "parity(routed)"
         else "OVER"
       println(f"INCRBENCH crossover ${p.name} read=${p.readMb}%.1f MB " +
         f"vs from_scratch=$scratch%.1f MB ratio=$ratio%.2f -> $verdict")

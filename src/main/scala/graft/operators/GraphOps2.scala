@@ -84,14 +84,17 @@ object GraphOps2 {
     * (long-keyed) edge set fits [[DriverCcMaxEdges]]; None keeps the
     * distributed loop. `e` must already be checkpointed (the count is a
     * cached-RDD pass). */
+  /** The one routing predicate all size-routed ops share: every column
+    * long-keyed AND the (already-checkpointed) table under the gate. */
+  private def underDriverGate(e: DataFrame, maxEdges: Long): Boolean =
+    e.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType) && e.count() <= maxEdges
+
   private def smallLongEdges(e: DataFrame,
-                             maxEdges: Long): Option[Array[(Long, Long)]] = {
-    val longIds = e.schema.fields.forall(_.dataType ==
-      org.apache.spark.sql.types.LongType)
-    if (longIds && e.count() <= maxEdges)
+                             maxEdges: Long): Option[Array[(Long, Long)]] =
+    if (underDriverGate(e, maxEdges))
       Some(e.collect().map(r => (r.getLong(0), r.getLong(1))))
     else None
-  }
 
   /** Driver replay of the pagerank/PPR integer rounds: identical long
     * algebra as [[pagerankInt]]/[[pprInt]] (init PrScale — seed-masked
@@ -236,9 +239,7 @@ object GraphOps2 {
                           driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val e0 = e0Checkpoint(edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")))
-    val longIds = e0.schema.fields.forall(_.dataType ==
-      org.apache.spark.sql.types.LongType)
-    if (longIds && e0.count() <= driverMaxEdges)
+    if (underDriverGate(e0, driverMaxEdges))
       return driverComponents(e0)
     val nodes = e0Checkpoint(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct())
@@ -702,8 +703,7 @@ object GraphOps2 {
     // size route (see smallLongEdges): min-plus over longs replays
     // bit-identically on the driver; the weighted collect is its own
     // shape, but the gate is the same
-    if (e.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)
-        && e.count() <= driverMaxEdges) {
+    if (underDriverGate(e, driverMaxEdges)) {
       val spark = e.sparkSession
       import spark.implicits._
       val arr = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

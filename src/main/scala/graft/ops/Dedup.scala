@@ -278,6 +278,18 @@ object Dedup {
       writeLayout(spark, path)
     }
 
+    private def parquetBasenamesUnder(fs: org.apache.hadoop.fs.FileSystem,
+                                      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          out += f.getPath.getName
+      }
+      out.toSeq
+    }
+
     private def writePostings(frozen: DataFrame, dir: String): Unit =
       frozen.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
         .withColumn("shb", pmod(col("sh"), lit(PostingBuckets.toLong)))
@@ -504,6 +516,21 @@ object Dedup {
                n: Int = 3, threshold: Double = 0.5): DataFrame = {
       val root = liveRoot(spark, path)
       requireLayout(spark, root)
+      // an index built over ZERO docs has no parquet files under its
+      // partitionBy'd postings dir (Spark writes nothing for an empty
+      // partitioned DataFrame), so the reads below would die with
+      // UNABLE_TO_INFER_SCHEMA — an empty eval suite means an empty
+      // screen result, not an outage (EmptyInputSweepSpec)
+      locally {
+        val p = new org.apache.hadoop.fs.Path(s"$root/prefix")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasFiles = fs.exists(p) && parquetBasenamesUnder(fs, p).nonEmpty
+        if (!hasFiles) {
+          import spark.implicits._
+          return Seq.empty[(Long, Long, Long, Double)]
+            .toDF("id", "index_id", "n_common", "jaccard")
+        }
+      }
       val cprof = freeze(corpus, spark.read.parquet(s"$root/vocab"), n, threshold)
         .localCheckpoint(true) // candidate + verify sides both read it
       val cpref = cprof.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
@@ -983,17 +1010,22 @@ object Dedup {
     * pairs at sf0.1, and EVERY one would pay the sorted-merge Jaccard
     * verify (the r10 bench measured 13s; r9's hamming-only form was
     * 1.6s). `hamming <= maxHamming` is a one-word XOR/popcount on the
-    * collision row, cuts the verify set to the near-identical pairs the
-    * threshold can accept, and with maxHamming = bands − 1 the filtered
+    * collision row. With the default (maxHamming = bands − 1, derived —
+    * never a stale constant when the caller re-bands) the filtered
     * candidate set is EXACTLY the all-pairs hamming ball (pigeonhole:
-    * every h < bands pair shares a clean band) — the filter costs no
-    * recall the banding had. */
+    * every h < bands pair shares a clean band, and h ≥ bands survivors
+    * are cut), turning "banding + luck" into a DEFINED contract: all
+    * pairs within hamming bands−1, verified exact. The cut is real —
+    * a lucky h ≥ bands collision that r9 would have verified is now
+    * dropped by design; the gate's certificate measures whether the
+    * ball covers the threshold's pairs on the corpus at hand. */
   def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, bands: Int = 8,
                            threshold: Double = 0.9,
-                           maxHamming: Int = 7): DataFrame = {
+                           maxHamming: Int = -1): DataFrame = {
+    val mh = if (maxHamming < 0) bands - 1 else maxHamming
     val cand = simhashBandCandidates(simhashes(docs, idCol, textCol), bands)
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= mh)
       .select("id_a", "id_b")
     verifyJaccard(cand, shingleProfiles(docs, idCol, textCol, n, threshold), threshold)
   }
@@ -1004,15 +1036,16 @@ object Dedup {
   private[graft] def simhashGraphOf(docs: DataFrame, idCol: String, textCol: String,
                                     n: Int, bands: Int, threshold: Double,
                                     certify: Boolean,
-                                    maxHamming: Int = 7): MinhashGraph = {
+                                    maxHamming: Int = -1): MinhashGraph = {
+    val mh = if (maxHamming < 0) bands - 1 else maxHamming
     if (!certify)
       return MinhashGraph(
-        simhashVerifiedPairs(docs, idCol, textCol, n, bands, threshold, maxHamming),
+        simhashVerifiedPairs(docs, idCol, textCol, n, bands, threshold, mh),
         None, None)
     val profiles = shingleProfiles(docs, idCol, textCol, n, threshold)
       .localCheckpoint(true)
     val cand = simhashBandCandidates(simhashes(docs, idCol, textCol), bands)
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= mh)
       .select("id_a", "id_b")
     val verified = verifyJaccard(cand, profiles, threshold).localCheckpoint(true)
     val prefix = profiles.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
@@ -1268,11 +1301,16 @@ object Dedup {
     * measured-routed cell/fused cosine scan), one pair-table-sized
     * union + CC, doc-keyed flag joins. Nothing corpus².
     *
-    * Fully oracled: every fused edge is an EXACT property (text
-    * equality, exact verified Jaccard, exact cosine), so DuckDB rebuilds
-    * the same union graph declaratively and replays CC recursively; the
-    * hash compare certifies graph + closure + survivor choice + flags
-    * end-to-end. */
+    * Fully oracled: every fused edge is exact-VERIFIED (text equality,
+    * exact Jaccard, exact cosine — precision 1 on all three arms), and
+    * the embed/exact arms are exhaustive. The text arm's MEMBERSHIP is
+    * the banded-LSH candidate set (the production plan — no embedded
+    * certificate here), so its recall is the 16×4 S-curve; the oracle
+    * computes the exact all-pairs union graph, which makes this gate the
+    * recall check: a banding miss diverges the survivor/flag columns and
+    * FAILS the hash compare loudly (q_dedup_minhash's own certificate
+    * measures the same margin with a per-run flag on this corpus
+    * family). */
   val qDedupFuse: Q = Q(
     "q_dedup_fuse",
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

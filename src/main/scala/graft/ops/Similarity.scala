@@ -458,10 +458,19 @@ object Similarity {
   // robust; mis-routing can only cost time, never correctness — both
   // plans are exact.
 
-  private def collectUnitSample(e: DataFrame, cap: Long): Array[Array[Double]] =
-    Dedup.boundedHashSample(e.select(col("id"), col("u")), "id", cap)
+  /** (sample of unit vectors, corpus row count) in one counting pass —
+    * the count both sizes the hash-sample modulus and feeds
+    * cellCountFor, so callers never pay it twice. */
+  private def collectUnitSample(e: DataFrame, cap: Long): (Array[Array[Double]], Long) = {
+    val n = e.count()
+    val m = math.max(1L, n / math.max(1L, cap))
+    val hashed =
+      if (m <= 1L) e else e.filter(pmod(xxhash64(col("id")), lit(m)) === 0)
+    val us = hashed
       .orderBy(xxhash64(col("id"), lit(7)), col("id")).limit(cap.toInt)
       .select("u").collect().map(_.getSeq[Double](0).toArray)
+    (us, n)
+  }
 
   /** Plain Lloyd on driver arrays (euclidean argmin, ties to lowest cid,
     * first-k-distinct init — the [[fitKmeansLocal]] recipe without the
@@ -593,12 +602,14 @@ object Similarity {
     import VectorFunctions.dotProduct
     val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
       .withColumn("u", transform(col("v"), x => x / col("nrm")))
-    val n = e.count()
     val cosCol = round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-    val routeStats = routePairsSample(collectUnitSample(e, 256), n, tau)
+    val (us, n) = collectUnitSample(e, 256)
+    val routeStats = routePairsSample(us, n, tau)
     val (scored, stats) =
       if (routeStats.degenerate) {
-        val base = e.select(col("id"), col("v"), col("nrm"))
+        // checkpoint: both self-join sides read the scan+norm projection
+        // from memory instead of recomputing it
+        val base = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(true)
         (base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
           .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
             col("id_a") < col("id_b"))
@@ -685,7 +696,7 @@ object Similarity {
     val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
       .select(col("id"), col("v"), col("nrm"),
         transform(col("v"), x => x / col("nrm")).as("u"))
-    val n = e.count()
+    var nKnown = -1L // filled by whichever path counts first
     def cosExact(va: Column, na: Column, vb: Column, nb: Column): Column =
       round(VectorFunctions.dotProduct(va, vb) / (na * nb), 6)
     val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))
@@ -696,12 +707,15 @@ object Similarity {
     // then ALSO running the all-pairs scan it routed to (q_knn_graph
     // 4.9s vs the plain scan's ~2s).
     if (route) {
-      val routeStats = routeKnnSample(collectUnitSample(e, 256), n, kNbrs)
+      val (us, n) = collectUnitSample(e, 256)
+      nKnown = n
+      val routeStats = routeKnnSample(us, n, kNbrs)
       if (routeStats.degenerate) {
         // fused all-pairs window baseline: same output, no reproduced
         // cross product through a shuffle, no quantizer fit, no corpus
-        // assignment — one scan plus the per-node ranking window
-        val base = e.select(col("id"), col("v"), col("nrm"))
+        // assignment — one scan (checkpointed: both self-join sides
+        // read it from memory) plus the per-node ranking window
+        val base = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(true)
         val p = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
           .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
             col("id_a") < col("id_b"))
@@ -720,8 +734,11 @@ object Similarity {
     }
     // K = √n by default (HOF assignment past 16 — no codegen ceiling); a
     // cell with < kNbrs members just widens its nodes' pass-2 bound —
-    // correctness never depends on cell sizing. Driver-side fit.
-    val nCells = kOpt.getOrElse(cellCountFor(n))
+    // correctness never depends on cell sizing. Driver-side fit. The
+    // count only runs when nothing above already paid it (route=false
+    // with kOpt empty — r9's exact cost shape).
+    val nCells = kOpt.getOrElse(cellCountFor(
+      if (nKnown >= 0) nKnown else { nKnown = e.count(); nKnown }))
     val codebook = fitKmeansLocal(e.select(col("id"), col("u").as("v")), nCells)
     val centsLit = typedlit(codebook.map(_.toSeq).toSeq)
     val assigned = e.select(col("id"), col("v"), col("nrm"), col("u"),
@@ -762,6 +779,7 @@ object Similarity {
         sqrt(sqDist(col("u"), s.getField("_2"))) - s.getField("_3") <= col("dbound")))
         .cast("long").as("na"))
       .agg(sum(col("na"))).collect()(0).getLong(0)
+    val n = cellRows.valuesIterator.map(_._2).sum // free off the radii agg
     val stats = KnnPruneStats(n, codebook.length, admCount, n)
     val result = {
         val adm = bounds.select(col("id").as("node"), col("v").as("va"),
