@@ -168,6 +168,62 @@ object PipelineOps3 {
       .orderBy("bucket", "batch_id")
   }
 
+  /** The q_pca_embed oracle, generated: DuckDB replays the SAME fixed
+    * 100-round power iteration (init 1/√64 = 0.125 exact, per-round
+    * matvec via ordered `list_inner_product`, normalize, sign pinned to
+    * the first-max |loading|) as 100 unrolled CTE pairs over the
+    * covariance rows. Cross-engine float sensitivity is bounded: the
+    * engines' covariance entries differ only in SUM order (~1e-16
+    * relative), and the iteration amplifies a matrix perturbation by at
+    * most ~1/gap ≈ 80 on this corpus family (measured λ1/λ2 ≈ 1.01-1.07)
+    * → ≤ ~1e-14 in the final iterate, far under the 6dp rounding. The
+    * convergence error itself (the iterate is NOT the true eigenvector
+    * at this gap) is shared by construction — both engines compute the
+    * same 100 steps, and the spec separately bounds the eigen-residual. */
+  private def pcaOracleSql(dim: Int = 64, iters: Int = 100): String =
+    // the iteration rides ONE recursive CTE with (k, v, lam) state and a
+    // pure-list-op matvec (the matrix as a list-of-lists, no aggregate
+    // in the recursive term) — 2·iters chained CTEs hit DuckDB's binder
+    // recursion limit of 128. The anchor's 0.125 (= 1/√64 exact) MUST be
+    // CAST to DOUBLE: the recursive CTE locks the column type from the
+    // anchor, and a DECIMAL(4,3)-typed v coerces every division — the
+    // trajectory drifts by 1e-5 within three rounds (measured).
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pos AS (SELECT unnest(range(1, $dim + 1)) AS i),
+       |el AS (SELECT e.vec_id, pos.i, e.v[pos.i] AS x FROM e, pos),
+       |mn AS (SELECT i, AVG(x) AS m FROM el GROUP BY i),
+       |cp AS (SELECT a.i AS i, b.i AS j,
+       |         SUM(a.x * b.x) / (SELECT COUNT(*) FROM e) AS sxy
+       |       FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS (SELECT cp.i AS i, cp.j AS j, cp.sxy - ma.m * mb.m AS c
+       |        FROM cp JOIN mn ma ON ma.i = cp.i JOIN mn mb ON mb.i = cp.j),
+       |covr AS (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY i),
+       |covm AS (SELECT list(row ORDER BY i) AS mat FROM covr),
+       |tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j),
+       |it(k, v, lam) AS (
+       |  SELECT 0, list_transform(range(1, $dim + 1), x -> CAST(0.125 AS DOUBLE)),
+       |    CAST(0.0 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT k + 1,
+       |    list_transform(s.mvv, x -> x / sqrt(list_inner_product(s.mvv, s.mvv))),
+       |    sqrt(list_inner_product(s.mvv, s.mvv))
+       |  FROM (SELECT it.k AS k,
+       |          list_transform(range(1, $dim + 1),
+       |            i -> list_inner_product(covm.mat[i], it.v)) AS mvv
+       |        FROM it, covm WHERE it.k < $iters) s),
+       |fin AS (SELECT v, lam,
+       |  list_position(list_transform(v, x -> abs(x)),
+       |                list_max(list_transform(v, x -> abs(x)))) AS piv
+       |  FROM it WHERE k = $iters),
+       |sgn AS (SELECT v, lam, CASE WHEN v[piv] < 0 THEN -1.0 ELSE 1.0 END AS s FROM fin)
+       |SELECT CAST(pos.i - 1 AS BIGINT) AS pos,
+       |  round(mn.m, 6) AS mean,
+       |  round(sgn.s * sgn.v[pos.i], 6) AS pc1_loading,
+       |  round(sgn.lam, 6) AS eigval,
+       |  round(sgn.lam / tr.t, 6) AS var_share
+       |FROM pos CROSS JOIN sgn CROSS JOIN tr JOIN mn ON mn.i = pos.i
+       |ORDER BY pos""".stripMargin
+
   /** PCA over the embedding column: dominant principal component +
     * explained-variance share, via [[graft.functions.GramianAgg]] — the
     * full second-moment sweep is ONE aggregation (a ~17 KB mergeable
@@ -175,10 +231,11 @@ object PipelineOps3 {
     * then the 64×64 eigenproblem is driver-side deterministic power
     * iteration (model-sized, like the k-means codebooks). The
     * embedding-drift / whitening primitive: watch PC1 and its variance
-    * share per corpus release. Rows-only (float covariance isn't
-    * portably exact); the spec checks the eigenpair residual and
-    * agreement with a brute-force driver PCA. */
-  val qPcaEmbed: Q = Q.rowsOnly("q_pca_embed") { (s, d) =>
+    * share per corpus release. Fully oracled (r10): see [[pcaOracleSql]]
+    * — DuckDB replays the identical fixed-round iteration; the spec
+    * additionally checks the eigenpair residual and agreement with a
+    * brute-force driver PCA. */
+  val qPcaEmbed: Q = Q("q_pca_embed", pcaOracleSql()) { (s, d) =>
     import graft.functions.GramianAgg
     val vecs = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
