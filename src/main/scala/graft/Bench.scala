@@ -85,7 +85,14 @@ object Bench {
     }
     val prodPart = {
       val entries = prodTimes.collect { case (k, v, true) => s""""$k":${d3(v)}""" }
-      if (entries.isEmpty) "" else s""","prod":${entries.mkString("{", ",", "}")}"""
+      // a twin that starts throwing must stay VISIBLE in the diff — a
+      // silently shrinking prod map reads as "twin removed", not broken
+      val broken = prodTimes.collect { case (k, _, false) => s""""$k"""" }
+      val failedPart =
+        if (broken.isEmpty) "" else s""","prod_failed":${broken.mkString("[", ",", "]")}"""
+      val main =
+        if (entries.isEmpty) "" else s""","prod":${entries.mkString("{", ",", "}")}"""
+      main + failedPart
     }
     // Incremental-dedup scan-bytes sweep (VERDICT r9 #8): the IncrBench
     // phases' input MB, inlined so a scan regression (like r9's

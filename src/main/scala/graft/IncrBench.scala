@@ -38,7 +38,7 @@ object IncrBench {
 
     val bytesRead = new java.util.concurrent.atomic.AtomicLong
     val recsRead = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) {
@@ -47,7 +47,8 @@ object IncrBench {
           ()
         }
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
     val out = scala.collection.mutable.ArrayBuffer.empty[Phase]
     def timed[A](label: String)(f: => A): A = {
       // drain in-flight listener events so reads attribute to the right phase
@@ -65,6 +66,7 @@ object IncrBench {
     // run's output — neither cost is part of the daily increment)
     val idx = s"/tmp/graft_incrbench_idx_${System.nanoTime()}"
     val base = docs.filter(!isBatch)
+    try {
     timed("base_index_build") {
       Dedup.NearDupIndex.build(base, idx)
     }
@@ -102,6 +104,10 @@ object IncrBench {
       GraphOps2.connectedComponents(Dedup.nearDupEdges(docs), 20).count()
     }
     out.toSeq
+    // the listener captures this call's accumulators: left registered it
+    // would process every later task-end for the JVM's life, and each
+    // phases() call would stack another one (Bench calls this in-process)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   def main(args: Array[String]): Unit = {
@@ -123,8 +129,10 @@ object IncrBench {
     // which phases the default maxBatchFraction (10%) routes to the
     // oversized profiles-SSJoin — ONLY those hold the parity contract;
     // a sub-gate phase reading near from-scratch is a regression, not
-    // parity, and must print OVER
-    val routedPhases = Set("incremental_20pct")
+    // parity, and must print OVER. The fractions are of the INDEXED
+    // base (0.8n docs), not the corpus: the 10% batch is 0.1n/0.8n =
+    // 0.125 > 0.10 (routed), the 5% batch 0.0625 (small-batch plan).
+    val routedPhases = Set("incremental_10pct", "incremental_20pct")
     sweep.foreach { p =>
       // a zero/missing from_scratch measurement means the denominators
       // are broken — flag loud, never absolve

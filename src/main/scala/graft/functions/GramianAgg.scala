@@ -148,6 +148,12 @@ object GramianAgg {
     val d = b0.length
     val a = a0.map(_.clone())
     val b = b0.clone()
+    // row scales for the condition estimate: the ratio of RAW pivots
+    // confuses scaling with conditioning (a diag(1e6, 1e-6) system is
+    // perfectly solvable), so each pivot is measured relative to its
+    // row's original magnitude — implicit row equilibration, the
+    // standard practical estimate. Scales permute WITH the rows.
+    val scale = a0.map(row => math.max(row.iterator.map(math.abs).max, 1e-300))
     var maxPiv = 0.0
     var minPiv = Double.PositiveInfinity
     var col = 0
@@ -156,12 +162,13 @@ object GramianAgg {
       var r = col + 1
       while (r < d) { if (math.abs(a(r)(col)) > math.abs(a(p)(col))) p = r; r += 1 }
       require(math.abs(a(p)(col)) > 1e-12, s"singular system at column $col")
-      val piv = math.abs(a(p)(col))
+      val piv = math.abs(a(p)(col)) / scale(p)
       if (piv > maxPiv) maxPiv = piv
       if (piv < minPiv) minPiv = piv
       require(maxPiv / minPiv < maxPivotRatio,
-        f"ill-conditioned system at column $col (pivot ratio ${maxPiv / minPiv}%.3g " +
+        f"ill-conditioned system at column $col (scaled pivot ratio ${maxPiv / minPiv}%.3g " +
           f">= $maxPivotRatio%.1g): near-collinear inputs - raise the ridge lambda")
+      if (p != col) { val t = scale(p); scale(p) = scale(col); scale(col) = t }
       if (p != col) { val t = a(p); a(p) = a(col); a(col) = t
         val tb = b(p); b(p) = b(col); b(col) = tb }
       var i = col + 1

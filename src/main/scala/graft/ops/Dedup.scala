@@ -278,18 +278,6 @@ object Dedup {
       writeLayout(spark, path)
     }
 
-    private def parquetBasenamesUnder(fs: org.apache.hadoop.fs.FileSystem,
-                                      dir: org.apache.hadoop.fs.Path): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      val it = fs.listFiles(dir, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-          out += f.getPath.getName
-      }
-      out.toSeq
-    }
-
     private def writePostings(frozen: DataFrame, dir: String): Unit =
       frozen.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
         .withColumn("shb", pmod(col("sh"), lit(PostingBuckets.toLong)))
@@ -422,7 +410,7 @@ object Dedup {
       // pass, no postings read, no batch broadcast. Same output either
       // way (NearDupIndexSpec pins equality across the gate).
       val batchN = bprof.count()
-      val indexedN = spark.read.parquet(s"$root/profiles").count()
+      val indexedN = indexedProfileCount(spark, root)
       if (indexedN > 0 && batchN > maxBatchFraction * indexedN)
         return queryOversized(spark, root, bprof, threshold)
       val candAll = candidateStage(spark, root, bprof, threshold)
@@ -455,6 +443,26 @@ object Dedup {
         .dropDuplicates("id")
         .select("id", "vset", "nsh")
       verifyJaccard(cand, sets.select(col("id"), col("vset"), col("nsh")), threshold)
+    }
+
+    /** The routing gate's denominator, memoized per (root, profiles-dir
+      * mtime): the daily serving case is a tiny batch against a stable
+      * index, and paying a corpus-sized file-listing + footer-count job
+      * on EVERY query just to decide the route defeats the route. An
+      * append creates a new `part=` region dir, bumping the parent
+      * mtime → recount. (On stores without directory mtimes the cache
+      * may serve a stale count after an append — a ROUTING input only:
+      * both routes return identical pairs, so staleness costs at most
+      * plan choice, never correctness.) */
+    private val profileCountCache =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+
+    private def indexedProfileCount(spark: SparkSession, root: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/profiles")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mtime = fs.getFileStatus(p).getModificationTime
+      profileCountCache.computeIfAbsent((root, mtime),
+        _ => spark.read.parquet(p.toString).count())
     }
 
     /** The OVERSIZED-BATCH route of [[query]]: when the batch is a
@@ -524,7 +532,7 @@ object Dedup {
       locally {
         val p = new org.apache.hadoop.fs.Path(s"$root/prefix")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasFiles = fs.exists(p) && parquetBasenamesUnder(fs, p).nonEmpty
+        val hasFiles = fs.exists(p) && graft.sources.FsUtil.parquetBasenames(fs, p).nonEmpty
         if (!hasFiles) {
           import spark.implicits._
           return Seq.empty[(Long, Long, Long, Double)]
@@ -844,6 +852,17 @@ object Dedup {
     // equality certificate's exact SSJoin side
     val profiles = prof0.localCheckpoint(true)
     val verified = verifyJaccard(cand, profiles, threshold).localCheckpoint(true)
+    val (exact, mismatches) = exactGraphCertificate(profiles, verified, threshold)
+    MinhashGraph(verified, Some(exact), Some(mismatches))
+  }
+
+  /** The exact-SSJoin equality certificate shared by the banded gate
+    * forms (minhash AND simhash — one implementation, so a verify-
+    * semantics fix can never land on one and miss the other): the exact
+    * J >= threshold pair graph off the SAME profile table, plus the
+    * edge-for-edge full-outer mismatch count against `verified`. */
+  private def exactGraphCertificate(profiles: DataFrame, verified: DataFrame,
+                                    threshold: Double): (DataFrame, Long) = {
     val prefix = profiles.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
     val exactCand = prefix.select(col("id").as("id_a"), col("nsh").as("na"), col("sh"))
       .join(prefix.select(col("id").as("id_b"), col("nsh").as("nb"), col("sh")), Seq("sh"))
@@ -857,7 +876,7 @@ object Dedup {
         Seq("id_a", "id_b"), "full_outer")
       .filter(col("__m").isNull || col("__e").isNull)
       .count()
-    MinhashGraph(verified, Some(exact), Some(mismatches))
+    (exact, mismatches)
   }
 
   /** MinHash + LSH banding, exact-verified: band-collision candidates
@@ -1048,19 +1067,7 @@ object Dedup {
       .filter(col("hamming") <= mh)
       .select("id_a", "id_b")
     val verified = verifyJaccard(cand, profiles, threshold).localCheckpoint(true)
-    val prefix = profiles.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
-    val exactCand = prefix.select(col("id").as("id_a"), col("nsh").as("na"), col("sh"))
-      .join(prefix.select(col("id").as("id_b"), col("nsh").as("nb"), col("sh")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(dbl(least(col("na"), col("nb"))) >=
-        lit(threshold) * dbl(greatest(col("na"), col("nb"))))
-      .select("id_a", "id_b").distinct()
-    val exact = verifyJaccard(exactCand, profiles, threshold).localCheckpoint(true)
-    val mismatches = verified.select("id_a", "id_b").withColumn("__m", lit(1))
-      .join(exact.select("id_a", "id_b").withColumn("__e", lit(1)),
-        Seq("id_a", "id_b"), "full_outer")
-      .filter(col("__m").isNull || col("__e").isNull)
-      .count()
+    val (exact, mismatches) = exactGraphCertificate(profiles, verified, threshold)
     MinhashGraph(verified, Some(exact), Some(mismatches))
   }
 
@@ -1424,9 +1431,11 @@ object Dedup {
       |    CAST(ANY_VALUE(st.n) + ANY_VALUE(se.n) - COUNT(*) AS DOUBLE) >= 0.5
       |ORDER BY id, index_id""".stripMargin) { (s, d) =>
     val docs = T.documents(s, d)
-    // deterministic per-sf path; build is an idempotent overwrite, so a
-    // re-run (or a crashed prior run) converges
-    val idx = s"/tmp/graft_decontam_${math.abs(d.hashCode)}"
+    // per-RUN unique path (the IncrBench convention): a shared
+    // hash-keyed dir would let two concurrent JVMs race one's
+    // build-overwrite against the other's screen reads (and
+    // math.abs(hashCode) is not even injective)
+    val idx = s"/tmp/graft_decontam_${System.nanoTime()}"
     NearDupIndex.build(docs.filter(col("doc_id") < 25), idx)
     NearDupIndex.screen(s, idx, docs.filter(col("doc_id") >= 25))
       .orderBy("id", "index_id")

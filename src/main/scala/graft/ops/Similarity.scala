@@ -772,15 +772,21 @@ object Similarity {
       .withColumn("dbound",
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * (col("kth") - lit(1e-6)))))
       .localCheckpoint(true)
-    // the reported stats when the cell plan ships are the FULL corpus
-    // measurement (the plan pays for the bounds anyway — report truth)
-    val admCount = bounds
-      .select(size(filter(cellModel, s =>
-        sqrt(sqDist(col("u"), s.getField("_2"))) - s.getField("_3") <= col("dbound")))
-        .cast("long").as("na"))
-      .agg(sum(col("na"))).collect()(0).getLong(0)
     val n = cellRows.valuesIterator.map(_._2).sum // free off the radii agg
-    val stats = KnnPruneStats(n, codebook.length, admCount, n)
+    // the reported stats when the ROUTED cell plan ships are the FULL
+    // corpus measurement (the plan pays for the bounds anyway — report
+    // truth); the unrouted exactKnnEdges caller asked for the cell plan
+    // unconditionally and discards stats, so it never pays the O(n·K)
+    // measurement job (measuredNodes = 0 marks them unmeasured)
+    val stats =
+      if (route) {
+        val admCount = bounds
+          .select(size(filter(cellModel, s =>
+            sqrt(sqDist(col("u"), s.getField("_2"))) - s.getField("_3") <= col("dbound")))
+            .cast("long").as("na"))
+          .agg(sum(col("na"))).collect()(0).getLong(0)
+        KnnPruneStats(n, codebook.length, admCount, n)
+      } else KnnPruneStats(n, codebook.length, 0L, 0L)
     val result = {
         val adm = bounds.select(col("id").as("node"), col("v").as("va"),
             col("nrm").as("na"), col("kth"),

@@ -120,18 +120,6 @@ object AnnIndex {
     * does. */
   private val FoldedMarker = "_folded_stream"
 
-  private def parquetBasenames(fs: org.apache.hadoop.fs.FileSystem,
-                               dir: org.apache.hadoop.fs.Path): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-        out += f.getPath.getName
-    }
-    out.toSeq
-  }
-
   def compact(spark: SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = liveRoot(spark, path)
@@ -144,7 +132,7 @@ object AnnIndex {
     // it commits atomically with the fold) is how readIndex knows to
     // exclude them — without any read-side shuffle or lost pruning
     val foldedFiles =
-      if (fs.exists(stream)) parquetBasenames(fs, stream) else Seq.empty
+      if (fs.exists(stream)) FsUtil.parquetBasenames(fs, stream) else Seq.empty
     readIndex(spark, root)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(AtomicSwap.nextOf(cur).toString)
@@ -398,7 +386,7 @@ object AnnIndex {
     val streamDir = new org.apache.hadoop.fs.Path(
       s"${liveRoot(spark, path)}/index_stream")
     def streamFiles: Set[String] =
-      if (fs.exists(streamDir)) parquetBasenames(fs, streamDir).toSet
+      if (fs.exists(streamDir)) FsUtil.parquetBasenames(fs, streamDir).toSet
       else Set.empty
     // listed BEFORE the read: a file racing the read itself lands either
     // in BOTH the fold and the late set (spurious abort — safe) or only

@@ -240,9 +240,11 @@ class LogisticProbeSpec extends SparkSpec {
     assert(e.getMessage.contains("ill-conditioned") || e.getMessage.contains("singular"))
     assert(e.getMessage.contains("lambda") || e.getMessage.contains("singular"),
       "the failure must name the remedy")
-    // a merely badly-scaled but well-conditioned system still solves:
-    // diag(1e6, 1e-3) has ratio 1e9 < 1e12
-    val x = GramianAgg.solve(Array(Array(1e6, 0.0), Array(0.0, 1e-3)), Array(2e6, 3e-3))
+    // a merely badly-scaled but WELL-conditioned system still solves:
+    // diag(1e15, 1e-3) has raw pivot ratio 1e18 (a naive guard would
+    // reject it with the wrong remedy) but scaled ratio 1 — scaling is
+    // not collinearity, and the guard must tell them apart
+    val x = GramianAgg.solve(Array(Array(1e15, 0.0), Array(0.0, 1e-3)), Array(2e15, 3e-3))
     assert(math.abs(x(0) - 2.0) < 1e-9 && math.abs(x(1) - 3.0) < 1e-9)
   }
 }
