@@ -377,15 +377,95 @@ object PipelineOps3 {
     * ridge solve `(cov_XX + λI) w = cov_Xy` is driver-side deterministic
     * Gaussian elimination ([[graft.functions.GramianAgg.solve]]) — the
     * same model-sized-driver-work posture as q_pca_embed's eigenpair.
-    * Output: per-dimension weights, intercept, and train R². Rows-only
-    * (float moments aren't portably exact); the spec checks exact-linear
-    * recovery, R² bounds, and partition invariance. */
-  val qLinearProbe: Q = Q.rowsOnly("q_linear_probe") { (s, d) =>
+    * Output: per-dimension weights, intercept, and train R².
+    *
+    * Fully oracled (r10): DuckDB solves the SAME ridge system by
+    * conjugate gradient in one recursive CTE ([[linearProbeOracleSql]])
+    * — a different solver on purpose: the regularized system's
+    * condition number is tiny (κ ≈ λmax/λmin ≲ 2 on this corpus
+    * family), so ANY correct solver lands within κ·ε ≈ 1e-15 of the
+    * elimination's answer and the 6dp rounding makes them hash-equal;
+    * agreement of two independent algorithms is a STRONGER check than a
+    * replayed elimination. The spec still checks exact-linear recovery,
+    * R² bounds, and partition invariance. */
+  val qLinearProbe: Q = Q("q_linear_probe", linearProbeOracleSql()) { (s, d) =>
     val vecs = T.embeddings(s, d)
       .select(col("embedding").cast("array<double>").as("x"),
         col("label").cast("double").as("y"))
     linearProbe(vecs, lambda = 1e-3)
   }
+
+  /** The q_linear_probe oracle, generated: the augmented (x ++ [y])
+    * covariance in SQL (same el/mn/cp machinery as [[pcaOracleSql]]),
+    * then `(cov_XX + λI) w = cov_Xy` solved by CONJUGATE GRADIENT in one
+    * recursive CTE — state (k, x, r, p), matvec/axpy as pure list ops,
+    * an rr = 0 guard freezing the state once the residual underflows
+    * (CG reaches machine precision in ≪ 128 rounds at this κ; without
+    * the guard α = 0/0 would NaN the converged solution). Intercept and
+    * R² read off the same moments. Subqueries are illegal inside DuckDB
+    * lambdas, so every value a lambda needs rides in as a cross-joined
+    * column. */
+  private def linearProbeOracleSql(dim: Int = 64, lambda: Double = 1e-3,
+                                   iters: Int = 128): String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, list_append(CAST(embedding AS DOUBLE[]), CAST(label AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pos AS (SELECT unnest(range(1, $dim + 2)) AS i),
+       |el AS (SELECT e.vec_id, pos.i, e.v[pos.i] AS x FROM e, pos),
+       |mn AS (SELECT i, AVG(x) AS m FROM el GROUP BY i),
+       |cp AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) / (SELECT COUNT(*) FROM e) AS sxy
+       |       FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS (SELECT cp.i AS i, cp.j AS j, cp.sxy - ma.m * mb.m AS c
+       |        FROM cp JOIN mn ma ON ma.i = cp.i JOIN mn mb ON mb.i = cp.j),
+       |arows AS (SELECT i, list(c + CASE WHEN i = j THEN $lambda ELSE 0.0 END ORDER BY j) AS row
+       |          FROM cov WHERE i <= $dim AND j <= $dim GROUP BY i),
+       |amat AS (SELECT list(row ORDER BY i) AS m FROM arows),
+       |bvec AS (SELECT list(c ORDER BY i) AS b FROM cov WHERE j = $dim + 1 AND i <= $dim),
+       |cg(k, x, r, p) AS (
+       |  SELECT 0, list_transform(range(1, $dim + 1), q -> CAST(0.0 AS DOUBLE)),
+       |    (SELECT b FROM bvec), (SELECT b FROM bvec)
+       |  UNION ALL
+       |  SELECT k + 1,
+       |    CASE WHEN s.rr = 0 THEN s.x
+       |         ELSE list_transform(range(1, $dim + 1), q -> s.x[q] + s.rr / s.pap * s.p[q]) END,
+       |    CASE WHEN s.rr = 0 THEN s.r
+       |         ELSE list_transform(range(1, $dim + 1), q -> s.r[q] - s.rr / s.pap * s.ap[q]) END,
+       |    CASE WHEN s.rr = 0 THEN s.p
+       |         ELSE list_transform(range(1, $dim + 1), q ->
+       |           (s.r[q] - s.rr / s.pap * s.ap[q]) +
+       |           (list_inner_product(
+       |              list_transform(range(1, $dim + 1), t -> s.r[t] - s.rr / s.pap * s.ap[t]),
+       |              list_transform(range(1, $dim + 1), t -> s.r[t] - s.rr / s.pap * s.ap[t]))
+       |            / s.rr) * s.p[q]) END
+       |  FROM (SELECT cg.k AS k, cg.x AS x, cg.r AS r, cg.p AS p,
+       |          list_inner_product(cg.r, cg.r) AS rr,
+       |          list_transform(range(1, $dim + 1),
+       |            q -> list_inner_product(amat.m[q], cg.p)) AS ap,
+       |          list_inner_product(cg.p,
+       |            list_transform(range(1, $dim + 1),
+       |              q -> list_inner_product(amat.m[q], cg.p))) AS pap
+       |        FROM cg, amat WHERE cg.k < $iters) s),
+       |wq AS (SELECT x FROM cg WHERE k = $iters),
+       |aw AS (SELECT list_transform(range(1, $dim + 1),
+       |         q -> list_inner_product(amat.m[q], wq.x)) AS ax
+       |       FROM amat, wq),
+       |mx AS (SELECT list(m ORDER BY i) AS mv FROM mn WHERE i <= $dim),
+       |scal AS (SELECT
+       |    list_inner_product(wq.x, bvec.b) AS wb,
+       |    list_inner_product(wq.x,
+       |      list_transform(range(1, $dim + 1), q -> aw.ax[q] - $lambda * wq.x[q])) AS wcw,
+       |    (SELECT c FROM cov WHERE i = $dim + 1 AND j = $dim + 1) AS vy,
+       |    (SELECT m FROM mn WHERE i = $dim + 1) AS my,
+       |    list_inner_product(wq.x, mx.mv) AS wmx
+       |  FROM wq, bvec, aw, mx)
+       |SELECT * FROM (
+       |  SELECT printf('w_%03d', pos.i - 1) AS term, round(wq.x[pos.i], 6) AS value
+       |  FROM pos, wq WHERE pos.i <= $dim
+       |  UNION ALL
+       |  SELECT 'intercept', round(my - wmx, 6) FROM scal
+       |  UNION ALL
+       |  SELECT 'r2', round(CASE WHEN vy > 0 THEN 1.0 - (vy - 2*wb + wcw)/vy ELSE 0.0 END, 6) FROM scal
+       |) ORDER BY term""".stripMargin
 
   /** Core of [[qLinearProbe]]: ridge-regress `y` on array column `x`.
     * Factored out so specs can drive crafted data through the identical
@@ -473,11 +553,106 @@ object PipelineOps3 {
     s.createDataFrame(rows).toDF("term", "value").orderBy("term")
   }
 
-  /** Rows-only: the iterative distributed classifier over the embedding
-    * column (binary target = label parity). Spec fits the same data with
-    * a driver-side Newton loop and checks agreement + separable-recovery
-    * + partition invariance. */
-  val qLogisticProbe: Q = Q.rowsOnly("q_logistic_probe") { (s, d) =>
+  /** The q_logistic_probe oracle, generated: three UNROLLED IRLS rounds,
+    * each = one per-row reweighting off the previous β (the sigmoid in
+    * plain SQL — cross-engine `exp` differs by ≤1 ulp, which the 6dp
+    * rounding absorbs), one (D+1)² weighted-moment aggregation, and a
+    * conjugate-gradient solve of the ridged Newton system in a recursive
+    * CTE (the [[linearProbeOracleSql]] machinery at D+1, intercept slot
+    * unregularized exactly like [[graft.functions.MulticlassIrlsAgg.newtonStep]]).
+    * The round CTEs are `AS MATERIALIZED`: DuckDB inlines multiply-
+    * referenced CTEs, and round t referencing β_{t-1} twice re-ran the
+    * ENTIRE previous round's pipeline per reference — exponential across
+    * three rounds; the first un-materialized attempt did not finish in
+    * 10 minutes, the materialized form runs in ~1 s. */
+  private def logisticOracleSql(dim: Int = 64, lambda: Double = 1e-3,
+                                rounds: Int = 3, cgIters: Int = 128): String = {
+    val d1 = dim + 1
+    val head =
+      s"""WITH RECURSIVE ex AS MATERIALIZED (
+         |  SELECT vec_id, list_append(CAST(embedding AS DOUBLE[]), CAST(1.0 AS DOUBLE)) AS xt,
+         |    CAST(CAST(label AS BIGINT) % 2 AS DOUBLE) AS y
+         |  FROM embeddings),
+         |pos AS (SELECT unnest(range(1, $d1 + 1)) AS i),
+         |b0 AS MATERIALIZED (SELECT list_transform(range(1, $d1 + 1), q -> CAST(0.0 AS DOUBLE)) AS beta),
+         |""".stripMargin
+    val roundsSql = (1 to rounds).map { t =>
+      val prev = s"b${t - 1}"
+      s"""rw$t AS (
+         |  SELECT ex.vec_id, ex.xt, ex.y,
+         |    1.0 / (1.0 + exp(-list_inner_product(ex.xt, $prev.beta))) AS p
+         |  FROM ex, $prev),
+         |wr$t AS MATERIALIZED (
+         |  SELECT vec_id, xt, greatest(p * (1.0 - p), 1e-6) AS w, y - p AS r FROM rw$t),
+         |ael$t AS (
+         |  SELECT wr$t.vec_id, pos.i, wr$t.xt[pos.i] AS xi, wr$t.w AS w, wr$t.r AS r
+         |  FROM wr$t, pos),
+         |am$t AS (
+         |  SELECT a.i AS i, b.i AS j, SUM(a.w * a.xi * b.xi) AS s
+         |  FROM ael$t a JOIN ael$t b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |ar$t AS (SELECT i, list(s + CASE WHEN i = j AND i <= $dim THEN $lambda ELSE 0.0 END ORDER BY j) AS row
+         |          FROM am$t GROUP BY i),
+         |amat$t AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM ar$t),
+         |gv$t AS MATERIALIZED (SELECT list(s ORDER BY i) AS g FROM (
+         |  SELECT i, SUM(xi * r) AS s FROM ael$t GROUP BY i)),
+         |cg$t(k, x, r, p) AS (
+         |  SELECT 0, list_transform(range(1, $d1 + 1), q -> CAST(0.0 AS DOUBLE)),
+         |    (SELECT g FROM gv$t), (SELECT g FROM gv$t)
+         |  UNION ALL
+         |  SELECT k + 1,
+         |    CASE WHEN s.rr = 0 THEN s.x
+         |         ELSE list_transform(range(1, $d1 + 1), q -> s.x[q] + s.rr / s.pap * s.p[q]) END,
+         |    CASE WHEN s.rr = 0 THEN s.r
+         |         ELSE list_transform(range(1, $d1 + 1), q -> s.r[q] - s.rr / s.pap * s.ap[q]) END,
+         |    CASE WHEN s.rr = 0 THEN s.p
+         |         ELSE list_transform(range(1, $d1 + 1), q ->
+         |           (s.r[q] - s.rr / s.pap * s.ap[q]) +
+         |           (list_inner_product(
+         |              list_transform(range(1, $d1 + 1), t2 -> s.r[t2] - s.rr / s.pap * s.ap[t2]),
+         |              list_transform(range(1, $d1 + 1), t2 -> s.r[t2] - s.rr / s.pap * s.ap[t2]))
+         |            / s.rr) * s.p[q]) END
+         |  FROM (SELECT cg$t.k AS k, cg$t.x AS x, cg$t.r AS r, cg$t.p AS p,
+         |          list_inner_product(cg$t.r, cg$t.r) AS rr,
+         |          list_transform(range(1, $d1 + 1),
+         |            q -> list_inner_product(amat$t.m[q], cg$t.p)) AS ap,
+         |          list_inner_product(cg$t.p,
+         |            list_transform(range(1, $d1 + 1),
+         |              q -> list_inner_product(amat$t.m[q], cg$t.p))) AS pap
+         |        FROM cg$t, amat$t WHERE cg$t.k < $cgIters) s),
+         |b$t AS MATERIALIZED (SELECT list_transform(range(1, $d1 + 1),
+         |           q -> $prev.beta[q] + d.x[q]) AS beta
+         |         FROM $prev, (SELECT x FROM cg$t WHERE k = $cgIters) d),
+         |""".stripMargin
+    }.mkString
+    val tail =
+      s"""fin AS (
+         |  SELECT ex.vec_id, ex.y,
+         |    least(greatest(1.0 / (1.0 + exp(-list_inner_product(ex.xt, b$rounds.beta))), 1e-12),
+         |          1.0 - 1e-12) AS pc
+         |  FROM ex, b$rounds),
+         |mets AS (SELECT
+         |    AVG(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))) AS ll,
+         |    AVG(CASE WHEN (pc >= 0.5) = (y >= 0.5) THEN 1.0 ELSE 0.0 END) AS acc
+         |  FROM fin)
+         |SELECT * FROM (
+         |  SELECT printf('w_%03d', pos.i - 1) AS term, round(b$rounds.beta[pos.i], 6) AS value
+         |  FROM pos, b$rounds WHERE pos.i <= $dim
+         |  UNION ALL
+         |  SELECT 'intercept', round(beta[$d1], 6) FROM b$rounds
+         |  UNION ALL
+         |  SELECT 'log_loss', round(ll, 6) FROM mets
+         |  UNION ALL
+         |  SELECT 'accuracy', round(acc, 6) FROM mets
+         |) ORDER BY term""".stripMargin
+    head + roundsSql + tail
+  }
+
+  /** The iterative distributed classifier over the embedding column
+    * (binary target = label parity). Fully oracled (r10): DuckDB replays
+    * the three IRLS rounds with CG solves — see [[logisticOracleSql]].
+    * Spec additionally fits the same data with a driver-side Newton loop
+    * and checks agreement + separable-recovery + partition invariance. */
+  val qLogisticProbe: Q = Q("q_logistic_probe", logisticOracleSql()) { (s, d) =>
     val vecs = T.embeddings(s, d)
       .select(col("embedding").cast("array<double>").as("x"),
         (col("label").cast("long") % 2).cast("double").as("y"))
