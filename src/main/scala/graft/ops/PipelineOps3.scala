@@ -718,11 +718,122 @@ object PipelineOps3 {
       .orderBy("class", "term")
   }
 
-  /** Rows-only: the one-pass-per-round multiclass classifier over the
-    * embedding column (targets = the label's K values). Spec: agrees
-    * with driver-side per-class Newton fits, recovers a separable
-    * 3-class synthetic by argmax, partition-invariant. */
-  val qMulticlassProbe: Q = Q.rowsOnly("q_multiclass_probe") { (s, d) =>
+  /** The q_multiclass_probe oracle, generated: K = 10 independent
+    * one-vs-rest chains of [[logisticOracleSql]]'s round machinery
+    * (sigmoid reweighting → weighted-moment agg → CG solve, all
+    * MATERIALIZED), then argmax accuracy (ties to the lowest class:
+    * `list_position` returns the FIRST max, mirroring the strict->
+    * scan in MulticlassMetricsAgg) and mean per-class OVR log-loss.
+    * The class set is HARDCODED 0..9 where the Spark side derives it
+    * from data — deliberate: the label domain is generator-stable
+    * across every testdata SF, and a domain change fails the hash gate
+    * LOUDLY (a fail-open dynamic oracle could silently agree on the
+    * wrong K). ~4 s in DuckDB at the gate SF. */
+  private def multiclassOracleSql(dim: Int = 64, lambda: Double = 1e-3,
+                                  rounds: Int = 3, cgIters: Int = 128,
+                                  classes: Range = 0 until 10): String = {
+    val d1 = dim + 1
+    val k = classes.length
+    val head =
+      s"""WITH RECURSIVE ex AS MATERIALIZED (
+         |  SELECT vec_id, list_append(CAST(embedding AS DOUBLE[]), CAST(1.0 AS DOUBLE)) AS xt,
+         |    CAST(label AS BIGINT) AS y
+         |  FROM embeddings),
+         |pos AS (SELECT unnest(range(1, $d1 + 1)) AS i),
+         |""".stripMargin
+    val chains = classes.map { c =>
+      val init =
+        s"b${c}_0 AS MATERIALIZED (SELECT list_transform(range(1, $d1 + 1), q -> CAST(0.0 AS DOUBLE)) AS beta),\n"
+      val roundsSql = (1 to rounds).map { t =>
+        val prev = s"b${c}_${t - 1}"
+        s"""wr${c}_$t AS MATERIALIZED (
+           |  SELECT vec_id, xt,
+           |    greatest(p * (1.0 - p), 1e-6) AS w,
+           |    (CASE WHEN y = $c THEN 1.0 ELSE 0.0 END) - p AS r
+           |  FROM (SELECT ex.vec_id, ex.xt, ex.y,
+           |          1.0 / (1.0 + exp(-list_inner_product(ex.xt, $prev.beta))) AS p
+           |        FROM ex, $prev)),
+           |ael${c}_$t AS (
+           |  SELECT wr${c}_$t.vec_id, pos.i, wr${c}_$t.xt[pos.i] AS xi, wr${c}_$t.w AS w, wr${c}_$t.r AS r
+           |  FROM wr${c}_$t, pos),
+           |amat${c}_$t AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM (
+           |  SELECT i, list(s + CASE WHEN i = j AND i <= $dim THEN $lambda ELSE 0.0 END ORDER BY j) AS row
+           |  FROM (SELECT a.i AS i, b.i AS j, SUM(a.w * a.xi * b.xi) AS s
+           |        FROM ael${c}_$t a JOIN ael${c}_$t b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+           |  GROUP BY i)),
+           |gv${c}_$t AS MATERIALIZED (SELECT list(s ORDER BY i) AS g FROM (
+           |  SELECT i, SUM(xi * r) AS s FROM ael${c}_$t GROUP BY i)),
+           |cg${c}_$t(k, x, r, p) AS (
+           |  SELECT 0, list_transform(range(1, $d1 + 1), q -> CAST(0.0 AS DOUBLE)),
+           |    (SELECT g FROM gv${c}_$t), (SELECT g FROM gv${c}_$t)
+           |  UNION ALL
+           |  SELECT k + 1,
+           |    CASE WHEN s.rr = 0 THEN s.x
+           |         ELSE list_transform(range(1, $d1 + 1), q -> s.x[q] + s.rr / s.pap * s.p[q]) END,
+           |    CASE WHEN s.rr = 0 THEN s.r
+           |         ELSE list_transform(range(1, $d1 + 1), q -> s.r[q] - s.rr / s.pap * s.ap[q]) END,
+           |    CASE WHEN s.rr = 0 THEN s.p
+           |         ELSE list_transform(range(1, $d1 + 1), q ->
+           |           (s.r[q] - s.rr / s.pap * s.ap[q]) +
+           |           (list_inner_product(
+           |              list_transform(range(1, $d1 + 1), t2 -> s.r[t2] - s.rr / s.pap * s.ap[t2]),
+           |              list_transform(range(1, $d1 + 1), t2 -> s.r[t2] - s.rr / s.pap * s.ap[t2]))
+           |            / s.rr) * s.p[q]) END
+           |  FROM (SELECT cg${c}_$t.k AS k, cg${c}_$t.x AS x, cg${c}_$t.r AS r, cg${c}_$t.p AS p,
+           |          list_inner_product(cg${c}_$t.r, cg${c}_$t.r) AS rr,
+           |          list_transform(range(1, $d1 + 1),
+           |            q -> list_inner_product(amat${c}_$t.m[q], cg${c}_$t.p)) AS ap,
+           |          list_inner_product(cg${c}_$t.p,
+           |            list_transform(range(1, $d1 + 1),
+           |              q -> list_inner_product(amat${c}_$t.m[q], cg${c}_$t.p))) AS pap
+           |        FROM cg${c}_$t, amat${c}_$t WHERE cg${c}_$t.k < $cgIters) s),
+           |b${c}_$t AS MATERIALIZED (SELECT list_transform(range(1, $d1 + 1),
+           |           q -> $prev.beta[q] + d.x[q]) AS beta
+           |         FROM $prev, (SELECT x FROM cg${c}_$t WHERE k = $cgIters) d),
+           |""".stripMargin
+      }.mkString
+      init + roundsSql
+    }.mkString
+    val betasJoin = classes.map(c => s"b${c}_$rounds").mkString(", ")
+    val betasList = classes.map(c => s"b${c}_$rounds.beta").mkString(", ")
+    val mets =
+      s"""betam AS MATERIALIZED (
+         |  SELECT [$betasList] AS bs
+         |  FROM $betasJoin),
+         |scored AS MATERIALIZED (
+         |  SELECT ex.vec_id, ex.y,
+         |    list_transform(range(1, $k + 1), c -> list_inner_product(ex.xt, betam.bs[c])) AS etas
+         |  FROM ex, betam),
+         |mets AS (SELECT
+         |    COUNT(*) AS n,
+         |    SUM(CASE WHEN list_position(etas, list_max(etas)) - 1 = y THEN 1.0 ELSE 0.0 END) AS correct,
+         |    SUM(ll) / $k AS lltot
+         |  FROM (SELECT vec_id, y, etas,
+         |          list_sum(list_transform(range(1, $k + 1), c ->
+         |            -(CASE WHEN y = c - 1 THEN ln(least(greatest(1.0/(1.0+exp(-etas[c])), 1e-12), 1.0-1e-12))
+         |                   ELSE ln(1.0 - least(greatest(1.0/(1.0+exp(-etas[c])), 1e-12), 1.0-1e-12)) END))) AS ll
+         |        FROM scored))
+         |SELECT * FROM (
+         |""".stripMargin
+    val sels = classes.map { c =>
+      s"""  SELECT CAST($c AS BIGINT) AS class, printf('w_%03d', pos.i - 1) AS term,
+         |    round(b${c}_$rounds.beta[pos.i], 6) AS value
+         |  FROM pos, b${c}_$rounds WHERE pos.i <= $dim
+         |  UNION ALL
+         |  SELECT $c, 'intercept', round(beta[$d1], 6) FROM b${c}_$rounds""".stripMargin
+    } ++ Seq(
+      "  SELECT -1, 'accuracy', round(correct / n, 6) FROM mets",
+      "  SELECT -1, 'log_loss', round(lltot / n, 6) FROM mets")
+    head + chains + mets + sels.mkString("\n  UNION ALL\n") + "\n) ORDER BY class, term"
+  }
+
+  /** The one-pass-per-round multiclass classifier over the embedding
+    * column (targets = the label's K values). Fully oracled (r10):
+    * DuckDB replays all K one-vs-rest IRLS chains —
+    * [[multiclassOracleSql]]. Spec additionally: agrees with
+    * driver-side per-class Newton fits, recovers a separable 3-class
+    * synthetic by argmax, partition-invariant. */
+  val qMulticlassProbe: Q = Q("q_multiclass_probe", multiclassOracleSql()) { (s, d) =>
     val vecs = T.embeddings(s, d)
       .select(col("embedding").cast("array<double>").as("x"),
         col("label").cast("long").as("y"))
