@@ -122,10 +122,82 @@ object EmbedQC {
     * norm/duplicate checks of q_embed_sanity, Mahalanobis is
     * correlation-aware — a vector can have an ordinary norm yet sit far
     * outside the data ellipsoid. Top-20 by distance, ties to lowest id.
-    * Rows-only: the 64×64 factorization isn't SQL-portable; the spec
-    * plants an off-ellipsoid outlier with an ORDINARY norm and requires
-    * it to rank first. */
-  val qEmbedOutliers: Q = Q.rowsOnly("q_embed_outliers") { (s, d) =>
+    *
+    * Fully oracled (r10): DuckDB computes the SAME Mahalanobis d² from
+    * Σᵣ⁻¹ assembled column-by-column via 64 INDEPENDENT conjugate-
+    * gradient solves (one per basis vector — independent recursive CTEs
+    * don't chain, so the binder depth limit that forbids 100 chained
+    * CTEs doesn't apply), where the engine side whitens through the
+    * Cholesky factor. Algebraically identical; numerically within κ·ε
+    * of each other at this covariance's tiny condition number, which the
+    * 6dp rounding absorbs — again two independent algorithms agreeing
+    * rather than a replay. The spec still plants an off-ellipsoid
+    * outlier with an ORDINARY norm and requires it to rank first. */
+  private def mahaOracleSql(dim: Int = 64, cgIters: Int = 128): String = {
+    val head =
+      s"""WITH RECURSIVE e AS MATERIALIZED (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pos AS (SELECT unnest(range(1, $dim + 1)) AS i),
+         |el AS (SELECT e.vec_id, pos.i, e.v[pos.i] AS x FROM e, pos),
+         |mn AS (SELECT i, AVG(x) AS m FROM el GROUP BY i),
+         |cp AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) / (SELECT COUNT(*) FROM e) AS sxy
+         |       FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |cov AS (SELECT cp.i AS i, cp.j AS j, cp.sxy - ma.m * mb.m AS c
+         |        FROM cp JOIN mn ma ON ma.i = cp.i JOIN mn mb ON mb.i = cp.j),
+         |rg AS (SELECT 1e-9 * SUM(c) / $dim + 1e-12 AS ridge FROM cov WHERE i = j),
+         |arows AS (SELECT i, list(c + CASE WHEN i = j THEN (SELECT ridge FROM rg) ELSE 0.0 END ORDER BY j) AS row
+         |          FROM cov GROUP BY i),
+         |amat AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM arows),
+         |mx AS MATERIALIZED (SELECT list(m ORDER BY i) AS mv FROM mn),
+         |""".stripMargin
+    val cols = (1 to dim).map { c =>
+      s"""cgc$c(k, x, r, p) AS (
+         |  SELECT 0, list_transform(range(1, $dim + 1), q -> CAST(0.0 AS DOUBLE)),
+         |    list_transform(range(1, $dim + 1), q -> CASE WHEN q = $c THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END),
+         |    list_transform(range(1, $dim + 1), q -> CASE WHEN q = $c THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END)
+         |  UNION ALL
+         |  SELECT k + 1,
+         |    CASE WHEN s.rr = 0 THEN s.x
+         |         ELSE list_transform(range(1, $dim + 1), q -> s.x[q] + s.rr / s.pap * s.p[q]) END,
+         |    CASE WHEN s.rr = 0 THEN s.r
+         |         ELSE list_transform(range(1, $dim + 1), q -> s.r[q] - s.rr / s.pap * s.ap[q]) END,
+         |    CASE WHEN s.rr = 0 THEN s.p
+         |         ELSE list_transform(range(1, $dim + 1), q ->
+         |           (s.r[q] - s.rr / s.pap * s.ap[q]) +
+         |           (list_inner_product(
+         |              list_transform(range(1, $dim + 1), t2 -> s.r[t2] - s.rr / s.pap * s.ap[t2]),
+         |              list_transform(range(1, $dim + 1), t2 -> s.r[t2] - s.rr / s.pap * s.ap[t2]))
+         |            / s.rr) * s.p[q]) END
+         |  FROM (SELECT cgc$c.k AS k, cgc$c.x AS x, cgc$c.r AS r, cgc$c.p AS p,
+         |          list_inner_product(cgc$c.r, cgc$c.r) AS rr,
+         |          list_transform(range(1, $dim + 1),
+         |            q -> list_inner_product(amat.m[q], cgc$c.p)) AS ap,
+         |          list_inner_product(cgc$c.p,
+         |            list_transform(range(1, $dim + 1),
+         |              q -> list_inner_product(amat.m[q], cgc$c.p))) AS pap
+         |        FROM cgc$c, amat WHERE cgc$c.k < $cgIters) s),
+         |mc$c AS MATERIALIZED (SELECT x FROM cgc$c WHERE k = $cgIters),
+         |""".stripMargin
+    }.mkString
+    val minvList = (1 to dim).map(c => s"(SELECT x FROM mc$c)").mkString(", ")
+    val tail =
+      s"""minv AS MATERIALIZED (SELECT [$minvList] AS m),
+         |scored AS (
+         |  SELECT e.vec_id, e.label,
+         |    list_inner_product(
+         |      list_transform(range(1, $dim + 1), q -> e.v[q] - mx.mv[q]),
+         |      list_transform(range(1, $dim + 1), q ->
+         |        list_inner_product(minv.m[q],
+         |          list_transform(range(1, $dim + 1), t2 -> e.v[t2] - mx.mv[t2])))) AS d2
+         |  FROM e, mx, minv)
+         |SELECT vec_id, label, round(d2, 6) AS maha2
+         |FROM scored
+         |ORDER BY round(d2, 6) DESC, vec_id
+         |LIMIT 20""".stripMargin
+    head + cols + tail
+  }
+
+  val qEmbedOutliers: Q = Q("q_embed_outliers", mahaOracleSql()) { (s, d) =>
     import graft.functions.GramianAgg
     val vecs = T.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
