@@ -139,6 +139,68 @@ object PipelineOps2 {
       acc => flush(acc))
   }
 
+  private def bpeStepSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""pairs$k AS (
+       |  SELECT l, r, SUM(cnt) AS c FROM (
+       |    SELECT cnt, syms[i] AS l, syms[i+1] AS r
+       |    FROM $prev, unnest(range(1, len(syms))) t(i)
+       |    WHERE len(syms) >= 2)
+       |  GROUP BY 1, 2),
+       |best$k AS MATERIALIZED (SELECT l, r, c FROM pairs$k ORDER BY c DESC, l, r LIMIT 1),
+       |fold$k(w, cnt, pos, outs, pend) AS (
+       |  SELECT w, cnt, 1, CAST([] AS VARCHAR[]), CAST(NULL AS VARCHAR) FROM $prev
+       |  UNION ALL
+       |  SELECT f.w, f.cnt, f.pos + 1,
+       |    CASE WHEN f.pend = b.l AND s.sym = b.r THEN f.outs
+       |         WHEN f.pend IS NULL THEN f.outs
+       |         ELSE list_append(f.outs, f.pend) END,
+       |    CASE WHEN f.pend = b.l AND s.sym = b.r THEN b.l || b.r ELSE s.sym END
+       |  FROM fold$k f, best$k b,
+       |    (SELECT w AS sw, syms[f2.i] AS sym, f2.i AS si
+       |     FROM $prev, unnest(range(1, len(syms) + 1)) f2(i)) s(sw, sym, si)
+       |  WHERE s.sw = f.w AND s.si = f.pos),
+       |w$k AS MATERIALIZED (
+       |  SELECT f.w, f.cnt,
+       |    CASE WHEN f.pend IS NULL THEN f.outs ELSE list_append(f.outs, f.pend) END AS syms
+       |  FROM fold$k f
+       |  JOIN (SELECT w, MAX(pos) AS mp FROM fold$k GROUP BY w) m ON m.w = f.w AND m.mp = f.pos),
+       |""".stripMargin
+  }
+
+  private def bpeOracleSql(steps: Int = 3): String = {
+    val res = (1 to steps).map(k =>
+      if (k == 1) s"""  SELECT 1 AS step, l AS "left", r AS "right", l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM best1"""
+      else s"""  SELECT $k, l, r, l || r, CAST(c AS BIGINT) FROM best$k""")
+      .mkString("\n  UNION ALL\n")
+    bpeRoundsSql(steps) +
+      s"""res AS (
+         |$res)
+         |SELECT CAST(step AS INT) AS step, "left", "right", merged, pair_count
+         |FROM res ORDER BY step""".stripMargin
+  }
+
+  /** The shared BPE-round machinery (w0 symbols + `steps` rounds of
+    * pair-count/argmax/fold), common prefix of [[bpeOracleSql]] and
+    * [[bpeTokenizeOracleSql]]. */
+  private def bpeRoundsSql(steps: Int): String =
+    s"""WITH RECURSIVE w0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |""".stripMargin + (1 to steps).map(bpeStepSql).mkString
+
+  /** The q_bpe_tokenize oracle: the [[bpeRoundsSql]] rounds, then the
+    * merged-symbol table re-exploded into a corpus token frequency
+    * top-20 — identical tie order (n desc, token). */
+  private def bpeTokenizeOracleSql(steps: Int = 3): String =
+    bpeRoundsSql(steps) +
+      s"""tok AS (SELECT t.tok AS token, SUM(cnt) AS n
+         |        FROM w$steps, unnest(syms) t(tok) GROUP BY 1)
+         |SELECT token, CAST(n AS BIGINT) AS n FROM tok
+         |ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   /** Distributed BPE merge training, 3 iterations: corpus -> (word, count)
     * -> char symbols; each round counts adjacent symbol pairs (weighted by
     * word frequency), picks the argmax pair (ties: higher count, then
@@ -154,9 +216,16 @@ object PipelineOps2 {
     * bounded via localCheckpoint per round (the iterative-operator
     * discipline from PLANS.md).
     *
-    * Rows-only: 3 unrolled BPE rounds are not reasonably SQL-portable;
-    * the spec replays reference BPE on the collected word counts. */
-  val qBpeMerges: Q = Q.rowsOnly("q_bpe_merges") { (s, d) =>
+    * Fully oracled (r10): the 3 rounds unroll in DuckDB after all —
+    * [[bpeOracleSql]] replays each round as a pair-frequency aggregation
+    * + argmax (same (count desc, l, r) tie order) + a PER-WORD recursive
+    * fold reproducing [[applyMerge]]'s greedy-disjoint semantics exactly
+    * (a string replace CANNOT: on an odd run like `aaa` the separator a
+    * match consumes is the next match's opener, so replace yields
+    * `[aa,a,a]` where the fold gives `[aa,aa]` on `aaaa`). The fold
+    * recursion is vocab-sized × max-word-length — sub-second. The spec
+    * additionally replays reference BPE on the collected word counts. */
+  val qBpeMerges: Q = Q("q_bpe_merges", bpeOracleSql()) { (s, d) =>
     import s.implicits._
     val steps = 3
     val words = T.documents(s, d)
@@ -337,7 +406,7 @@ object PipelineOps2 {
     * aggregation over the VOCAB-sized word table (corpus token counts
     * weight by word frequency — the corpus itself is touched once).
     * Rows-only: the spec replays reference BPE end-to-end. */
-  val qBpeTokenize: Q = Q.rowsOnly("q_bpe_tokenize") { (s, d) =>
+  val qBpeTokenize: Q = Q("q_bpe_tokenize", bpeTokenizeOracleSql()) { (s, d) =>
     val steps = 3
     val words = T.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
