@@ -180,11 +180,34 @@ object PipelineOps {
     * ([[Similarity.nearestCell]] — one projection, no row blowup), then
     * profile each cluster: size, majority label (+share), and cohesion
     * (mean cosine to the centroid). The mode comes from a struct-max over
-    * per-(cell,label) partials — one shuffle chain, no window. Rows-only:
-    * the codebook is not SQL-expressible; the spec cross-validates the
-    * assignment against a brute-force argmax and pins partition
-    * invariance. */
-  val qEmbedCluster: Q = Q.rowsOnly("q_embed_cluster") { (s, d) =>
+    * per-(cell,label) partials — one shuffle chain, no window.
+    *
+    * Fully oracled (r10 — previously rows-only "the codebook is not
+    * SQL-expressible"): [[OracleKit.kmeansCtes]] replays the ENTIRE fit in
+    * DuckDB — xxhash64 init order via 128-bit modular arithmetic, exact
+    * decimal centroid means, cosine-argmax assignment — bit-identically,
+    * so cell ids, majority labels and cohesions all hash-match. */
+  private def embedClusterOracleSql(k: Int = 8, iters: Int = 4): String = {
+    val vecs = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    val (ctes, cb) = OracleKit.kmeansCtes(vecs, k, iters)
+    val cos = OracleKit.cosSql("s.v", "c.cent")
+    (ctes ++ Seq(
+      s"asg AS (SELECT id, label, v, cell, cent FROM (SELECT s.id, e.label, s.v, c.cid AS cell, c.cent," +
+        s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY $cos DESC, c.cid) AS rn" +
+        s" FROM km_vecs s JOIN embeddings e ON e.vec_id = s.id CROSS JOIN $cb c) WHERE rn = 1)",
+      s"cs AS (SELECT cell, label," +
+        s" CAST(round(${OracleKit.cosSql("v", "cent")}, 6) AS DECIMAL(18,6)) AS ccos FROM asg)",
+      "bl AS (SELECT cell, label, COUNT(*)::BIGINT AS cl, SUM(ccos) AS csum FROM cs GROUP BY cell, label)",
+      "pc AS (SELECT cell, CAST(SUM(cl) AS BIGINT) AS n_vecs, CAST(SUM(csum) AS DOUBLE) AS s FROM bl GROUP BY cell)",
+      "top AS (SELECT cell, cl, label, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cl DESC, label) AS rn FROM bl)"))
+      .mkString("WITH ", ", ", " ") +
+      "SELECT pc.cell, pc.n_vecs, CAST(top.label AS BIGINT) AS top_label, " +
+      "round(CAST(top.cl AS DOUBLE) / CAST(pc.n_vecs AS DOUBLE), 6) AS top_label_share, " +
+      "round(pc.s / CAST(pc.n_vecs AS DOUBLE), 6) AS cohesion " +
+      "FROM pc JOIN top ON top.cell = pc.cell AND top.rn = 1 ORDER BY pc.cell"
+  }
+
+  val qEmbedCluster: Q = Q("q_embed_cluster", embedClusterOracleSql()) { (s, d) =>
     val k = 8
     val corpus = T.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
