@@ -87,10 +87,26 @@ object PipelineOps2 {
     * point. Pure near-dup pairs at even larger scale: the LSH path
     * (q_dedup_minhash_pick) remains the no-pairs alternative.
     *
-    * Rows-only: cell ids come from the fitted codebook (not
-    * SQL-portable); the spec re-derives every keep/drop decision from
-    * locally computed cosines. */
-  val qSemDedup: Q = Q.rowsOnly("q_semdedup") { (s, d) =>
+    * Fully oracled (r10 — previously rows-only "cell ids come from the
+    * fitted codebook"): [[OracleKit.kmeansCtes]] replays the codebook fit
+    * bit-identically, so every cell id and keep/drop decision hash-matches
+    * the DuckDB replay of the same within-cell pair rule. */
+  private def semDedupOracleSql(k: Int = 8, iters: Int = 4, tau: Double = 0.38): String = {
+    val vecs = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    val (ctes, cb) = OracleKit.kmeansCtes(vecs, k, iters)
+    val cos = OracleKit.cosSql("s.v", "c.cent")
+    (ctes ++ Seq(
+      s"asg AS (SELECT id, v, cell FROM (SELECT s.id, s.v, c.cid AS cell," +
+        s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY $cos DESC, c.cid) AS rn" +
+        s" FROM km_vecs s CROSS JOIN $cb c) WHERE rn = 1)",
+      s"pr AS (SELECT DISTINCT a.id FROM asg a JOIN asg b ON a.cell = b.cell AND b.id < a.id" +
+        s" WHERE round(${OracleKit.cosSql("a.v", "b.v")}, 6) >= $tau)"))
+      .mkString("WITH ", ", ", " ") +
+      "SELECT a.id AS vec_id, a.cell, CASE WHEN pr.id IS NULL THEN 1 ELSE 0 END AS keep " +
+      "FROM asg a LEFT JOIN pr ON pr.id = a.id ORDER BY a.id"
+  }
+
+  val qSemDedup: Q = Q("q_semdedup", semDedupOracleSql()) { (s, d) =>
     val tau = 0.38
     val corpus = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

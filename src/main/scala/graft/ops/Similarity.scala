@@ -822,9 +822,32 @@ object Similarity {
     * [[fitKmeansCodebook]] — so cells track the data distribution instead
     * of whatever the first K corpus vectors happened to be (skewed data
     * would otherwise pile into one giant cell: bad recall AND a skewed
-    * shuffle). Rows-only: the spec cross-validates recall against brute
-    * force, including on a skewed synthetic corpus. */
-  val qAnnIvf: Q = Q.rowsOnly("q_ann_ivf") { (s, d) =>
+    * shuffle).
+    *
+    * Fully oracled (r10 — previously rows-only): [[OracleKit.kmeansCtes]]
+    * replays the K=16 quantizer fit bit-identically in DuckDB, then the
+    * probe-cell top-nProbe, the cell-joined candidates and the final
+    * rank-≤5 are plain SQL over the replayed codebook. */
+  private def annIvfOracleSql(k: Int = 16, iters: Int = 4, nProbe: Int = 6): String = {
+    val vecs = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    val (ctes, cb) = OracleKit.kmeansCtes(vecs, k, iters)
+    (ctes ++ Seq(
+      s"asg AS (SELECT id, v, cell FROM (SELECT s.id, s.v, c.cid AS cell," +
+        s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY ${OracleKit.cosSql("s.v", "c.cent")} DESC, c.cid) AS rn" +
+        s" FROM km_vecs s CROSS JOIN $cb c) WHERE rn = 1)",
+      s"pcells AS (SELECT query_id, qv, cell FROM (SELECT q.id AS query_id, q.v AS qv, c.cid AS cell," +
+        s" ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY ${OracleKit.cosSql("q.v", "c.cent")} DESC, c.cid) AS prnk" +
+        s" FROM km_vecs q CROSS JOIN $cb c WHERE q.id < 10) WHERE prnk <= $nProbe)",
+      s"cands AS (SELECT p.query_id, a.id AS neighbor_id," +
+        s" round(${OracleKit.cosSql("p.qv", "a.v")}, 6) AS cos" +
+        s" FROM asg a JOIN pcells p ON p.cell = a.cell AND p.query_id <> a.id)"))
+      .mkString("WITH ", ", ", " ") +
+      "SELECT query_id, neighbor_id, cos, rnk FROM (SELECT *," +
+      " RANK() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk FROM cands)" +
+      " WHERE rnk <= 5 ORDER BY query_id, rnk, neighbor_id"
+  }
+
+  val qAnnIvf: Q = Q("q_ann_ivf", annIvfOracleSql()) { (s, d) =>
     val k = 16; val nProbe = 6
     val corpus = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
