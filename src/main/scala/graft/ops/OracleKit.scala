@@ -19,7 +19,7 @@ package graft.ops
   *  - '''Spark decimal means''': `sum(x.cast(DecimalType(38,18))) / count`
   *    then `.cast("double")`, the centroid-update arithmetic of
   *    [[Similarity.fitKmeansCodebook]]. Three semantics have to be replayed
-  *    exactly, measured against the real corpus (see KmeansOracleSpec):
+  *    exactly, measured against the real corpus (see OracleKitSpec):
   *    (a) Spark's double→decimal cast rounds the SHORTEST decimal
   *    representation (java `BigDecimal.valueOf`), not the exact binary
   *    value — DuckDB's direct cast uses the exact value and disagrees on
