@@ -129,6 +129,12 @@ object OracleKit {
   def cosSql(a: String, b: String): String =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
+  /** Sequential left-fold sum of a DOUBLE list — the order-faithful replay
+    * of a Scala `var s = 0.0; while (...) s += x(i)` accumulation (SQL SUM
+    * guarantees no order; list_reduce folds left-to-right). */
+  def foldSumSql(listExpr: String): String =
+    s"list_reduce($listExpr, (acc, x) -> acc + x)"
+
   /** CTE definitions replaying [[Similarity.fitKmeansCodebook]](k, iters) on
     * `vecsSql` (must yield columns id, v — the full fit input; callers rely
     * on the gate-SF corpus being under the 2^20 sample cap, so the
@@ -139,9 +145,9 @@ object OracleKit {
     val hx = s"${prefix}_hx"
     val init = s"${prefix}_c0"
     var ctes = Seq(
-      s"$vecs AS ($vecsSql)",
-      s"$hx AS (${xxhash64Sql(s"SELECT id, v FROM $vecs", "id", "id, v", Some(7))})",
-      s"$init AS (SELECT (ROW_NUMBER() OVER (ORDER BY hk, id) - 1)::BIGINT AS cid, v AS cent" +
+      s"$vecs AS MATERIALIZED ($vecsSql)",
+      s"$hx AS MATERIALIZED (${xxhash64Sql(s"SELECT id, v FROM $vecs", "id", "id, v", Some(7))})",
+      s"$init AS MATERIALIZED (SELECT (ROW_NUMBER() OVER (ORDER BY hk, id) - 1)::BIGINT AS cid, v AS cent" +
         s" FROM (SELECT * FROM $hx ORDER BY hk, id LIMIT $k))")
     var prev = init
     for (t <- 1 to iters) {
@@ -149,15 +155,15 @@ object OracleKit {
       val m = s"${prefix}_m$t"; val c = s"${prefix}_c$t"
       ctes ++= Seq(
         // argmax cosine, ties to the lowest cid — nearestCell's struct-max
-        s"$a AS (SELECT id, v, cid FROM (SELECT s.id, s.v, c.cid," +
+        s"$a AS MATERIALIZED (SELECT id, v, cid FROM (SELECT s.id, s.v, c.cid," +
           s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY ${cosSql("s.v", "c.cent")} DESC, c.cid) AS rn" +
           s" FROM $vecs s CROSS JOIN $prev c) WHERE rn = 1)",
-        s"$x AS (SELECT cid, generate_subscripts(v, 1) - 1 AS pos, ${decScaled18("unnest(v)")} AS txd FROM $a)",
-        s"$m AS (SELECT cid, pos, ${ms18ToDouble("ms")} AS m FROM" +
+        s"$x AS MATERIALIZED (SELECT cid, generate_subscripts(v, 1) - 1 AS pos, ${decScaled18("unnest(v)")} AS txd FROM $a)",
+        s"$m AS MATERIALIZED (SELECT cid, pos, ${ms18ToDouble("ms")} AS m FROM" +
           s" (SELECT cid, pos, ${halfUpDiv("ts", "n")} AS ms FROM" +
           s" (SELECT cid, pos, SUM(txd) AS ts, COUNT(*)::HUGEINT AS n FROM $x GROUP BY cid, pos)))",
         // empty cells keep their previous centroid
-        s"$c AS (SELECT c.cid, COALESCE(m.cent, c.cent) AS cent FROM $prev c" +
+        s"$c AS MATERIALIZED (SELECT c.cid, COALESCE(m.cent, c.cent) AS cent FROM $prev c" +
           s" LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS cent FROM $m GROUP BY cid) m ON m.cid = c.cid)")
       prev = c
     }

@@ -192,14 +192,14 @@ object PipelineOps {
     val (ctes, cb) = OracleKit.kmeansCtes(vecs, k, iters)
     val cos = OracleKit.cosSql("s.v", "c.cent")
     (ctes ++ Seq(
-      s"asg AS (SELECT id, label, v, cell, cent FROM (SELECT s.id, e.label, s.v, c.cid AS cell, c.cent," +
+      s"asg AS MATERIALIZED (SELECT id, label, v, cell, cent FROM (SELECT s.id, e.label, s.v, c.cid AS cell, c.cent," +
         s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY $cos DESC, c.cid) AS rn" +
         s" FROM km_vecs s JOIN embeddings e ON e.vec_id = s.id CROSS JOIN $cb c) WHERE rn = 1)",
-      s"cs AS (SELECT cell, label," +
+      s"cs AS MATERIALIZED (SELECT cell, label," +
         s" CAST(round(${OracleKit.cosSql("v", "cent")}, 6) AS DECIMAL(18,6)) AS ccos FROM asg)",
-      "bl AS (SELECT cell, label, COUNT(*)::BIGINT AS cl, SUM(ccos) AS csum FROM cs GROUP BY cell, label)",
-      "pc AS (SELECT cell, CAST(SUM(cl) AS BIGINT) AS n_vecs, CAST(SUM(csum) AS DOUBLE) AS s FROM bl GROUP BY cell)",
-      "top AS (SELECT cell, cl, label, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cl DESC, label) AS rn FROM bl)"))
+      "bl AS MATERIALIZED (SELECT cell, label, COUNT(*)::BIGINT AS cl, SUM(ccos) AS csum FROM cs GROUP BY cell, label)",
+      "pc AS MATERIALIZED (SELECT cell, CAST(SUM(cl) AS BIGINT) AS n_vecs, CAST(SUM(csum) AS DOUBLE) AS s FROM bl GROUP BY cell)",
+      "top AS MATERIALIZED (SELECT cell, cl, label, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cl DESC, label) AS rn FROM bl)"))
       .mkString("WITH ", ", ", " ") +
       "SELECT pc.cell, pc.n_vecs, CAST(top.label AS BIGINT) AS top_label, " +
       "round(CAST(top.cl AS DOUBLE) / CAST(pc.n_vecs AS DOUBLE), 6) AS top_label_share, " +

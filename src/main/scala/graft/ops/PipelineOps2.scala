@@ -96,10 +96,10 @@ object PipelineOps2 {
     val (ctes, cb) = OracleKit.kmeansCtes(vecs, k, iters)
     val cos = OracleKit.cosSql("s.v", "c.cent")
     (ctes ++ Seq(
-      s"asg AS (SELECT id, v, cell FROM (SELECT s.id, s.v, c.cid AS cell," +
+      s"asg AS MATERIALIZED (SELECT id, v, cell FROM (SELECT s.id, s.v, c.cid AS cell," +
         s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY $cos DESC, c.cid) AS rn" +
         s" FROM km_vecs s CROSS JOIN $cb c) WHERE rn = 1)",
-      s"pr AS (SELECT DISTINCT a.id FROM asg a JOIN asg b ON a.cell = b.cell AND b.id < a.id" +
+      s"pr AS MATERIALIZED (SELECT DISTINCT a.id FROM asg a JOIN asg b ON a.cell = b.cell AND b.id < a.id" +
         s" WHERE round(${OracleKit.cosSql("a.v", "b.v")}, 6) >= $tau)"))
       .mkString("WITH ", ", ", " ") +
       "SELECT a.id AS vec_id, a.cell, CASE WHEN pr.id IS NULL THEN 1 ELSE 0 END AS keep " +

@@ -832,13 +832,13 @@ object Similarity {
     val vecs = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
     val (ctes, cb) = OracleKit.kmeansCtes(vecs, k, iters)
     (ctes ++ Seq(
-      s"asg AS (SELECT id, v, cell FROM (SELECT s.id, s.v, c.cid AS cell," +
+      s"asg AS MATERIALIZED (SELECT id, v, cell FROM (SELECT s.id, s.v, c.cid AS cell," +
         s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY ${OracleKit.cosSql("s.v", "c.cent")} DESC, c.cid) AS rn" +
         s" FROM km_vecs s CROSS JOIN $cb c) WHERE rn = 1)",
-      s"pcells AS (SELECT query_id, qv, cell FROM (SELECT q.id AS query_id, q.v AS qv, c.cid AS cell," +
+      s"pcells AS MATERIALIZED (SELECT query_id, qv, cell FROM (SELECT q.id AS query_id, q.v AS qv, c.cid AS cell," +
         s" ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY ${OracleKit.cosSql("q.v", "c.cent")} DESC, c.cid) AS prnk" +
         s" FROM km_vecs q CROSS JOIN $cb c WHERE q.id < 10) WHERE prnk <= $nProbe)",
-      s"cands AS (SELECT p.query_id, a.id AS neighbor_id," +
+      s"cands AS MATERIALIZED (SELECT p.query_id, a.id AS neighbor_id," +
         s" round(${OracleKit.cosSql("p.qv", "a.v")}, 6) AS cos" +
         s" FROM asg a JOIN pcells p ON p.cell = a.cell AND p.query_id <> a.id)"))
       .mkString("WITH ", ", ", " ") +
@@ -990,9 +990,80 @@ object Similarity {
     * full-width vector column is touched only by that candidate-keyed
     * hash join — the corpus-wide pass reads codes alone. Encode = one
     * projection; ADC = one projection + explode; both rank stages are
-    * TopK heap-pruned windows. Rows-only: spec cross-validates recall@10
-    * against brute force and bit-determinism across shuffle widths. */
-  val qAnnPq: Q = Q.rowsOnly("q_ann_pq") { (s, d) =>
+    * TopK heap-pruned windows.
+    *
+    * Fully oracled (r10 — previously rows-only): the DRIVER-side PQ fit
+    * replays in DuckDB via [[annPqOracleSql]] — the mod-4 hash-sample and
+    * (xxhash64(id,13), id) sample order via [[OracleKit.xxhash64Sql]], the
+    * per-subspace Lloyd rounds with the sample-order double sums as
+    * `list_reduce` left folds (plain SQL SUM has no order guarantee), the
+    * unrolled sub-dim dot/distance arithmetic in the same left-assoc shape
+    * as [[graft.functions.PqEncode]]'s loops, and the j-ordered ADC fold. */
+  private def annPqOracleSql(dim: Int = 64, m: Int = 16, kCents: Int = 16,
+                             iters: Int = 8, shortlist: Int = 50): String = {
+    val sub = dim / m
+    // unrolled left-assoc folds over one subspace (1-based list indexing)
+    def dist(p: String, c: String): String =
+      (1 to sub).map(i => s"($p[$i] - $c[$i]) * ($p[$i] - $c[$i])").mkString(" + ")
+    def dotSub(c: String, q: String, jOff: String): String =
+      (1 to sub).map(i => s"$c[$i] * $q[$jOff + $i]").mkString(" + ")
+    def nrm2(c: String): String =
+      (1 to sub).map(i => s"$c[$i] * $c[$i]").mkString(" + ")
+    val fold = OracleKit.foldSumSql _
+    var ctes = Seq(
+      "pq_vecs AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      s"pq_filt AS MATERIALIZED (SELECT id, v FROM (${OracleKit.xxhash64Sql("SELECT id, v FROM pq_vecs", "id", "id, v", None)})" +
+        " WHERE ((hk % 4) + 4) % 4 = 0)",
+      s"pq_smp AS MATERIALIZED (SELECT id, v, r FROM (SELECT id, v, ROW_NUMBER() OVER (ORDER BY hk, id) AS r" +
+        s" FROM (${OracleKit.xxhash64Sql("SELECT id, v FROM pq_filt", "id", "id, v", Some(13))})) WHERE r <= 4096)",
+      s"pq_pts AS MATERIALIZED (SELECT r, j, v[(j * $sub + 1):(j * $sub + $sub)] AS p FROM pq_smp" +
+        s" CROSS JOIN (SELECT unnest(range(0, $m)) AS j))",
+      // init: first-occurrence-ordered distinct sub-vectors, take kCents
+      s"pq_c0 AS MATERIALIZED (SELECT j, (ROW_NUMBER() OVER (PARTITION BY j ORDER BY fr) - 1)::BIGINT AS cid, p AS cent" +
+        s" FROM (SELECT j, p, MIN(r) AS fr FROM pq_pts GROUP BY j, p)" +
+        s" QUALIFY ROW_NUMBER() OVER (PARTITION BY j ORDER BY fr) <= $kCents)")
+    var prev = "pq_c0"
+    for (t <- 1 to iters) {
+      ctes ++= Seq(
+        s"pq_a$t AS MATERIALIZED (SELECT r, j, p, cid FROM (SELECT t.r, t.j, t.p, c.cid," +
+          s" ROW_NUMBER() OVER (PARTITION BY t.j, t.r ORDER BY ${dist("t.p", "c.cent")} ASC, c.cid) AS rn" +
+          s" FROM pq_pts t JOIN $prev c ON c.j = t.j) WHERE rn = 1)",
+        s"pq_s$t AS MATERIALIZED (SELECT j, cid, pos, ${fold("list(x ORDER BY r)")} AS sx, COUNT(*) AS cnt" +
+          s" FROM (SELECT r, j, cid, generate_subscripts(p, 1) AS pos, unnest(p) AS x FROM pq_a$t)" +
+          s" GROUP BY j, cid, pos)",
+        s"pq_c$t AS MATERIALIZED (SELECT c.j, c.cid, COALESCE(mm.cent, c.cent) AS cent FROM $prev c" +
+          s" LEFT JOIN (SELECT j, cid, list(sx / cnt ORDER BY pos) AS cent FROM pq_s$t GROUP BY j, cid) mm" +
+          s" ON mm.j = c.j AND mm.cid = c.cid)")
+      prev = s"pq_c$t"
+    }
+    ctes ++= Seq(
+      s"pq_hn AS MATERIALIZED (SELECT j, cid, cent, (${nrm2("cent")}) / 2 AS hn2 FROM $prev)",
+      // encode: argmax (dot - halfNrm2), strict > keeps the lowest cid
+      s"pq_codes AS MATERIALIZED (SELECT id, j, cid FROM (SELECT s.id, c.j, c.cid," +
+        s" ROW_NUMBER() OVER (PARTITION BY s.id, c.j ORDER BY (${dotSub("c.cent", "s.v", s"c.j * $sub")}) - c.hn2 DESC, c.cid) AS rn" +
+        s" FROM pq_vecs s CROSS JOIN pq_hn c) WHERE rn = 1)",
+      s"pq_pr AS MATERIALIZED (SELECT id AS qid, v AS qv, sqrt(${fold("list_transform(v, x -> x * x)")}) AS qn" +
+        s" FROM pq_vecs WHERE id < 10)",
+      s"pq_dt AS MATERIALIZED (SELECT p.qid, c.j, c.cid, (${dotSub("c.cent", "p.qv", s"c.j * $sub")}) AS dt," +
+        s" (${nrm2("c.cent")}) AS n2 FROM pq_pr p CROSS JOIN $prev c)",
+      s"pq_adc AS MATERIALIZED (SELECT z.qid AS query_id, z.id AS neighbor_id," +
+        s" round(z.num / (p.qn * sqrt(z.den)), 6) AS adc FROM" +
+        s" (SELECT k.id, d.qid, ${fold("list(d.dt ORDER BY d.j)")} AS num," +
+        s" ${fold("list(d.n2 ORDER BY d.j)")} AS den" +
+        s" FROM pq_codes k JOIN pq_dt d ON d.j = k.j AND d.cid = k.cid GROUP BY k.id, d.qid) z" +
+        s" JOIN pq_pr p ON p.qid = z.qid WHERE z.qid <> z.id)",
+      s"pq_sl AS MATERIALIZED (SELECT query_id, neighbor_id FROM (SELECT *," +
+        s" ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS arnk FROM pq_adc)" +
+        s" WHERE arnk <= $shortlist)")
+    ctes.mkString("WITH ", ", ", " ") +
+      "SELECT query_id, neighbor_id, cos, rnk FROM (SELECT query_id, neighbor_id, cos," +
+      " ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk FROM" +
+      s" (SELECT s.query_id, s.neighbor_id, round(${OracleKit.cosSql("p.qv", "c.v")}, 6) AS cos" +
+      " FROM pq_sl s JOIN pq_vecs c ON c.id = s.neighbor_id JOIN pq_pr p ON p.qid = s.query_id))" +
+      " WHERE rnk <= 10 ORDER BY query_id, rnk, neighbor_id"
+  }
+
+  val qAnnPq: Q = Q("q_ann_pq", annPqOracleSql()) { (s, d) =>
     val m = 16; val kCents = 16; val shortlist = 50
     val corpus = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
