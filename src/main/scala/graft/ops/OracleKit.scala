@@ -49,8 +49,18 @@ object OracleKit {
 
   private def u(l: Long): String = java.lang.Long.toUnsignedString(l)
 
+  /** Nested-projection chain: one subquery layer per step (name, expr) —
+    * the linear-binding alternative to DuckDB's exponentially-inlined
+    * lateral aliases. Every layer keeps all columns below it. */
+  def nestedProjections(baseSql: String, steps: Seq[(String, String)], keep: String): String = {
+    val inner = steps.foldLeft(s"($baseSql)") {
+      case (acc, (name, expr)) => s"(SELECT *, $expr AS $name FROM $acc)"
+    }
+    s"SELECT $keep FROM $inner"
+  }
+
   /** Wrapping 64-bit multiply by a constant, via 32-bit halves in HUGEINT. */
-  private def mul64(a: String, c: Long): String = {
+  def mul64(a: String, c: Long): String = {
     val cl = u(c & 0xFFFFFFFFL)
     val ch = u(c >>> 32)
     s"(((($a & 4294967295)::HUGEINT * $cl) + (((($a & 4294967295)::HUGEINT * $ch" +
@@ -103,12 +113,16 @@ object OracleKit {
 
   /** `SELECT keep, hk FROM ...` over `baseSql`, where hk = xxhash64(idCol)
     * (seed2 = None) or xxhash64(idCol, lit(seed2)), as nested projections. */
-  def xxhash64Sql(baseSql: String, idCol: String, keep: String, seed2: Option[Int]): String = {
-    val inner = xxSteps(idCol, seed2).foldLeft(s"($baseSql)") {
-      case (acc, (name, expr)) => s"(SELECT *, $expr AS $name FROM $acc)"
-    }
-    s"SELECT $keep, hk FROM $inner"
-  }
+  def xxhash64Sql(baseSql: String, idCol: String, keep: String, seed2: Option[Int]): String =
+    nestedProjections(baseSql, xxSteps(idCol, seed2), s"$keep, hk")
+
+  /** Signed BIGINT view of an unsigned 64-bit column. */
+  def toSigned64(a: String): String =
+    s"($a::HUGEINT - CASE WHEN $a >= 9223372036854775808 THEN $M64 ELSE 0 END)::BIGINT"
+
+  /** Wrapping 64-bit add of two variable columns. */
+  def add64(a: String, b: String): String =
+    s"(($a::HUGEINT + $b::HUGEINT) % $M64)::UBIGINT"
 
   /** Exact scale-18 integer of Spark's `CAST(x AS DECIMAL(38,18))`. */
   def decScaled18(x: String): String =

@@ -140,10 +140,32 @@ object TextAnalysis {
       .select("id", "fp").distinct()
   }
 
-  /** Rows-only (custom hash isn't SQL-portable): per-doc fingerprint count
-    * plus the doc's minimal fingerprint — spec cross-checks the expression
-    * against a reference implementation. */
-  val qFingerprintWinnow: Q = Q.rowsOnly("q_fingerprint_winnow") { (s, d) =>
+  /** Fully oracled (r10 — previously rows-only "custom hash isn't
+    * SQL-portable"): [[RollingHash]]'s polynomial hash is plain wrapping
+    * int64 arithmetic, so DuckDB replays every window hash through
+    * [[OracleKit.mul64]] — one mul-add per byte as nested projections (the
+    * corpus is all-ASCII, so ord(substr) IS the UTF-8 byte; a non-ASCII
+    * corpus would fail the gate loudly) — then the same w-row MIN window. */
+  private def winnowOracleSql(n: Int = 16, w: Int = 8): String = {
+    val base = 1000003L
+    val steps = (0 until n).map { i =>
+      val b = s"ord(substr(text, p + ${i + 1}, 1))::UBIGINT"
+      if (i == 0) ("rh0", b)
+      else (s"rh$i", s"((${OracleKit.mul64(s"rh${i - 1}", base)}::HUGEINT + $b) % 18446744073709551616)::UBIGINT")
+    } :+ ("hh", OracleKit.toSigned64(s"rh${n - 1}"))
+    val chain = OracleKit.nestedProjections(
+      s"SELECT doc_id, text, unnest(range(0, length(text) - $n + 1)) AS p" +
+        s" FROM documents WHERE length(text) >= $n",
+      steps, "doc_id, p, hh")
+    s"""WITH wh AS MATERIALIZED ($chain),
+       |wmin AS MATERIALIZED (SELECT doc_id, MIN(hh) OVER (PARTITION BY doc_id ORDER BY p
+       |  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp FROM wh),
+       |wfp AS (SELECT DISTINCT doc_id, fp FROM wmin)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_fingerprints, MIN(fp) AS min_fp
+       |FROM wfp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val qFingerprintWinnow: Q = Q("q_fingerprint_winnow", winnowOracleSql()) { (s, d) =>
     winnowedFingerprints(T.documents(s, d), "doc_id", "text", 16, 8)
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_fingerprints"), min(col("fp")).as("min_fp"))
