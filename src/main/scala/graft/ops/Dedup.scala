@@ -1149,10 +1149,59 @@ object Dedup {
     * prefix-filtered SSJoin — no all-pairs stage; candidates and
     * estimates come from the same projected signatures q_dedup_minhash
     * serves. Error aggregation rides rounded-decimal sums so the table
-    * is partition-order exact. Rows-only (seeded hashes aren't
-    * SQL-portable); the spec pins the high-bucket recall the banding
-    * math guarantees. */
-  val qDedupCalibration: Q = Q.rowsOnly("q_dedup_calibration") { (s, d) =>
+    * is partition-order exact.
+    *
+    * Fully oracled (r10 — previously rows-only "seeded hashes aren't
+    * SQL-portable"): the whole seeded-hash stack replays in DuckDB —
+    * gram-string XXH64 ([[OracleKit.xxhash64StrSteps]], stripes + tail
+    * over ord(substr) bytes), the 64 murmur seed folds
+    * ([[OracleKit.murmurLongSteps]]), and the band-signature
+    * array-murmur ([[OracleKit.murmurIntArraySteps]]) — so candidate
+    * recall AND estimation error hash-match, not just the exact side. */
+  private def dedupCalibrationOracleSql(k: Int = 64, bands: Int = 16, t: Double = 0.3): String = {
+    val rows = k / bands
+    val xx = OracleKit.nestedProjections("SELECT sh FROM cgr", OracleKit.xxhash64StrSteps("sh"), "sh, hu")
+    val mm = OracleKit.nestedProjections(
+      s"SELECT sh, hu % 4294967296 AS lo, hu >> 32 AS hi, unnest(range(0, $k))::UBIGINT AS seed FROM cgx",
+      OracleKit.murmurLongSteps("lo", "hi", "seed"), "sh, seed, mh")
+    val band = OracleKit.nestedProjections(
+      s"SELECT doc_id, seed // $rows AS band, list(sv ORDER BY seed) AS bs FROM csig GROUP BY doc_id, seed // $rows",
+      OracleKit.murmurIntArraySteps("bs", rows), "doc_id, band, bsu")
+    s"""WITH ctoks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |csh AS MATERIALIZED (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+       |  FROM ctoks, unnest(range(1, len(tok) - 1)) AS z(i)),
+       |cgr AS MATERIALIZED (SELECT DISTINCT sh FROM csh),
+       |cgx AS MATERIALIZED ($xx),
+       |cmm AS MATERIALIZED ($mm),
+       |csig AS MATERIALIZED (SELECT c.doc_id, m.seed, MIN(m.mh) AS sv FROM csh c JOIN cmm m ON m.sh = c.sh
+       |  GROUP BY c.doc_id, m.seed),
+       |cband AS MATERIALIZED ($band),
+       |ccand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM cband a
+       |  JOIN cband b ON a.band = b.band AND a.bsu = b.bsu AND a.doc_id < b.doc_id),
+       |cest AS MATERIALIZED (SELECT c.id_a, c.id_b,
+       |    CAST(SUM(CASE WHEN x.sv = y.sv THEN 1 ELSE 0 END) AS DOUBLE) / $k AS est
+       |  FROM ccand c JOIN csig x ON x.doc_id = c.id_a
+       |  JOIN csig y ON y.doc_id = c.id_b AND y.seed = x.seed GROUP BY c.id_a, c.id_b),
+       |csz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+       |cex AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(CAST(COUNT(*) AS DOUBLE) /
+       |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) AS jaccard
+       |  FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN csz sa ON sa.doc_id = a.doc_id JOIN csz sb ON sb.doc_id = b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING CAST(COUNT(*) AS DOUBLE) /
+       |    CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= $t),
+       |cj AS (SELECT floor(e.jaccard * 10) / 10 AS bucket, s.est,
+       |    CAST(round(abs(coalesce(s.est, e.jaccard) - e.jaccard), 6) AS DECIMAL(18,6)) AS err
+       |  FROM cex e LEFT JOIN cest s ON s.id_a = e.id_a AND s.id_b = e.id_b)
+       |SELECT bucket, COUNT(*)::BIGINT AS n_exact, COUNT(est)::BIGINT AS n_found,
+       |  round(CAST(COUNT(est) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall,
+       |  round(CAST(SUM(CASE WHEN est IS NOT NULL THEN err END) AS DOUBLE) /
+       |    CAST(greatest(COUNT(est), 1) AS DOUBLE), 6) AS mean_abs_err
+       |FROM cj GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  val qDedupCalibration: Q = Q("q_dedup_calibration", dedupCalibrationOracleSql()) { (s, d) =>
     val k = 64; val bands = 16; val rows = k / bands
     // calibration measures a PER-PAIR property (did banding surface the
     // pair; how far off is the estimate), so it is statistically valid on

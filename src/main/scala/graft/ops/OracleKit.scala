@@ -149,6 +149,105 @@ object OracleKit {
   def foldSumSql(listExpr: String): String =
     s"list_reduce($listExpr, (acc, x) -> acc + x)"
 
+  // ---- XXH64 over UTF-8 strings (general: stripes + tail) ----
+
+  /** 8-byte little-endian word of byte-list `bl` at 0-based offset `off0`. */
+  private def wordSql(bl: String, off0: String): String = {
+    val terms = (0 until 8).map(j => s"$bl[$off0 + ${j + 1}]::HUGEINT * ${1L << (8 * j)}").mkString(" + ")
+    s"(($terms) % $M64)::UBIGINT"
+  }
+
+  private def round64(a: String, w: String): String =
+    mul64(rotl(add64(a, mul64(w, P2)), 31), P1)
+  private def round64zero(a: String): String =
+    mul64(rotl(mul64(a, P2), 31), P1)
+
+  /** Steps computing `hu` = XXH64(utf8Bytes(shCol), seed 42) as UBIGINT —
+    * Spark's `xxhash64(stringCol)`, full algorithm (4-lane 32-byte stripes
+    * via per-lane list_reduce folds, then the 8/4/1-byte tail). Callers
+    * must guarantee an all-ASCII corpus: bytes come from ord(substr). */
+  def xxhash64StrSteps(shCol: String): Seq[(String, String)] = {
+    val v = Seq(42L + P1 + P2, 42L + P2, 42L, 42L - P1)
+    val laneSteps = (0 until 4).flatMap { l =>
+      Seq(
+        s"lw$l" -> s"list_transform(range(0, ns), s -> ${wordSql("bl", s"(32 * s + ${8 * l})")})",
+        s"ac$l" -> s"list_reduce(list_prepend(${u(v(l))}::UBIGINT, lw$l), (a, w) -> ${round64("a", "w")})")
+    }
+    val merges = {
+      val m0 = "mg0" -> add64(add64(add64(rotl("ac0", 1), rotl("ac1", 7)), rotl("ac2", 12)), rotl("ac3", 18))
+      val rounds = (0 until 4).map { l =>
+        s"mg${l + 1}" -> addc(mul64(s"xor(mg$l, ${round64zero(s"ac$l")})", P1), P4)
+      }
+      m0 +: rounds
+    }
+    Seq(
+      "nb" -> s"length($shCol)::BIGINT",
+      "bl" -> s"list_transform(range(1, nb + 1), i -> ord(substr($shCol, i::INT, 1)))",
+      "ns" -> "nb // 32") ++ laneSteps ++ merges ++ Seq(
+      "hb" -> s"CASE WHEN nb >= 32 THEN mg4 ELSE ${u(42L + P5)}::UBIGINT END",
+      "hl" -> add64("hb", "nb::UBIGINT"),
+      "t0" -> "32 * ns",
+      "tw" -> "(nb - t0) // 8",
+      "twl" -> s"list_transform(range(0, tw), s -> ${wordSql("bl", "(t0 + 8 * s)")})",
+      "h1" -> s"list_reduce(list_prepend(hl, twl), (a, w) -> ${addc(mul64(rotl(s"xor(a, ${round64zero("w")})", 27), P1), P4)})",
+      "o4" -> "t0 + 8 * tw",
+      "u32" -> ("CASE WHEN o4 + 4 <= nb THEN ((bl[o4 + 1]::HUGEINT + bl[o4 + 2]::HUGEINT * 256" +
+        " + bl[o4 + 3]::HUGEINT * 65536 + bl[o4 + 4]::HUGEINT * 16777216))::UBIGINT ELSE 0::UBIGINT END"),
+      "h2" -> s"CASE WHEN o4 + 4 <= nb THEN ${addc(mul64(rotl(s"xor(h1, ${mul64("u32", P1)})", 23), P2), P3)} ELSE h1 END",
+      "ob" -> "o4 + CASE WHEN o4 + 4 <= nb THEN 4 ELSE 0 END",
+      "tbl" -> "list_transform(range(ob, nb), i -> bl[i + 1]::UBIGINT)",
+      "h3" -> s"list_reduce(list_prepend(h2, tbl), (a, b) -> ${mul64(rotl(s"xor(a, ${mul64("b", P5)})", 11), P1)})",
+      "z1" -> "xor(h3, h3 >> 33)", "z2" -> mul64("z1", P2),
+      "z3" -> "xor(z2, z2 >> 29)", "z4" -> mul64("z3", P3),
+      "hu" -> "xor(z4, z4 >> 32)")
+  }
+
+  // ---- Murmur3_x86_32 (Spark `hash()`) on 32-bit UBIGINT arithmetic ----
+
+  private def rotl32(x: String, r: Int): String =
+    s"((($x * ${1L << r}) % 4294967296) + ($x >> ${32 - r}))"
+  private def mixK1(k: String): String =
+    s"((${rotl32(s"(($k * 3432918353) % 4294967296)", 15)} * 461845907) % 4294967296)"
+  private def mixH1(h: String, k: String): String =
+    s"(((${rotl32(s"xor($h, $k)", 13)} * 5) + 3864292196) % 4294967296)"
+  private def fmix32Steps(h: String, len: Int, p: String, out: String): Seq[(String, String)] = Seq(
+    s"${p}a" -> s"xor($h, $len::UBIGINT)",
+    s"${p}b" -> s"xor(${p}a, ${p}a >> 16)",
+    s"${p}c" -> s"((${p}b * 2246822507) % 4294967296)",
+    s"${p}d" -> s"xor(${p}c, ${p}c >> 13)",
+    s"${p}e" -> s"((${p}d * 3266489909) % 4294967296)",
+    out -> s"xor(${p}e, ${p}e >> 16)")
+
+  /** Steps computing `mh` = signed-INT Spark `hash(longCol, intCol)` from
+    * UBIGINT columns `low`/`high` (the long's halves) and `seed` (the int
+    * second argument). Spark's multi-arg murmur CHAINS full per-argument
+    * hashes: hashInt(seed, hashLong(long, 42)) — the long runs with the
+    * FIXED seed 42 and the int argument folds on top (getting this
+    * backwards still yields plausible minhash candidates, which is why
+    * only the estimate column caught it — see PLANS.md r10). */
+  def murmurLongSteps(low: String, high: String, seed: String): Seq[(String, String)] =
+    Seq(
+      "c1" -> mixH1("42::UBIGINT", mixK1(low)),
+      "c2" -> mixH1("c1", mixK1(high))) ++
+      fmix32Steps("c2", 8, "cl", "hL") ++
+      Seq("d1" -> mixH1("hL", mixK1(seed))) ++
+      fmix32Steps("d1", 4, "dm", "qf") :+
+      ("mh" -> "(qf::BIGINT - CASE WHEN qf >= 2147483648 THEN 4294967296 ELSE 0 END)::INT")
+
+  /** Steps folding Spark `hash(array<int>)` (seed 42) over the elements of
+    * an INT-list column `lst` of fixed length `n` — each element runs the
+    * full hashInt (mixK1/mixH1/fmix) with the running hash as its seed. */
+  def murmurIntArraySteps(lst: String, n: Int): Seq[(String, String)] = {
+    var prev = "42::UBIGINT"
+    (0 until n).flatMap { i =>
+      val uu = s"w$i" -> s"(($lst[${i + 1}]::HUGEINT + 4294967296) % 4294967296)::UBIGINT"
+      val hh = s"v$i" -> mixH1(prev, mixK1(s"w$i"))
+      val fm = fmix32Steps(s"v$i", 4, s"f$i", s"bh$i")
+      prev = s"bh$i"
+      uu +: hh +: fm
+    } :+ ("bsu" -> prev)
+  }
+
   /** CTE definitions replaying [[Similarity.fitKmeansCodebook]](k, iters) on
     * `vecsSql` (must yield columns id, v — the full fit input; callers rely
     * on the gate-SF corpus being under the 2^20 sample cap, so the
