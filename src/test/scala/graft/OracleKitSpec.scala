@@ -103,6 +103,51 @@ class OracleKitSpec extends SparkSpec {
     }
   }
 
+  // --- Murmur3_x86_32 model (public spec: Appleby, MurmurHash3) ---
+  private def rotl32(x: Int, r: Int): Int = Integer.rotateLeft(x, r)
+  private def mixK1(k0: Int): Int = {
+    var k = k0 * 0xcc9e2d51; k = rotl32(k, 15); k * 0x1b873593
+  }
+  private def mixH1(h0: Int, k: Int): Int = {
+    var h = h0 ^ k; h = rotl32(h, 13); h * 5 + 0xe6546b64
+  }
+  private def fmix32(h0: Int, len: Int): Int = {
+    var h = h0 ^ len
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16; h
+  }
+  private def mmhInt(i: Int, seed: Int): Int = fmix32(mixH1(seed, mixK1(i)), 4)
+  private def mmhLong(l: Long, seed: Int): Int =
+    fmix32(mixH1(mixH1(seed, mixK1(l.toInt)), mixK1((l >>> 32).toInt)), 8)
+
+  test("spark hash(long, intLit) chains hashInt(i, hashLong(l, 42)) - the long runs at seed 42") {
+    // The r10 oracle bug this pins: a replay that instead computes
+    // hashLong(l, i) still yields PLAUSIBLE minhash candidates (argmins
+    // correlate with similarity under any consistent hash) - only the
+    // estimate values expose it. The chain layering must stay frozen.
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(100)((rnd.nextLong(), rnd.nextInt(64)))
+    import spark.implicits._
+    val got = rows.toDF("l", "i")
+      .select(col("l"), col("i"), hash(col("l"), col("i").cast("int")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    rows.foreach { case (l, i) =>
+      assert(got((l, i)) == mmhInt(i, mmhLong(l, 42)), s"hash($l, $i) chain drift")
+      assert(got((l, i)) != mmhLong(l, mmhInt(i, 42)) || mmhInt(i, mmhLong(l, 42)) == mmhLong(l, mmhInt(i, 42)),
+        "sanity: the two layerings differ")
+    }
+  }
+
+  test("spark hash(array<int>) folds full per-element hashInt from seed 42") {
+    import spark.implicits._
+    val arrs = Seq(Seq(1, -5, 3, Int.MaxValue), Seq(0, 0, 0, 0), Seq(-1, 2, -3, 4))
+    val got = arrs.toDF("a")
+      .select(col("a"), hash(col("a")).as("h"))
+      .collect().map(r => r.getSeq[Int](0) -> r.getInt(1)).toMap
+    arrs.foreach { a =>
+      assert(got(a) == a.foldLeft(42)((h, x) => mmhInt(x, h)), s"hash($a) fold drift")
+    }
+  }
+
   test("generated kmeans CTEs carry the fit's shape: init limit, one round per iter, empty-cell keep") {
     val (ctes, last) = graft.ops.OracleKit.kmeansCtes("SELECT 1 AS id, [1.0] AS v", k = 8, iters = 4)
     assert(last == "km_c4")
