@@ -133,6 +133,88 @@ object PipelineOps2 {
       .orderBy("vec_id")
   }
 
+  /** D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
+    * De-Duplication and Diversification"): after SemDeDup's within-cell
+    * near-dup drop, ALSO drop the most PROTOTYPICAL survivors — the top
+    * fraction closest (by cosine) to their cluster centroid — keeping the
+    * cluster's diverse tail. The published recipe's two stages over one
+    * shared clustering; output is the full decision table
+    * (vec_id, cell, ccos, status ∈ kept|dup|proto).
+    *
+    * At scale this costs exactly SemDeDup plus one cell-partitioned
+    * window over the survivors (cells are granularity-bounded; the window
+    * key is the cell id, so no global sort) — assignment stays a map-side
+    * projection against the broadcast codebook. Deterministic: the proto
+    * quota ranks on (ccos DESC, vec_id), ties to the lower id.
+    *
+    * Fully oracled from birth (the r10 replay kit): the codebook CTEs are
+    * [[OracleKit.kmeansCtes]]; both drop rules are plain SQL on top. */
+  private def d4OracleSql(k: Int = 8, iters: Int = 4, tau: Double = 0.38, p: Double = 0.25): String = {
+    val vecs = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    val (ctes, cb) = OracleKit.kmeansCtes(vecs, k, iters)
+    val cos = OracleKit.cosSql("s.v", "c.cent")
+    (ctes ++ Seq(
+      s"asg AS MATERIALIZED (SELECT id, v, cell, round(${OracleKit.cosSql("v", "cent")}, 6) AS ccos FROM" +
+        s" (SELECT id, v, cell, cent FROM (SELECT s.id, s.v, c.cid AS cell, c.cent," +
+        s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY $cos DESC, c.cid) AS rn" +
+        s" FROM km_vecs s CROSS JOIN $cb c) WHERE rn = 1))",
+      s"dup AS MATERIALIZED (SELECT DISTINCT a.id FROM asg a JOIN asg b ON a.cell = b.cell AND b.id < a.id" +
+        s" WHERE round(${OracleKit.cosSql("a.v", "b.v")}, 6) >= $tau)",
+      "surv AS MATERIALIZED (SELECT a.id, a.cell, a.ccos FROM asg a LEFT JOIN dup ON dup.id = a.id" +
+        " WHERE dup.id IS NULL)",
+      "quota AS (SELECT cell, CAST(floor(" + p + " * COUNT(*)) AS BIGINT) AS q FROM surv GROUP BY cell)",
+      "prot AS (SELECT id FROM (SELECT s.id, s.cell," +
+        " ROW_NUMBER() OVER (PARTITION BY s.cell ORDER BY s.ccos DESC, s.id) AS pr FROM surv s) z" +
+        " JOIN quota ON quota.cell = z.cell WHERE z.pr <= quota.q)"))
+      .mkString("WITH ", ", ", " ") +
+      "SELECT a.id AS vec_id, a.cell, a.ccos," +
+      " CASE WHEN dup.id IS NOT NULL THEN 'dup' WHEN prot.id IS NOT NULL THEN 'proto' ELSE 'kept' END AS status" +
+      " FROM asg a LEFT JOIN dup ON dup.id = a.id LEFT JOIN prot ON prot.id = a.id ORDER BY a.id"
+  }
+
+  val qD4Diversify: Q = Q("q_d4_diversify", d4OracleSql()) { (s, d) =>
+    val tau = 0.38; val p = 0.25; val k = 8
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val codebook = Similarity.fitKmeansCodebook(
+      corpus.select(col("vec_id").as("id"), col("v")), k)
+    val centArr = typedlit(codebook.map(_.toSeq).toSeq)
+    val assigned = corpus
+      .select(col("vec_id"), col("v"),
+        Similarity.nearestCell(col("v"), codebook).as("cell"),
+        sqrt(VectorFunctions.dotProduct(col("v"), col("v"))).as("nrm"))
+      .withColumn("ccos",
+        round(VectorFunctions.cosineSim(col("v"),
+          element_at(centArr, (col("cell") + 1).cast("int"))), 6))
+      .localCheckpoint(true)
+    val a = assigned.select(col("vec_id"), col("cell"), col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("cell"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dup = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("vec_id") &&
+        round(VectorFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          >= tau)
+      .select("vec_id").distinct()
+      .withColumn("isDup", lit(1))
+    val surv = assigned.select("vec_id", "cell", "ccos")
+      .join(dup, Seq("vec_id"), "left").filter(col("isDup").isNull)
+    val quota = surv.groupBy("cell")
+      .agg(floor(lit(p) * count(lit(1))).cast("long").as("q"))
+    val wProto = Window.partitionBy("cell").orderBy(col("ccos").desc, col("vec_id"))
+    val proto = surv.withColumn("pr", row_number().over(wProto))
+      .join(broadcast(quota), "cell")
+      .filter(col("pr") <= col("q"))
+      .select("vec_id").withColumn("isProto", lit(1))
+    assigned.select("vec_id", "cell", "ccos")
+      .join(dup, Seq("vec_id"), "left")
+      .join(proto, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("ccos"),
+        when(col("isDup").isNotNull, "dup")
+          .when(col("isProto").isNotNull, "proto")
+          .otherwise("kept").as("status"))
+      .orderBy("vec_id")
+  }
+
   /** Greedy left-to-right application of one BPE merge (l, r) -> l+r to a
     * symbol array, as a single fold (no UDF): the accumulator carries the
     * emitted prefix and one pending symbol; a pending `l` followed by `r`
@@ -698,7 +780,7 @@ object PipelineOps2 {
     pre.unionByName(post).unionByName(removed).orderBy("o").select("metric", "val")
   }
 
-  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qBpeMerges, qSearchIndexed,
+  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qD4Diversify, qBpeMerges, qSearchIndexed,
     qSpanDup, qSpanExtents, qBpeTokenize, qQualityTiers, qRagChunk, qSpanStrip,
     qStripAudit)
 }
