@@ -1224,6 +1224,102 @@ object Similarity {
       .orderBy("node", "rnk")
   }
 
-  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf, qAnnPq, qHardNegatives,
+  /** Greedy k-center coreset selection (farthest-point traversal —
+    * Gonzalez 1985; the coreset-for-data-selection recipe of Sener &
+    * Savarese 2018): pick k centers from a bounded hash-sample by
+    * repeatedly taking the point FARTHEST (euclidean) from the chosen
+    * set, then assign the corpus to its nearest center. The output is
+    * the coverage profile — per center: members, coverage radius (the
+    * k-center objective), mean distance — the table a data-selection
+    * pass reads to size a diverse fine-tuning subset.
+    *
+    * Scale posture identical to the quantizer fits: the greedy runs
+    * DRIVER-side on the ≤2048-vector hash-sample (model-sized,
+    * single-threaded → bit-deterministic; strict `>` keeps the earliest
+    * sample index on ties), the corpus pass is ONE map-side argmin
+    * projection against the k broadcast centers + one k-row aggregation.
+    *
+    * Fully oracled from birth: the sample order is the xxhash64 chain
+    * ([[OracleKit.xxhash64Sql]]), the greedy unrolls as k chained
+    * argmax-CTEs with running min-distance (LEAST), and distances are
+    * the same left-fold squared-euclidean both sides. */
+  private def kcenterOracleSql(k: Int = 8, dim: Int = 64, cap: Int = 2048): String = {
+    val sqd = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    var ctes = Seq(
+      "kc_v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      s"kc_h AS MATERIALIZED (SELECT id, v, r FROM (SELECT id, v, ROW_NUMBER() OVER (ORDER BY hk, id) AS r" +
+        s" FROM (${OracleKit.xxhash64Sql("SELECT id, v FROM kc_v", "id", "id, v", Some(7))})) WHERE r <= $cap)",
+      "kc_p1 AS MATERIALIZED (SELECT 0::BIGINT AS t, id, v FROM kc_h WHERE r = 1)",
+      s"kc_m1 AS MATERIALIZED (SELECT h.r, h.id, h.v, ${sqd("h.v", "c.v")} AS md FROM kc_h h CROSS JOIN kc_p1 c)")
+    for (t <- 2 to k) {
+      ctes ++= Seq(
+        s"kc_p$t AS MATERIALIZED (SELECT ${t - 1}::BIGINT AS t, id, v FROM" +
+          s" (SELECT * FROM kc_m${t - 1} ORDER BY md DESC, r LIMIT 1))",
+        s"kc_m$t AS MATERIALIZED (SELECT m.r, m.id, m.v, LEAST(m.md, ${sqd("m.v", "c.v")}) AS md" +
+          s" FROM kc_m${t - 1} m CROSS JOIN kc_p$t c)")
+    }
+    ctes ++= Seq(
+      s"kc_c AS MATERIALIZED (${(1 to k).map(t => s"SELECT t, id, v FROM kc_p$t").mkString(" UNION ALL ")})",
+      s"kc_a AS MATERIALIZED (SELECT id, t, round(sqrt(dd), 6) AS dist FROM" +
+        s" (SELECT s.id, c.t, ${sqd("s.v", "c.v")} AS dd," +
+        s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY ${sqd("s.v", "c.v")} ASC, c.t) AS rn" +
+        s" FROM kc_v s CROSS JOIN kc_c c) WHERE rn = 1)")
+    ctes.mkString("WITH ", ", ", " ") +
+      "SELECT a.t AS center_rank, c.id AS center_id, COUNT(*)::BIGINT AS n_assigned," +
+      " MAX(a.dist) AS radius," +
+      " round(CAST(SUM(CAST(a.dist AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_dist" +
+      " FROM kc_a a JOIN kc_c c ON c.t = a.t GROUP BY a.t, c.id ORDER BY center_rank"
+  }
+
+  val qKcenterCoreset: Q = Q("q_kcenter_coreset", kcenterOracleSql()) { (s, d) =>
+    val k = 8
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sample: Array[(Long, Array[Double])] =
+      Dedup.boundedHashSample(corpus.select(col("vec_id").as("id"), col("v")), "id", 2048L)
+        .orderBy(xxhash64(col("id"), lit(7)), col("id")).limit(2048)
+        .select("id", "v").collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "q_kcenter_coreset: empty corpus")
+    val dim = sample.head._2.length
+    def dd2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val centers = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])](sample.head)
+    val mind = sample.map(p => dd2(p._2, sample.head._2))
+    for (_ <- 1 until k) {
+      var best = 0; var bd = -1.0 // strict > keeps the earliest sample index
+      var i = 0
+      while (i < sample.length) { if (mind(i) > bd) { bd = mind(i); best = i }; i += 1 }
+      val c = sample(best)
+      centers += c
+      i = 0
+      while (i < sample.length) {
+        val dd = dd2(sample(i)._2, c._2); if (dd < mind(i)) mind(i) = dd; i += 1
+      }
+    }
+    // corpus pass: one argmin projection over the k broadcast centers
+    val scored = centers.toArray.zipWithIndex.map { case ((_, cv), t) =>
+      struct(sqDist(col("v"), typedlit(cv.toSeq)).as("dd"), lit(t.toLong).as("ct"))
+    }
+    val bestC = array_min(array(scored.toIndexedSeq: _*))
+    val ids = centers.map(_._1).toSeq
+    val assigned = corpus.select(
+      bestC.getField("ct").as("center_rank"),
+      round(sqrt(bestC.getField("dd")), 6).as("dist"))
+    assigned.groupBy("center_rank")
+      .agg(count(lit(1)).as("n_assigned"),
+        max(col("dist")).as("radius"),
+        round(dbl(sum(col("dist").cast(org.apache.spark.sql.types.DecimalType(18, 6)))) /
+          dbl(count(lit(1))), 6).as("mean_dist"))
+      .select(col("center_rank"),
+        element_at(typedlit(ids), (col("center_rank") + 1).cast("int")).as("center_id"),
+        col("n_assigned"), col("radius"), col("mean_dist"))
+      .orderBy("center_rank")
+  }
+
+  val all: Seq[Q] = Seq(qAnnTopk, qAnnLsh, qAnnIvf, qAnnPq, qHardNegatives, qKcenterCoreset,
     qAnnEval, qKnnGraph)
 }
