@@ -922,8 +922,88 @@ object PipelineOps3 {
       .orderBy("split")
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score every raw document by how much more likely its hashed-bigram
+    * features are under the TARGET domain's distribution than under the
+    * raw pool's, and select the favored ones. The published recipe:
+    * bigrams hashed into B buckets (here B = 8192 via xxhash64 mod B —
+    * 2^13 divides 2^64, so the unsigned remainder IS Spark's pmod),
+    * Laplace-smoothed bucket distributions p (target = even-numbered
+    * sources, standing in for the quality corpus) and q (the RAW pool =
+    * the non-target sources; with target ⊆ q the smoothed ratio
+    * degenerates to c_t+1 vs c_q+1 with c_q ≥ c_t and nothing is ever
+    * favored — the planted DsirSpec caught exactly that), per-doc log
+    * importance weight Σ log(p_b/q_b) over the doc's
+    * gram occurrences. Deterministic selection at log-weight > 0 (the
+    * paper resamples ∝ weight; the thresholded form keeps the gate
+    * exact).
+    *
+    * At scale: gram hashing is the native codegen expression (no gram
+    * string ever materializes), the model is TWO B-sized aggregations
+    * (bucket counts + one global total) broadcast back, and the per-doc
+    * score is one map-side join + one doc-keyed decimal aggregation —
+    * the q_perplexity shuffle budget. Per-bucket log-ratios are rounded
+    * to 6 dp then summed as DECIMAL(18,6) (partition-order exact,
+    * SURVEY §5).
+    *
+    * Fully oracled from birth: the bigram xxhash64 replays via
+    * [[OracleKit.xxhash64StrSteps]]; everything downstream is plain SQL. */
+  private def dsirOracleSql(buckets: Int = 8192): String = {
+    val xx = OracleKit.nestedProjections("SELECT sh FROM dgr", OracleKit.xxhash64StrSteps("sh"), "sh, hu")
+    val isT = "CAST(substr(source, 4) AS INT) % 2 = 0"
+    s"""WITH dtoks AS MATERIALIZED (SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents),
+       |dbg AS MATERIALIZED (SELECT doc_id, source, tok[i] || ' ' || tok[i+1] AS sh
+       |  FROM dtoks, unnest(range(1, len(tok))) AS z(i)),
+       |dgr AS MATERIALIZED (SELECT DISTINCT sh FROM dbg),
+       |dgx AS MATERIALIZED ($xx),
+       |dbk AS MATERIALIZED (SELECT sh, hu % $buckets AS b FROM dgx),
+       |doccs AS MATERIALIZED (SELECT g.doc_id, g.source, k.b FROM dbg g JOIN dbk k USING (sh)),
+       |dcnt AS MATERIALIZED (SELECT b, SUM(CASE WHEN $isT THEN 0 ELSE 1 END) AS cq,
+       |    SUM(CASE WHEN $isT THEN 1 ELSE 0 END) AS cp FROM doccs GROUP BY b),
+       |dtot AS (SELECT SUM(CASE WHEN $isT THEN 0 ELSE 1 END) AS nq,
+       |    SUM(CASE WHEN $isT THEN 1 ELSE 0 END) AS np FROM doccs),
+       |dbt AS MATERIALIZED (SELECT b,
+       |    round(ln((CAST(cp AS DOUBLE) + 1) / (CAST(np AS DOUBLE) + $buckets))
+       |        - ln((CAST(cq AS DOUBLE) + 1) / (CAST(nq AS DOUBLE) + $buckets)), 6) AS t
+       |  FROM dcnt CROSS JOIN dtot),
+       |dlw AS (SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       |    CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS lw
+       |  FROM doccs JOIN dbt USING (b) GROUP BY doc_id)
+       |SELECT doc_id, n_grams, round(lw, 6) AS log_weight,
+       |  CASE WHEN lw > 0 THEN 1 ELSE 0 END AS selected
+       |FROM dlw ORDER BY doc_id""".stripMargin
+  }
+
+  val qDsir: Q = Q("q_dsir", dsirOracleSql()) { (s, d) =>
+    val buckets = 8192
+    val docs = T.documents(s, d)
+    val isTarget = (substring(col("source"), 4, 10).cast("int") % 2) === 0
+    val feats = docs
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.NgramHashes(col("text"), 2)).as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+    val cnt = feats.groupBy("b").agg(
+      sum(when(isTarget, 0L).otherwise(1L)).as("cq"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("cp"))
+    val tot = feats.agg(
+      sum(when(isTarget, 0L).otherwise(1L)).as("nq"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("np"))
+    val term = round(
+      log((dbl(col("cp")) + 1) / (dbl(col("np")) + buckets)) -
+        log((dbl(col("cq")) + 1) / (dbl(col("nq")) + buckets)), 6)
+    val bt = cnt.crossJoin(broadcast(tot)).select(col("b"), term.as("t"))
+    feats.join(broadcast(bt), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        dbl(sum(col("t").cast(org.apache.spark.sql.types.DecimalType(18, 6)))).as("lw"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("lw"), 6).as("log_weight"),
+        when(col("lw") > 0, 1).otherwise(0).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed,
     qCorpusExport, qLangConfusion, qDupMatrix, qLinearProbe, qLogisticProbe,
-    qMulticlassProbe,
+    qMulticlassProbe, qDsir,
     qEpochShuffle, qSplitTemporal)
 }

@@ -21,6 +21,8 @@ class EmptyInputSweepSpec extends SparkSpec {
     // scan, which is trivially empty-correct
     "q_embed_cluster" -> "k-means codebook fit needs at least one vector",
     "q_semdedup" -> "k-means codebook fit needs at least one vector",
+    "q_d4_diversify" -> "k-means codebook fit needs at least one vector",
+    "q_kcenter_coreset" -> "greedy center pick needs at least one vector",
     "q_linear_probe" -> "probe fit needs labeled vectors",
     "q_logistic_probe" -> "probe fit needs labeled vectors",
     "q_multiclass_probe" -> "probe fit needs labeled vectors",
