@@ -172,6 +172,79 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** ExactSubstr-style repeated-substring dedup profile (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" §ExactSubstr):
+    * find every maximal span of ≥ L bytes that occurs in ≥ 2 distinct
+    * documents, per doc. The suffix-array of the paper is replaced by the
+    * scalable window-hash equivalent: every L-byte window's rolling hash
+    * ([[RollingHash]] — collision odds vanish at 64 bits and the oracle
+    * hash-match would surface one), cross-document repeated hashes keep
+    * their windows, and overlapping/adjacent windows (gap ≤ L) merge into
+    * maximal spans via the island pattern. Output per doc: span count,
+    * repeated bytes, repeated fraction.
+    *
+    * At scale: one projection (the hash array), one window-hash
+    * aggregation (the only corpus-wide shuffle — key is an 8-byte long),
+    * a hash semi-join back, and one doc-partitioned window for the
+    * island merge. No pair join ever forms — cost is O(corpus bytes),
+    * which is the reason ExactSubstr scales where pairwise dedup cannot.
+    *
+    * Fully oracled from birth: the rolling hash replays byte-by-byte
+    * (the q_fingerprint_winnow chain at L=50); the merge is plain SQL. */
+  private def dedupSubstrOracleSql(l: Int = 50): String = {
+    val base = 1000003L
+    val steps = (0 until l).map { i =>
+      val b = s"ord(substr(text, p + ${i + 1}, 1))::UBIGINT"
+      if (i == 0) ("rh0", b)
+      else (s"rh$i", s"((${OracleKit.mul64(s"rh${i - 1}", base)}::HUGEINT + $b) % 18446744073709551616)::UBIGINT")
+    } :+ ("hh", OracleKit.toSigned64(s"rh${l - 1}"))
+    val chain = OracleKit.nestedProjections(
+      s"SELECT doc_id, text, unnest(range(0, length(text) - $l + 1)) AS p" +
+        s" FROM documents WHERE length(text) >= $l",
+      steps, "doc_id, p, hh")
+    s"""WITH sh AS MATERIALIZED ($chain),
+       |rep AS MATERIALIZED (SELECT hh FROM sh GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |hits AS MATERIALIZED (SELECT s.doc_id, s.p FROM sh s JOIN rep USING (hh)),
+       |isl AS (SELECT doc_id, p,
+       |    SUM(CASE WHEN prev IS NULL OR p - prev > $l THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p) AS island
+       |  FROM (SELECT doc_id, p, LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits)),
+       |spans AS (SELECT doc_id, island, MAX(p) + $l - MIN(p) AS len FROM isl GROUP BY doc_id, island),
+       |agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_spans, CAST(SUM(len) AS BIGINT) AS repeated_bytes
+       |  FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.n_spans, 0)::BIGINT AS n_spans,
+       |  COALESCE(a.repeated_bytes, 0)::BIGINT AS repeated_bytes,
+       |  round(CAST(COALESCE(a.repeated_bytes, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE), 6) AS repeated_frac
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  val qDedupSubstr: Q = Q("q_dedup_substr", dedupSubstrOracleSql()) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val l = 50
+    val docs = T.documents(s, d)
+    val hashed = docs
+      .select(col("doc_id"), posexplode(graft.functions.RollingHash(col("text"), l)).as(Seq("p", "h")))
+    val rep = hashed.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val hits = hashed.join(rep, "h").select("doc_id", "p")
+    val wDoc = Window.partitionBy("doc_id").orderBy("p")
+    val isl = hits
+      .withColumn("prev", lag(col("p"), 1).over(wDoc))
+      .withColumn("island",
+        sum(when(col("prev").isNull || col("p") - col("prev") > l, 1).otherwise(0)).over(wDoc))
+    val spans = isl.groupBy("doc_id", "island")
+      .agg((max(col("p")) + l - min(col("p"))).as("len"))
+    val agg = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("len")).cast("long").as("repeated_bytes"))
+    docs.select(col("doc_id"), length(col("text")).as("nlen"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("repeated_bytes"), lit(0L)).as("repeated_bytes"),
+        round(dbl(coalesce(col("repeated_bytes"), lit(0L))) / dbl(col("nlen")), 6).as("repeated_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Dictionary tagging (python/grant_tagger.py tags grant abstracts
     * against target-name dictionaries): explode tokens, broadcast-join a
     * term→tag dictionary, count matches per (doc, tag). At scale the
@@ -256,6 +329,6 @@ object TextAnalysis {
       .orderBy("term")
   }
 
-  val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
+  val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint, qDedupSubstr,
     qFingerprintWinnow, qDictTag, qMentionScore)
 }
