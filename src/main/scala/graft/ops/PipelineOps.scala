@@ -174,6 +174,47 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Temperature-scaled mixture sampling (Conneau & Lample 2019, XLM —
+    * the multilingual/source-rebalancing recipe mT5/XLM-R standardized):
+    * sample sources ∝ p_i^α (α = 0.3), which upweights low-resource
+    * sources relative to their raw share without letting any source
+    * dominate. Complements [[qMixPlan]] (weights GIVEN) and
+    * qMixReweight (weights LEARNED): here the weights are the published
+    * closed form of the corpus shares.
+    *
+    * Determinism: p^α is computed as exp(α·ln p) in the SAME shape both
+    * engines (the q_perplexity precedent), each term rounded to 6 dp,
+    * and the normalizer is a DECIMAL(18,6) sum of the rounded terms —
+    * partition/order exact. One source-sized aggregation + one one-row
+    * broadcast; nothing corpus-sized past the first groupBy. */
+  val qMixTemperature: Q = Q(
+    "q_mix_temperature",
+    """WITH tok AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+      |             FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total FROM tok),
+      |a AS (SELECT source, src_tokens,
+      |        round(CAST(src_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+      |        round(exp(0.3 * ln(CAST(src_tokens AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS pa,
+      |        total FROM tok CROSS JOIN tot),
+      |z AS (SELECT CAST(SUM(CAST(pa AS DECIMAL(18,6))) AS DOUBLE) AS zsum FROM a)
+      |SELECT source, src_tokens, share,
+      |  round(pa / zsum, 6) AS temp_weight,
+      |  CAST(floor((pa / zsum) * (0.5 * CAST(total AS DOUBLE))) AS BIGINT) AS expected_tokens
+      |FROM a CROSS JOIN z ORDER BY source""".stripMargin) { (s, d) =>
+    val tok = T.documents(s, d).groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("src_tokens"))
+    val tot = tok.agg(sum(col("src_tokens")).cast("long").as("total"))
+    val a = tok.crossJoin(broadcast(tot))
+      .withColumn("share", round(dbl(col("src_tokens")) / dbl(col("total")), 6))
+      .withColumn("pa", round(exp(lit(0.3) * log(dbl(col("src_tokens")) / dbl(col("total")))), 6))
+    val z = a.agg(dbl(sum(col("pa").cast(DecimalType(18, 6)))).as("zsum"))
+    a.crossJoin(broadcast(z))
+      .select(col("source"), col("src_tokens"), col("share"),
+        round(col("pa") / col("zsum"), 6).as("temp_weight"),
+        floor((col("pa") / col("zsum")) * (lit(0.5) * dbl(col("total")))).cast("long").as("expected_tokens"))
+      .orderBy("source")
+  }
+
   /** Embedding-space clustering (semantic bucketing of a corpus): fit the
     * deterministic k-means codebook ([[Similarity.fitKmeansCodebook]] — a
     * hash-sample fit, model-fit-sized), assign every vector map-side
@@ -302,6 +343,6 @@ object PipelineOps {
     }
   }
 
-  val all: Seq[Q] = Seq(qPerplexity, qDedupIncr, qMixPlan, qEmbedCluster,
+  val all: Seq[Q] = Seq(qPerplexity, qDedupIncr, qMixPlan, qMixTemperature, qEmbedCluster,
     qMixReweight)
 }
