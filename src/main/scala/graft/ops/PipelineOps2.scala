@@ -237,7 +237,10 @@ object PipelineOps2 {
       acc => flush(acc))
   }
 
-  private def bpeStepSql(k: Int): String = {
+  /** One merge round's SQL. `bestSql(k)` defines the round's argmax CTE
+    * (must yield `best\$k(l, r, c)`): BPE ranks on raw pair count;
+    * WordPiece divides by the symbol unigram counts (likelihood gain). */
+  private def bpeStepSql(k: Int, bestSql: Int => String = bpeBestSql): String = {
     val prev = s"w${k - 1}"
     s"""pairs$k AS (
        |  SELECT l, r, SUM(cnt) AS c FROM (
@@ -245,7 +248,7 @@ object PipelineOps2 {
        |    FROM $prev, unnest(range(1, len(syms))) t(i)
        |    WHERE len(syms) >= 2)
        |  GROUP BY 1, 2),
-       |best$k AS MATERIALIZED (SELECT l, r, c FROM pairs$k ORDER BY c DESC, l, r LIMIT 1),
+       |${bestSql(k)}
        |fold$k(w, cnt, pos, outs, pend) AS (
        |  SELECT w, cnt, 1, CAST([] AS VARCHAR[]), CAST(NULL AS VARCHAR) FROM $prev
        |  UNION ALL
@@ -278,16 +281,37 @@ object PipelineOps2 {
          |FROM res ORDER BY step""".stripMargin
   }
 
-  /** The shared BPE-round machinery (w0 symbols + `steps` rounds of
-    * pair-count/argmax/fold), common prefix of [[bpeOracleSql]] and
-    * [[bpeTokenizeOracleSql]]. */
-  private def bpeRoundsSql(steps: Int): String =
+  private def bpeBestSql(k: Int): String =
+    s"best$k AS MATERIALIZED (SELECT l, r, c FROM pairs$k ORDER BY c DESC, l, r LIMIT 1),"
+
+  /** WordPiece's likelihood-gain argmax: score = c(pair)/(c(l)·c(r)) over
+    * the CURRENT round's symbol unigram counts (Schuster & Nakajima 2012;
+    * the BERT tokenizer's training rule). Same tie order (score desc, l,
+    * r); the ratio is one multiply + one divide in doubles — identical
+    * IEEE shape both engines. */
+  private def wpBestSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""sc$k AS (SELECT sym, SUM(cnt) AS cs FROM (
+       |    SELECT cnt, unnest(syms) AS sym FROM $prev) GROUP BY 1),
+       |best$k AS MATERIALIZED (
+       |  SELECT l, r, c,
+       |    CAST(c AS DOUBLE) / (CAST(sl.cs AS DOUBLE) * CAST(sr.cs AS DOUBLE)) AS sc
+       |  FROM pairs$k
+       |  JOIN sc$k sl ON sl.sym = l JOIN sc$k sr ON sr.sym = r
+       |  ORDER BY sc DESC, l, r
+       |  LIMIT 1),""".stripMargin
+  }
+
+  /** The shared merge-round machinery (w0 symbols + `steps` rounds of
+    * pair-count/argmax/fold), common prefix of the BPE and WordPiece
+    * oracles. */
+  private def bpeRoundsSql(steps: Int, bestSql: Int => String = bpeBestSql): String =
     s"""WITH RECURSIVE w0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) > 0 GROUP BY w),
-       |""".stripMargin + (1 to steps).map(bpeStepSql).mkString
+       |""".stripMargin + (1 to steps).map(k => bpeStepSql(k, bestSql)).mkString
 
   /** The q_bpe_tokenize oracle: the [[bpeRoundsSql]] rounds, then the
     * merged-symbol table re-exploded into a corpus token frequency
@@ -353,6 +377,74 @@ object PipelineOps2 {
       }
     }
     merges.result().toDF("step", "left", "right", "merged", "pair_count")
+      .orderBy("step")
+  }
+
+  private def wordpieceOracleSql(steps: Int = 3): String = {
+    val res = (1 to steps).map(k =>
+      if (k == 1)
+        s"""  SELECT 1 AS step, l AS "left", r AS "right", l || r AS merged, CAST(c AS BIGINT) AS pair_count, round(sc, 6) AS score FROM best1"""
+      else s"""  SELECT $k, l, r, l || r, CAST(c AS BIGINT), round(sc, 6) FROM best$k""")
+      .mkString("\n  UNION ALL\n")
+    bpeRoundsSql(steps, wpBestSql) +
+      s"""res AS (
+         |$res)
+         |SELECT CAST(step AS INT) AS step, "left", "right", merged, pair_count, score
+         |FROM res ORDER BY step""".stripMargin
+  }
+
+  /** WordPiece merge training (Schuster & Nakajima 2012 — the BERT
+    * tokenizer's rule): identical round structure to [[qBpeMerges]], but
+    * each round merges the pair maximizing the LIKELIHOOD GAIN
+    * c(pair)/(c(l)·c(r)) over the current symbol unigram counts — the
+    * difference that makes WordPiece prefer rare-but-cohesive pairs
+    * where BPE takes raw frequency. Output adds the winning score.
+    *
+    * Same scale shape as BPE (vocab-sized iteration, one pair aggregation
+    * + one unigram aggregation per round, argmax = limit(1), map-side
+    * fold merge); same oracle machinery with the argmax CTE swapped
+    * ([[wpBestSql]] — the score ratio is one multiply + one divide in
+    * doubles, identical IEEE shape both engines). */
+  val qWordpieceMerges: Q = Q("q_wordpiece_merges", wordpieceOracleSql()) { (s, d) =>
+    val steps = 3
+    val words = T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", split(col("w"), ""))
+      .localCheckpoint(true)
+    var cur = words
+    val merges = Seq.newBuilder[(Int, String, String, String, Long, Double)]
+    for (step <- 1 to steps) {
+      val n = size(col("syms"))
+      val pairs = cur
+        .filter(n >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val scs = cur.select(col("cnt"), explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(sum(col("cnt")).as("cs"))
+      val best = pairs
+        .join(scs.select(col("sym").as("l"), col("cs").as("cl")), "l")
+        .join(scs.select(col("sym").as("r"), col("cs").as("cr")), "r")
+        .withColumn("sc", dbl(col("c")) / (dbl(col("cl")) * dbl(col("cr"))))
+        .orderBy(col("sc").desc, col("l"), col("r")).limit(1).collect()
+      if (best.nonEmpty) {
+        val row = best(0)
+        val (l, r) = (row.getString(row.fieldIndex("l")), row.getString(row.fieldIndex("r")))
+        merges += ((step, l, r, l + r, row.getLong(row.fieldIndex("c")),
+          row.getDouble(row.fieldIndex("sc"))))
+        cur = cur.withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(true)
+      }
+    }
+    import s.implicits._
+    merges.result().toDF("step", "left", "right", "merged", "pair_count", "sc")
+      .select(col("step"), col("left"), col("right"), col("merged"), col("pair_count"),
+        round(col("sc"), 6).as("score"))
       .orderBy("step")
   }
 
@@ -780,7 +872,7 @@ object PipelineOps2 {
     pre.unionByName(post).unionByName(removed).orderBy("o").select("metric", "val")
   }
 
-  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qD4Diversify, qBpeMerges, qSearchIndexed,
+  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qD4Diversify, qBpeMerges, qWordpieceMerges, qSearchIndexed,
     qSpanDup, qSpanExtents, qBpeTokenize, qQualityTiers, qRagChunk, qSpanStrip,
     qStripAudit)
 }
