@@ -71,6 +71,71 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Kneser-Ney smoothed bigram perplexity (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998 with fixed discount
+    * d = 0.75) — the standard LM-quality filter one step up from
+    * [[qPerplexity]]'s MLE: mass discounted from seen bigrams is
+    * redistributed via the CONTINUATION probability (how many distinct
+    * left contexts a word follows — "Francisco" is frequent but follows
+    * only "San", so its continuation mass is tiny). Per doc: KN avg
+    * negative log-likelihood and perplexity.
+    *
+    *   p(w2|w1) = (c12 − d)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+    *
+    * (train == score, so c12 ≥ 1 > d and the discount never clips).
+    *
+    * Same plan budget as q_perplexity plus two model-sized aggregations
+    * (distinct-successor / distinct-predecessor counts keyed on single
+    * words); per-bigram log terms round to 6 dp and sum as
+    * DECIMAL(18,6) — partition-order exact, identical double shape both
+    * engines. */
+  val qPerplexityKn: Q = Q(
+    "q_perplexity_kn",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |pos AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS ord FROM toks),
+      |big AS (SELECT doc_id, t AS cur, LEAD(t) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt FROM pos),
+      |bg AS (SELECT doc_id, cur, nxt FROM big WHERE nxt IS NOT NULL),
+      |bc AS (SELECT cur, nxt, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT cur, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS n1f FROM bc GROUP BY 1),
+      |bw AS (SELECT nxt, COUNT(*) AS n1b FROM bc GROUP BY 1),
+      |dd AS (SELECT COUNT(*) AS d FROM bc),
+      |term AS (SELECT doc_id,
+      |    round(ln((CAST(c2 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+      |      + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+      |        * (CAST(n1b AS DOUBLE) / CAST(d AS DOUBLE))), 6) AS lp
+      |  FROM bg JOIN bc USING (cur, nxt) JOIN cc USING (cur)
+      |  JOIN bw USING (nxt) CROSS JOIN dd),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS s
+      |        FROM term GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |       round(-s / n_bigrams, 6) AS avg_nll,
+      |       round(exp(-s / n_bigrams), 6) AS ppl
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pos = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("ord", "t")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("ord")
+    val bg = pos.withColumn("nxt", lead(col("t"), 1).over(wDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("t").as("cur"), col("nxt"))
+    val bc = bg.groupBy("cur", "nxt").agg(count(lit(1)).as("c2"))
+    val cc = bc.groupBy("cur").agg(sum(col("c2")).cast("long").as("c1"), count(lit(1)).as("n1f"))
+    val bw = bc.groupBy("nxt").agg(count(lit(1)).as("n1b"))
+    val dd = bc.agg(count(lit(1)).as("d"))
+    val p = (dbl(col("c2")) - 0.75) / dbl(col("c1")) +
+      lit(0.75) * dbl(col("n1f")) / dbl(col("c1")) * (dbl(col("n1b")) / dbl(col("d")))
+    val term = bg.join(bc, Seq("cur", "nxt")).join(cc, Seq("cur"))
+      .join(bw, Seq("nxt")).crossJoin(broadcast(dd))
+      .select(col("doc_id"), round(log(p), 6).as("lp"))
+    term.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        dbl(sum(col("lp").cast(DecimalType(18, 6)))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s") / col("n_bigrams"), 6).as("avg_nll"),
+        round(exp(-col("s") / col("n_bigrams")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental cross-corpus dedup: classify a NEW batch of documents
     * (doc_id ≡ 0 mod 5 stands in for "today's crawl") against the BASE
     * corpus (everything else) — 'exact' (fingerprint already in base),
@@ -343,6 +408,6 @@ object PipelineOps {
     }
   }
 
-  val all: Seq[Q] = Seq(qPerplexity, qDedupIncr, qMixPlan, qMixTemperature, qEmbedCluster,
+  val all: Seq[Q] = Seq(qPerplexity, qPerplexityKn, qDedupIncr, qMixPlan, qMixTemperature, qEmbedCluster,
     qMixReweight)
 }
