@@ -103,6 +103,59 @@ class OracleKitSpec extends SparkSpec {
     }
   }
 
+  // full XXH64 over bytes (stripes + tail), the string-path model
+  private def xxh64Bytes(b: Array[Byte], seed: Long): Long = {
+    val n = b.length
+    var off = 0
+    def word(o: Int): Long = {
+      var w = 0L; var j = 7
+      while (j >= 0) { w = (w << 8) | (b(o + j) & 0xFFL); j -= 1 }
+      w
+    }
+    def rnd(acc: Long, in: Long): Long =
+      java.lang.Long.rotateLeft(acc + in * P2, 31) * P1
+    var h =
+      if (n >= 32) {
+        var v1 = seed + P1 + P2; var v2 = seed + P2; var v3 = seed; var v4 = seed - P1
+        while (off + 32 <= n) {
+          v1 = rnd(v1, word(off)); v2 = rnd(v2, word(off + 8))
+          v3 = rnd(v3, word(off + 16)); v4 = rnd(v4, word(off + 24))
+          off += 32
+        }
+        var m = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+          java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+        Seq(v1, v2, v3, v4).foreach(v => m = (m ^ rnd(0L, v)) * P1 + P4)
+        m
+      } else seed + P5
+    h += n
+    while (off + 8 <= n) {
+      h ^= rnd(0L, word(off)); h = java.lang.Long.rotateLeft(h, 27) * P1 + P4; off += 8
+    }
+    if (off + 4 <= n) {
+      var w = 0L; var j = 3
+      while (j >= 0) { w = (w << 8) | (b(off + j) & 0xFFL); j -= 1 }
+      h ^= w * P1; h = java.lang.Long.rotateLeft(h, 23) * P2 + P3; off += 4
+    }
+    while (off < n) {
+      h ^= (b(off) & 0xFFL) * P5; h = java.lang.Long.rotateLeft(h, 11) * P1; off += 1
+    }
+    fmix(h)
+  }
+
+  test("spark xxhash64 on strings is XXH64 over UTF-8 bytes (stripe + every tail shape)") {
+    // every byte-length residue class around the 32-byte stripe boundary,
+    // plus real gram-shaped strings
+    val strs = (0 to 70).map(n => ("ab cd " * 12).take(n)) ++
+      Seq("", "a", "hello world foo", "x" * 31, "y" * 32, "z" * 33)
+    import spark.implicits._
+    val got = strs.distinct.toDF("s")
+      .select(col("s"), xxhash64(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.distinct.foreach { s =>
+      assert(got(s) == xxh64Bytes(s.getBytes("UTF-8"), 42L), s"xxhash64(${s.take(20)}...) string-path drift")
+    }
+  }
+
   // --- Murmur3_x86_32 model (public spec: Appleby, MurmurHash3) ---
   private def rotl32(x: Int, r: Int): Int = Integer.rotateLeft(x, r)
   private def mixK1(k0: Int): Int = {

@@ -50,6 +50,12 @@ class PlanSweepSpec extends SparkSpec {
                            // (model-vs-model by design; data never pairs)
     "q_source_divergence", // S-row totals x top-40 vocab grid (model-sized)
     "q_mix_plan",          // 20-row mix table x 1-row totals (constant side)
+    "q_mix_temperature",   // 20-row mix table x 1-row normalizer (constant
+                           // sides; same shape as q_mix_plan)
+    "q_perplexity_kn",     // bigram terms x 1-row distinct-bigram total
+                           // (constant side; the KN continuation base)
+    "q_dsir",              // bucket table x 1-row pool totals (constant
+                           // side; per-doc scoring joins equi on bucket)
     "q_mix_reweight",      // 20-row mix table x 1-row mixture average per
                            // round (constant sides; corpus read once)
     "q_split_temporal",    // rows x 1-row span bounds (constant side)
