@@ -280,6 +280,68 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a token budget UNIFORMLY across sources,
+    * subject to a per-source epoch cap (here 4 epochs) — small sources
+    * are capped at cap = epochs·supply, and their residual redistributes
+    * evenly among the rest. The published waterfilling loop has a closed
+    * form over the capacity-ascending order: with prefix sums P and N
+    * sources, source i is capped iff cᵢ·(N−i+1) + Pᵢ₋₁ ≤ B (capping is a
+    * prefix of the ascending order), and every uncapped source gets
+    * ⌊(B − P_K)/(N − K)⌋ where K is the capped-prefix length — so the
+    * whole allocation is two windows over a source-sized table, no
+    * iteration. ALL arithmetic is exact long algebra (the q_ppr trick);
+    * epochs-realized is the only double, rounded at 6 dp.
+    *
+    * Completes the mixture-planning family: q_mix_plan (weights GIVEN),
+    * q_mix_temperature (weights = share^α), q_mix_reweight (weights
+    * LEARNED), q_unimax (budget split FAIRLY under caps). */
+  val qUnimax: Q = Q(
+    "q_unimax",
+    """WITH tok AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS supply
+      |             FROM documents GROUP BY 1),
+      |c AS (SELECT source, supply, 4 * supply AS cap FROM tok),
+      |w AS (SELECT source, supply, cap,
+      |        ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+      |        COALESCE(SUM(cap) OVER (ORDER BY cap, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+      |        COUNT(*) OVER () AS n,
+      |        (SELECT SUM(supply) // 2 FROM tok) AS b FROM c),
+      |f AS (SELECT *, CASE WHEN cap * (n - i + 1) + p <= b THEN 1 ELSE 0 END AS capped FROM w),
+      |g AS (SELECT *, COALESCE(MAX(CASE WHEN capped = 1 THEN i END) OVER (), 0) AS k,
+      |        COALESCE(SUM(CASE WHEN capped = 1 THEN cap END) OVER (), 0) AS pk FROM f)
+      |SELECT source, supply, cap,
+      |  CAST(CASE WHEN capped = 1 THEN cap ELSE (b - pk) // (n - k) END AS BIGINT) AS allocated,
+      |  capped,
+      |  round(CAST(CASE WHEN capped = 1 THEN cap ELSE (b - pk) // (n - k) END AS DOUBLE)
+      |    / CAST(supply AS DOUBLE), 6) AS epochs
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val tok = T.documents(s, d).groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("supply"))
+    val c = tok.withColumn("cap", lit(4L) * col("supply"))
+    val b = tok.agg((sum(col("supply")) / 2).cast("long").as("b"))
+    val wAsc = Window.orderBy(col("cap"), col("source"))
+    val w = c.crossJoin(broadcast(b))
+      .withColumn("i", row_number().over(wAsc))
+      .withColumn("p", coalesce(
+        sum(col("cap")).over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("capped",
+        when(col("cap") * (col("n") - col("i") + 1) + col("p") <= col("b"), 1).otherwise(0))
+    val g = w
+      .withColumn("k", coalesce(
+        max(when(col("capped") === 1, col("i"))).over(Window.partitionBy()), lit(0L)))
+      .withColumn("pk", coalesce(
+        sum(when(col("capped") === 1, col("cap"))).over(Window.partitionBy()), lit(0L)))
+    val alloc = when(col("capped") === 1, col("cap"))
+      .otherwise(((col("b") - col("pk")) / (col("n") - col("k"))).cast("long"))
+    g.select(col("source"), col("supply"), col("cap"),
+        alloc.cast("long").as("allocated"), col("capped"),
+        round(dbl(alloc) / dbl(col("supply")), 6).as("epochs"))
+      .orderBy("source")
+  }
+
   /** Embedding-space clustering (semantic bucketing of a corpus): fit the
     * deterministic k-means codebook ([[Similarity.fitKmeansCodebook]] — a
     * hash-sample fit, model-fit-sized), assign every vector map-side
@@ -408,6 +470,6 @@ object PipelineOps {
     }
   }
 
-  val all: Seq[Q] = Seq(qPerplexity, qPerplexityKn, qDedupIncr, qMixPlan, qMixTemperature, qEmbedCluster,
+  val all: Seq[Q] = Seq(qPerplexity, qPerplexityKn, qDedupIncr, qMixPlan, qMixTemperature, qUnimax, qEmbedCluster,
     qMixReweight)
 }
