@@ -8,12 +8,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Round-6 LLM-data-pipeline operators: bigram-LM perplexity scoring,
-  * incremental (cross-corpus) dedup, embedding-space clustering, and
-  * training-mix planning. Reference analogs where they exist are cited
-  * per operator; perplexity/mix/clustering are the training-data-pipeline
-  * mandate (corpus quality filtering, mixture rebalancing, semantic
-  * bucketing).
+/** LLM-data-pipeline operators: LM perplexity scoring (MLE and
+  * Kneser-Ney), incremental (cross-corpus) dedup, embedding-space
+  * clustering, and the full mixture-planning family — q_mix_plan
+  * (weights GIVEN), q_mix_temperature (weights = share^alpha, Conneau &
+  * Lample 2019), q_mix_reweight (weights LEARNED, DoReMi-shaped), and
+  * q_unimax (budget split FAIRLY under epoch caps, Chung et al. 2023).
+  * Reference analogs where they exist are cited per operator;
+  * perplexity/mix/clustering are the training-data-pipeline mandate
+  * (corpus quality filtering, mixture rebalancing, semantic bucketing).
   *
   * Tokenization matches TextAnalysis/Retrieval: single-space split,
   * mirrored by string_split(text, ' ') in the oracles.

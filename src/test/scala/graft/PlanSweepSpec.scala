@@ -52,6 +52,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_mix_plan",          // 20-row mix table x 1-row totals (constant side)
     "q_mix_temperature",   // 20-row mix table x 1-row normalizer (constant
                            // sides; same shape as q_mix_plan)
+    "q_unimax",            // 20-row mix table x 1-row budget (constant side)
     "q_perplexity_kn",     // bigram terms x 1-row distinct-bigram total
                            // (constant side; the KN continuation base)
     "q_dsir",              // bucket table x 1-row pool totals (constant
