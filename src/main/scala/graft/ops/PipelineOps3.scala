@@ -974,14 +974,19 @@ object PipelineOps3 {
        |FROM dlw ORDER BY doc_id""".stripMargin
   }
 
-  val qDsir: Q = Q("q_dsir", dsirOracleSql()) { (s, d) =>
-    val buckets = 8192
-    val docs = T.documents(s, d)
-    val isTarget = (substring(col("source"), 4, 10).cast("int") % 2) === 0
-    val feats = docs
-      .select(col("doc_id"), col("source"),
+  /** Hashed-bigram features of a documents table: (doc_id, b). */
+  private def dsirFeats(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"),
         explode(graft.functions.NgramHashes(col("text"), 2)).as("h"))
       .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+
+  /** The FROZEN DSIR model: the B-sized bucket table (b, t) of 6dp-rounded
+    * log importance ratios, target vs raw pool — model-fit-sized, the
+    * artifact [[graft.streaming.StreamingOps.dsirScoreSink]] broadcasts
+    * against an arriving stream. */
+  def dsirModel(docs: DataFrame, buckets: Int = 8192): DataFrame = {
+    val isTarget = (substring(col("source"), 4, 10).cast("int") % 2) === 0
+    val feats = dsirFeats(docs, buckets)
     val cnt = feats.groupBy("b").agg(
       sum(when(isTarget, 0L).otherwise(1L)).as("cq"),
       sum(when(isTarget, 1L).otherwise(0L)).as("cp"))
@@ -991,15 +996,25 @@ object PipelineOps3 {
     val term = round(
       log((dbl(col("cp")) + 1) / (dbl(col("np")) + buckets)) -
         log((dbl(col("cq")) + 1) / (dbl(col("nq")) + buckets)), 6)
-    val bt = cnt.crossJoin(broadcast(tot)).select(col("b"), term.as("t"))
-    feats.join(broadcast(bt), "b")
+    cnt.crossJoin(broadcast(tot)).select(col("b"), term.as("t"))
+  }
+
+  /** Score documents against a (frozen) DSIR model. Per-doc and
+    * model-broadcast, so scoring is COMPOSITIONAL: any partition of the
+    * corpus into batches scores identically (the streaming sink's
+    * correctness contract). */
+  def dsirScore(docs: DataFrame, model: DataFrame, buckets: Int = 8192): DataFrame =
+    dsirFeats(docs, buckets).join(broadcast(model), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         dbl(sum(col("t").cast(org.apache.spark.sql.types.DecimalType(18, 6)))).as("lw"))
       .select(col("doc_id"), col("n_grams"),
         round(col("lw"), 6).as("log_weight"),
         when(col("lw") > 0, 1).otherwise(0).as("selected"))
-      .orderBy("doc_id")
+
+  val qDsir: Q = Q("q_dsir", dsirOracleSql()) { (s, d) =>
+    val docs = T.documents(s, d)
+    dsirScore(docs, dsirModel(docs)).orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed,

@@ -540,6 +540,29 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming DSIR tagging: each arriving micro-batch of documents is
+    * scored against the FROZEN importance model (the B-sized bucket table
+    * of [[graft.ops.PipelineOps3.dsirModel]], persisted once at fit time
+    * and broadcast per batch — it never refits on the stream, exactly the
+    * frozen-model posture of [[screenSink]]/the near-dup service).
+    * Scoring is per-doc against a broadcast model, so it is
+    * COMPOSITIONAL: micro-batching can never change a doc's weight or
+    * selection verdict (spec pins streamed union == one-shot scoring).
+    * Exactly-once via the repo's overwrite-idempotent `part=batch_<id>`
+    * regioned-append convention. */
+  def dsirScoreSink(docs: DataFrame, modelPath: String, outDir: String,
+                    buckets: Int = 8192)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val model = batch.sparkSession.read.parquet(modelPath)
+          graft.ops.PipelineOps3.dsirScore(batch, model, buckets)
+            .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
+        }
+        ()
+      }
+
   /** Streaming CDC into the time-traveled table: each micro-batch commits
     * one [[graft.sources.Versioned]] version (upsert semantics, only
     * batch-touched partitions rewritten) — the streamed table keeps its

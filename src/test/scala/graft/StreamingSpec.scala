@@ -382,6 +382,51 @@ class StreamingSpec extends SparkSpec {
     assert(regions.length == 2, regions.mkString(","))
   }
 
+  test("streaming DSIR tagging: frozen model, streamed union == one-shot scoring, regioned layout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, TinyDir).localCheckpoint(true)
+    val modelDir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    val out = java.nio.file.Files.createTempDirectory("dsir_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dsir_ck").toString
+    // fit once on the corpus, freeze to parquet (the serving artifact)
+    graft.ops.PipelineOps3.dsirModel(docs)
+      .write.mode("overwrite").parquet(s"$modelDir/model.parquet")
+    // "tomorrow's crawl": a held-out slice arriving in two micro-batches
+    val arriving = docs.filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val (b1, b2) = arriving.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.dsirScoreSink(
+        mem.toDF().toDF("doc_id", "source", "text"),
+        s"$modelDir/model.parquet", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_grams", "log_weight", "selected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val oneShot = graft.ops.PipelineOps3.dsirScore(
+        docs.filter(col("doc_id") % 3 === 0),
+        spark.read.parquet(s"$modelDir/model.parquet"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(streamed == oneShot,
+      s"missing=${(oneShot -- streamed).take(3)} extra=${(streamed -- oneShot).take(3)}")
+    assert(oneShot.nonEmpty)
+    // the model stayed frozen: batch docs did not shift any weights — a
+    // re-fit over corpus+arrivals would disagree on at least one doc
+    val refit = graft.ops.PipelineOps3.dsirScore(
+        docs.filter(col("doc_id") % 3 === 0), graft.ops.PipelineOps3.dsirModel(docs.union(docs.filter(col("doc_id") % 3 === 0))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(refit != streamed, "refit sentinel: scoring must depend on the frozen model")
+    val regions = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part=batch_")).map(_.getName).sorted
+    assert(regions.length == 2, regions.mkString(","))
+  }
+
   test("streaming fan-out: one cached batch feeds N sinks; batch dirs + ledger idempotent layout") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
