@@ -149,6 +149,18 @@ object OracleKit {
   def foldSumSql(listExpr: String): String =
     s"list_reduce($listExpr, (acc, x) -> acc + x)"
 
+  /** Signed rolling polynomial hash of the n bytes of `textCol` starting
+    * at 0-based position column `posCol` — [[graft.functions.RollingHash]]'s
+    * per-window value as ONE list_reduce fold (an n-layer nested-projection
+    * chain re-copies every carried column — including the document text —
+    * through all n layers; at n = 50 that was the oracle's whole cost). */
+  def polyHashFoldSteps(textCol: String, posCol: String, n: Int, base: Long): Seq[(String, String)] = {
+    val bytes = s"list_transform(range(1, ${n + 1}), i -> ord(substr($textCol, ($posCol + i)::INT, 1))::UBIGINT)"
+    Seq(
+      "rhu" -> s"list_reduce($bytes, (a, b) -> ((${mul64("a", base)}::HUGEINT + b) % $M64)::UBIGINT)",
+      "hh" -> toSigned64("rhu"))
+  }
+
   // ---- XXH64 over UTF-8 strings (general: stripes + tail) ----
 
   /** 8-byte little-endian word of byte-list `bl` at 0-based offset `off0`. */

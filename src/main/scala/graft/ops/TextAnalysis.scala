@@ -147,16 +147,10 @@ object TextAnalysis {
     * corpus is all-ASCII, so ord(substr) IS the UTF-8 byte; a non-ASCII
     * corpus would fail the gate loudly) — then the same w-row MIN window. */
   private def winnowOracleSql(n: Int = 16, w: Int = 8): String = {
-    val base = 1000003L
-    val steps = (0 until n).map { i =>
-      val b = s"ord(substr(text, p + ${i + 1}, 1))::UBIGINT"
-      if (i == 0) ("rh0", b)
-      else (s"rh$i", s"((${OracleKit.mul64(s"rh${i - 1}", base)}::HUGEINT + $b) % 18446744073709551616)::UBIGINT")
-    } :+ ("hh", OracleKit.toSigned64(s"rh${n - 1}"))
     val chain = OracleKit.nestedProjections(
       s"SELECT doc_id, text, unnest(range(0, length(text) - $n + 1)) AS p" +
         s" FROM documents WHERE length(text) >= $n",
-      steps, "doc_id, p, hh")
+      OracleKit.polyHashFoldSteps("text", "p", n, 1000003L), "doc_id, p, hh")
     s"""WITH wh AS MATERIALIZED ($chain),
        |wmin AS MATERIALIZED (SELECT doc_id, MIN(hh) OVER (PARTITION BY doc_id ORDER BY p
        |  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp FROM wh),
@@ -192,17 +186,29 @@ object TextAnalysis {
     * Fully oracled from birth: the rolling hash replays byte-by-byte
     * (the q_fingerprint_winnow chain at L=50); the merge is plain SQL. */
   private def dedupSubstrOracleSql(l: Int = 50): String = {
+    // the ROLLING recurrence, not a per-window fold: recomputing every
+    // 50-byte window from scratch costs windows×l lambda evals (~16 s at
+    // sf0.01); the recursive CTE advances every doc one position per
+    // level — h' = (h − b_p·base^(l−1))·base + b_{p+l} — exactly
+    // RollingHash.hashes' update, windows×1 work
     val base = 1000003L
-    val steps = (0 until l).map { i =>
-      val b = s"ord(substr(text, p + ${i + 1}, 1))::UBIGINT"
-      if (i == 0) ("rh0", b)
-      else (s"rh$i", s"((${OracleKit.mul64(s"rh${i - 1}", base)}::HUGEINT + $b) % 18446744073709551616)::UBIGINT")
-    } :+ ("hh", OracleKit.toSigned64(s"rh${l - 1}"))
-    val chain = OracleKit.nestedProjections(
-      s"SELECT doc_id, text, unnest(range(0, length(text) - $l + 1)) AS p" +
+    var pow = 1L // base^(l-1) mod 2^64, the leading-byte weight
+    for (_ <- 1 until l) pow *= base
+    val anchor = OracleKit.nestedProjections(
+      s"SELECT doc_id, text, length(text)::BIGINT AS len, 0::BIGINT AS p" +
         s" FROM documents WHERE length(text) >= $l",
-      steps, "doc_id, p, hh")
-    s"""WITH sh AS MATERIALIZED ($chain),
+      OracleKit.polyHashFoldSteps("text", "p", l, base), "doc_id, text, len, p, rhu")
+    val bOut = "ord(substr(r.text, (r.p + 1)::INT, 1))::UBIGINT" // byte leaving the window
+    val bIn = s"ord(substr(r.text, (r.p + $l + 1)::INT, 1))::UBIGINT" // byte entering
+    val stripped = s"((r.rhu::HUGEINT - ${OracleKit.mul64(bOut, pow)}::HUGEINT" +
+      " + 18446744073709551616) % 18446744073709551616)::UBIGINT"
+    val next = s"((${OracleKit.mul64(s"($stripped)", base)}::HUGEINT + $bIn) % 18446744073709551616)::UBIGINT"
+    s"""WITH RECURSIVE roll(doc_id, text, len, p, rhu) AS (
+       |  $anchor
+       |  UNION ALL
+       |  SELECT r.doc_id, r.text, r.len, r.p + 1, $next
+       |  FROM roll r WHERE r.p + 1 <= r.len - $l),
+       |sh AS MATERIALIZED (SELECT doc_id, p, ${OracleKit.toSigned64("rhu")} AS hh FROM roll),
        |rep AS MATERIALIZED (SELECT hh FROM sh GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 2),
        |hits AS MATERIALIZED (SELECT s.doc_id, s.p FROM sh s JOIN rep USING (hh)),
        |isl AS (SELECT doc_id, p,
