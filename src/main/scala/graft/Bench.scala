@@ -21,7 +21,8 @@ object Bench {
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    type Fn = (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame
+    def runOne(fn: Fn): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -33,19 +34,42 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (secs, ok)
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (secs, ok) = runOne(name, fn); (name, fn, secs, ok)
+    // This machine is shared, and contention windows are SUSTAINED (r10:
+    // four untouched queries drifted +60-80% in the driver run although
+    // each got an immediate min-of-two — both samples landed inside the
+    // same window). An immediate retry cannot decorrelate that; a retry
+    // PASS can: the slow tail is re-measured as its own sweep, minutes of
+    // wall-clock after the first sample of the same query. Policy:
+    //   pass 1: every query (gate + production twins) once;
+    //   pass 2: everything that measured >1.0s, re-measured in a second
+    //           interleaved sweep; keep the min;
+    //   pass 3: queries still >2.5s whose two samples disagree >25% —
+    //           the genuinely noisy slow tail — get a third sample.
+    // min (not median) because contention noise is strictly one-sided:
+    // the fastest observed run is the best estimate of the plan's cost.
+    val gateItems = SparkEntry.queries.toSeq.sortBy(_._1)
+    val prodItems = Production.forms.toSeq.sortBy(_._1).map { case (n, f) => ("prod/" + n, f) }
+    val allItems: Seq[(String, Fn)] = gateItems ++ prodItems
+    val pass1 = allItems.map { case (name, fn) => (name, fn, runOne(fn)) }
+    val retryItems = pass1.filter { case (_, _, (secs, ok)) => ok && secs > 1.0 }
+    val pass2 = retryItems.map { case (name, fn, m1) => (name, fn, m1, runOne(fn)) }
+    val pass3 = pass2.flatMap { case (name, fn, (s1, _), (s2, ok2)) =>
+      val best = if (ok2) math.min(s1, s2) else s1
+      val spread = if (ok2) math.abs(s1 - s2) / math.max(best, 1e-9) else 0.0
+      if (best > 2.5 && spread > 0.25) Some((name, fn, runOne(fn))) else None
     }
-    // this machine is shared: a transient contention spike can inflate one
-    // query 10-20x and dominate the total. Re-measure only the outliers
-    // (>2.5s) once and keep the better time — bounded extra cost (the slow
-    // tail), robust headline.
-    val results = firstPass.map { case (name, fn, secs, ok) =>
-      if (ok && secs > 2.5) {
-        val (secs2, ok2) = runOne(name, fn)
-        (name, math.min(secs, if (ok2) secs2 else secs), ok)
-      } else (name, secs, ok)
+    val bestOf: Map[String, Double] = {
+      val samples = pass1.map { case (n, _, m) => (n, m) } ++
+        pass2.map { case (n, _, _, m) => (n, m) } ++
+        pass3.map { case (n, _, m) => (n, m) }
+      samples.groupBy(_._1).map { case (n, ms) =>
+        val oks = ms.collect { case (_, (s, true)) => s }
+        (n, if (oks.nonEmpty) oks.min else ms.head._2._1)
+      }
     }
+    val okOf: Map[String, Boolean] =
+      pass1.map { case (n, _, (_, ok)) => (n, ok) }.toMap
+    val results = gateItems.map { case (name, _) => (name, bestOf(name), okOf(name)) }
     // The driver captures only the LAST 2000 chars of output and parses the
     // JSON line out of that tail — a line longer than ~1880 chars gets its
     // head cut off and fails to parse (it did in r1/r2). Emit per-query
@@ -78,10 +102,12 @@ object Bench {
     // certificate-carrying gate queries, timed into their own field so
     // the production cost and the certificate cost stay separately
     // visible round-over-round. Kept OUT of `total` (the headline stays
-    // comparable across rounds).
-    val prodTimes = Production.forms.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (secs, ok) = runOne(name, fn)
-      (name, secs, ok)
+    // comparable across rounds). Measured by the SAME multi-pass policy
+    // as gate queries (VERDICT r10 #2: a one-shot twin measured 7.0s
+    // against its certified sibling's retried 3.4s — structurally
+    // impossible and purely a measurement artifact).
+    val prodTimes = prodItems.map { case (key, _) =>
+      (key.stripPrefix("prod/"), bestOf(key), okOf(key))
     }
     val prodPart = {
       val entries = prodTimes.collect { case (k, v, true) => s""""$k":${d3(v)}""" }

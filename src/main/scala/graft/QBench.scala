@@ -1,9 +1,11 @@
 package graft
 
-/** Dev utility: warmed per-query timing for a list of queries.
-  * Usage: runMain graft.QBench <sfDir> <query...>  (each query runs
-  * twice; the second, warmed time is the one to compare — cold runs on a
-  * shared host carry JIT + page-cache + contention noise). */
+/** Dev utility: interleaved per-query timing for a list of queries.
+  * Usage: runMain graft.QBench <sfDir> <query...>  — three ROUND-ROBIN
+  * passes over the list (not back-to-back repeats: a sustained host
+  * contention window poisons consecutive samples of the same query, the
+  * r10 driver-bench lesson; interleaving puts minutes between samples).
+  * Reports min/median/max per query; min is the plan-cost estimate. */
 object QBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
@@ -13,16 +15,24 @@ object QBench {
       try graft.sources.Tables.tableNormalized(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
-    args.tail.foreach { name =>
-      val times = (1 to 2).map { _ =>
+    val names = args.tail.toSeq
+    // warmup pass (JIT + codegen + page cache), then 3 measured passes
+    names.foreach { n => try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => () } }
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val samples = (1 to 3).flatMap { round =>
+      names.map { name =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
         val s = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        s
+        (name, s)
       }
-      println(f"QBENCH $name cold=${times.head}%.2f warm=${times.last}%.2f")
+    }
+    names.foreach { name =>
+      val ts = samples.collect { case (`name`, s) => s }.sorted
+      println(f"QBENCH $name min=${ts.head}%.2f med=${ts(ts.length / 2)}%.2f max=${ts.last}%.2f")
     }
     spark.stop()
   }

@@ -47,13 +47,18 @@ object GraphOps2 {
     // that is constant per src — pure ALU, no extra shuffle), instead of
     // a rank⋈degree join followed by the edge join every round.
     val ed = e0Checkpoint(e.join(deg, "src"))
+    // mid-size band (see BcastMaxNodes): broadcast the node-sized
+    // rank table each round so the edge table never re-shuffles (deg is
+    // checkpointed — the node count is one cheap memory pass)
+    val bNodes = deg.count() <= BcastMaxNodes
+    def b(df: DataFrame): DataFrame = if (bNodes) broadcast(df) else df
     var pr = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
     for (i <- 1 to iters) {
-      val sums = ed.join(pr, col("src") === col("node"))
+      val sums = ed.join(b(pr), col("src") === col("node"))
         .groupBy("dst").agg(sum(expr("pr div d")).as("s"))
       val next =
         deg.select(col("src").as("node"))
-          .join(sums, col("node") === col("dst"), "left")
+          .join(b(sums), col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(PrTeleport) + expr("(85 * coalesce(s, 0)) div 100")).as("pr"))
       // each round references pr ONCE, so the plan grows linearly (not the
@@ -84,17 +89,39 @@ object GraphOps2 {
     * (long-keyed) edge set fits [[DriverCcMaxEdges]]; None keeps the
     * distributed loop. `e` must already be checkpointed (the count is a
     * cached-RDD pass). */
-  /** The one routing predicate all size-routed ops share: every column
-    * long-keyed AND the (already-checkpointed) table under the gate. */
-  private def underDriverGate(e: DataFrame, maxEdges: Long): Boolean =
-    e.schema.fields.forall(_.dataType ==
-      org.apache.spark.sql.types.LongType) && e.count() <= maxEdges
+  /** The routing probe all size-routed ops share: if every column is
+    * long-keyed, ONE `limit(gate+1)` collect both decides the route and
+    * delivers the edge array — under the gate, limit(gate+1) returns the
+    * complete (deterministic) edge SET; over it, the probe short-circuits
+    * after a bounded prefix and the distributed loop proceeds. r11: this
+    * replaces r10's count → collect pair (two full passes) with one
+    * bounded pass; `e` must already be checkpointed (both the probe and
+    * the distributed loop read the materialized edges — an over-gate
+    * probe costs one bounded memory scan, never a recompute). Rows
+    * collected are bounded by the gate (+1) regardless of corpus size. */
+  private def probeRows(e: DataFrame, maxEdges: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    if (!e.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType)) return None
+    val gate = math.min(maxEdges, Int.MaxValue - 2L).toInt
+    val probe = e.limit(gate + 1).collect()
+    if (probe.length <= gate) Some(probe) else None
+  }
 
   private def smallLongEdges(e: DataFrame,
                              maxEdges: Long): Option[Array[(Long, Long)]] =
-    if (underDriverGate(e, maxEdges))
-      Some(e.collect().map(r => (r.getLong(0), r.getLong(1))))
-    else None
+    probeRows(e, maxEdges).map(_.map(r => (r.getLong(0), r.getLong(1))))
+
+  /** Node-count ceiling under which the per-round NODE-sized tables
+    * (ranks, labels, tentative distances) broadcast instead of shuffle —
+    * the mid-size band between the driver gate and cluster scale: 8M
+    * nodes ≈ 128 MB of (long, long), one Torrent copy per executor. The
+    * edge table then NEVER re-shuffles after its one checkpoint — each
+    * round is a map-side broadcast join + one partial-aggregated
+    * node-sized shuffle, instead of re-sorting the full edge set per
+    * round through an SMJ. Past the ceiling (hundreds of millions of
+    * nodes) the shuffle join is the only correct plan and ships
+    * unchanged. */
+  private val BcastMaxNodes: Long = 8000000L
 
   /** Driver replay of the pagerank/PPR integer rounds: identical long
     * algebra as [[pagerankInt]]/[[pprInt]] (init PrScale — seed-masked
@@ -144,6 +171,8 @@ object GraphOps2 {
     val deg = e0Checkpoint(e.groupBy("src").agg(count(lit(1)).as("d")))
     // same degree-folded edge table as pagerankInt: one join per round
     val ed = e0Checkpoint(e.join(deg, "src"))
+    val bNodes = deg.count() <= BcastMaxNodes // see pagerankInt
+    def b(df: DataFrame): DataFrame = if (bNodes) broadcast(df) else df
     val anchored = e0Checkpoint(
       deg.select(col("src").as("node"))
         .join(seeds.select(col("node")).distinct().withColumn("one", lit(1L)),
@@ -151,10 +180,10 @@ object GraphOps2 {
         .select(col("node"), coalesce(col("one"), lit(0L)).as("is_seed")))
     var pr = anchored.select(col("node"), (col("is_seed") * PrScale).as("pr"))
     for (i <- 1 to iters) {
-      val sums = ed.join(pr, col("src") === col("node"))
+      val sums = ed.join(b(pr), col("src") === col("node"))
         .groupBy("dst").agg(sum(expr("pr div d")).as("s"))
       val next = anchored
-        .join(sums, col("node") === col("dst"), "left")
+        .join(b(sums), col("node") === col("dst"), "left")
         .select(col("node"),
           (col("is_seed") * PrTeleport +
             expr("(85 * coalesce(s, 0)) div 100")).as("pr"))
@@ -223,24 +252,29 @@ object GraphOps2 {
     * Returns (node, lbl = component min) for every edge endpoint;
     * convergence is verified structurally (src/dst disjoint + unique
     * parent per child), so a partial merge can never return silently. */
-  /** Edge-count gate below which CC runs as driver union-find: 1M edges
-    * collect to ~16 MB and label in milliseconds, where the star
-    * contraction loop pays ~5 Spark jobs PER ROUND (two phases, two
-    * structural-convergence probes, a checkpoint) — ~4.6s for a
-    * 2000-edge dedup graph at bench scale (r10 measurement). Near-dup
-    * pair graphs are pair-table-sized, usually far under corpus size, so
-    * this is the common serving case; a corpus-scale edge set (entity
-    * resolution over billions) stays on the distributed loop. Both
-    * routes emit identical labels (component minimum), which the CC
-    * oracle hashes and PropertySpec cross-pins. */
-  val DriverCcMaxEdges: Long = 1000000L
+  /** Edge-count gate below which the iterative graph ops run as driver
+    * replays (union-find / integer rounds): 4M edges collect to ~64 MB
+    * and replay in well under a second, where the distributed loops pay
+    * a handful of Spark jobs per round (joins, aggregations, eager
+    * checkpoints) — measured r11 at sf0.1: the 1.2M-edge lineitem
+    * incidence graph replays in ~0.7s on the driver vs ~3.2s through the
+    * 3-round distributed loop (8 jobs), and the r10 gate of 1M left it
+    * marooned just over the line. The crossover (driver replay =
+    * single-threaded ~8M map-ops/s vs the loop's fixed ~3-4s job
+    * overhead at 32 threads) sits well past 4M edges; past the gate —
+    * entity resolution over billions of edges — the log-round
+    * distributed contraction is the only correct plan and ships
+    * unchanged. Both routes emit identical labels/ranks (exact integer
+    * algebra), which the oracles hash and the forced-route specs pin. */
+  val DriverCcMaxEdges: Long = 4000000L
 
   def connectedComponents(edges: DataFrame, maxIters: Int,
                           driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val e0 = e0Checkpoint(edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")))
-    if (underDriverGate(e0, driverMaxEdges))
-      return driverComponents(e0)
+    smallLongEdges(e0, driverMaxEdges).foreach { arr =>
+      return driverComponents(edges.sparkSession, arr)
+    }
     val nodes = e0Checkpoint(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct())
     // orient child→parent (src > dst): small-star groups by the child side
@@ -291,10 +325,9 @@ object GraphOps2 {
     * collected edge list, labels = component minimum (identical contract
     * to the distributed loop), parallelized back as one local relation.
     * Deterministic: labels depend only on the edge SET. */
-  private def driverComponents(e0: DataFrame): DataFrame = {
-    val spark = e0.sparkSession
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+                               pairs: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -532,7 +565,7 @@ object GraphOps2 {
                        driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val e = e0Checkpoint(symEdges.select("src", "dst"))
     smallLongEdges(e, driverMaxEdges).foreach { arr =>
-      val spark = e.sparkSession
+      val spark = symEdges.sparkSession
       import spark.implicits._
       // round semantics mirrored exactly: contributions flow along edges
       // from CURRENTLY-labeled sources (the distributed inner join), the
@@ -557,6 +590,9 @@ object GraphOps2 {
       }
       return l.toSeq.sorted.toDF("node", "lbl")
     }
+    // labels live on the distinct dst side (symmetric edges: same set)
+    val bNodes = e.select(col("dst")).distinct().count() <= BcastMaxNodes
+    def b(df: DataFrame): DataFrame = if (bNodes) broadcast(df) else df
     // round 1's "join labels" is the identity mapping (lbl = node id), so
     // the neighbor-label stream is just the edge list relabeled — no node
     // distinct, no first join. Node set = distinct dst (same set: edges
@@ -565,7 +601,7 @@ object GraphOps2 {
     for (i <- 1 to iters) {
       val contrib =
         if (l == null) e.select(col("dst"), col("src").as("lbl"))
-        else e.join(l, col("src") === col("node")).select(col("dst"), col("lbl"))
+        else e.join(b(l), col("src") === col("node")).select(col("dst"), col("lbl"))
       val next = contrib
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst").as("node"))
@@ -700,13 +736,13 @@ object GraphOps2 {
   def ssspInt(edges: DataFrame, sources: DataFrame, hops: Int,
               driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val e = e0Checkpoint(edges.select(col("src"), col("dst"), col("w")))
-    // size route (see smallLongEdges): min-plus over longs replays
-    // bit-identically on the driver; the weighted collect is its own
+    // size route (see probeRows): min-plus over longs replays
+    // bit-identically on the driver; the weighted probe is its own
     // shape, but the gate is the same
-    if (underDriverGate(e, driverMaxEdges)) {
-      val spark = e.sparkSession
+    probeRows(e, driverMaxEdges).foreach { rows =>
+      val spark = edges.sparkSession
       import spark.implicits._
-      val arr = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val arr = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       var d = sources.select(col("node").cast("long")).distinct()
         .collect().map(_.getLong(0) -> 0L).toMap
       for (_ <- 1 to hops) {
@@ -721,10 +757,13 @@ object GraphOps2 {
       }
       return d.toSeq.sorted.toDF("node", "dist")
     }
+    // the dist table is bounded by the reachable node set ≤ distinct dst
+    val bNodes = e.select(col("dst")).distinct().count() <= BcastMaxNodes
+    def b(df: DataFrame): DataFrame = if (bNodes) broadcast(df) else df
     var dist = e0Checkpoint(sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)))
     for (h <- 1 to hops) {
-      val cand = e.join(dist, col("node") === col("src"))
+      val cand = e.join(b(dist), col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.union(cand)
         .groupBy("node").agg(min(col("dist")).as("dist"))

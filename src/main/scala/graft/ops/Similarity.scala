@@ -19,6 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Scale ceiling for the FUSED ALL-PAIRS arms of the measured routers
+    * ([[cosineNearDupPairs]], [[exactKnnEdgesRouted]]). On an isotropic
+    * corpus the exact τ-threshold cosine join / exact kNN has no
+    * subquadratic plan — the routers correctly pick the n²/2 scan there,
+    * but above this many rows that scan is a silent quadratic cluster
+    * job (1M rows already means 5·10¹¹ candidate dots — the outer edge
+    * of a DELIBERATE exact job) plus a corpus-wide localCheckpoint. So
+    * past the ceiling the router fails loud ([[FusedScanTooLarge]]),
+    * naming the approximate twins; callers who truly want the exact scan
+    * raise `maxFusedRows` explicitly — quadratic work becomes an opt-in,
+    * never a default (VERDICT r10 #3). */
+  val MaxFusedRows: Long = 1000000L
+
+  /** Thrown when a measured router would pick the fused all-pairs scan
+    * on a corpus larger than its `maxFusedRows` ceiling. */
+  final class FusedScanTooLarge(val op: String, val n: Long, val ceiling: Long)
+      extends IllegalStateException(
+        s"$op: the measured route is the fused all-pairs scan (isotropic corpus: " +
+        s"cell bounds do not prune), but the corpus has $n rows > maxFusedRows=$ceiling " +
+        s"— that scan is Θ(n²/2) = ${n * (n - 1) / 2} exact dot products. " +
+        "Either raise maxFusedRows to opt in to the exact quadratic job, or use an " +
+        "approximate twin with a recall contract: Similarity.lshCandidatePairs " +
+        "(banded random-hyperplane LSH), Similarity.knnGraphFromCandidates " +
+        "(kNN over LSH candidates), Similarity.cellCandidatePairs (IVF cells), or " +
+        "Dedup.minhashVerifiedPairs / Dedup.simhashVerifiedPairs for text near-dup.")
+
+  private def requireFusedScanAllowed(n: Long, maxFusedRows: Long, op: String): Unit =
+    if (n > maxFusedRows) throw new FusedScanTooLarge(op, n, maxFusedRows)
+
   /** Corpus with double vectors and precomputed norms. */
   def withNorms(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -597,7 +626,8 @@ object Similarity {
     * K scales as √n via [[cellCountFor]] (assignment is HOF-form past 16,
     * so no codegen ceiling). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                         tau: Double, kOpt: Option[Int] = None)
+                         tau: Double, kOpt: Option[Int] = None,
+                         maxFusedRows: Long = MaxFusedRows)
       : (DataFrame, CellPruneStats) = {
     import VectorFunctions.dotProduct
     val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
@@ -607,8 +637,10 @@ object Similarity {
     val routeStats = routePairsSample(us, n, tau)
     val (scored, stats) =
       if (routeStats.degenerate) {
+        requireFusedScanAllowed(n, maxFusedRows, "cosineNearDupPairs")
         // checkpoint: both self-join sides read the scan+norm projection
-        // from memory instead of recomputing it
+        // from memory instead of recomputing it (bounded by the guard
+        // above: ≤ maxFusedRows rows ever reach executor storage here)
         val base = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(true)
         (base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
           .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
@@ -686,12 +718,14 @@ object Similarity {
     * input) costs Θ(n²/K) = Θ(n^1.5) either way — the expensive stage,
     * pass 2, is what the measurement gates. */
   def exactKnnEdgesRouted(emb: DataFrame, idCol: String, vecCol: String,
-                          kNbrs: Int, kOpt: Option[Int] = None)
+                          kNbrs: Int, kOpt: Option[Int] = None,
+                          maxFusedRows: Long = MaxFusedRows)
       : (DataFrame, KnnPruneStats) =
-    exactKnnEdgesMeasured(emb, idCol, vecCol, kNbrs, kOpt, route = true)
+    exactKnnEdgesMeasured(emb, idCol, vecCol, kNbrs, kOpt, route = true, maxFusedRows)
 
   private def exactKnnEdgesMeasured(emb: DataFrame, idCol: String, vecCol: String,
-                                    kNbrs: Int, kOpt: Option[Int], route: Boolean)
+                                    kNbrs: Int, kOpt: Option[Int], route: Boolean,
+                                    maxFusedRows: Long = MaxFusedRows)
       : (DataFrame, KnnPruneStats) = {
     val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
       .select(col("id"), col("v"), col("nrm"),
@@ -711,10 +745,12 @@ object Similarity {
       nKnown = n
       val routeStats = routeKnnSample(us, n, kNbrs)
       if (routeStats.degenerate) {
+        requireFusedScanAllowed(n, maxFusedRows, "exactKnnEdgesRouted")
         // fused all-pairs window baseline: same output, no reproduced
         // cross product through a shuffle, no quantizer fit, no corpus
         // assignment — one scan (checkpointed: both self-join sides
-        // read it from memory) plus the per-node ranking window
+        // read it from memory; bounded by the guard above) plus the
+        // per-node ranking window
         val base = e.select(col("id"), col("v"), col("nrm")).localCheckpoint(true)
         val p = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
           .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),

@@ -152,6 +152,43 @@ class CellPruneSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("fused-scan guard: degenerate route past maxFusedRows fails loud, naming the twins") {
+    // VERDICT r10 #3: the measured router honestly picks the n²/2 scan on
+    // isotropic data — but above the ceiling that must be an ERROR that
+    // names the approximate alternatives, never a silent quadratic job.
+    val corpus = isotropicCorpus(n = 300, dim = 64)
+    val exPairs = intercept[Similarity.FusedScanTooLarge] {
+      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.38,
+        maxFusedRows = 100L)
+    }
+    assert(exPairs.n === 300L && exPairs.ceiling === 100L)
+    assert(exPairs.getMessage.contains("lshCandidatePairs") &&
+      exPairs.getMessage.contains("cellCandidatePairs") &&
+      exPairs.getMessage.contains("knnGraphFromCandidates"),
+      s"guard must name the approximate twins: ${exPairs.getMessage}")
+    val exKnn = intercept[Similarity.FusedScanTooLarge] {
+      Similarity.exactKnnEdgesRouted(corpus, "vec_id", "embedding", 4,
+        maxFusedRows = 100L)
+    }
+    assert(exKnn.op === "exactKnnEdgesRouted" && exKnn.n === 300L)
+    // raising the ceiling is the explicit opt-in: the same corpus runs
+    val (pairs, _) = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.38,
+      maxFusedRows = 1000L)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == brutePairs(corpus, 0.38))
+  }
+
+  test("fused-scan guard: the cell route is never gated — clustered corpora run at any ceiling") {
+    val corpus = clusteredCorpus(n = 400, nClusters = 8, dim = 64)
+    // a ceiling far below n: irrelevant, because the measured route is
+    // the subquadratic cell plan — the guard prices only the fused arm
+    val (pairs, stats) = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.8,
+      maxFusedRows = 10L)
+    assert(!stats.degenerate)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == brutePairs(corpus, 0.8))
+  }
+
   test("K > 16 assignment (HOF path) matches brute-force argmax — the ceiling is lifted") {
     val corpus = isotropicCorpus(n = 200, dim = 16)
     val e = corpus.select(col("vec_id").as("id"),
