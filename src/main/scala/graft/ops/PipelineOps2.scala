@@ -448,6 +448,193 @@ object PipelineOps2 {
       .orderBy("step")
   }
 
+  private def unigramRoundSql(k: Int, keepK: Int): String = {
+    val prev = s"v${k - 1}"
+    s"""tot$k AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM $prev),
+       |edl$k AS MATERIALIZED (
+       |  SELECT s.w, s.cnt, s.i,
+       |    list({'j': s.j, 'p': CAST(v.n AS DOUBLE) / CAST(tot$k.t AS DOUBLE), 'tok': s.sub} ORDER BY s.j) AS es
+       |  FROM subs s JOIN $prev v ON v.tok = s.sub, tot$k
+       |  GROUP BY s.w, s.cnt, s.i),
+       |fold$k(w, cnt, pos, acc) AS (
+       |  SELECT w, cnt, 0, [{'negs': -1.0::DOUBLE, 'j': 0, 's': 1.0::DOUBLE, 't': []::VARCHAR[]}] FROM words
+       |  UNION ALL
+       |  SELECT f.w, f.cnt, f.pos + 1,
+       |    list_append(f.acc, list_sort(list_transform(e.es, x ->
+       |      {'negs': -(f.acc[x.j + 1].s * x.p), 'j': x.j,
+       |       's': f.acc[x.j + 1].s * x.p,
+       |       't': list_append(f.acc[x.j + 1].t, x.tok)}))[1])
+       |  FROM fold$k f JOIN edl$k e ON e.w = f.w AND e.i = f.pos + 1),
+       |seg$k AS (
+       |  SELECT f.w, f.cnt, f.acc[len(f.acc)].t AS ts
+       |  FROM fold$k f
+       |  JOIN (SELECT w, MAX(pos) AS mp FROM fold$k GROUP BY w) m ON m.w = f.w AND m.mp = f.pos),
+       |cnts$k AS (
+       |  SELECT t.tok, CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM seg$k, unnest(ts) AS t(tok) GROUP BY 1),
+       |v$k AS MATERIALIZED (
+       |  SELECT a.tok, CAST(GREATEST(COALESCE(c.n, 0), 1) AS BIGINT) AS n
+       |  FROM alpha a LEFT JOIN cnts$k c ON c.tok = a.tok
+       |  UNION ALL
+       |  SELECT tok, n FROM (
+       |    SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+       |    FROM cnts$k WHERE length(tok) > 1) WHERE rk <= $keepK),
+       |""".stripMargin
+  }
+
+  /** The q_unigram_lm oracle: the whole hard-EM loop replayed in DuckDB —
+    * seed substring counts, then per round a probability table (one exact
+    * BIGINT→DOUBLE division per token), the per-word Viterbi DP as a
+    * RECURSIVE CTE advancing one word position per level (the
+    * [[bpeStepSql]] fold discipline): the carried `acc` is the DP array of
+    * best (score, tokens) per prefix, and each level's winner is a
+    * `list_sort(...)[ 1 ]` argmax over the ≤`maxSubLen` in-vocab edges
+    * ending at that position, keyed (negated score, start j) — ties to the
+    * earliest start, exactly the Spark HOF's strict-> replace rule. Every
+    * float op is +,*,/ on exact BIGINT→DOUBLE divisions (correctly rounded
+    * IEEE — bit-identical across engines). NOT a `list_reduce` fold:
+    * DuckDB 1.0's list_reduce fails to thread struct-typed accumulators
+    * (each step sees the initial value again), so the per-word recurrence
+    * must ride the recursive CTE like the BPE/WordPiece/substr oracles. */
+  private def unigramOracleSql(steps: Int = 2, seedTopN: Int = 80,
+                               keepK: Int = 40, maxWordLen: Int = 24,
+                               maxSubLen: Int = 4): String =
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt, length(w) AS len
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) BETWEEN 1 AND $maxWordLen GROUP BY w),
+       |subs AS MATERIALIZED (
+       |  SELECT w, cnt, CAST(j + l AS INT) AS i, CAST(j AS INT) AS j,
+       |         substr(w, CAST(j + 1 AS INT), CAST(l AS INT)) AS sub
+       |  FROM words, unnest(range(0, len)) AS tj(j), unnest(range(1, ${maxSubLen + 1})) AS tl(l)
+       |  WHERE j + l <= len),
+       |seed AS (SELECT sub AS tok, CAST(SUM(cnt) AS BIGINT) AS n FROM subs GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT tok, n FROM seed WHERE length(tok) = 1
+       |  UNION ALL
+       |  SELECT tok, n FROM (
+       |    SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+       |    FROM seed WHERE length(tok) > 1) WHERE rk <= $seedTopN),
+       |alpha AS MATERIALIZED (SELECT tok FROM v0 WHERE length(tok) = 1),
+       |""".stripMargin +
+      (1 to steps).map(k => unigramRoundSql(k, keepK)).mkString +
+      s"""tfin AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM v$steps)
+         |SELECT tok AS token, n, round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p
+         |FROM v$steps, tfin
+         |ORDER BY n DESC, token LIMIT 30""".stripMargin
+
+  /** Unigram-LM (SentencePiece) tokenizer training — Kudo 2018, the third
+    * major tokenizer-training algorithm next to BPE ([[qBpeMerges]]) and
+    * WordPiece ([[qWordpieceMerges]]), and the one T5/mT5-era pipelines
+    * shipped. Hard-EM (Viterbi) variant:
+    *
+    *  - SEED: every substring of length 1..`maxSubLen` of every corpus
+    *    word, counted over occurrences (weighted by word frequency);
+    *    vocabulary = all single characters + the top-`seedTopN`
+    *    multi-character substrings (count desc, token asc).
+    *  - E-step: per distinct word, the maximum-probability segmentation
+    *    under the current unigram model p(t) = n(t)/Σn — a Viterbi DP
+    *    over word positions, run as ONE `aggregate` HOF fold per word
+    *    over its in-vocab substring edges sorted (end, start): the
+    *    accumulator carries best (score, tokens) per prefix position;
+    *    ties break to the earliest start (strict >), so the decision is
+    *    deterministic. All float math is products of exact BIGINT→DOUBLE
+    *    divisions — no transcendentals, so the DP is bit-identical across
+    *    engines (the oracle replays it as a DuckDB list_reduce).
+    *  - M-step: token counts re-estimated from the best segmentations
+    *    (weighted by word frequency); prune to the top-`keepK`
+    *    multi-character tokens; every single character keeps a floor
+    *    count of 1 (reachability — the lattice always has a path).
+    *
+    * At scale: the corpus is scanned ONCE (the word-frequency
+    * aggregation); everything that iterates is vocab-sized (distinct
+    * words × ≤4·len substring edges), the model is model-sized, and the
+    * per-round shuffles are token-keyed aggregations with map-side
+    * partial combine — the same posture as the BPE/WordPiece rounds.
+    * Words longer than `maxWordLen` are excluded from training (their
+    * subword statistics are covered by shorter words; keeps the DP fold
+    * and the score product bounded).
+    *
+    * Output: the final vocabulary's top 30 tokens by (count desc, token)
+    * with count and model probability (rounded 6). Reference analog: the
+    * tokenizer-prep stage of an LLM data pipeline (SURVEY §2.4). */
+  def unigramVocab(docs: DataFrame, textCol: String = "text", steps: Int = 2,
+                   maxSubLen: Int = 4, seedTopN: Int = 80, keepK: Int = 40,
+                   maxWordLen: Int = 24): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("w")))
+    // every (start j, length l) substring window, reused by all rounds
+    val subs = words
+      .select(col("w"), col("cnt"), col("len"),
+        explode(sequence(lit(0), col("len") - 1)).as("j"))
+      .select(col("w"), col("cnt"), col("j"),
+        explode(sequence(lit(1), least(lit(maxSubLen), col("len") - col("j")))).as("l"))
+      .select(col("w"), col("cnt"),
+        (col("j") + col("l")).cast("int").as("i"), col("j").cast("int").as("j"),
+        expr("substring(w, j + 1, l)").as("sub"))
+      .localCheckpoint(true)
+    val seed = subs.groupBy(col("sub").as("tok")).agg(sum(col("cnt")).as("n"))
+    val singles = seed.filter(length(col("tok")) === 1)
+    val wTop = Window.orderBy(col("n").desc, col("tok"))
+    var vocab = singles.unionAll(
+        seed.filter(length(col("tok")) > 1)
+          .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= seedTopN)
+          .drop("rk"))
+      .localCheckpoint(true)
+    val alpha = singles.select("tok").localCheckpoint(true)
+    // the Viterbi fold: acc[k] = best (score, tokens) for the k-char
+    // prefix; edges arrive (i asc, j asc), and every position has its
+    // single-char edge, so position i's first edge APPENDS and later
+    // edges REPLACE only on a strictly better score (ties keep the
+    // earliest start — deterministic)
+    def viterbi(es: Column): Column = aggregate(
+      es,
+      array(struct(lit(1.0).as("s"), array().cast("array<string>").as("t"))),
+      (acc, e) => {
+        val prev = element_at(acc, e.getField("j") + 1)
+        val candS = prev.getField("s") * e.getField("p")
+        val cand = struct(candS.as("s"),
+          concat(prev.getField("t"), array(e.getField("tok"))).as("t"))
+        when(size(acc) === e.getField("i"), concat(acc, array(cand)))
+          .when(candS > element_at(acc, e.getField("i") + 1).getField("s"),
+            concat(slice(acc, lit(1), e.getField("i")), array(cand)))
+          .otherwise(acc)
+      })
+    for (_ <- 1 to steps) {
+      // model-sized total, collected like the BPE argmax (one tiny job)
+      val total = vocab.agg(sum(col("n"))).collect()(0).getLong(0)
+      val edges = subs
+        .join(broadcast(vocab.withColumn("p", dbl(col("n")) / lit(total.toDouble))
+          .select(col("tok"), col("p"))), col("sub") === col("tok"))
+      val segs = edges
+        .groupBy("w", "cnt")
+        .agg(sort_array(collect_list(struct(col("i"), col("j"), col("p"), col("tok")))).as("es"))
+        .select(col("cnt"), element_at(viterbi(col("es")), -1).getField("t").as("ts"))
+      val cnts = segs.select(col("cnt"), explode(col("ts")).as("tok"))
+        .groupBy("tok").agg(sum(col("cnt")).as("n"))
+      vocab = alpha
+        .join(cnts, Seq("tok"), "left")
+        .select(col("tok"), greatest(coalesce(col("n"), lit(0L)), lit(1L)).as("n"))
+        .unionAll(cnts.filter(length(col("tok")) > 1)
+          .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= keepK)
+          .drop("rk"))
+        .localCheckpoint(true)
+    }
+    val total = vocab.agg(sum(col("n"))).collect()(0).getLong(0)
+    vocab.select(col("tok").as("token"), col("n"),
+        round(dbl(col("n")) / lit(total.toDouble), 6).as("p"))
+      .orderBy(col("n").desc, col("token")).limit(30)
+  }
+
+  /** SURVEY §2.4 q_unigram_lm (VERDICT r10 #4 — the missing third of the
+    * tokenizer family). */
+  val qUnigramLm: Q = Q("q_unigram_lm", unigramOracleSql()) { (s, d) =>
+    unigramVocab(T.documents(s, d))
+  }
+
   /** Index-served AND search: documents containing ALL probe terms with
     * the summed term frequency — the serving shape behind
     * [[graft.sources.InvertedIndex]] (which persists the posting lists;
@@ -872,7 +1059,7 @@ object PipelineOps2 {
     pre.unionByName(post).unionByName(removed).orderBy("o").select("metric", "val")
   }
 
-  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qD4Diversify, qBpeMerges, qWordpieceMerges, qSearchIndexed,
+  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qD4Diversify, qBpeMerges, qWordpieceMerges, qUnigramLm, qSearchIndexed,
     qSpanDup, qSpanExtents, qBpeTokenize, qQualityTiers, qRagChunk, qSpanStrip,
     qStripAudit)
 }
