@@ -521,28 +521,59 @@ object Dedup {
       * Output: (id, index_id, n_common, jaccard), same-id pairs
       * excluded. */
     def screen(spark: SparkSession, path: String, corpus: DataFrame,
-               n: Int = 3, threshold: Double = 0.5): DataFrame = {
+               n: Int = 3, threshold: Double = 0.5): DataFrame =
+      frozenSide(spark, path) match {
+        case None => emptyScreen(spark)
+        case Some(f) => screenWith(f, corpus, n, threshold)
+      }
+
+    /** The index-side tables [[screen]] consumes, read fresh off the live
+      * root. The three tables are FROZEN once written (builds/rebuilds
+      * swap a whole new root via [[graft.sources.AtomicSwap]]), so a
+      * caller screening many batches against one index (the
+      * stream_decontam sink) may read them once, persist, and reuse until
+      * [[Frozen.root]] moves — [[graft.streaming.FrozenSides]] does
+      * exactly that. None for an index built over ZERO docs: its
+      * partitionBy'd postings dir has no parquet files (Spark writes
+      * nothing for an empty partitioned DataFrame), so the reads would
+      * die with UNABLE_TO_INFER_SCHEMA — an empty eval suite means an
+      * empty screen result, not an outage (EmptyInputSweepSpec). */
+    /** One live root's frozen tables: gram vocab (the frozen (df, sh)
+      * order), prefix postings, full profiles. `root` is the identity —
+      * an [[graft.sources.AtomicSwap]] rebuild changes it, which is the
+      * only invalidation a cache of these tables needs. */
+    final case class Frozen(root: String, vocab: DataFrame,
+                            postings: DataFrame, profiles: DataFrame)
+
+    private[graft] def frozenSide(spark: SparkSession, path: String): Option[Frozen] = {
       val root = liveRoot(spark, path)
       requireLayout(spark, root)
-      // an index built over ZERO docs has no parquet files under its
-      // partitionBy'd postings dir (Spark writes nothing for an empty
-      // partitioned DataFrame), so the reads below would die with
-      // UNABLE_TO_INFER_SCHEMA — an empty eval suite means an empty
-      // screen result, not an outage (EmptyInputSweepSpec)
-      locally {
-        val p = new org.apache.hadoop.fs.Path(s"$root/prefix")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasFiles = fs.exists(p) && graft.sources.FsUtil.parquetBasenames(fs, p).nonEmpty
-        if (!hasFiles) {
-          import spark.implicits._
-          return Seq.empty[(Long, Long, Long, Double)]
-            .toDF("id", "index_id", "n_common", "jaccard")
-        }
-      }
-      val cprof = freeze(corpus, spark.read.parquet(s"$root/vocab"), n, threshold)
+      val p = new org.apache.hadoop.fs.Path(s"$root/prefix")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasFiles = fs.exists(p) && graft.sources.FsUtil.parquetBasenames(fs, p).nonEmpty
+      if (!hasFiles) None
+      else Some(Frozen(root,
+        spark.read.parquet(s"$root/vocab"),
+        spark.read.parquet(s"$root/prefix"),
+        spark.read.parquet(s"$root/profiles")))
+    }
+
+    private[graft] def emptyScreen(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Double)]
+        .toDF("id", "index_id", "n_common", "jaccard")
+    }
+
+    /** [[screen]]'s core against an already-read (possibly persisted)
+      * frozen side — the per-batch body of the streaming decontamination
+      * sink, which must not re-read benchmark-sized parquet on every
+      * micro-batch. */
+    private[graft] def screenWith(frozen: Frozen, corpus: DataFrame,
+                                  n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      val cprof = freeze(corpus, frozen.vocab, n, threshold)
         .localCheckpoint(true) // candidate + verify sides both read it
       val cpref = cprof.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
-      val ipost = spark.read.parquet(s"$root/prefix")
+      val ipost = frozen.postings
         .select(col("id").as("index_id"), col("nsh").as("ni"), col("sh"))
       val cand = cpref
         .join(broadcast(ipost), Seq("sh"))
@@ -550,7 +581,7 @@ object Dedup {
         .filter(dbl(least(col("nsh"), col("ni"))) >=
           lit(threshold) * dbl(greatest(col("nsh"), col("ni"))))
         .select("id", "index_id").distinct()
-      val iprof = spark.read.parquet(s"$root/profiles")
+      val iprof = frozen.profiles
         .select(col("id").as("index_id"), col("vset").as("si"), col("nsh").as("ni"))
       cand
         .join(cprof.select(col("id"), col("vset").as("sc"), col("nsh").as("nc")), "id")
@@ -693,16 +724,56 @@ object Dedup {
       * [[liveRoot]] see the old or the new index at every instant, and a
       * re-run converges from any crash point. Run on a slow cadence; the
       * frozen order only affects candidate VOLUME, never pair
-      * correctness. */
+      * correctness.
+      *
+      * APPEND-EXCLUSION guard (VERDICT r10 #7 — the
+      * [[graft.sources.AnnIndex.refit]] W2 posture): `docs` is the
+      * caller's corpus SNAPSHOT; an
+      * [[append]]/[[DedupService.ingest]] landing between this call's
+      * start and its commit would write its region into the OLD root and
+      * vanish at the swap — the ingested batch keeps its labels while
+      * the index forgets its profiles, the silent divergence the service
+      * must never produce. So the live root's region list is captured at
+      * start and re-checked at the commit point: a new region aborts the
+      * rebuild LOUD (staged root deleted, live root untouched, appends
+      * keep serving) naming the remedy. `beforeCommit` is the interleave
+      * injector seam for the spec. */
     def rebuild(spark: SparkSession, path: String, docs: DataFrame,
                 n: Int = 3, threshold: Double = 0.5,
-                crashAfter: Int = Int.MaxValue): Unit = {
+                crashAfter: Int = Int.MaxValue,
+                beforeCommit: () => Unit = () => ()): Unit = {
       val cur = new org.apache.hadoop.fs.Path(path)
       val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = liveRoot(spark, path)
+      val regions0 = regionList(fs, live)
       val next = graft.sources.AtomicSwap.nextOf(cur)
       fs.delete(next, true)
       build(docs, next.toString, n, threshold)
+      beforeCommit() // test seam: the append x rebuild interleave injector
+      val regions1 = regionList(fs, live)
+      if (regions1 != regions0) {
+        fs.delete(next, true)
+        throw new IllegalStateException(
+          s"rebuild aborted: index regions changed under the live root during " +
+            s"the rebuild window (${(regions1 -- regions0).mkString(",")} appeared) — " +
+            "the staged root was built from a corpus snapshot that predates them " +
+            "and committing would drop their profiles while their labels stand. " +
+            "Stop append streams / pause ingest, then re-run rebuild with the " +
+            "current corpus.")
+      }
       graft.sources.AtomicSwap.commit(fs, cur, crashAfter = crashAfter)
+    }
+
+    /** The `part=` region set under a root's profiles dir (the guard's
+      * change detector; one directory listing). Empty for a root with no
+      * profiles dir (nothing to lose). */
+    private def regionList(fs: org.apache.hadoop.fs.FileSystem,
+                           root: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/profiles")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toIndexedSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("part=")).toSet
     }
   }
 

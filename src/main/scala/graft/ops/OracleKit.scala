@@ -149,6 +149,23 @@ object OracleKit {
   def foldSumSql(listExpr: String): String =
     s"list_reduce($listExpr, (acc, x) -> acc + x)"
 
+  /** NAMED ASCII guard (VERDICT r10 #8): every string-hash replay in this
+    * kit reads "UTF-8 bytes" via `ord(substr(...))`, which is the byte
+    * only for ASCII — on a non-ASCII corpus the replay would silently
+    * hash different bytes than Spark and the gate would report a bare
+    * hash mismatch with no cause attached. This predicate (true for
+    * every ASCII row, so semantics are unchanged) makes the failure a
+    * LOUD, named DuckDB error instead. Use as a WHERE conjunct on the
+    * doc scan feeding [[polyHashFoldSteps]]; [[xxhash64StrSteps]] embeds
+    * the same check per gram. One regex per row — cheap next to the
+    * per-byte fold it guards. */
+  def asciiGuardSql(col: String, ctx: String): String =
+    s"(CASE WHEN regexp_matches($col, '[^\\x00-\\x7f]') THEN " +
+      s"CAST(error('graft oracle: non-ASCII character in $ctx — the string-hash " +
+      "replay reads UTF-8 bytes via ord(substr), which is only byte-faithful on " +
+      "ASCII corpora; re-generate the oracle with a byte-level path or screen the " +
+      s"corpus') AS BOOLEAN) ELSE true END)"
+
   /** Signed rolling polynomial hash of the n bytes of `textCol` starting
     * at 0-based position column `posCol` — [[graft.functions.RollingHash]]'s
     * per-window value as ONE list_reduce fold (an n-layer nested-projection
@@ -176,8 +193,10 @@ object OracleKit {
 
   /** Steps computing `hu` = XXH64(utf8Bytes(shCol), seed 42) as UBIGINT —
     * Spark's `xxhash64(stringCol)`, full algorithm (4-lane 32-byte stripes
-    * via per-lane list_reduce folds, then the 8/4/1-byte tail). Callers
-    * must guarantee an all-ASCII corpus: bytes come from ord(substr). */
+    * via per-lane list_reduce folds, then the 8/4/1-byte tail). Bytes come
+    * from ord(substr), byte-faithful only on ASCII — so the length step
+    * carries the [[asciiGuardSql]] check and a non-ASCII gram fails the
+    * oracle LOUD with a named reason, never a bare hash mismatch. */
   def xxhash64StrSteps(shCol: String): Seq[(String, String)] = {
     val v = Seq(42L + P1 + P2, 42L + P2, 42L, 42L - P1)
     val laneSteps = (0 until 4).flatMap { l =>
@@ -193,7 +212,7 @@ object OracleKit {
       m0 +: rounds
     }
     Seq(
-      "nb" -> s"length($shCol)::BIGINT",
+      "nb" -> s"(CASE WHEN ${asciiGuardSql(shCol, shCol)} THEN length($shCol)::BIGINT END)",
       "bl" -> s"list_transform(range(1, nb + 1), i -> ord(substr($shCol, i::INT, 1)))",
       "ns" -> "nb // 32") ++ laneSteps ++ merges ++ Seq(
       "hb" -> s"CASE WHEN nb >= 32 THEN mg4 ELSE ${u(42L + P5)}::UBIGINT END",

@@ -143,13 +143,16 @@ object TextAnalysis {
   /** Fully oracled (r10 — previously rows-only "custom hash isn't
     * SQL-portable"): [[RollingHash]]'s polynomial hash is plain wrapping
     * int64 arithmetic, so DuckDB replays every window hash through
-    * [[OracleKit.mul64]] — one mul-add per byte as nested projections (the
-    * corpus is all-ASCII, so ord(substr) IS the UTF-8 byte; a non-ASCII
-    * corpus would fail the gate loudly) — then the same w-row MIN window. */
+    * [[OracleKit.mul64]] — one mul-add per byte as nested projections
+    * (ord(substr) IS the UTF-8 byte only on ASCII; the
+    * [[OracleKit.asciiGuardSql]] conjunct turns a non-ASCII doc into a
+    * NAMED oracle error, not a bare hash mismatch) — then the same w-row
+    * MIN window. */
   private def winnowOracleSql(n: Int = 16, w: Int = 8): String = {
     val chain = OracleKit.nestedProjections(
       s"SELECT doc_id, text, unnest(range(0, length(text) - $n + 1)) AS p" +
-        s" FROM documents WHERE length(text) >= $n",
+        s" FROM documents WHERE length(text) >= $n" +
+        s" AND ${OracleKit.asciiGuardSql("text", "documents.text")}",
       OracleKit.polyHashFoldSteps("text", "p", n, 1000003L), "doc_id, p, hh")
     s"""WITH wh AS MATERIALIZED ($chain),
        |wmin AS MATERIALIZED (SELECT doc_id, MIN(hh) OVER (PARTITION BY doc_id ORDER BY p
@@ -196,7 +199,8 @@ object TextAnalysis {
     for (_ <- 1 until l) pow *= base
     val anchor = OracleKit.nestedProjections(
       s"SELECT doc_id, text, length(text)::BIGINT AS len, 0::BIGINT AS p" +
-        s" FROM documents WHERE length(text) >= $l",
+        s" FROM documents WHERE length(text) >= $l" +
+        s" AND ${OracleKit.asciiGuardSql("text", "documents.text")}",
       OracleKit.polyHashFoldSteps("text", "p", l, base), "doc_id, text, len, p, rhu")
     val bOut = "ord(substr(r.text, (r.p + 1)::INT, 1))::UBIGINT" // byte leaving the window
     val bIn = s"ord(substr(r.text, (r.p + $l + 1)::INT, 1))::UBIGINT" // byte entering

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Per-batch cache of FROZEN serving artifacts for the streaming sinks
+  * (VERDICT r10 #6): screenSink/dsirScoreSink re-read their vocab/
+  * postings/profiles/model parquet on EVERY micro-batch, though the
+  * artifact is frozen by contract — a rebuild replaces the whole root via
+  * [[graft.sources.AtomicSwap]] (near-dup index) or an overwrite of the
+  * model dir (DSIR). So: read once, persist (memory, disk spill), reuse
+  * across batches, and invalidate by the artifact's IDENTITY — the
+  * resolved live root for swap-rooted indexes, the directory's
+  * modification time for plain parquet models. The identity check per
+  * batch is one tiny filesystem stat (the pointer read the sink already
+  * paid), never a parquet read.
+  *
+  * Scale note: these artifacts are serving-sized by construction — the
+  * decontamination index is eval-suite-sized and broadcasts inside
+  * [[Dedup.NearDupIndex.screenWith]]; the DSIR model is B buckets. What
+  * the cache removes is the PER-BATCH file listing + footer + row-group
+  * decode of the frozen side, which at a 1-second trigger interval
+  * otherwise dominates the micro-batch.
+  *
+  * Entries replaced on invalidation are unpersisted (blocking=false), so
+  * a long-lived stream holds exactly one cached generation per path. */
+object FrozenSides {
+
+  private final case class Entry(identity: String, tables: Seq[DataFrame])
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  private def persistAll(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    // materialize eagerly: the first micro-batch pays the read ONCE here
+    // rather than once per downstream consumer of the plan
+    dfs.foreach { df => df.persist(StorageLevel.MEMORY_AND_DISK); df.count(); () }
+    dfs
+  }
+
+  private def cached(key: String, identity: String)
+                    (read: => Seq[DataFrame]): Seq[DataFrame] = {
+    val hit = cache.get(key)
+    if (hit != null && hit.identity == identity) hit.tables
+    else {
+      val fresh = persistAll(read)
+      val prev = cache.put(key, Entry(identity, fresh))
+      if (prev != null) prev.tables.foreach { df => df.unpersist(false); () }
+      fresh
+    }
+  }
+
+  /** The near-dup index's frozen side for `path`, persisted across
+    * micro-batches; re-read only when the AtomicSwap live root moves.
+    * None for an empty index (same contract as [[Dedup.NearDupIndex.screen]]). */
+  def nearDup(spark: SparkSession, path: String): Option[Dedup.NearDupIndex.Frozen] =
+    // frozenSide resolves the live root (one pointer-file read) and lists
+    // the postings dir; both are per-batch stat costs, not parquet reads
+    Dedup.NearDupIndex.frozenSide(spark, path).map { f =>
+      val Seq(v, po, pr) =
+        cached(s"neardup:$path", f.root)(Seq(f.vocab, f.postings, f.profiles))
+      Dedup.NearDupIndex.Frozen(f.root, v, po, pr)
+    }
+
+  /** A plain frozen parquet artifact (the DSIR model), persisted across
+    * micro-batches; re-read when the path's directory mtime changes (an
+    * overwrite rewrite replaces the directory contents). */
+  def parquetTable(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val identity = s"${fs.getFileStatus(p).getModificationTime}"
+    cached(s"parquet:$path", identity)(Seq(spark.read.parquet(path))).head
+  }
+
+  /** Drop every cached entry (test isolation). */
+  private[graft] def clear(): Unit = {
+    cache.values().forEach(e => e.tables.foreach { df => df.unpersist(false); () })
+    cache.clear()
+  }
+}

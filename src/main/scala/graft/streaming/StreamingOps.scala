@@ -527,16 +527,24 @@ object StreamingOps {
     * Exactly-once: each micro-batch writes its pairs as an
     * overwrite-idempotent region `part=batch_<id>` (the repo's regioned
     * append convention) — a crash replay rewrites the same region with
-    * the same content and converges. */
+    * the same content and converges.
+    *
+    * The index side (vocab/postings/profiles) is read ONCE and persisted
+    * across micro-batches via [[FrozenSides.nearDup]] — it is frozen by
+    * contract, and the per-batch cost is one live-root stat; a rebuild's
+    * AtomicSwap root change invalidates the cache on the next batch. */
   def screenSink(docs: DataFrame, indexPath: String, outDir: String,
                  n: Int = 3, threshold: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty)
-          graft.ops.Dedup.NearDupIndex
-            .screen(batch.sparkSession, indexPath, batch, n, threshold)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          FrozenSides.nearDup(spark, indexPath)
+            .fold(graft.ops.Dedup.NearDupIndex.emptyScreen(spark))(f =>
+              graft.ops.Dedup.NearDupIndex.screenWith(f, batch, n, threshold))
             .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
+        }
         ()
       }
 
@@ -549,14 +557,18 @@ object StreamingOps {
     * COMPOSITIONAL: micro-batching can never change a doc's weight or
     * selection verdict (spec pins streamed union == one-shot scoring).
     * Exactly-once via the repo's overwrite-idempotent `part=batch_<id>`
-    * regioned-append convention. */
+    * regioned-append convention.
+    *
+    * The model is read ONCE and persisted across micro-batches via
+    * [[FrozenSides.parquetTable]]; a refit's directory rewrite bumps the
+    * mtime and invalidates the cache on the next batch. */
   def dsirScoreSink(docs: DataFrame, modelPath: String, outDir: String,
                     buckets: Int = 8192)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
-          val model = batch.sparkSession.read.parquet(modelPath)
+          val model = FrozenSides.parquetTable(batch.sparkSession, modelPath)
           graft.ops.PipelineOps3.dsirScore(batch, model, buckets)
             .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
         }
