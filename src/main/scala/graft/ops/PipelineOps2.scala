@@ -448,7 +448,9 @@ object PipelineOps2 {
       .orderBy("step")
   }
 
-  private def unigramRoundSql(k: Int, keepK: Int): String = {
+  /** One unigram E-step in DuckDB: probability table off v{k-1}, per-word
+    * Viterbi (recursive CTE), token counts `cnts$k`. */
+  private def unigramEStepSql(k: Int): String = {
     val prev = s"v${k - 1}"
     s"""tot$k AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM $prev),
        |edl$k AS MATERIALIZED (
@@ -465,14 +467,19 @@ object PipelineOps2 {
        |       's': f.acc[x.j + 1].s * x.p,
        |       't': list_append(f.acc[x.j + 1].t, x.tok)}))[1])
        |  FROM fold$k f JOIN edl$k e ON e.w = f.w AND e.i = f.pos + 1),
-       |seg$k AS (
+       |seg$k AS MATERIALIZED (
        |  SELECT f.w, f.cnt, f.acc[len(f.acc)].t AS ts
        |  FROM fold$k f
        |  JOIN (SELECT w, MAX(pos) AS mp FROM fold$k GROUP BY w) m ON m.w = f.w AND m.mp = f.pos),
        |cnts$k AS (
        |  SELECT t.tok, CAST(SUM(cnt) AS BIGINT) AS n
        |  FROM seg$k, unnest(ts) AS t(tok) GROUP BY 1),
-       |v$k AS MATERIALIZED (
+       |""".stripMargin
+  }
+
+  /** The matching M-step: floor/prune to `v$k`. */
+  private def unigramMStepSql(k: Int, keepK: Int): String =
+    s"""v$k AS MATERIALIZED (
        |  SELECT a.tok, CAST(GREATEST(COALESCE(c.n, 0), 1) AS BIGINT) AS n
        |  FROM alpha a LEFT JOIN cnts$k c ON c.tok = a.tok
        |  UNION ALL
@@ -480,7 +487,9 @@ object PipelineOps2 {
        |    SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk
        |    FROM cnts$k WHERE length(tok) > 1) WHERE rk <= $keepK),
        |""".stripMargin
-  }
+
+  private def unigramRoundSql(k: Int, keepK: Int): String =
+    unigramEStepSql(k) + unigramMStepSql(k, keepK)
 
   /** The q_unigram_lm oracle: the whole hard-EM loop replayed in DuckDB —
     * seed substring counts, then per round a probability table (one exact
@@ -496,9 +505,8 @@ object PipelineOps2 {
     * DuckDB 1.0's list_reduce fails to thread struct-typed accumulators
     * (each step sees the initial value again), so the per-word recurrence
     * must ride the recursive CTE like the BPE/WordPiece/substr oracles. */
-  private def unigramOracleSql(steps: Int = 2, seedTopN: Int = 80,
-                               keepK: Int = 40, maxWordLen: Int = 24,
-                               maxSubLen: Int = 4): String =
+  private def unigramOraclePreSql(seedTopN: Int = 80, maxWordLen: Int = 24,
+                                  maxSubLen: Int = 4): String =
     s"""WITH RECURSIVE words AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt, length(w) AS len
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -516,7 +524,12 @@ object PipelineOps2 {
        |    SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk
        |    FROM seed WHERE length(tok) > 1) WHERE rk <= $seedTopN),
        |alpha AS MATERIALIZED (SELECT tok FROM v0 WHERE length(tok) = 1),
-       |""".stripMargin +
+       |""".stripMargin
+
+  private def unigramOracleSql(steps: Int = 2, seedTopN: Int = 80,
+                               keepK: Int = 40, maxWordLen: Int = 24,
+                               maxSubLen: Int = 4): String =
+    unigramOraclePreSql(seedTopN, maxWordLen, maxSubLen) +
       (1 to steps).map(k => unigramRoundSql(k, keepK)).mkString +
       s"""tfin AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM v$steps)
          |SELECT tok AS token, n, round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p
@@ -561,6 +574,24 @@ object PipelineOps2 {
   def unigramVocab(docs: DataFrame, textCol: String = "text", steps: Int = 2,
                    maxSubLen: Int = 4, seedTopN: Int = 80, keepK: Int = 40,
                    maxWordLen: Int = 24): DataFrame = {
+    val (vocab, _) = unigramEm(docs, textCol, steps, maxSubLen, seedTopN,
+      keepK, maxWordLen)
+    // empty corpus -> empty vocab -> null sum (coalesced): empty result,
+    // not an NPE (EmptyInputSweepSpec)
+    val total = vocab.agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+    vocab.select(col("tok").as("token"), col("n"),
+        round(dbl(col("n")) / lit(total.toDouble), 6).as("p"))
+      .orderBy(col("n").desc, col("token")).limit(30)
+  }
+
+  /** The shared unigram hard-EM core: `steps` (E,M) rounds. Returns
+    * (final vocab with counts, a thunk for one MORE E-step against that
+    * vocabulary — the corpus TOKENIZED under the trained model, which is
+    * what [[qUnigramTokenize]] serves; a thunk because the training-only
+    * caller must not pay its jobs). */
+  private def unigramEm(docs: DataFrame, textCol: String, steps: Int,
+                        maxSubLen: Int, seedTopN: Int, keepK: Int,
+                        maxWordLen: Int): (DataFrame, () => DataFrame) = {
     val words = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")).between(1, maxWordLen))
@@ -603,18 +634,25 @@ object PipelineOps2 {
             concat(slice(acc, lit(1), e.getField("i")), array(cand)))
           .otherwise(acc)
       })
-    for (_ <- 1 to steps) {
-      // model-sized total, collected like the BPE argmax (one tiny job)
-      val total = vocab.agg(sum(col("n"))).collect()(0).getLong(0)
+    // one E-step: tokenize every word under the current model, count
+    def eStep(v: DataFrame): DataFrame = {
+      // model-sized total, collected like the BPE argmax (one tiny job);
+      // coalesce: an empty corpus has an empty vocab and must flow
+      // through as an empty result (the edges join below is then empty,
+      // so the 0 total never reaches a division)
+      val total = v.agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
       val edges = subs
-        .join(broadcast(vocab.withColumn("p", dbl(col("n")) / lit(total.toDouble))
+        .join(broadcast(v.withColumn("p", dbl(col("n")) / lit(total.toDouble))
           .select(col("tok"), col("p"))), col("sub") === col("tok"))
-      val segs = edges
+      edges
         .groupBy("w", "cnt")
         .agg(sort_array(collect_list(struct(col("i"), col("j"), col("p"), col("tok")))).as("es"))
         .select(col("cnt"), element_at(viterbi(col("es")), -1).getField("t").as("ts"))
-      val cnts = segs.select(col("cnt"), explode(col("ts")).as("tok"))
+        .select(col("cnt"), explode(col("ts")).as("tok"))
         .groupBy("tok").agg(sum(col("cnt")).as("n"))
+    }
+    for (_ <- 1 to steps) {
+      val cnts = eStep(vocab)
       vocab = alpha
         .join(cnts, Seq("tok"), "left")
         .select(col("tok"), greatest(coalesce(col("n"), lit(0L)), lit(1L)).as("n"))
@@ -623,16 +661,37 @@ object PipelineOps2 {
           .drop("rk"))
         .localCheckpoint(true)
     }
-    val total = vocab.agg(sum(col("n"))).collect()(0).getLong(0)
-    vocab.select(col("tok").as("token"), col("n"),
-        round(dbl(col("n")) / lit(total.toDouble), 6).as("p"))
-      .orderBy(col("n").desc, col("token")).limit(30)
+    val fin = vocab
+    (vocab, () => eStep(fin))
   }
 
   /** SURVEY §2.4 q_unigram_lm (VERDICT r10 #4 — the missing third of the
     * tokenizer family). */
   val qUnigramLm: Q = Q("q_unigram_lm", unigramOracleSql()) { (s, d) =>
     unigramVocab(T.documents(s, d))
+  }
+
+  private def unigramTokenizeOracleSql(steps: Int = 2, keepK: Int = 40): String =
+    unigramOraclePreSql() +
+      ((1 to steps).map(k => unigramRoundSql(k, keepK)) :+
+        unigramEStepSql(steps + 1)).mkString +
+      s"""fin AS (SELECT 1)
+         |SELECT tok AS token, n FROM cnts${steps + 1}
+         |ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** Tokenizer APPLY for the unigram model — train ([[unigramVocab]]'s
+    * EM) then run ONE more Viterbi E-step over the corpus under the
+    * final vocabulary and emit the top-20 corpus token frequencies: the
+    * train→apply pairing [[qBpeTokenize]] gives BPE, for the unigram
+    * tokenizer. The apply pass is the same vocab-broadcast join + one
+    * HOF fold per distinct word — corpus-frequency weighted, no
+    * corpus-sized shuffle beyond the word-count aggregation the training
+    * already pays. Oracle: the training rounds plus one extra E-step CTE,
+    * reading the tokenize counts instead of the pruned vocab. */
+  val qUnigramTokenize: Q = Q("q_unigram_tokenize", unigramTokenizeOracleSql()) { (s, d) =>
+    val (_, tokCnts) = unigramEm(T.documents(s, d), "text", 2, 4, 80, 40, 24)
+    tokCnts().select(col("tok").as("token"), col("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
   }
 
   /** Index-served AND search: documents containing ALL probe terms with
@@ -783,9 +842,12 @@ object PipelineOps2 {
     * aggregation over the VOCAB-sized word table (corpus token counts
     * weight by word frequency — the corpus itself is touched once).
     * Rows-only: the spec replays reference BPE end-to-end. */
-  val qBpeTokenize: Q = Q("q_bpe_tokenize", bpeTokenizeOracleSql()) { (s, d) =>
-    val steps = 3
-    val words = T.documents(s, d)
+  /** Train `steps` BPE merges and apply them corpus-wide: the distinct
+    * word-frequency table with each word's merged symbol sequence —
+    * shared by [[qBpeTokenize]] (token frequencies) and
+    * [[qTokenizerFertility]] (per-source tokenizer stats). */
+  private def bpeTokenizedWords(docs: DataFrame, steps: Int): DataFrame = {
+    val words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -809,10 +871,69 @@ object PipelineOps2 {
           .localCheckpoint(true)
       }
     }
-    cur.select(explode(col("syms")).as("token"), col("cnt"))
+    cur
+  }
+
+  val qBpeTokenize: Q = Q("q_bpe_tokenize", bpeTokenizeOracleSql()) { (s, d) =>
+    bpeTokenizedWords(T.documents(s, d), 3)
+      .select(explode(col("syms")).as("token"), col("cnt"))
       .groupBy("token").agg(sum(col("cnt")).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(20)
+  }
+
+  private def fertilityOracleSql(steps: Int = 3): String =
+    bpeRoundsSql(steps) +
+      s"""sw AS (SELECT source, w, COUNT(*)::BIGINT AS cnt FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY 1, 2),
+         |fj AS (SELECT s.source, s.cnt, len(m.syms)::BIGINT AS ntok,
+         |         length(s.w)::BIGINT AS wl
+         |       FROM sw s JOIN w$steps m ON m.w = s.w),
+         |fagg AS (SELECT source, SUM(cnt) AS nw, SUM(cnt * ntok) AS nt,
+         |          SUM(cnt * wl) AS nc,
+         |          SUM(CASE WHEN ntok = 1 THEN cnt ELSE 0 END) AS ns
+         |        FROM fj GROUP BY 1)
+         |SELECT source, CAST(nw AS BIGINT) AS n_words, CAST(nt AS BIGINT) AS n_tokens,
+         |  round(CAST(nt AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS fertility,
+         |  round(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS chars_per_token,
+         |  round(CAST(ns AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS single_frac
+         |FROM fagg ORDER BY source""".stripMargin
+
+  /** Tokenizer EVALUATION — per-source fertility under the trained BPE
+    * vocabulary (Rust et al. 2021, "How Good is Your Tokenizer?"): the
+    * standard metric suite a pipeline runs before committing to a
+    * tokenizer — fertility (tokens per word: 1.0 = every word one token,
+    * higher = more fragmentation), chars per token (compression), and
+    * the fraction of word occurrences left as a single token, all
+    * occurrence-weighted and split by source so a domain whose text the
+    * vocabulary fragments shows up as ITS row, not an average.
+    *
+    * At scale: training iterates the vocab-sized word table ([[
+    * bpeTokenizedWords]]); the evaluation is one corpus scan to
+    * (source, word) counts, a word-table join (broadcast-sized — it is
+    * the distinct vocabulary), and a per-source aggregation. All ratios
+    * are single BIGINT→DOUBLE divisions — exact both engines. */
+  val qTokenizerFertility: Q = Q("q_tokenizer_fertility", fertilityOracleSql()) { (s, d) =>
+    val docs = T.documents(s, d)
+    val ntok = bpeTokenizedWords(docs, 3)
+      .select(col("w"), size(col("syms")).cast("long").as("ntok"))
+    val srcWords = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    srcWords.join(broadcast(ntok), "w")
+      .withColumn("wl", length(col("w")).cast("long"))
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("ntok")).as("n_tokens"),
+        sum(col("cnt") * col("wl")).as("nc"),
+        sum(when(col("ntok") === 1, col("cnt")).otherwise(lit(0L))).as("ns"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        round(dbl(col("n_tokens")) / dbl(col("n_words")), 6).as("fertility"),
+        round(dbl(col("nc")) / dbl(col("n_tokens")), 6).as("chars_per_token"),
+        round(dbl(col("ns")) / dbl(col("n_words")), 6).as("single_frac"))
+      .orderBy("source")
   }
 
   /** Curriculum quality tiers: per-source quality quartiles (NTILE over
@@ -1059,7 +1180,7 @@ object PipelineOps2 {
     pre.unionByName(post).unionByName(removed).orderBy("o").select("metric", "val")
   }
 
-  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qD4Diversify, qBpeMerges, qWordpieceMerges, qUnigramLm, qSearchIndexed,
+  val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qD4Diversify, qBpeMerges, qWordpieceMerges, qUnigramLm, qUnigramTokenize, qTokenizerFertility, qSearchIndexed,
     qSpanDup, qSpanExtents, qBpeTokenize, qQualityTiers, qRagChunk, qSpanStrip,
     qStripAudit)
 }

@@ -47,6 +47,16 @@ class UnigramLmSpec extends SparkSpec {
     assert(uni.forall(_._3 > 0.0))
   }
 
+  test("tokenizer apply: the planted corpus tokenizes to exactly its whole words") {
+    val toks = SparkEntry.queries("q_unigram_tokenize")(spark, plantedDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every planted word is its own best segmentation under the trained
+    // model, so the applied tokenizer emits ONLY whole-word tokens with
+    // the corpus frequencies — no single-char fallback fires
+    assert(toks == Map("pq" -> 100L, "rs" -> 90L, "tu" -> 80L,
+      "abc" -> 30L, "ab" -> 20L), s"tokenized corpus: $toks")
+  }
+
   test("real corpus: 30 deterministic rows, counts descending") {
     val out = SparkEntry.queries("q_unigram_lm")(spark, TinyDir).collect()
     assert(out.length == 30)
