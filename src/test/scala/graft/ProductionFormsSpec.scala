@@ -119,6 +119,19 @@ class ProductionFormsSpec extends SparkSpec {
     joined.foreach(r => assert(r.getLong(0) >= r.getLong(1)))
   }
 
+  test("production decontam screen (frozen pre-built index) == the gate query") {
+    // the twin's split is build/serve, not certificate/sketch: the gate
+    // query builds the benchmark index in-plan every run (the certified
+    // end-to-end pass), the twin screens against a once-built frozen
+    // index — same pairs, the recurring production cost only
+    val gate = SparkEntry.queries("q_decontam_index")(spark, TinyDir)
+    val prod = Production.forms("q_decontam_index")(spark, TinyDir)
+    assert(rows(prod) == rows(gate), "serve-only screen diverged from the gate")
+    // memoized index: a second call reuses the same root (no rebuild)
+    val again = Production.forms("q_decontam_index")(spark, TinyDir)
+    assert(rows(again) == rows(gate))
+  }
+
   test("production distinct/median estimates are sane vs exact") {
     val pd = Production.forms("q_sketch_distinct")(spark, TinyDir)
     val exact = T.lineitem(spark, TinyDir).groupBy("l_suppkey")
