@@ -345,6 +345,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontam screen cache invalidates on an index swap between micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, TinyDir)
+    val idx = s"/tmp/graft_screen_swap_${System.nanoTime()}"
+    // generation 1 indexes an EMPTY benchmark suite: batch 1 must flag
+    // nothing even though the probe docs are exact copies of corpus docs
+    graft.ops.Dedup.NearDupIndex.build(docs.limit(0), idx)
+    val out = java.nio.file.Files.createTempDirectory("screen_swap_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("screen_swap_ck").toString
+    val probes = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.screenSink(
+        mem.toDF().toDF("doc_id", "text"), idx, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(probes.toIndexedSeq: _*); q.processAllAvailable()
+      // the swap: rebuild the index over the real benchmark docs — the
+      // frozen-side cache keyed on the live root must pick this up on
+      // the NEXT batch without a restart
+      graft.ops.Dedup.NearDupIndex.rebuild(spark, idx, docs.filter(col("doc_id") < 25))
+      mem.addData(probes.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val flagged = spark.read.option("basePath", out).parquet(out)
+      .select(col("id"), input_file_name().as("f")).collect()
+    val b0 = flagged.filter(_.getString(1).contains("part=batch_0"))
+    val b1 = flagged.filter(_.getString(1).contains("part=batch_1"))
+    assert(b0.isEmpty, s"batch 0 screened against a non-empty gen-1 index: ${b0.length} rows")
+    assert(b1.nonEmpty, "batch 1 still served the stale empty index after the swap")
+    // every probe is a verbatim copy of an indexed doc — all must flag
+    assert(b1.map(_.getLong(0)).toSet == probes.map(_._1).toSet,
+      "post-swap screen missed copies of newly indexed docs")
+  }
+
   test("streaming decontam screen: micro-batched union == one-shot batch screen") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
