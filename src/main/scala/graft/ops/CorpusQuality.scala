@@ -202,6 +202,127 @@ object CorpusQuality {
       .orderBy("metric")
   }
 
+  /** RELEASE-PIPELINE capstone — the staged per-doc decision table a
+    * corpus release actually ships (the RefinedWeb/Dolma ordering:
+    * quality filter → near-dup dedup → benchmark decontamination), with
+    * each doc carrying the FIRST stage that dropped it:
+    *
+    *  1. quality: [[qFilterPipeline]]'s reason chain (lang / too_short /
+    *     too_long / no_stopwords) on the training corpus (doc_id >= 25;
+    *     doc_id < 25 is the held-out benchmark stand-in, as in
+    *     q_decontam_index) — later stages never see quality-dropped docs,
+    *     which is the point of staging: dedup pays pair-join work only
+    *     for docs that can still ship;
+    *  2. dedup: trigram-Jaccard >= 0.5 SSJoin pairs over the quality
+    *     survivors → one CC → min-id survivor; non-survivors verdict
+    *     'dup' with their survivor_id;
+    *  3. decontamination: surviving docs with exact trigram Jaccard >=
+    *     0.5 against ANY benchmark doc verdict 'contaminated' (their
+    *     dup-followers were already dropped at stage 2 — a contaminated
+    *     cluster representative never promotes a follower).
+    *
+    * Output: (doc_id, verdict, survivor_id, final_keep) for every
+    * training doc — the table the release writes next to the corpus.
+    * At scale every stage is a shape certified elsewhere: the filter is
+    * one map-side projection, the pair join is the subquadratic SSJoin
+    * ([[Dedup.jaccardPairsPrefix]]), CC size-routes, and the decontam
+    * join is batch-restricted with the benchmark side as the prefix
+    * probe ([[Dedup.jaccardPairsPrefixAgainst]]). Fully oracled: DuckDB
+    * replays all three stages (reason CASE, pair CTE + recursive CC,
+    * cross-pair screen) in one statement. */
+  val qCorpusRelease: Q = Q(
+    "q_corpus_release",
+    """WITH RECURSIVE
+      |q AS (SELECT doc_id,
+      |  CASE WHEN lang <> 'en' THEN 'lang'
+      |       WHEN n_chars < 100 THEN 'too_short'
+      |       WHEN n_chars > 5000 THEN 'too_long'
+      |       WHEN len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|to|in)\b')) = 0 THEN 'no_stopwords'
+      |       ELSE 'keep' END AS q
+      |  FROM documents WHERE doc_id >= 25),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+      |       FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |qk AS (SELECT doc_id FROM q WHERE q = 'keep'),
+      |ksh AS (SELECT s.doc_id, s.sh FROM sh s JOIN qk USING (doc_id)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM ksh a JOIN ksh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  JOIN sz sa ON sa.doc_id = a.doc_id
+      |  JOIN sz sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING CAST(COUNT(*) AS DOUBLE) /
+      |      CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node),
+      |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+      |pick AS (SELECT qk.doc_id, COALESCE(comp.component, qk.doc_id) AS survivor_id
+      |         FROM qk LEFT JOIN comp ON comp.node = qk.doc_id),
+      |esh AS (SELECT doc_id, sh FROM sh WHERE doc_id < 25),
+      |ssh AS (SELECT s.doc_id, s.sh FROM sh s
+      |        JOIN pick p ON p.doc_id = s.doc_id AND p.doc_id = p.survivor_id),
+      |contp AS (
+      |  SELECT t.doc_id
+      |  FROM ssh t JOIN esh b ON t.sh = b.sh
+      |  JOIN sz st ON st.doc_id = t.doc_id
+      |  JOIN sz se ON se.doc_id = b.doc_id
+      |  GROUP BY t.doc_id, b.doc_id
+      |  HAVING CAST(COUNT(*) AS DOUBLE) /
+      |      CAST(ANY_VALUE(st.n) + ANY_VALUE(se.n) - COUNT(*) AS DOUBLE) >= 0.5),
+      |cont AS (SELECT DISTINCT doc_id FROM contp)
+      |SELECT doc_id, verdict, survivor_id, (verdict = 'keep') AS final_keep FROM (
+      |  SELECT q.doc_id,
+      |    CASE WHEN q.q <> 'keep' THEN q.q
+      |         WHEN p.doc_id <> p.survivor_id THEN 'dup'
+      |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+      |         ELSE 'keep' END AS verdict,
+      |    p.survivor_id
+      |  FROM q LEFT JOIN pick p ON p.doc_id = q.doc_id
+      |  LEFT JOIN cont c ON c.doc_id = q.doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val evalDocs = docs.filter(col("doc_id") < 25)
+    val train = docs.filter(col("doc_id") >= 25)
+    val q = train.select(col("doc_id"),
+        when(col("lang") =!= "en", "lang")
+          .when(col("n_chars") < 100, "too_short")
+          .when(col("n_chars") > 5000, "too_long")
+          .when(regexp_count(lower(col("text")),
+            lit("\\b(the|a|an|of|and|or|to|in)\\b")) === 0, "no_stopwords")
+          .otherwise("keep").as("q"))
+      .localCheckpoint(true) // read by the keep-join and the final verdict
+    val qk = train.join(q.filter(col("q") === "keep").select("doc_id"), "doc_id")
+      .localCheckpoint(true) // feeds the pair join, the pick, and decontam
+    val pick = Dedup.survivorPick(qk,
+        Dedup.jaccardPairsPrefix(qk, "doc_id", "text", 3, 0.5))
+      .localCheckpoint(true) // read by the survivor filter and the verdict
+    val survivors = qk
+      .join(pick.filter(col("keep")).select("doc_id"), "doc_id")
+    val cross = Dedup.jaccardPairsPrefixAgainst(
+        evalDocs.select("doc_id", "text").unionByName(survivors.select("doc_id", "text")),
+        "doc_id", "text", 3, 0.5, col("id") < 25)
+      .filter((col("id_a") < 25) =!= (col("id_b") < 25)) // cross pairs only
+    val contaminated = cross
+      .select(when(col("id_a") >= 25, col("id_a")).otherwise(col("id_b")).as("doc_id"))
+      .distinct().withColumn("cont", lit(true))
+    q.join(pick.select(col("doc_id"), col("survivor_id"), col("keep").as("dk")),
+        Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("q") =!= "keep", col("q"))
+          .when(!col("dk"), "dup")
+          .when(col("cont"), "contaminated")
+          .otherwise("keep").as("verdict"),
+        col("survivor_id"))
+      .withColumn("final_keep", col("verdict") === "keep")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qRepetition, qSourceStats, qFilterPipeline, qContamination,
-    qBoilerplate, qCorpusCard)
+    qBoilerplate, qCorpusCard, qCorpusRelease)
 }
