@@ -68,6 +68,17 @@ object CorpusQuality {
   /** Keep/drop filter chain with a first-failure reason — the auditable
     * form of a corpus filter (what was dropped, and why, per rule). Pure
     * map-side; rules are ordered and the reason is the FIRST violated. */
+  /** The keep/drop reason chain over (lang, n_chars, text) — shared by
+    * the filter query, the release capstone, and the streaming release
+    * gate so "quality" means ONE thing everywhere. */
+  private[graft] def filterVerdict: org.apache.spark.sql.Column =
+    when(col("lang") =!= "en", "lang")
+      .when(col("n_chars") < 100, "too_short")
+      .when(col("n_chars") > 5000, "too_long")
+      .when(regexp_count(lower(col("text")),
+        lit("\\b(the|a|an|of|and|or|to|in)\\b")) === 0, "no_stopwords")
+      .otherwise("keep")
+
   val qFilterPipeline: Q = Q(
     "q_filter_pipeline",
     """SELECT doc_id,
@@ -78,13 +89,7 @@ object CorpusQuality {
       |       ELSE 'keep' END AS verdict
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     T.documents(s, d)
-      .select(col("doc_id"),
-        when(col("lang") =!= "en", "lang")
-          .when(col("n_chars") < 100, "too_short")
-          .when(col("n_chars") > 5000, "too_long")
-          .when(regexp_count(lower(col("text")),
-            lit("\\b(the|a|an|of|and|or|to|in)\\b")) === 0, "no_stopwords")
-          .otherwise("keep").as("verdict"))
+      .select(col("doc_id"), filterVerdict.as("verdict"))
       .orderBy("doc_id")
   }
 
@@ -288,13 +293,7 @@ object CorpusQuality {
     val docs = T.documents(s, d)
     val evalDocs = docs.filter(col("doc_id") < 25)
     val train = docs.filter(col("doc_id") >= 25)
-    val q = train.select(col("doc_id"),
-        when(col("lang") =!= "en", "lang")
-          .when(col("n_chars") < 100, "too_short")
-          .when(col("n_chars") > 5000, "too_long")
-          .when(regexp_count(lower(col("text")),
-            lit("\\b(the|a|an|of|and|or|to|in)\\b")) === 0, "no_stopwords")
-          .otherwise("keep").as("q"))
+    val q = train.select(col("doc_id"), filterVerdict.as("q"))
       .localCheckpoint(true) // read by the keep-join and the final verdict
     val qk = train.join(q.filter(col("q") === "keep").select("doc_id"), "doc_id")
       .localCheckpoint(true) // feeds the pair join, the pick, and decontam
@@ -321,6 +320,44 @@ object CorpusQuality {
         col("survivor_id"))
       .withColumn("final_keep", col("verdict") === "keep")
       .orderBy("doc_id")
+  }
+
+  /** The INGEST release gate over one batch of arriving docs against two
+    * FROZEN indexes — the per-crawl form of [[qCorpusRelease]]'s staged
+    * decision (quality → already-released near-dup → benchmark leak),
+    * shared by the streaming sink
+    * ([[graft.streaming.StreamingOps.releaseGateSink]]) and its one-shot
+    * spec oracle. Screens use [[Dedup.NearDupIndex.screenWith]] (NO
+    * batch↔batch pairs), so the verdicts are COMPOSITIONAL: micro-batch
+    * boundaries can never change a doc's verdict, and the streamed union
+    * equals the one-shot gate over the same docs.
+    *
+    * `corpusFrozen` is the near-dup index of the already-released corpus
+    * (a batch doc near-duplicating it is 'dup'); `benchFrozen` the
+    * benchmark suite's (a leak is 'contaminated'); either None (empty
+    * index) skips its stage. Output: (doc_id, verdict, final_keep). */
+  def releaseGate(batch: org.apache.spark.sql.DataFrame,
+                  corpusFrozen: Option[Dedup.NearDupIndex.Frozen],
+                  benchFrozen: Option[Dedup.NearDupIndex.Frozen],
+                  n: Int = 3, threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val q = batch.select(col("doc_id"), filterVerdict.as("q"))
+      .localCheckpoint(true) // read by the keep-join and the final verdict
+    val qk = batch.join(q.filter(col("q") === "keep").select("doc_id"), "doc_id")
+      .localCheckpoint(true) // both screens read it
+    def screenIds(frozen: Option[Dedup.NearDupIndex.Frozen], flag: String) =
+      frozen.fold(qk.sparkSession.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).limit(0).select("doc_id")) { f =>
+        Dedup.NearDupIndex.screenWith(f, qk, n, threshold)
+          .select(col("id").as("doc_id")).distinct()
+      }.withColumn(flag, lit(true))
+    q.join(screenIds(corpusFrozen, "isdup"), Seq("doc_id"), "left")
+      .join(screenIds(benchFrozen, "iscont"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("q") =!= "keep", col("q"))
+          .when(col("isdup"), "dup")
+          .when(col("iscont"), "contaminated")
+          .otherwise("keep").as("verdict"))
+      .withColumn("final_keep", col("verdict") === "keep")
   }
 
   val all: Seq[Q] = Seq(qRepetition, qSourceStats, qFilterPipeline, qContamination,

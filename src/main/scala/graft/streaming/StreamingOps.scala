@@ -575,6 +575,35 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming RELEASE GATE (stream_release_gate): every arriving
+    * micro-batch of documents gets the staged release verdict of
+    * [[graft.ops.CorpusQuality.releaseGate]] — quality reason chain,
+    * then near-dup-of-released-corpus ('dup'), then benchmark leak
+    * ('contaminated') — against TWO frozen near-dup indexes, both cached
+    * across micro-batches via [[FrozenSides.nearDup]] (one root stat per
+    * batch; an AtomicSwap rebuild of either index is picked up on the
+    * next batch). Verdicts are compositional (screens emit no
+    * batch↔batch pairs), so the streamed union equals the one-shot gate
+    * — spec-pinned. This is the ingest-time form of the q_corpus_release
+    * capstone: the crawler drops a page BEFORE it enters the corpus,
+    * for the same three reasons the batch release would. Exactly-once
+    * via the overwrite-idempotent `part=batch_<id>` region convention. */
+  def releaseGateSink(docs: DataFrame, corpusIdxPath: String,
+                      benchIdxPath: String, outDir: String,
+                      n: Int = 3, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ops.CorpusQuality.releaseGate(batch,
+              FrozenSides.nearDup(spark, corpusIdxPath),
+              FrozenSides.nearDup(spark, benchIdxPath), n, threshold)
+            .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
+        }
+        ()
+      }
+
   /** Streaming CDC into the time-traveled table: each micro-batch commits
     * one [[graft.sources.Versioned]] version (upsert semantics, only
     * batch-touched partitions rewritten) — the streamed table keeps its
