@@ -188,12 +188,15 @@ object TextAnalysis {
     *
     * Fully oracled from birth: the rolling hash replays byte-by-byte
     * (the q_fingerprint_winnow chain at L=50); the merge is plain SQL. */
-  private def dedupSubstrOracleSql(l: Int = 50): String = {
-    // the ROLLING recurrence, not a per-window fold: recomputing every
-    // 50-byte window from scratch costs windows×l lambda evals (~16 s at
-    // sf0.01); the recursive CTE advances every doc one position per
-    // level — h' = (h − b_p·base^(l−1))·base + b_{p+l} — exactly
-    // RollingHash.hashes' update, windows×1 work
+  /** The shared window-hash recursion: every doc's L-byte rolling hashes
+    * as `sh(doc_id, p, hh)` — the ROLLING recurrence, not a per-window
+    * fold (recomputing every 50-byte window from scratch costs windows×l
+    * lambda evals, ~16 s at sf0.01); the recursive CTE advances every
+    * doc one position per level — h' = (h − b_p·base^(l−1))·base +
+    * b_{p+l} — exactly RollingHash.hashes' update, windows×1 work.
+    * Shared by the within-corpus (q_dedup_substr) and cross-set
+    * (q_span_decontam) span oracles. */
+  private def rollingWindowCtes(l: Int): String = {
     val base = 1000003L
     var pow = 1L // base^(l-1) mod 2^64, the leading-byte weight
     for (_ <- 1 until l) pow *= base
@@ -213,7 +216,12 @@ object TextAnalysis {
        |  SELECT r.doc_id, r.text, r.len, r.p + 1, $next
        |  FROM roll r WHERE r.p + 1 <= r.len - $l),
        |sh AS MATERIALIZED (SELECT doc_id, p, ${OracleKit.toSigned64("rhu")} AS hh FROM roll),
-       |rep AS MATERIALIZED (SELECT hh FROM sh GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |""".stripMargin
+  }
+
+  private def dedupSubstrOracleSql(l: Int = 50): String =
+    rollingWindowCtes(l) +
+      s"""rep AS MATERIALIZED (SELECT hh FROM sh GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 2),
        |hits AS MATERIALIZED (SELECT s.doc_id, s.p FROM sh s JOIN rep USING (hh)),
        |isl AS (SELECT doc_id, p,
        |    SUM(CASE WHEN prev IS NULL OR p - prev > $l THEN 1 ELSE 0 END)
@@ -226,7 +234,6 @@ object TextAnalysis {
        |  COALESCE(a.repeated_bytes, 0)::BIGINT AS repeated_bytes,
        |  round(CAST(COALESCE(a.repeated_bytes, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE), 6) AS repeated_frac
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
-  }
 
   val qDedupSubstr: Q = Q("q_dedup_substr", dedupSubstrOracleSql()) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -339,6 +346,70 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  private def spanDecontamOracleSql(l: Int = 50): String =
+    rollingWindowCtes(l) +
+      s"""rep AS MATERIALIZED (SELECT hh FROM sh GROUP BY hh
+       |  HAVING MAX(CASE WHEN doc_id < 25 THEN 1 ELSE 0 END) = 1
+       |     AND MAX(CASE WHEN doc_id >= 25 THEN 1 ELSE 0 END) = 1),
+       |hits AS MATERIALIZED (SELECT s.doc_id, s.p FROM sh s JOIN rep USING (hh)
+       |  WHERE s.doc_id >= 25),
+       |isl AS (SELECT doc_id, p,
+       |    SUM(CASE WHEN prev IS NULL OR p - prev > $l THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p) AS island
+       |  FROM (SELECT doc_id, p, LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits)),
+       |spans AS (SELECT doc_id, island, MAX(p) + $l - MIN(p) AS len FROM isl GROUP BY doc_id, island),
+       |agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_spans, CAST(SUM(len) AS BIGINT) AS lb
+       |  FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.n_spans, 0)::BIGINT AS n_leaked_spans,
+       |  COALESCE(a.lb, 0)::BIGINT AS leaked_bytes,
+       |  round(CAST(COALESCE(a.lb, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE), 6) AS leaked_frac
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |WHERE d.doc_id >= 25 ORDER BY d.doc_id""".stripMargin
+
+  /** SPAN-LEVEL decontamination (Lee et al. 2021 §ExactSubstr applied
+    * cross-set; the OLMo-style span decontam pass): for every TRAINING
+    * doc, the maximal spans of ≥ `l` bytes that verbatim-occur in ANY
+    * benchmark doc (doc_id < 25, the held-out stand-in as in
+    * q_decontam_index) — the surgical alternative to q_decontam_index's
+    * whole-doc verdict: a page quoting one benchmark item loses the
+    * quoted SPAN, not the page. Same window-hash machinery as
+    * [[qDedupSubstr]] (no pair join, one long-keyed shuffle, O(corpus
+    * bytes)); the cross-set filter swaps "≥2 distinct docs" for "seen on
+    * BOTH sides of the train/benchmark split" — one max-flag aggregation
+    * on the same key. Output per training doc: leaked-span count, bytes,
+    * fraction (0 rows lost — docs with no leak report zeros, the shape
+    * [[graft.ops.PipelineOps2.spanStrip]]-style downstream removal
+    * needs). */
+  val qSpanDecontam: Q = Q("q_span_decontam", spanDecontamOracleSql()) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val l = 50
+    val docs = T.documents(s, d)
+    val hashed = docs
+      .select(col("doc_id"), posexplode(graft.functions.RollingHash(col("text"), l)).as(Seq("p", "h")))
+    val rep = hashed.groupBy("h").agg(
+        max(when(col("doc_id") < 25, 1).otherwise(0)).as("he"),
+        max(when(col("doc_id") >= 25, 1).otherwise(0)).as("ht"))
+      .filter(col("he") === 1 && col("ht") === 1).select("h")
+    val hits = hashed.filter(col("doc_id") >= 25).join(rep, "h").select("doc_id", "p")
+    val wDoc = Window.partitionBy("doc_id").orderBy("p")
+    val isl = hits
+      .withColumn("prev", lag(col("p"), 1).over(wDoc))
+      .withColumn("island",
+        sum(when(col("prev").isNull || col("p") - col("prev") > l, 1).otherwise(0)).over(wDoc))
+    val spans = isl.groupBy("doc_id", "island")
+      .agg((max(col("p")) + l - min(col("p"))).as("len"))
+    val agg = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("len")).cast("long").as("lb"))
+    docs.filter(col("doc_id") >= 25)
+      .select(col("doc_id"), length(col("text")).as("nlen"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_leaked_spans"),
+        coalesce(col("lb"), lit(0L)).as("leaked_bytes"),
+        round(dbl(coalesce(col("lb"), lit(0L))) / dbl(col("nlen")), 6).as("leaked_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint, qDedupSubstr,
-    qFingerprintWinnow, qDictTag, qMentionScore)
+    qSpanDecontam, qFingerprintWinnow, qDictTag, qMentionScore)
 }

@@ -1,0 +1,49 @@
+package graft
+
+/** q_span_decontam semantics (exact values oracle-pinned; this pins the
+  * CROSS-SET discrimination on a planted corpus): only spans shared with
+  * a benchmark doc leak — train↔train repeats do not, which is exactly
+  * what separates this from q_dedup_substr. */
+class SpanDecontamSpec extends SparkSpec {
+
+  // 60 distinctive bytes; boundary chars differ on every side in every
+  // doc so the true maximal shared substring is EXACTLY the run (the
+  // r10 DedupSubstrSpec lesson: shared surrounding spaces extend it)
+  private val Run = "XQWJZKVYPBDGHMNRSTLC" * 3
+  private val TrainRun = "KKLLMMNNOOPPQQRRSSTT" * 3
+
+  private lazy val plantedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spandecon").toString
+    import spark.implicits._
+    Seq(
+      (1L, s"aaa1-$Run-zzz1 and some benchmark question text follows here", "en", "bench", 100L),
+      (100L, s"bbb2_${Run}_yyy2 a crawled page quoting the benchmark item verbatim", "en", "web", 100L),
+      (101L, s"ccc3=$TrainRun=xxx3 two train pages sharing their own boilerplate", "en", "web", 100L),
+      (102L, s"ddd4+$TrainRun+www4 the other train page with the same boilerplate", "en", "web", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("only benchmark-shared spans leak; train-train repeats do not") {
+    val out = SparkEntry.queries("q_span_decontam")(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(100L, 101L, 102L), s"rows: ${out.keySet}")
+    assert(out(100L) == ((1L, 60L)), s"100: ${out(100L)} (expected one 60-byte leaked span)")
+    // the 60-byte train-train boilerplate is q_dedup_substr's business,
+    // not decontamination's
+    assert(out(101L) == ((0L, 0L)), s"101: ${out(101L)}")
+    assert(out(102L) == ((0L, 0L)), s"102: ${out(102L)}")
+  }
+
+  test("real corpus: every training doc reports; fractions in [0, 1]") {
+    val rows = SparkEntry.queries("q_span_decontam")(spark, TinyDir).collect()
+    val train = graft.sources.Tables.documents(spark, TinyDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 25).count()
+    assert(rows.length == train)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert((r.getLong(1) == 0) == (r.getLong(2) == 0))
+    }
+  }
+}
