@@ -346,7 +346,10 @@ object TextAnalysis {
       .orderBy("term")
   }
 
-  private def spanDecontamOracleSql(l: Int = 50): String =
+  /** [[rollingWindowCtes]] + the cross-set filter + island merge →
+    * `spans(doc_id, s, e)`: the leaked-span extents, shared by the
+    * q_span_decontam and q_decontam_strip oracles. */
+  private def crossSetSpanCtes(l: Int): String =
     rollingWindowCtes(l) +
       s"""rep AS MATERIALIZED (SELECT hh FROM sh GROUP BY hh
        |  HAVING MAX(CASE WHEN doc_id < 25 THEN 1 ELSE 0 END) = 1
@@ -357,8 +360,12 @@ object TextAnalysis {
        |    SUM(CASE WHEN prev IS NULL OR p - prev > $l THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY doc_id ORDER BY p) AS island
        |  FROM (SELECT doc_id, p, LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits)),
-       |spans AS (SELECT doc_id, island, MAX(p) + $l - MIN(p) AS len FROM isl GROUP BY doc_id, island),
-       |agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_spans, CAST(SUM(len) AS BIGINT) AS lb
+       |spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + $l AS e FROM isl GROUP BY doc_id, island),
+       |""".stripMargin
+
+  private def spanDecontamOracleSql(l: Int = 50): String =
+    crossSetSpanCtes(l) +
+      s"""agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_spans, CAST(SUM(e - s) AS BIGINT) AS lb
        |  FROM spans GROUP BY doc_id)
        |SELECT d.doc_id, COALESCE(a.n_spans, 0)::BIGINT AS n_leaked_spans,
        |  COALESCE(a.lb, 0)::BIGINT AS leaked_bytes,
@@ -380,10 +387,17 @@ object TextAnalysis {
     * fraction (0 rows lost — docs with no leak report zeros, the shape
     * [[graft.ops.PipelineOps2.spanStrip]]-style downstream removal
     * needs). */
-  val qSpanDecontam: Q = Q("q_span_decontam", spanDecontamOracleSql()) { (s, d) =>
+  /** The leaked spans themselves — per TRAINING doc, the maximal
+    * (start, end) byte extents (0-based, end exclusive) occurring
+    * verbatim in any benchmark doc. Islands are disjoint by
+    * construction (a new island starts only when the gap exceeds `l`,
+    * so its first window begins past the previous island's end), which
+    * is what lets [[qDecontamStrip]] cut them with plain segment
+    * concatenation. Shared by the report ([[qSpanDecontam]]) and the
+    * apply ([[qDecontamStrip]]). */
+  private def leakedSpans(docs: org.apache.spark.sql.DataFrame,
+                          l: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val l = 50
-    val docs = T.documents(s, d)
     val hashed = docs
       .select(col("doc_id"), posexplode(graft.functions.RollingHash(col("text"), l)).as(Seq("p", "h")))
     val rep = hashed.groupBy("h").agg(
@@ -392,14 +406,20 @@ object TextAnalysis {
       .filter(col("he") === 1 && col("ht") === 1).select("h")
     val hits = hashed.filter(col("doc_id") >= 25).join(rep, "h").select("doc_id", "p")
     val wDoc = Window.partitionBy("doc_id").orderBy("p")
-    val isl = hits
+    hits
       .withColumn("prev", lag(col("p"), 1).over(wDoc))
       .withColumn("island",
         sum(when(col("prev").isNull || col("p") - col("prev") > l, 1).otherwise(0)).over(wDoc))
-    val spans = isl.groupBy("doc_id", "island")
-      .agg((max(col("p")) + l - min(col("p"))).as("len"))
-    val agg = spans.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"), sum(col("len")).cast("long").as("lb"))
+      .groupBy("doc_id", "island")
+      .agg(min(col("p")).as("s"), (max(col("p")) + l).as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  val qSpanDecontam: Q = Q("q_span_decontam", spanDecontamOracleSql()) { (s, d) =>
+    val l = 50
+    val docs = T.documents(s, d)
+    val agg = leakedSpans(docs, l).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).cast("long").as("lb"))
     docs.filter(col("doc_id") >= 25)
       .select(col("doc_id"), length(col("text")).as("nlen"))
       .join(agg, Seq("doc_id"), "left")
@@ -410,6 +430,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private def decontamStripOracleSql(l: Int = 50): String =
+    crossSetSpanCtes(l) +
+      s"""lastgap AS (
+       |  SELECT sp.doc_id, MAX(sp.e) AS gs, ANY_VALUE(length(d.text))::BIGINT AS ge
+       |  FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id GROUP BY sp.doc_id),
+       |gaps AS (
+       |  SELECT doc_id, COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+       |         s AS ge
+       |  FROM spans
+       |  UNION ALL
+       |  SELECT doc_id, gs, ge FROM lastgap),
+       |ct AS (
+       |  SELECT g.doc_id,
+       |    string_agg(substr(d.text, (g.gs + 1)::INT, (g.ge - g.gs)::INT), '' ORDER BY g.gs) AS clean_text
+       |  FROM gaps g JOIN documents d USING (doc_id) GROUP BY g.doc_id),
+       |n AS (SELECT doc_id, COUNT(*)::BIGINT AS n_cut FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n.n_cut, 0)::BIGINT AS n_cut,
+       |  COALESCE(ct.clean_text, d.text) AS clean_text
+       |FROM documents d LEFT JOIN ct USING (doc_id) LEFT JOIN n USING (doc_id)
+       |WHERE d.doc_id >= 25 ORDER BY d.doc_id""".stripMargin
+
+  /** The APPLY half of [[qSpanDecontam]] — cut the leaked spans and ship
+    * the cleaned text (what a span-level decontam pass actually DOES to
+    * the corpus: the quoted benchmark item is excised, the page
+    * survives). Islands are disjoint (see [[leakedSpans]]), so the
+    * cleaned doc is the ordered concatenation of the complement
+    * segments — exact string surgery, byte-identical across engines (the
+    * oracle compares the cleaned TEXT itself, not a proxy metric). One
+    * extra doc-keyed aggregation over the span table; the corpus is
+    * still scanned once. */
+  val qDecontamStrip: Q = Q("q_decontam_strip", decontamStripOracleSql()) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val l = 50
+    val docs = T.documents(s, d)
+    val spans = leakedSpans(docs, l).localCheckpoint(true) // gaps + lastgap + n_cut read it
+    val wDoc = Window.partitionBy("doc_id").orderBy("s")
+    val gaps = spans
+      .withColumn("gs", coalesce(lag(col("e"), 1).over(wDoc), lit(0L)))
+      .select(col("doc_id"), col("gs"), col("s").as("ge"))
+      .unionByName(spans.groupBy("doc_id").agg(max(col("e")).as("gs"))
+        .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("ge")), "doc_id")
+        .select("doc_id", "gs", "ge"))
+    val cleaned = gaps.join(docs.select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("gs"),
+        expr("substring(text, cast(gs + 1 as int), cast(ge - gs as int))").as("seg"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("gs"), col("seg")))),
+        x => x.getField("seg")), "").as("clean_text"))
+    val ncut = spans.groupBy("doc_id").agg(count(lit(1)).as("n_cut"))
+    docs.filter(col("doc_id") >= 25).select(col("doc_id"), col("text"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .join(ncut, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("clean_text"), col("text")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint, qDedupSubstr,
-    qSpanDecontam, qFingerprintWinnow, qDictTag, qMentionScore)
+    qSpanDecontam, qDecontamStrip, qFingerprintWinnow, qDictTag, qMentionScore)
 }

@@ -36,6 +36,18 @@ class SpanDecontamSpec extends SparkSpec {
     assert(out(102L) == ((0L, 0L)), s"102: ${out(102L)}")
   }
 
+  test("strip: the leaked span is excised byte-exactly; clean docs pass through") {
+    val texts = graft.sources.Tables.documents(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("q_decontam_strip")(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the run sits at bytes [5, 65): cleaned = prefix + suffix around it
+    val t100 = texts(100L)
+    assert(out(100L) == ((1L, t100.substring(0, 5) + t100.substring(65))), s"100: ${out(100L)}")
+    assert(out(101L) == ((0L, texts(101L))), s"101: ${out(101L)}")
+    assert(out(102L) == ((0L, texts(102L))), s"102: ${out(102L)}")
+  }
+
   test("real corpus: every training doc reports; fractions in [0, 1]") {
     val rows = SparkEntry.queries("q_span_decontam")(spark, TinyDir).collect()
     val train = graft.sources.Tables.documents(spark, TinyDir)
