@@ -575,6 +575,29 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming SPAN-LEVEL decontamination (stream_span_decontam): every
+    * arriving micro-batch of documents gets the per-doc leaked-span
+    * report of [[graft.sources.SpanIndex.screen]] against the FROZEN
+    * benchmark window-hash index — "which byte ranges of this page quote
+    * a benchmark doc", answered at ingest. The hash set is read once and
+    * persisted across batches ([[FrozenSides.parquetTable]], mtime
+    * invalidation on suite republish); screening is per-doc against the
+    * frozen set, so it is compositional — streamed union == one-shot
+    * screen, spec-pinned. Exactly-once via the overwrite-idempotent
+    * `part=batch_<id>` region convention. */
+  def spanScreenSink(docs: DataFrame, indexPath: String, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.sources.SpanIndex.screen(spark, indexPath, batch,
+              Some(FrozenSides.parquetTable(spark, s"$indexPath/hashes")))
+            .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
+        }
+        ()
+      }
+
   /** Streaming RELEASE GATE (stream_release_gate): every arriving
     * micro-batch of documents gets the staged release verdict of
     * [[graft.ops.CorpusQuality.releaseGate]] — quality reason chain,

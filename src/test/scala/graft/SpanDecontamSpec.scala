@@ -48,6 +48,40 @@ class SpanDecontamSpec extends SparkSpec {
     assert(out(102L) == ((0L, texts(102L))), s"102: ${out(102L)}")
   }
 
+  test("span index + streaming screen: frozen suite, streamed union == one-shot") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_spanidx").toString + "/idx"
+    graft.sources.SpanIndex.build(
+      Seq((1L, s"aaa1-$Run-zzz1 and some benchmark question text follows here"))
+        .toDF("doc_id", "text"), idx)
+    val arriving = Seq(
+      (100L, s"bbb2_${Run}_yyy2 a crawled page quoting the benchmark item verbatim"),
+      (101L, s"ccc3=$TrainRun=xxx3 a page with no benchmark overlap whatsoever"),
+      (102L, s"ddd4+$Run+www4 another page quoting the same benchmark item"))
+    val out = java.nio.file.Files.createTempDirectory("spanidx_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("spanidx_ck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.spanScreenSink(
+        mem.toDF().toDF("doc_id", "text"), idx, out)
+      .option("checkpointLocation", ckpt).start()
+    val (b1, b2) = arriving.partition(_._1 % 2 == 0)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_leaked_spans", "leaked_bytes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == Map(100L -> ((1L, 60L)), 101L -> ((0L, 0L)), 102L -> ((1L, 60L))),
+      s"streamed: $streamed")
+    val oneShot = graft.sources.SpanIndex.screen(spark, idx,
+        arriving.toDF("doc_id", "text"))
+      .select("doc_id", "n_leaked_spans", "leaked_bytes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == oneShot, s"one-shot disagrees: $oneShot")
+  }
+
   test("real corpus: every training doc reports; fractions in [0, 1]") {
     val rows = SparkEntry.queries("q_span_decontam")(spark, TinyDir).collect()
     val train = graft.sources.Tables.documents(spark, TinyDir)
