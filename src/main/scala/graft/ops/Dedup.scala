@@ -920,20 +920,25 @@ object Dedup {
         minhashVerifiedPairs(docs, idCol, textCol, n, k, bands, threshold), None, None)
     val (cand, prof0) = minhashCandProfiles(docs, idCol, textCol, n, k, bands, threshold)
     // one profile build serves both the candidate verify and the
-    // equality certificate's exact SSJoin side
+    // equality certificate's exact SSJoin side; given the checkpointed
+    // profiles, the LSH verify and the exact graph are INDEPENDENT —
+    // submit both materializations concurrently (the q_dedup_fuse
+    // overlap pattern; the mismatch count is the only join point)
     val profiles = prof0.localCheckpoint(true)
-    val verified = verifyJaccard(cand, profiles, threshold).localCheckpoint(true)
-    val (exact, mismatches) = exactGraphCertificate(profiles, verified, threshold)
-    MinhashGraph(verified, Some(exact), Some(mismatches))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fVerified = Future(verifyJaccard(cand, profiles, threshold).localCheckpoint(true))
+    val fExact = Future(exactPairGraph(profiles, threshold))
+    val verified = Await.result(fVerified, scala.concurrent.duration.Duration.Inf)
+    val exact = Await.result(fExact, scala.concurrent.duration.Duration.Inf)
+    MinhashGraph(verified, Some(exact), Some(certificateMismatches(verified, exact)))
   }
 
-  /** The exact-SSJoin equality certificate shared by the banded gate
-    * forms (minhash AND simhash — one implementation, so a verify-
-    * semantics fix can never land on one and miss the other): the exact
-    * J >= threshold pair graph off the SAME profile table, plus the
-    * edge-for-edge full-outer mismatch count against `verified`. */
-  private def exactGraphCertificate(profiles: DataFrame, verified: DataFrame,
-                                    threshold: Double): (DataFrame, Long) = {
+  /** The exact J >= threshold pair graph off a checkpointed profile
+    * table — the certificate side shared by the banded gate forms
+    * (minhash AND simhash — one implementation, so a verify-semantics
+    * fix can never land on one and miss the other). */
+  private def exactPairGraph(profiles: DataFrame, threshold: Double): DataFrame = {
     val prefix = profiles.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
     val exactCand = prefix.select(col("id").as("id_a"), col("nsh").as("na"), col("sh"))
       .join(prefix.select(col("id").as("id_b"), col("nsh").as("nb"), col("sh")), Seq("sh"))
@@ -941,14 +946,18 @@ object Dedup {
       .filter(dbl(least(col("na"), col("nb"))) >=
         lit(threshold) * dbl(greatest(col("na"), col("nb"))))
       .select("id_a", "id_b").distinct()
-    val exact = verifyJaccard(exactCand, profiles, threshold).localCheckpoint(true)
-    val mismatches = verified.select("id_a", "id_b").withColumn("__m", lit(1))
+    verifyJaccard(exactCand, profiles, threshold).localCheckpoint(true)
+  }
+
+  /** Edge-for-edge full-outer mismatch count between the banded verified
+    * graph and its exact certificate twin. */
+  private def certificateMismatches(verified: DataFrame, exact: DataFrame): Long =
+    verified.select("id_a", "id_b").withColumn("__m", lit(1))
       .join(exact.select("id_a", "id_b").withColumn("__e", lit(1)),
         Seq("id_a", "id_b"), "full_outer")
       .filter(col("__m").isNull || col("__e").isNull)
       .count()
-    (exact, mismatches)
-  }
+
 
   /** MinHash + LSH banding, exact-verified: band-collision candidates
     * (the ONLY shuffle — signatures are a pure projection) get EXACT
@@ -1137,9 +1146,15 @@ object Dedup {
     val cand = simhashBandCandidates(simhashes(docs, idCol, textCol), bands)
       .filter(col("hamming") <= mh)
       .select("id_a", "id_b")
-    val verified = verifyJaccard(cand, profiles, threshold).localCheckpoint(true)
-    val (exact, mismatches) = exactGraphCertificate(profiles, verified, threshold)
-    MinhashGraph(verified, Some(exact), Some(mismatches))
+    // banded verify and exact certificate are independent given the
+    // checkpointed profiles — overlap them (the minhashGraphOf pattern)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fVerified = Future(verifyJaccard(cand, profiles, threshold).localCheckpoint(true))
+    val fExact = Future(exactPairGraph(profiles, threshold))
+    val verified = Await.result(fVerified, scala.concurrent.duration.Duration.Inf)
+    val exact = Await.result(fExact, scala.concurrent.duration.Duration.Inf)
+    MinhashGraph(verified, Some(exact), Some(certificateMismatches(verified, exact)))
   }
 
   /** 64-bit SimHash near-dup pairs, exact-verified: one-pass SimHashAgg
