@@ -270,10 +270,19 @@ object Dedup {
       // and probes postings by its grams) and range-cluster + sort by id
       // so a pushed id filter prunes to the candidate rows' files/row
       // groups — the O(candidates) verify read (query() pushes one).
-      frozen.select("id", "nsh", "vset", "prefix")
-        .repartitionByRange(profileFiles, col("id")).sortWithinPartitions("id")
-        .write.mode("overwrite").parquet(s"$path/profiles/part=base")
-      writePostings(frozen, s"$path/prefix/part=base")
+      // the two table writes are independent given the checkpointed
+      // frozen profiles — overlap them (the q_dedup_fuse pattern); the
+      // layout marker still lands strictly after BOTH
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fProfiles = Future {
+        frozen.select("id", "nsh", "vset", "prefix")
+          .repartitionByRange(profileFiles, col("id")).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(s"$path/profiles/part=base")
+      }
+      val fPostings = Future(writePostings(frozen, s"$path/prefix/part=base"))
+      Await.result(fProfiles, scala.concurrent.duration.Duration.Inf)
+      Await.result(fPostings, scala.concurrent.duration.Duration.Inf)
       // marker LAST: a crashed partial build never reads as a valid index
       writeLayout(spark, path)
     }
@@ -320,10 +329,18 @@ object Dedup {
       val reg = if (region.nonEmpty) region else nextRegion(spark, root)
       val frozen = freeze(batch, spark.read.parquet(s"$root/vocab"), n, threshold)
         .localCheckpoint(true)
-      frozen.select("id", "nsh", "vset", "prefix")
-        .repartitionByRange(col("id")).sortWithinPartitions("id")
-        .write.mode("overwrite").parquet(s"$root/profiles/part=$reg")
-      writePostings(frozen, s"$root/prefix/part=$reg")
+      // independent region writes off the checkpointed batch profiles —
+      // overlapped like build's
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fProfiles = Future {
+        frozen.select("id", "nsh", "vset", "prefix")
+          .repartitionByRange(col("id")).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(s"$root/profiles/part=$reg")
+      }
+      val fPostings = Future(writePostings(frozen, s"$root/prefix/part=$reg"))
+      Await.result(fProfiles, scala.concurrent.duration.Duration.Inf)
+      Await.result(fPostings, scala.concurrent.duration.Duration.Inf)
     }
 
     /** The LAZY candidate stage of [[query]] (exposed so plans are
