@@ -67,4 +67,14 @@ class ReleaseGateStreamSpec extends SparkSpec {
       .filter(_.getName.startsWith("part=batch_")).map(_.getName).sorted
     assert(regions.length == 2, regions.mkString(","))
   }
+
+  test("empty indexes skip their stages: quality is the only gate left") {
+    import spark.implicits._
+    val docs = Seq(
+      (300L, TxtA, "en", 200L), (301L, TxtA, "fr", 200L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = CorpusQuality.releaseGate(docs, None, None)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(out == Map(300L -> ("keep", true), 301L -> ("lang", false)), s"$out")
+  }
 }
