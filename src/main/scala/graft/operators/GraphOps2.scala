@@ -90,21 +90,22 @@ object GraphOps2 {
     * distributed loop. `e` must already be checkpointed (the count is a
     * cached-RDD pass). */
   /** The routing probe all size-routed ops share: if every column is
-    * long-keyed, ONE `limit(gate+1)` collect both decides the route and
-    * delivers the edge array — under the gate, limit(gate+1) returns the
-    * complete (deterministic) edge SET; over it, the probe short-circuits
-    * after a bounded prefix and the distributed loop proceeds. r11: this
-    * replaces r10's count → collect pair (two full passes) with one
-    * bounded pass; `e` must already be checkpointed (both the probe and
-    * the distributed loop read the materialized edges — an over-gate
-    * probe costs one bounded memory scan, never a recompute). Rows
-    * collected are bounded by the gate (+1) regardless of corpus size. */
+    * long-keyed, a bounded `limit(gate+1).count()` decides the route
+    * EXECUTOR-side (the global limit gathers at most gate+1 rows to one
+    * task, never to the driver), and only an under-gate graph is then
+    * collected for the driver replay. An over-gate graph costs one
+    * bounded memory scan of the checkpointed edges and materializes
+    * NOTHING on the driver — collecting the gate+1 prefix just to
+    * discard it would allocate ~gate boxed Rows (hundreds of MB at the
+    * 4M gate) on the exact path that routes away from the driver
+    * (review r11). `e` must already be checkpointed (probe, collect,
+    * and the distributed loop all read the materialized blocks). */
   private def probeRows(e: DataFrame, maxEdges: Long): Option[Array[org.apache.spark.sql.Row]] = {
     if (!e.schema.fields.forall(_.dataType ==
         org.apache.spark.sql.types.LongType)) return None
     val gate = math.min(maxEdges, Int.MaxValue - 2L).toInt
-    val probe = e.limit(gate + 1).collect()
-    if (probe.length <= gate) Some(probe) else None
+    if (e.limit(gate + 1).count() > gate) None
+    else Some(e.collect())
   }
 
   private def smallLongEdges(e: DataFrame,

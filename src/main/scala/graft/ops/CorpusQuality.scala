@@ -65,12 +65,10 @@ object CorpusQuality {
       .orderBy("source")
   }
 
-  /** Keep/drop filter chain with a first-failure reason — the auditable
-    * form of a corpus filter (what was dropped, and why, per rule). Pure
-    * map-side; rules are ordered and the reason is the FIRST violated. */
   /** The keep/drop reason chain over (lang, n_chars, text) — shared by
     * the filter query, the release capstone, and the streaming release
-    * gate so "quality" means ONE thing everywhere. */
+    * gate so "quality" means ONE thing everywhere. Rules are ordered and
+    * the reason is the FIRST violated. */
   private[graft] def filterVerdict: org.apache.spark.sql.Column =
     when(col("lang") =!= "en", "lang")
       .when(col("n_chars") < 100, "too_short")
@@ -79,6 +77,9 @@ object CorpusQuality {
         lit("\\b(the|a|an|of|and|or|to|in)\\b")) === 0, "no_stopwords")
       .otherwise("keep")
 
+  /** Keep/drop filter chain with a first-failure reason — the auditable
+    * form of a corpus filter (what was dropped, and why, per rule). Pure
+    * map-side. */
   val qFilterPipeline: Q = Q(
     "q_filter_pipeline",
     """SELECT doc_id,
@@ -345,11 +346,9 @@ object CorpusQuality {
     val qk = batch.join(q.filter(col("q") === "keep").select("doc_id"), "doc_id")
       .localCheckpoint(true) // both screens read it
     def screenIds(frozen: Option[Dedup.NearDupIndex.Frozen], flag: String) =
-      frozen.fold(qk.sparkSession.emptyDataFrame
-          .withColumn("doc_id", lit(0L)).limit(0).select("doc_id")) { f =>
+      frozen.fold(Dedup.NearDupIndex.emptyScreen(qk.sparkSession)) { f =>
         Dedup.NearDupIndex.screenWith(f, qk, n, threshold)
-          .select(col("id").as("doc_id")).distinct()
-      }.withColumn(flag, lit(true))
+      }.select(col("id").as("doc_id")).distinct().withColumn(flag, lit(true))
     q.join(screenIds(corpusFrozen, "isdup"), Seq("doc_id"), "left")
       .join(screenIds(benchFrozen, "iscont"), Seq("doc_id"), "left")
       .select(col("doc_id"),

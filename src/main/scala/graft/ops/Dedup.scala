@@ -18,6 +18,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Dedup {
 
+  /** Await EVERY overlapped materialization before propagating a
+    * failure: rethrowing while a sibling's Spark jobs still run would
+    * leave an orphan writer racing a caller's retry of the same output
+    * dirs (review r11 — the crash-replay contract assumes at most one
+    * writer per region). First failure wins once all have settled. */
+  private def awaitAll[A](fs: scala.concurrent.Future[A]*): Seq[A] = {
+    val rs = fs.map(f => scala.util.Try(
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    rs.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+    rs.map(_.get)
+  }
+
   /** Distinct word n-gram shingles per document: (id, sh).
     * The tokenization is hoisted into its own projection so the transform
     * lambda reads an attribute — inlining `split` into each element_at
@@ -273,7 +285,7 @@ object Dedup {
       // the two table writes are independent given the checkpointed
       // frozen profiles — overlap them (the q_dedup_fuse pattern); the
       // layout marker still lands strictly after BOTH
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val fProfiles = Future {
         frozen.select("id", "nsh", "vset", "prefix")
@@ -281,8 +293,7 @@ object Dedup {
           .write.mode("overwrite").parquet(s"$path/profiles/part=base")
       }
       val fPostings = Future(writePostings(frozen, s"$path/prefix/part=base"))
-      Await.result(fProfiles, scala.concurrent.duration.Duration.Inf)
-      Await.result(fPostings, scala.concurrent.duration.Duration.Inf)
+      awaitAll(fProfiles, fPostings)
       // marker LAST: a crashed partial build never reads as a valid index
       writeLayout(spark, path)
     }
@@ -331,7 +342,7 @@ object Dedup {
         .localCheckpoint(true)
       // independent region writes off the checkpointed batch profiles —
       // overlapped like build's
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
       val fProfiles = Future {
         frozen.select("id", "nsh", "vset", "prefix")
@@ -339,8 +350,8 @@ object Dedup {
           .write.mode("overwrite").parquet(s"$root/profiles/part=$reg")
       }
       val fPostings = Future(writePostings(frozen, s"$root/prefix/part=$reg"))
-      Await.result(fProfiles, scala.concurrent.duration.Duration.Inf)
-      Await.result(fPostings, scala.concurrent.duration.Duration.Inf)
+      awaitAll(fProfiles, fPostings)
+      ()
     }
 
     /** The LAZY candidate stage of [[query]] (exposed so plans are
@@ -544,36 +555,55 @@ object Dedup {
         case Some(f) => screenWith(f, corpus, n, threshold)
       }
 
-    /** The index-side tables [[screen]] consumes, read fresh off the live
-      * root. The three tables are FROZEN once written (builds/rebuilds
-      * swap a whole new root via [[graft.sources.AtomicSwap]]), so a
-      * caller screening many batches against one index (the
-      * stream_decontam sink) may read them once, persist, and reuse until
-      * [[Frozen.root]] moves — [[graft.streaming.FrozenSides]] does
-      * exactly that. None for an index built over ZERO docs: its
-      * partitionBy'd postings dir has no parquet files (Spark writes
-      * nothing for an empty partitioned DataFrame), so the reads would
-      * die with UNABLE_TO_INFER_SCHEMA — an empty eval suite means an
-      * empty screen result, not an outage (EmptyInputSweepSpec). */
     /** One live root's frozen tables: gram vocab (the frozen (df, sh)
-      * order), prefix postings, full profiles. `root` is the identity —
-      * an [[graft.sources.AtomicSwap]] rebuild changes it, which is the
-      * only invalidation a cache of these tables needs. */
+      * order), prefix postings, full profiles. A cache of these tables
+      * must invalidate on BOTH identity moves: the
+      * [[graft.sources.AtomicSwap]] root change (rebuild) AND a new
+      * `part=` region under the SAME root ([[append]]/ingest) — the
+      * [[frozenProbe]] identity carries the profiles-dir mtime for the
+      * second, the same signal [[query]]'s profile-count cache keys on. */
     final case class Frozen(root: String, vocab: DataFrame,
                             postings: DataFrame, profiles: DataFrame)
 
-    private[graft] def frozenSide(spark: SparkSession, path: String): Option[Frozen] = {
+    /** Cheap identity probe for [[frozenSide]] — live-root resolve +
+      * layout check + one dir stat, NO parquet reads (a per-micro-batch
+      * cache must not pay file listing + footer decode on every hit).
+      * None for an index built over ZERO docs: its partitionBy'd
+      * postings dir has no parquet files (Spark writes nothing for an
+      * empty partitioned DataFrame), so reads would die with
+      * UNABLE_TO_INFER_SCHEMA — an empty eval suite means an empty
+      * screen result, not an outage (EmptyInputSweepSpec). Returns
+      * (root, identity); identity = root + profiles-dir mtime, so an
+      * append under the same root invalidates too. */
+    private[graft] def frozenProbe(spark: SparkSession, path: String): Option[(String, String)] = {
       val root = liveRoot(spark, path)
       requireLayout(spark, root)
       val p = new org.apache.hadoop.fs.Path(s"$root/prefix")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasFiles = fs.exists(p) && graft.sources.FsUtil.parquetBasenames(fs, p).nonEmpty
       if (!hasFiles) None
-      else Some(Frozen(root,
+      else {
+        val prof = new org.apache.hadoop.fs.Path(s"$root/profiles")
+        val mtime = fs.getFileStatus(prof).getModificationTime
+        Some((root, s"$root@$mtime"))
+      }
+    }
+
+    /** The frozen tables at an already-probed root (the read half of
+      * [[frozenSide]]; a caching caller invokes this only on an identity
+      * miss). */
+    private[graft] def frozenAt(spark: SparkSession, root: String): Frozen =
+      Frozen(root,
         spark.read.parquet(s"$root/vocab"),
         spark.read.parquet(s"$root/prefix"),
-        spark.read.parquet(s"$root/profiles")))
-    }
+        spark.read.parquet(s"$root/profiles"))
+
+    /** The index-side tables [[screen]] consumes, read fresh off the live
+      * root ([[frozenProbe]] + [[frozenAt]] in one shot — the one-shot
+      * batch callers' entry point; [[graft.streaming.FrozenSides]] uses
+      * the two halves separately to make cache hits stat-only). */
+    private[graft] def frozenSide(spark: SparkSession, path: String): Option[Frozen] =
+      frozenProbe(spark, path).map { case (root, _) => frozenAt(spark, root) }
 
     private[graft] def emptyScreen(spark: SparkSession): DataFrame = {
       import spark.implicits._
@@ -753,8 +783,13 @@ object Dedup {
       * must never produce. So the live root's region list is captured at
       * start and re-checked at the commit point: a new region aborts the
       * rebuild LOUD (staged root deleted, live root untouched, appends
-      * keep serving) naming the remedy. `beforeCommit` is the interleave
-      * injector seam for the spec. */
+      * keep serving) naming the remedy. The guard NARROWS the window to
+      * the instant between the re-check and the swap — it is a detector,
+      * not a lock (there is no ingest↔rebuild lease); the operational
+      * contract stays "quiesce ingest around rebuild", and the guard
+      * exists to make a violated contract fail loud instead of
+      * diverging silently. `beforeCommit` is the interleave injector
+      * seam for the spec. */
     def rebuild(spark: SparkSession, path: String, docs: DataFrame,
                 n: Int = 3, threshold: Double = 0.5,
                 crashAfter: Int = Int.MaxValue,
@@ -942,12 +977,11 @@ object Dedup {
     // submit both materializations concurrently (the q_dedup_fuse
     // overlap pattern; the mismatch count is the only join point)
     val profiles = prof0.localCheckpoint(true)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     val fVerified = Future(verifyJaccard(cand, profiles, threshold).localCheckpoint(true))
     val fExact = Future(exactPairGraph(profiles, threshold))
-    val verified = Await.result(fVerified, scala.concurrent.duration.Duration.Inf)
-    val exact = Await.result(fExact, scala.concurrent.duration.Duration.Inf)
+    val Seq(verified, exact) = awaitAll(fVerified, fExact)
     MinhashGraph(verified, Some(exact), Some(certificateMismatches(verified, exact)))
   }
 
@@ -1165,12 +1199,11 @@ object Dedup {
       .select("id_a", "id_b")
     // banded verify and exact certificate are independent given the
     // checkpointed profiles — overlap them (the minhashGraphOf pattern)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     val fVerified = Future(verifyJaccard(cand, profiles, threshold).localCheckpoint(true))
     val fExact = Future(exactPairGraph(profiles, threshold))
-    val verified = Await.result(fVerified, scala.concurrent.duration.Duration.Inf)
-    val exact = Await.result(fExact, scala.concurrent.duration.Duration.Inf)
+    val Seq(verified, exact) = awaitAll(fVerified, fExact)
     MinhashGraph(verified, Some(exact), Some(certificateMismatches(verified, exact)))
   }
 
@@ -1530,7 +1563,7 @@ object Dedup {
     // would otherwise serialize — submit them as concurrent jobs and the
     // scheduler overlaps their (individually non-saturating) stages
     // (measured at sf0.1/local[32]: 6.0s serial → ~4s overlapped)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     val fText = Future(minhashVerifiedPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").localCheckpoint(true))
@@ -1545,9 +1578,7 @@ object Dedup {
       .select(col("m").as("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .localCheckpoint(true))
-    val textPairs = Await.result(fText, scala.concurrent.duration.Duration.Inf)
-    val embedPairs = Await.result(fEmbed, scala.concurrent.duration.Duration.Inf)
-    val exactPairs = Await.result(fExact, scala.concurrent.duration.Duration.Inf)
+    val Seq(textPairs, embedPairs, exactPairs) = awaitAll(fText, fEmbed, fExact)
     def flagOf(pairs: DataFrame, name: String): DataFrame =
       pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .distinct().withColumn(name, lit(true))

@@ -911,9 +911,12 @@ object PipelineOps2 {
     *
     * At scale: training iterates the vocab-sized word table ([[
     * bpeTokenizedWords]]); the evaluation is one corpus scan to
-    * (source, word) counts, a word-table join (broadcast-sized — it is
-    * the distinct vocabulary), and a per-source aggregation. All ratios
-    * are single BIGINT→DOUBLE divisions — exact both engines. */
+    * (source, word) counts, a word-keyed join against the distinct-word
+    * table (NOT hint-broadcast: distinct words of a web corpus grow with
+    * the corpus — typos, URLs, numbers — so the join must be allowed to
+    * degrade to a shuffle; AQE broadcasts it when it actually fits), and
+    * a per-source aggregation. All ratios are single BIGINT→DOUBLE
+    * divisions — exact both engines. */
   val qTokenizerFertility: Q = Q("q_tokenizer_fertility", fertilityOracleSql()) { (s, d) =>
     val docs = T.documents(s, d)
     val ntok = bpeTokenizedWords(docs, 3)
@@ -922,7 +925,7 @@ object PipelineOps2 {
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
-    srcWords.join(broadcast(ntok), "w")
+    srcWords.join(ntok, "w")
       .withColumn("wl", length(col("w")).cast("long"))
       .groupBy("source")
       .agg(sum(col("cnt")).as("n_words"),

@@ -50,15 +50,20 @@ object FrozenSides {
   }
 
   /** The near-dup index's frozen side for `path`, persisted across
-    * micro-batches; re-read only when the AtomicSwap live root moves.
+    * micro-batches; re-read when the AtomicSwap live root moves (rebuild)
+    * OR a new region lands under the same root (append/ingest bumps the
+    * profiles-dir mtime — the identity [[Dedup.NearDupIndex.frozenProbe]]
+    * carries, so a sink screening against a GROWING index sees every
+    * appended doc from the next batch on). The per-batch hit cost is the
+    * probe's stats only — no parquet listing or footer reads.
     * None for an empty index (same contract as [[Dedup.NearDupIndex.screen]]). */
   def nearDup(spark: SparkSession, path: String): Option[Dedup.NearDupIndex.Frozen] =
-    // frozenSide resolves the live root (one pointer-file read) and lists
-    // the postings dir; both are per-batch stat costs, not parquet reads
-    Dedup.NearDupIndex.frozenSide(spark, path).map { f =>
-      val Seq(v, po, pr) =
-        cached(s"neardup:$path", f.root)(Seq(f.vocab, f.postings, f.profiles))
-      Dedup.NearDupIndex.Frozen(f.root, v, po, pr)
+    Dedup.NearDupIndex.frozenProbe(spark, path).map { case (root, identity) =>
+      val Seq(v, po, pr) = cached(s"neardup:$path", identity) {
+        val f = Dedup.NearDupIndex.frozenAt(spark, root)
+        Seq(f.vocab, f.postings, f.profiles)
+      }
+      Dedup.NearDupIndex.Frozen(root, v, po, pr)
     }
 
   /** A plain frozen parquet artifact (the DSIR model), persisted across

@@ -369,16 +369,29 @@ class StreamingSpec extends SparkSpec {
       // the NEXT batch without a restart
       graft.ops.Dedup.NearDupIndex.rebuild(spark, idx, docs.filter(col("doc_id") < 25))
       mem.addData(probes.toIndexedSeq: _*); q.processAllAvailable()
+      // the append: a new suite doc lands under the SAME root (no swap —
+      // the profiles-dir mtime is the identity that must move); a copy
+      // of it arriving in the next batch must flag (review r11: a
+      // root-only cache key silently served the pre-append snapshot)
+      graft.ops.Dedup.NearDupIndex.append(spark, idx,
+        docs.filter(col("doc_id") === 30L), region = "late")
+      val lateProbe = docs.filter(col("doc_id") === 30L)
+        .select((col("doc_id") + 2000L).as("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      mem.addData(lateProbe.toIndexedSeq: _*); q.processAllAvailable()
     } finally q.stop()
     val flagged = spark.read.option("basePath", out).parquet(out)
       .select(col("id"), input_file_name().as("f")).collect()
     val b0 = flagged.filter(_.getString(1).contains("part=batch_0"))
     val b1 = flagged.filter(_.getString(1).contains("part=batch_1"))
+    val b2 = flagged.filter(_.getString(1).contains("part=batch_2"))
     assert(b0.isEmpty, s"batch 0 screened against a non-empty gen-1 index: ${b0.length} rows")
     assert(b1.nonEmpty, "batch 1 still served the stale empty index after the swap")
     // every probe is a verbatim copy of an indexed doc — all must flag
     assert(b1.map(_.getLong(0)).toSet == probes.map(_._1).toSet,
       "post-swap screen missed copies of newly indexed docs")
+    assert(b2.map(_.getLong(0)).toSet == Set(2030L),
+      "post-append screen served the stale pre-append snapshot")
   }
 
   test("streaming decontam screen: micro-batched union == one-shot batch screen") {
