@@ -236,8 +236,10 @@ object CorpusQuality {
     * probe ([[Dedup.jaccardPairsPrefixAgainst]]). Fully oracled: DuckDB
     * replays all three stages (reason CASE, pair CTE + recursive CC,
     * cross-pair screen) in one statement. */
-  val qCorpusRelease: Q = Q(
-    "q_corpus_release",
+  /** The staged-release CTE chain (everything before the final SELECT),
+    * shared by q_corpus_release (per-doc table) and q_release_card
+    * (per-source rollup). */
+  private val releaseCtesSql: String =
     """WITH RECURSIVE
       |q AS (SELECT doc_id,
       |  CASE WHEN lang <> 'en' THEN 'lang'
@@ -280,17 +282,30 @@ object CorpusQuality {
       |  GROUP BY t.doc_id, b.doc_id
       |  HAVING CAST(COUNT(*) AS DOUBLE) /
       |      CAST(ANY_VALUE(st.n) + ANY_VALUE(se.n) - COUNT(*) AS DOUBLE) >= 0.5),
-      |cont AS (SELECT DISTINCT doc_id FROM contp)
-      |SELECT doc_id, verdict, survivor_id, (verdict = 'keep') AS final_keep FROM (
-      |  SELECT q.doc_id,
-      |    CASE WHEN q.q <> 'keep' THEN q.q
-      |         WHEN p.doc_id <> p.survivor_id THEN 'dup'
-      |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
-      |         ELSE 'keep' END AS verdict,
-      |    p.survivor_id
-      |  FROM q LEFT JOIN pick p ON p.doc_id = q.doc_id
-      |  LEFT JOIN cont c ON c.doc_id = q.doc_id)
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |cont AS (SELECT DISTINCT doc_id FROM contp),
+      |dec AS (
+      |  SELECT doc_id, verdict, survivor_id, (verdict = 'keep') AS final_keep FROM (
+      |    SELECT q.doc_id,
+      |      CASE WHEN q.q <> 'keep' THEN q.q
+      |           WHEN p.doc_id <> p.survivor_id THEN 'dup'
+      |           WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+      |           ELSE 'keep' END AS verdict,
+      |      p.survivor_id
+      |    FROM q LEFT JOIN pick p ON p.doc_id = q.doc_id
+      |    LEFT JOIN cont c ON c.doc_id = q.doc_id))
+      |""".stripMargin
+
+  val qCorpusRelease: Q = Q(
+    "q_corpus_release",
+    releaseCtesSql +
+      """SELECT doc_id, verdict, survivor_id, final_keep FROM dec
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    releaseDecisions(s, d).orderBy("doc_id")
+  }
+
+  /** The per-doc decision table of the staged release (unordered — the
+    * shared core of q_corpus_release and q_release_card). */
+  private def releaseDecisions(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val docs = T.documents(s, d)
     val evalDocs = docs.filter(col("doc_id") < 25)
     val train = docs.filter(col("doc_id") >= 25)
@@ -320,7 +335,39 @@ object CorpusQuality {
           .otherwise("keep").as("verdict"),
         col("survivor_id"))
       .withColumn("final_keep", col("verdict") === "keep")
-      .orderBy("doc_id")
+  }
+
+  /** The RELEASE CARD — the per-source yield table a corpus release
+    * publishes next to [[qCorpusRelease]]'s per-doc decisions (the
+    * [[qCorpusCard]] idea applied to the staged release): docs in, docs
+    * kept, and where the drops went (quality / dup / contaminated) per
+    * source, with the keep fraction. One doc-keyed join + one
+    * source-keyed aggregation over the already-computed decision table. */
+  val qReleaseCard: Q = Q(
+    "q_release_card",
+    releaseCtesSql +
+      """SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(CASE WHEN dec.verdict = 'keep' THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+        |  SUM(CASE WHEN dec.verdict NOT IN ('keep', 'dup', 'contaminated') THEN 1 ELSE 0 END)::BIGINT AS n_quality_drop,
+        |  SUM(CASE WHEN dec.verdict = 'dup' THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  SUM(CASE WHEN dec.verdict = 'contaminated' THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+        |  round(CAST(SUM(CASE WHEN dec.verdict = 'keep' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS keep_frac
+        |FROM dec JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    releaseDecisions(s, d)
+      .join(T.documents(s, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(when(!col("verdict").isin("keep", "dup", "contaminated"), 1L)
+          .otherwise(0L)).as("n_quality_drop"),
+        sum(when(col("verdict") === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("verdict") === "contaminated", 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_keep"), col("n_quality_drop"),
+        col("n_dup"), col("n_contaminated"),
+        round(dbl(col("n_keep")) / dbl(col("n_docs")), 6).as("keep_frac"))
+      .orderBy("source")
   }
 
   /** The INGEST release gate over one batch of arriving docs against two
@@ -360,5 +407,5 @@ object CorpusQuality {
   }
 
   val all: Seq[Q] = Seq(qRepetition, qSourceStats, qFilterPipeline, qContamination,
-    qBoilerplate, qCorpusCard, qCorpusRelease)
+    qBoilerplate, qCorpusCard, qCorpusRelease, qReleaseCard)
 }

@@ -44,6 +44,22 @@ class CorpusReleaseSpec extends SparkSpec {
     assert(out(103L) == (("keep", Some(103L), true)), s"103: ${out(103L)}")
   }
 
+  test("release card: per-source counts partition the decision table exactly") {
+    val dec = SparkEntry.queries("q_corpus_release")(spark, TinyDir).collect()
+    val card = SparkEntry.queries("q_release_card")(spark, TinyDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(card.nonEmpty)
+    // the card's n_docs sum equals the decision table; every row's
+    // counts partition its n_docs; keep_frac is the exact ratio
+    assert(card.map(_._2).sum == dec.length)
+    assert(card.map(_._3).sum == dec.count(_.getString(1) == "keep"))
+    card.foreach { case (src, n, k, q, du, c, frac) =>
+      assert(k + q + du + c == n, s"$src: $k+$q+$du+$c != $n")
+      assert(math.abs(frac - k.toDouble / n) < 1e-6, s"$src keep_frac")
+    }
+  }
+
   test("real corpus: every training doc gets exactly one verdict; keeps are consistent") {
     val rows = SparkEntry.queries("q_corpus_release")(spark, TinyDir).collect()
     val train = graft.sources.Tables.documents(spark, TinyDir)
