@@ -37,6 +37,7 @@ object SparkEntry {
       ops.PipelineOps.all ++
       ops.PipelineOps2.all ++
       ops.PipelineOps3.all ++
+      ops.PipelineOps4.all ++
       ops.Similarity.all ++
       ops.Sketches.all ++
       ops.Multimodal.all ++

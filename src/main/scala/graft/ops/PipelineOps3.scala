@@ -32,8 +32,16 @@ object PipelineOps3 {
     * range boundaries. Returns the input columns + `pre` (the exclusive
     * running sum within partCol). */
   def exclusivePrefixSum(df: DataFrame, partCol: String, ordCol: String,
+                         valueCol: String, nParts: Int): DataFrame =
+    exclusivePrefixSum(df, partCol, Seq(ordCol), valueCol, nParts)
+
+  /** Multi-column ordering variant: `ordCols` must form a TOTAL order
+    * within each `partCol` group (end with a unique id) — range
+    * partitioning co-locates equal keys, but rank among exact ties would
+    * otherwise be partition-order nondeterministic. */
+  def exclusivePrefixSum(df: DataFrame, partCol: String, ordCols: Seq[String],
                          valueCol: String, nParts: Int): DataFrame = {
-    val parted = df.repartitionByRange(nParts, col(partCol), col(ordCol))
+    val parted = df.repartitionByRange(nParts, (partCol +: ordCols).map(col): _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
       .localCheckpoint(true)
     val pstats = parted.groupBy(partCol, "__pid")
@@ -44,7 +52,7 @@ object PipelineOps3 {
         "left")
       .groupBy(col(s"a.$partCol").as(partCol), col("a.__pid").as("__pid"))
       .agg(coalesce(sum(col("b.__psum")), lit(0L)).as("__off"))
-    val wLocal = Window.partitionBy(partCol, "__pid").orderBy(ordCol)
+    val wLocal = Window.partitionBy(partCol, "__pid").orderBy(ordCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     parted
       .withColumn("__lpre", coalesce(sum(col(valueCol)).over(wLocal), lit(0L)))
@@ -506,20 +514,21 @@ object PipelineOps3 {
     * iteration costs one scan + a driver-side D×D solve, the same
     * posture as q_pca_embed/q_linear_probe. Nothing vector-sized ever
     * shuffles; iterations are fixed (3) for a bounded plan. */
-  private[graft] def logisticProbe(vecs: DataFrame, lambda: Double,
-                                   iters: Int): DataFrame = {
+  /** The IRLS fit core of [[logisticProbe]] (and of
+    * [[PipelineOps4.qQualityClassifier]]'s hashed-feature variant):
+    * returns β = [w_0..w_{D-1}, intercept]. The Newton rounds run
+    * through MulticlassIrlsAgg with K=1 (class {1}: y_c = y exactly),
+    * accumulating A = X'WX and g = X'(y−p) in hand-written loops — the
+    * declarative augmented-vector gramian (z = [√w·x̃, (y−p)/√w] through
+    * HOF fold/transform) computes the identical system but evaluates the
+    * lambda pipeline interpreted once expressions outgrow Janino, and is
+    * ~4× slower per pass even when compiled. β rides on the aggregate
+    * instance, so rounds don't recompile the scan. */
+  private[graft] def logisticFitBetas(vecs: DataFrame, lambda: Double,
+                                      iters: Int): Array[Double] = {
     import graft.functions.MulticlassIrlsAgg
-    val s = vecs.sparkSession
     val dim = vecs.select(size(col("x"))).head.getInt(0)
     val d1 = dim + 1 // + intercept slot
-    // The Newton rounds run through MulticlassIrlsAgg with K=1 (class
-    // {1}: y_c = y exactly), accumulating A = X'WX and g = X'(y−p) in
-    // hand-written loops — the declarative augmented-vector gramian
-    // (z = [√w·x̃, (y−p)/√w] through HOF fold/transform) computes the
-    // identical system but evaluates the lambda pipeline interpreted
-    // once expressions outgrow Janino, and is ~4× slower per pass even
-    // when compiled. β rides on the aggregate instance, so rounds don't
-    // recompile the scan.
     val xy = vecs.select(col("x").cast("array<double>").as("x"),
       col("y").cast("long").as("y"))
     val one = Array(1L)
@@ -531,6 +540,14 @@ object PipelineOps3 {
       val delta = MulticlassIrlsAgg.newtonStep(flat, 0, dim, lambda)
       beta = Array.tabulate(d1)(i => beta(i) + delta(i))
     }
+    beta
+  }
+
+  private[graft] def logisticProbe(vecs: DataFrame, lambda: Double,
+                                   iters: Int): DataFrame = {
+    val s = vecs.sparkSession
+    val dim = vecs.select(size(col("x"))).head.getInt(0)
+    val beta = logisticFitBetas(vecs, lambda, iters)
     // one final declarative pass for the fit metrics (a single compiled
     // eta expression — no codegen cliff at K=1)
     def withBeta(df: DataFrame, b: Array[Double]): DataFrame = {
@@ -574,7 +591,24 @@ object PipelineOps3 {
          |    CAST(CAST(label AS BIGINT) % 2 AS DOUBLE) AS y
          |  FROM embeddings),
          |pos AS (SELECT unnest(range(1, $d1 + 1)) AS i),
-         |b0 AS MATERIALIZED (SELECT list_transform(range(1, $d1 + 1), q -> CAST(0.0 AS DOUBLE)) AS beta),
+         |""".stripMargin
+    head + irlsRoundsSql(dim, lambda, rounds, cgIters) +
+      logisticOracleTail(dim, rounds)
+  }
+
+  /** The binary-IRLS round machinery of [[logisticOracleSql]], factored
+    * for reuse by hashed-feature classifiers ([[PipelineOps4]]): requires
+    * CTEs `ex(vec_id, xt, y)` (xt = features + trailing 1.0 intercept
+    * slot) and `pos(i over 1..dim+2)` in scope, emits `b0..b$rounds`
+    * (β after each round) — sigmoid reweighting, weighted-moment agg,
+    * CG solve of the ridged Newton system, all MATERIALIZED (DuckDB
+    * inlines multiply-referenced CTEs; un-materialized, round t re-runs
+    * the whole previous round per reference — exponential). */
+  private[graft] def irlsRoundsSql(dim: Int, lambda: Double,
+                                   rounds: Int, cgIters: Int): String = {
+    val d1 = dim + 1
+    val init =
+      s"""b0 AS MATERIALIZED (SELECT list_transform(range(1, $d1 + 1), q -> CAST(0.0 AS DOUBLE)) AS beta),
          |""".stripMargin
     val roundsSql = (1 to rounds).map { t =>
       val prev = s"b${t - 1}"
@@ -624,27 +658,30 @@ object PipelineOps3 {
          |         FROM $prev, (SELECT x FROM cg$t WHERE k = $cgIters) d),
          |""".stripMargin
     }.mkString
-    val tail =
-      s"""fin AS (
-         |  SELECT ex.vec_id, ex.y,
-         |    least(greatest(1.0 / (1.0 + exp(-list_inner_product(ex.xt, b$rounds.beta))), 1e-12),
-         |          1.0 - 1e-12) AS pc
-         |  FROM ex, b$rounds),
-         |mets AS (SELECT
-         |    AVG(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))) AS ll,
-         |    AVG(CASE WHEN (pc >= 0.5) = (y >= 0.5) THEN 1.0 ELSE 0.0 END) AS acc
-         |  FROM fin)
-         |SELECT * FROM (
-         |  SELECT printf('w_%03d', pos.i - 1) AS term, round(b$rounds.beta[pos.i], 6) AS value
-         |  FROM pos, b$rounds WHERE pos.i <= $dim
-         |  UNION ALL
-         |  SELECT 'intercept', round(beta[$d1], 6) FROM b$rounds
-         |  UNION ALL
-         |  SELECT 'log_loss', round(ll, 6) FROM mets
-         |  UNION ALL
-         |  SELECT 'accuracy', round(acc, 6) FROM mets
-         |) ORDER BY term""".stripMargin
-    head + roundsSql + tail
+    init + roundsSql
+  }
+
+  private def logisticOracleTail(dim: Int, rounds: Int): String = {
+    val d1 = dim + 1
+    s"""fin AS (
+       |  SELECT ex.vec_id, ex.y,
+       |    least(greatest(1.0 / (1.0 + exp(-list_inner_product(ex.xt, b$rounds.beta))), 1e-12),
+       |          1.0 - 1e-12) AS pc
+       |  FROM ex, b$rounds),
+       |mets AS (SELECT
+       |    AVG(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))) AS ll,
+       |    AVG(CASE WHEN (pc >= 0.5) = (y >= 0.5) THEN 1.0 ELSE 0.0 END) AS acc
+       |  FROM fin)
+       |SELECT * FROM (
+       |  SELECT printf('w_%03d', pos.i - 1) AS term, round(b$rounds.beta[pos.i], 6) AS value
+       |  FROM pos, b$rounds WHERE pos.i <= $dim
+       |  UNION ALL
+       |  SELECT 'intercept', round(beta[$d1], 6) FROM b$rounds
+       |  UNION ALL
+       |  SELECT 'log_loss', round(ll, 6) FROM mets
+       |  UNION ALL
+       |  SELECT 'accuracy', round(acc, 6) FROM mets
+       |) ORDER BY term""".stripMargin
   }
 
   /** The iterative distributed classifier over the embedding column

@@ -1,0 +1,553 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.Exact._
+import graft.sources.{Tables => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-11 (session 3) LLM-data-pipeline operators:
+  *
+  *  - [[qEmbedQuantize]] — int8 scalar quantization of the embedding
+  *    column with per-vector reconstruction-error audit: the storage /
+  *    serving compression step every large embedding corpus ships
+  *    (FAISS `ScalarQuantizer` semantics, 255-level asymmetric min/max).
+  *  - [[qCurriculum]] — perplexity-staged curriculum ordering: the
+  *    easy→hard staged schedule (difficulty = bigram-LM avg NLL, the
+  *    q_perplexity model) with a deterministic intra-stage shuffle —
+  *    the data-ordering pass between selection and sharding.
+  *
+  * Both fully oracled (DuckDB hash equality) from birth.
+  */
+object PipelineOps4 {
+
+  /** INT8 SCALAR QUANTIZATION of the embedding column + reconstruction
+    * audit — the compression step an embedding store applies before
+    * serving (the `ScalarQuantizer`/`QT_8bit` idea: per-DIMENSION
+    * min/max over the corpus, 255 uniform levels, q = ⌊(x−mn)·255/(mx−mn)⌋
+    * clamped to [0,255], x̂ = mn + q·(mx−mn)/255). Output per vector:
+    * the code-content checksum Σq (pins the actual codes, not just the
+    * error), MSE and L∞ of the reconstruction.
+    *
+    * At scale: ONE corpus pass builds the 2·D-number model (posexplode →
+    * per-dimension min/max — map-side combinable, D-row shuffle), the
+    * model broadcasts back as two D-length arrays, and quantization is a
+    * second map-side pass (per-row HOF transforms, no shuffle). Nothing
+    * vector-sized ever shuffles; the audit aggregations are per-row
+    * sequential folds.
+    *
+    * Determinism (SURVEY §5): min/max are comparison-exact; the quantize
+    * and dequantize arithmetic is a fixed shape of double ops mirrored
+    * token-for-token in the oracle; folds start from 0.0 and run in index
+    * order both engines (list_reduce over list_prepend(0.0, ·) ==
+    * `aggregate(·, 0.0, +)`); errors are ≥ 0 so the greatest-fold is
+    * order-free. */
+  val qEmbedQuantize: Q = Q(
+    "q_embed_quantize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |el AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+      |dm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY i),
+      |md AS (SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl FROM dm),
+      |q AS (SELECT vec_id, v, mnl, mxl,
+      |        list_transform(range(1, len(v) + 1), i ->
+      |          CASE WHEN mxl[i] > mnl[i]
+      |               THEN least(greatest(floor((v[i] - mnl[i]) * CAST(255.0 AS DOUBLE) / (mxl[i] - mnl[i])),
+      |                                   CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE))
+      |               ELSE CAST(0.0 AS DOUBLE) END) AS ql
+      |      FROM e, md),
+      |er AS (SELECT vec_id, ql, len(v) AS n,
+      |        list_transform(range(1, len(v) + 1), i ->
+      |          v[i] - (mnl[i] + ql[i] * (mxl[i] - mnl[i]) / CAST(255.0 AS DOUBLE))) AS dl
+      |      FROM q)
+      |SELECT vec_id,
+      |  CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ql), (a, b) -> a + b) AS BIGINT) AS qsum,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(dl, d -> d * d)),
+      |                    (a, b) -> a + b) / n, 6) AS mse,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(dl, d -> abs(d))),
+      |                    (a, b) -> greatest(a, b)), 6) AS linf
+      |FROM er ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.crossJoin(broadcast(quantModel(e)))
+      .withColumn("ql", quantCodes)
+      .withColumn("dl", transform(col("v"), (x, i) => {
+        val mn = element_at(col("mnl"), i + 1)
+        val mx = element_at(col("mxl"), i + 1)
+        x - (mn + element_at(col("ql"), i + 1) * (mx - mn) / lit(255.0))
+      }))
+    q.select(col("vec_id"),
+      aggregate(col("ql"), lit(0.0), _ + _).cast("long").as("qsum"),
+      round(aggregate(transform(col("dl"), e2 => e2 * e2), lit(0.0), _ + _)
+        / size(col("v")), 6).as("mse"),
+      round(aggregate(transform(col("dl"), e2 => abs(e2)), lit(0.0),
+        (a, b) => greatest(a, b)), 6).as("linf"))
+      .orderBy("vec_id")
+  }
+
+  /** One-row (mnl, mxl) per-dimension min/max quantization model of a
+    * (vec_id, v) frame — corpus pass once, 2·D numbers out, broadcast
+    * back to every consumer. */
+  private def quantModel(e: DataFrame): DataFrame = {
+    val dims = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    dims.agg(
+      array_sort(collect_list(struct(col("i"), col("mn")))).as("ms"),
+      array_sort(collect_list(struct(col("i"), col("mx")))).as("xs"))
+      .select(transform(col("ms"), t => t.getField("mn")).as("mnl"),
+        transform(col("xs"), t => t.getField("mx")).as("mxl"))
+  }
+
+  /** 255-level code column for `v` against broadcast `mnl`/`mxl`. */
+  private def quantCodes: org.apache.spark.sql.Column =
+    transform(col("v"), (x, i) => {
+      val mn = element_at(col("mnl"), i + 1)
+      val mx = element_at(col("mxl"), i + 1)
+      when(mx > mn,
+        least(greatest(floor((x - mn) * lit(255.0) / (mx - mn)).cast("double"),
+          lit(0.0)), lit(255.0)))
+        .otherwise(lit(0.0))
+    })
+
+  /** QUANTIZATION RETRIEVAL AUDIT — does int8 storage preserve neighbor
+    * RANKING, not just values? For 16 deterministic probe vectors (lowest
+    * vec_ids), compare exact-cosine top-10 against asymmetric-distance
+    * top-10 (full-precision query × dequantized corpus — FAISS's ADC) and
+    * report the overlap. The eval leg q_ann_eval gives LSH/IVF, applied
+    * to [[qEmbedQuantize]]'s codes: the number a serving team reads
+    * before switching the store to int8.
+    *
+    * At scale: probes are a broadcast 16-row table; ONE corpus pass
+    * computes both cosines per (probe, vec) — O(Q·n) work, no pair
+    * shuffle wider than Q·n rows keyed by probe; both top-k windows ride
+    * one exchange. */
+  val qQuantizeAnn: Q = Q(
+    "q_quantize_ann",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |el AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+      |dm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY i),
+      |md AS (SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl FROM dm),
+      |xh AS (SELECT vec_id, v,
+      |        list_transform(range(1, len(v) + 1), i ->
+      |          mnl[i] + (CASE WHEN mxl[i] > mnl[i]
+      |            THEN least(greatest(floor((v[i] - mnl[i]) * CAST(255.0 AS DOUBLE) / (mxl[i] - mnl[i])),
+      |                                CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE))
+      |            ELSE CAST(0.0 AS DOUBLE) END) * (mxl[i] - mnl[i]) / CAST(255.0 AS DOUBLE)) AS vh
+      |      FROM e, md),
+      |pr AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 16),
+      |pa AS (SELECT p.qid, x.vec_id AS dst,
+      |         list_inner_product(p.qv, x.v) / (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(x.v, x.v))) AS ce,
+      |         list_inner_product(p.qv, x.vh) / (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(x.vh, x.vh))) AS cq
+      |       FROM pr p, xh x WHERE x.vec_id <> p.qid),
+      |rr AS (SELECT qid, dst,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ce DESC, dst) AS re,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cq DESC, dst) AS rq
+      |       FROM pa),
+      |ov AS (SELECT a.qid, COUNT(*) AS cnt
+      |       FROM (SELECT qid, dst FROM rr WHERE re <= 10) a
+      |       JOIN (SELECT qid, dst FROM rr WHERE rq <= 10) b USING (qid, dst)
+      |       GROUP BY a.qid)
+      |SELECT pr.qid AS vec_id,
+      |  CAST(coalesce(ov.cnt, 0) AS INT) AS overlap,
+      |  round(CAST(coalesce(ov.cnt, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) AS recall
+      |FROM pr LEFT JOIN ov ON ov.qid = pr.qid
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.functions.VectorFunctions.cosineSim
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val xh = e.crossJoin(broadcast(quantModel(e)))
+      .withColumn("ql", quantCodes)
+      .withColumn("vh", transform(col("v"), (x, i) => {
+        val mn = element_at(col("mnl"), i + 1)
+        val mx = element_at(col("mxl"), i + 1)
+        mn + element_at(col("ql"), i + 1) * (mx - mn) / lit(255.0)
+      }))
+      .select(col("vec_id"), col("v"), col("vh"))
+    val probes = e.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pa = xh.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("dst"),
+        cosineSim(col("qv"), col("v")).as("ce"),
+        cosineSim(col("qv"), col("vh")).as("cq"))
+    val we = Window.partitionBy("qid").orderBy(col("ce").desc, col("dst").asc)
+    val wq = Window.partitionBy("qid").orderBy(col("cq").desc, col("dst").asc)
+    val ranked = pa.withColumn("re", row_number().over(we))
+      .withColumn("rq", row_number().over(wq))
+    val both = ranked.filter(col("re") <= 10).select("qid", "dst")
+      .join(ranked.filter(col("rq") <= 10).select("qid", "dst"), Seq("qid", "dst"))
+      .groupBy("qid").agg(count(lit(1)).as("cnt"))
+    probes.select("qid").join(both, Seq("qid"), "left")
+      .select(col("qid").as("vec_id"),
+        coalesce(col("cnt"), lit(0L)).cast("int").as("overlap"),
+        round(coalesce(col("cnt"), lit(0L)).cast("double") / lit(10.0), 6).as("recall"))
+      .orderBy("vec_id")
+  }
+
+  /** PERPLEXITY-STAGED CURRICULUM ordering — the data-ORDERING pass of a
+    * training pipeline (curriculum learning: present easy text first,
+    * hard text later; difficulty = average bigram negative log-likelihood
+    * under the corpus LM, the exact q_perplexity model). Docs are ranked
+    * by difficulty, cut into 4 equal-population stages, and shuffled
+    * WITHIN each stage by a seeded hash (xxhash64(doc_id, 17)) so each
+    * stage streams in a deterministic pseudo-random order — rerun-stable,
+    * no RNG state. Output: (doc_id, difficulty, stage, pos).
+    *
+    * At scale: the LM + scoring is q_perplexity's plan (two model-sized
+    * aggregations + hash joins); the global difficulty rank and the
+    * intra-stage positions are both [[PipelineOps3.exclusivePrefixSum]] —
+    * range-partitioned distributed ranks, every window task bounded by
+    * its range cut. No global single-task window anywhere (the naive
+    * `row_number() OVER (ORDER BY difficulty)` would serialize the
+    * corpus through one task).
+    *
+    * Determinism: difficulty is the 6dp-rounded avg NLL (DECIMAL-summed
+    * per doc, SURVEY §5); both rank orders end in doc_id so exact
+    * difficulty/hash ties are total-ordered; stage = rank·4 div n is
+    * integer arithmetic. */
+  val qCurriculum: Q = Q(
+    "q_curriculum",
+    {
+      val hx = OracleKit.xxhash64Sql(
+        "SELECT doc_id, difficulty, stage FROM st", "doc_id",
+        "doc_id, difficulty, stage", Some(17))
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |pos AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS ord FROM toks),
+         |big AS (SELECT doc_id, t AS cur, LEAD(t) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt FROM pos),
+         |bg AS (SELECT doc_id, cur, nxt FROM big WHERE nxt IS NOT NULL),
+         |bc AS (SELECT cur, nxt, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+         |cc AS (SELECT cur, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |term AS (SELECT doc_id, round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6) AS lp
+         |         FROM bg JOIN bc USING (cur, nxt) JOIN cc USING (cur)),
+         |agg AS (SELECT doc_id, COUNT(*) AS nb,
+         |               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS sl
+         |        FROM term GROUP BY 1),
+         |d0 AS (SELECT d.doc_id,
+         |         coalesce(round(-a.sl / a.nb, 6), CAST(0.0 AS DOUBLE)) AS difficulty
+         |       FROM documents d LEFT JOIN agg a USING (doc_id)),
+         |nn AS (SELECT COUNT(*) AS n FROM d0),
+         |rk AS (SELECT doc_id, difficulty,
+         |         ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) - 1 AS r FROM d0),
+         |st AS (SELECT doc_id, difficulty, CAST((r * 4) // n AS INT) AS stage FROM rk, nn),
+         |hx AS ($hx)
+         |SELECT doc_id, difficulty, stage,
+         |  ROW_NUMBER() OVER (PARTITION BY stage ORDER BY hk, doc_id) - 1 AS pos
+         |FROM hx ORDER BY stage, pos""".stripMargin
+    }) { (s, d) =>
+    val docs = T.documents(s, d)
+    val pos = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("ord", "t")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("ord")
+    val bg = pos.withColumn("nxt", lead(col("t"), 1).over(wDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("t").as("cur"), col("nxt"))
+    val bc = bg.groupBy("cur", "nxt").agg(count(lit(1)).as("c2"))
+    val cc = bc.groupBy("cur").agg(sum(col("c2")).cast("long").as("c1"))
+    val term = bg.join(bc, Seq("cur", "nxt")).join(cc, Seq("cur"))
+      .select(col("doc_id"), round(log(dbl(col("c2")) / dbl(col("c1"))), 6).as("lp"))
+    val agg = term.groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"),
+        dbl(sum(col("lp").cast(DecimalType(18, 6)))).as("sl"))
+      .select(col("doc_id"), round(-col("sl") / col("nb"), 6).as("avg_nll"))
+    val d0 = docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("avg_nll"), lit(0.0)).as("difficulty"))
+      .withColumn("__g", lit(0)).withColumn("one", lit(1L))
+    val ranked = PipelineOps3.exclusivePrefixSum(
+      d0, "__g", Seq("difficulty", "doc_id"), "one", 32)
+    val nDf = ranked.groupBy().agg(count(lit(1)).as("n"))
+    val st = ranked.crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("difficulty"),
+        expr("CAST((pre * 4) div n AS INT)").as("stage"))
+      .withColumn("hk", xxhash64(col("doc_id"), lit(17)))
+      .withColumn("one", lit(1L))
+    PipelineOps3.exclusivePrefixSum(st, "stage", Seq("hk", "doc_id"), "one", 32)
+      .select(col("doc_id"), col("difficulty"), col("stage"), col("pre").as("pos"))
+      .orderBy("stage", "pos")
+  }
+
+  /** NN-DESCENT approximate KNN graph (Dong, Moses & Li, WWW 2011) —
+    * the GRAPH-construction member of the ANN family (IVF/PQ/LSH answer
+    * point queries; this builds the all-nodes k-NN graph the semdedup /
+    * label-prop / hard-negative passes consume, WITHOUT the Θ(n²) exact
+    * join that q_knn_graph guards against). The algorithm's invariant:
+    * "a neighbor of a neighbor is probably a neighbor" — start from an
+    * arbitrary graph and repeatedly compare each node against its
+    * neighbors' neighbors, keeping the best k.
+    *
+    * Shape per round (all equi-joins + one bounded window):
+    *   und  = edges ∪ reversed(edges)             (the B(p) = N∪N⁻¹ set)
+    *   cand = pairs of und-neighbors through a common point (local join)
+    *   keep = top-k of (cand ∪ current) by (cosine DESC, dst ASC)
+    * Candidate volume is n·(2k)² per round — LINEAR in n for fixed k
+    * (vs n²/2 exact), and every stage is a hash equi-join on node id
+    * with a per-node window bounded by 4k²+k rows. Rounds are fixed (2)
+    * and each round's result is eagerly checkpointed (bounded lineage,
+    * PLANS.md round-2 rule).
+    *
+    * Init is a DETERMINISTIC pseudo-random graph: node rid's m-th
+    * neighbor is (rid·37 + m·101 + 13) mod n on the distributed
+    * [[PipelineOps3.exclusivePrefixSum]] rank — NN-descent converges
+    * from any start, and a seeded congruential start keeps the gate
+    * exact with no RNG state. k = 14 / 2 rounds lands recall ≈ 0.91
+    * even on the ISOTROPIC bench embeddings (the method's worst case —
+    * no cluster structure to exploit; convergence is k-driven, measured
+    * 0.35@k6r2 → 0.83@k12r2 → 0.91@k14r2 on sf0.001) and is exact on clustered
+    * corpora (planted spec). Determinism: cosine is the codegen'd
+    * [[graft.functions.CosineSimilarity]] left fold, bit-identical to
+    * the oracle's list_inner_product shape; rank ties break on dst id.
+    *
+    * Output: (src_id, rnk, dst_id, sim) — each node's approximate k
+    * nearest neighbors. */
+  val qNnDescent: Q = Q("q_nn_descent", nnDescentOracleSql()) { (s, d) =>
+    val vecs = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    nnDescentGraph(vecs, k = 14, rounds = 2)
+  }
+
+  private[graft] def nnDescentGraph(vecs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    // The congruential init needs a dense 0..n-1 node numbering. One
+    // narrow bounds pass decides the route: vec ids that are already
+    // dense (the common layout) ARE the numbering — no work; otherwise a
+    // range-partitioned distributed rank builds it (never a global
+    // single-task window). Both routes yield the same rid on dense ids,
+    // so the oracle (ROW_NUMBER over vec_id) covers both.
+    val b = vecs.agg(min(col("vec_id")), max(col("vec_id")), count(lit(1))).head
+    val n = b.getLong(2)
+    val dense = n > 0 && b.getLong(0) == 0L && b.getLong(1) == n - 1
+    val ev = (if (dense) vecs.select(col("vec_id").as("rid"), col("vec_id"), col("v"))
+    else {
+      val base = vecs.select(col("vec_id"), col("v"))
+        .withColumn("__g", lit(0)).withColumn("one", lit(1L))
+      PipelineOps3.exclusivePrefixSum(base, "__g", Seq("vec_id"), "one", 32)
+        .select(col("pre").as("rid"), col("vec_id"), col("v"))
+    }).localCheckpoint(true)
+    var edges = ev.select(col("rid"), explode(sequence(lit(1), lit(k))).as("m"))
+      .select(col("rid").as("src"),
+        ((col("rid") * 37 + col("m") * 101 + 13) % n).as("dst"))
+      .filter(col("dst") =!= col("src")).distinct()
+    var scored: DataFrame = null
+    for (_ <- 1 to rounds) {
+      // B(p) = N(p) ∪ N⁻¹(p) as ONE set column (groupBy + collect_set —
+      // a single exchange; the set is bounded by 2k). The local join is
+      // then a map-side double explode (|B|² pair rows, no join), and
+      // the candidate dedup is a second collect_set keyed on the new
+      // src — which ALSO leaves the data hash-partitioned by src, so
+      // the broadcast array joins and the top-k window below add no
+      // further exchange: two shuffles per round total (the naive
+      // distinct-join-distinct-window form pays four).
+      val bp = edges.select("src", "dst")
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy("src").agg(collect_set(col("dst")).as("bp"))
+      val pairs = bp.select(explode(col("bp")).as("u"), col("bp"))
+        .select(col("u").as("src"), explode(col("bp")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+      val all = pairs.union(edges.select("src", "dst"))
+        .groupBy("src").agg(collect_set(col("dst")).as("ds"))
+        .select(col("src"), explode(col("ds")).as("dst"))
+      val sims = all
+        .join(ev.select(col("rid").as("src"), col("v").as("va")), "src")
+        .join(ev.select(col("rid").as("dst"), col("v").as("vb")), "dst")
+        .select(col("src"), col("dst"), cosineSim(col("va"), col("vb")).as("cv"))
+      val w = Window.partitionBy("src").orderBy(col("cv").desc, col("dst").asc)
+      scored = sims.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .localCheckpoint(true)
+      edges = scored.select("src", "dst")
+    }
+    scored
+      .join(ev.select(col("rid").as("src"), col("vec_id").as("src_id")), "src")
+      .join(ev.select(col("rid").as("dst"), col("vec_id").as("dst_id")), "dst")
+      .select(col("src_id"), col("rnk"), col("dst_id"), round(col("cv"), 6).as("sim"))
+      .orderBy("src_id", "rnk")
+  }
+
+  /** The q_nn_descent oracle: the same congruential init and 2 unrolled
+    * local-join rounds in plain SQL (UNION dedups exactly like Spark's
+    * union().distinct(); the per-node window ranks by the identical
+    * (cosine DESC, dst) key; [[OracleKit.cosSql]] matches the codegen'd
+    * left fold bit-for-bit). MATERIALIZED on the scored sets — each is
+    * referenced twice and DuckDB inlines CTEs. */
+  private def nnDescentOracleSql(k: Int = 14, rounds: Int = 2): String = {
+    val cos = OracleKit.cosSql("x.v", "y.v")
+    val roundsSql = (1 to rounds).map { t =>
+      val p = s"e${t - 1}"
+      s"""u$t AS (SELECT src, dst FROM $p UNION SELECT dst AS src, src AS dst FROM $p),
+         |c$t AS (SELECT a.dst AS src, b.dst AS dst FROM u$t a JOIN u$t b
+         |          ON a.src = b.src AND a.dst <> b.dst
+         |        UNION SELECT src, dst FROM $p),
+         |s$t AS MATERIALIZED (SELECT c.src, c.dst, $cos AS cv
+         |        FROM c$t c JOIN ev x ON x.rid = c.src JOIN ev y ON y.rid = c.dst),
+         |e$t AS MATERIALIZED (SELECT src, dst, cv FROM (
+         |        SELECT src, dst, cv,
+         |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY cv DESC, dst) AS rnk
+         |        FROM s$t) WHERE rnk <= $k),
+         |""".stripMargin
+    }.mkString
+    s"""WITH ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rid FROM embeddings),
+       |nn AS (SELECT COUNT(*) AS n FROM ev),
+       |e0 AS MATERIALIZED (SELECT DISTINCT rid AS src, (rid * 37 + m * 101 + 13) % n AS dst
+       |      FROM ev, nn, unnest(range(1, ${k + 1})) AS z(m)
+       |      WHERE (rid * 37 + m * 101 + 13) % n <> rid),
+       |$roundsSql
+       |fin AS (SELECT src, dst, cv,
+       |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY cv DESC, dst) AS rnk
+       |        FROM s$rounds)
+       |SELECT x.vec_id AS src_id, CAST(f.rnk AS INT) AS rnk, y.vec_id AS dst_id,
+       |       round(f.cv, 6) AS sim
+       |FROM fin f JOIN ev x ON x.rid = f.src JOIN ev y ON y.rid = f.dst
+       |WHERE f.rnk <= $k
+       |ORDER BY src_id, rnk""".stripMargin
+  }
+
+  /** FASTTEXT-STYLE QUALITY CLASSIFIER over hashed token features — the
+    * linear text filter of the GPT-3/CCNet lineage (Brown et al. 2020
+    * train a classifier with a trusted corpus as the positive class and
+    * score every crawl page; CCNet's fastText filter is the same idea):
+    * features = bag of tokens hashed into D=64 buckets (the native
+    * codegen [[graft.functions.NgramHashes]] — no token string survives
+    * the scan), count-normalized to frequencies (fastText's mean-of-
+    * embeddings with one-hot bucket embeddings); weak labels from a
+    * trusted heuristic (here lang='en' stands in for "looks like the
+    * reference corpus"); trained with the SAME IRLS machinery as
+    * q_logistic_probe ([[PipelineOps3.logisticFitBetas]]); every doc
+    * then scored p = σ(β·x + b).
+    *
+    * At scale: feature extraction is one map-side pass + a (doc, 64)
+    * count shuffle; training is `iters` corpus scans accumulating a
+    * model-sized (D+1)² buffer (nothing vector-sized shuffles); scoring
+    * is map-side with β broadcast. The featurized table is eagerly
+    * checkpointed so the IRLS passes do not re-tokenize the corpus.
+    *
+    * Determinism: counts are exact; the frequency division is one
+    * double op; β agreement across engines is the q_logistic_probe
+    * argument (κ ≈ 1 ridged system — any correct solver lands within
+    * machine precision, 6dp rounding absorbs it). */
+  val qQualityClassifier: Q = Q("q_quality_classifier", qualityClassifierOracleSql()) { (s, d) =>
+    qualityClassify(T.documents(s, d), buckets = 64, lambda = 1e-3, iters = 3)
+  }
+
+  /** Hashed-unigram featurization + the weak label: one map-side hash
+    * pass, a (doc, bucket) count shuffle, dense 64-vector assembly. */
+  private def hashedLabeled(docs: DataFrame, buckets: Int): DataFrame = {
+    val cnt = docs.select(col("doc_id"),
+        explode(graft.functions.NgramHashes(col("text"), 1)).as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val feats = cnt.groupBy("doc_id").agg(
+        map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"),
+        sum(col("c")).cast("long").as("nt"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(buckets - 1L)), i =>
+          coalesce(element_at(col("m"), i), lit(0L)).cast("double")
+            / col("nt").cast("double")).as("x"))
+    feats.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+  }
+
+  /** Score featurized docs against a one-row broadcast (`__w`, `__b0`)
+    * model frame — the single eta expression both the one-shot classifier
+    * and the streaming gate evaluate, so their scores are identical by
+    * construction. */
+  private def scoreFeaturized(labeled: DataFrame, modelRow: DataFrame): DataFrame = {
+    val p = lit(1.0) / (lit(1.0) +
+      exp(-(aggregate(zip_with(col("x"), col("__w"), _ * _), lit(0.0), _ + _)
+        + col("__b0"))))
+    labeled.crossJoin(broadcast(modelRow))
+      .select(col("doc_id"), round(p, 6).as("score"),
+        (p >= 0.5).cast("int").as("pred"), col("y").cast("int").as("label"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] def qualityClassify(docs: DataFrame, buckets: Int,
+                                     lambda: Double, iters: Int): DataFrame = {
+    val s = docs.sparkSession
+    val labeled = hashedLabeled(docs, buckets).localCheckpoint(true)
+    // an empty corpus is a result, not an outage: the zero model scores
+    // zero rows (the feature dim is the FIXED bucket count, so nothing
+    // needs to be derived from data)
+    val beta = if (labeled.isEmpty) new Array[Double](buckets + 1)
+    else PipelineOps3.logisticFitBetas(
+      labeled.select(col("x"), col("y")), lambda, iters)
+    import s.implicits._
+    scoreFeaturized(labeled,
+      Seq((beta.take(buckets).toSeq, beta(buckets))).toDF("__w", "__b0"))
+  }
+
+  /** The FROZEN quality model as a persistable table: rows (i, w) with
+    * i = 0..D-1 the bucket weights and i = -1 the intercept — the
+    * artifact [[graft.streaming.StreamingOps.classifierGateSink]]
+    * broadcasts against an arriving stream (the q_dsir model posture:
+    * fit once on the reference corpus, score every later crawl page). */
+  def qualityModel(docs: DataFrame, buckets: Int = 64, lambda: Double = 1e-3,
+                   iters: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    val labeled = hashedLabeled(docs, buckets).localCheckpoint(true)
+    val beta = PipelineOps3.logisticFitBetas(
+      labeled.select(col("x"), col("y")), lambda, iters)
+    import s.implicits._
+    ((-1, beta(buckets)) +: (0 until buckets).map(i => (i, beta(i))))
+      .toDF("i", "w")
+  }
+
+  /** Score documents against a (frozen) quality model table. Per-doc and
+    * model-broadcast, so scoring is COMPOSITIONAL: any partition of the
+    * corpus into micro-batches scores identically — the streaming gate's
+    * correctness contract (the dsirScore recipe). */
+  def qualityScoreWith(model: DataFrame, docs: DataFrame,
+                       buckets: Int = 64): DataFrame = {
+    val modelRow = model.agg(
+      array_sort(collect_list(struct(col("i"), col("w")))).as("s"))
+      .select(
+        transform(slice(col("s"), 2, buckets), t => t.getField("w")).as("__w"),
+        element_at(col("s"), 1).getField("w").as("__b0"))
+    scoreFeaturized(hashedLabeled(docs, buckets), modelRow)
+  }
+
+  /** The q_quality_classifier oracle: hashed-unigram featurization
+    * (xxhash64 per distinct token via [[OracleKit.xxhash64StrSteps]];
+    * D = 64 divides 2^64 so unsigned `% 64` IS Spark's pmod — the
+    * q_dsir bucket argument), dense 64-vectors by a doc×bucket grid,
+    * then [[PipelineOps3.irlsRoundsSql]]'s three CG-solved IRLS rounds
+    * and a per-doc sigmoid scoring tail. */
+  private def qualityClassifierOracleSql(dimD: Int = 64, lambda: Double = 1e-3,
+                                         rounds: Int = 3, cgIters: Int = 128): String = {
+    val d1 = dimD + 1
+    val xx = OracleKit.nestedProjections(
+      "SELECT sh FROM dds", OracleKit.xxhash64StrSteps("sh"), "sh, hu")
+    val head =
+      s"""WITH RECURSIVE dtoks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |dug AS MATERIALIZED (SELECT doc_id, unnest(tok) AS sh FROM dtoks),
+         |dds AS MATERIALIZED (SELECT DISTINCT sh FROM dug),
+         |dgx AS MATERIALIZED ($xx),
+         |dbk AS (SELECT sh, hu % $dimD AS b FROM dgx),
+         |occ AS MATERIALIZED (SELECT g.doc_id, k.b FROM dug g JOIN dbk k USING (sh)),
+         |cnt AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+         |dn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nt FROM cnt GROUP BY 1),
+         |grid AS (SELECT dn.doc_id, z.i, dn.nt FROM dn, (SELECT unnest(range(0, $dimD)) AS i) z),
+         |xv AS MATERIALIZED (SELECT g.doc_id,
+         |        list(CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(g.nt AS DOUBLE) ORDER BY g.i) AS xr
+         |      FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.b = g.i
+         |      GROUP BY g.doc_id),
+         |ex AS MATERIALIZED (SELECT x.doc_id AS vec_id,
+         |        list_append(x.xr, CAST(1.0 AS DOUBLE)) AS xt,
+         |        CASE WHEN d.lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+         |      FROM xv x JOIN documents d ON d.doc_id = x.doc_id),
+         |pos AS (SELECT unnest(range(1, $d1 + 1)) AS i),
+         |""".stripMargin
+    val tail =
+      s"""sc AS (SELECT ex.vec_id AS doc_id, ex.y,
+         |    1.0 / (1.0 + exp(-list_inner_product(ex.xt, b$rounds.beta))) AS p
+         |  FROM ex, b$rounds)
+         |SELECT doc_id, round(p, 6) AS score,
+         |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred,
+         |  CAST(y AS INT) AS label
+         |FROM sc ORDER BY doc_id""".stripMargin
+    head + PipelineOps3.irlsRoundsSql(dimD, lambda, rounds, cgIters) + tail
+  }
+
+  val all: Seq[Q] = Seq(qEmbedQuantize, qQuantizeAnn, qCurriculum, qNnDescent,
+    qQualityClassifier)
+}

@@ -575,6 +575,34 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming QUALITY-CLASSIFIER gate (stream_quality_gate): every
+    * arriving micro-batch of documents is scored by the FROZEN
+    * fastText-style quality model (the (D+1)-row weight table of
+    * [[graft.ops.PipelineOps4.qualityModel]], fit once on the reference
+    * corpus and persisted) — the ingest-time form of
+    * q_quality_classifier: the crawler scores a page the moment it
+    * arrives, with the exact model the batch pass trained. Scoring is
+    * per-doc against a broadcast model
+    * ([[graft.ops.PipelineOps4.qualityScoreWith]]), so it is
+    * COMPOSITIONAL: micro-batching can never change a doc's score or
+    * verdict (spec pins streamed union == one-shot). The model is read
+    * ONCE and persisted across micro-batches via
+    * [[FrozenSides.parquetTable]]; a refit's directory rewrite bumps the
+    * mtime and invalidates the cache on the next batch. Exactly-once via
+    * the overwrite-idempotent `part=batch_<id>` region convention. */
+  def classifierGateSink(docs: DataFrame, modelPath: String, outDir: String,
+                         buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val model = FrozenSides.parquetTable(batch.sparkSession, modelPath)
+          graft.ops.PipelineOps4.qualityScoreWith(model, batch, buckets)
+            .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
+        }
+        ()
+      }
+
   /** Streaming SPAN-LEVEL decontamination (stream_span_decontam): every
     * arriving micro-batch of documents gets the per-doc leaked-span
     * report of [[graft.sources.SpanIndex.screen]] against the FROZEN

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q_embed_quantize / q_curriculum semantics (exact values are
+  * oracle-pinned; this pins the METHOD properties on planted data). */
+class PipelineOps4Spec extends SparkSpec {
+
+  // ---- q_embed_quantize ----
+
+  private lazy val twoLevelDir: String = {
+    // every dim takes only the values 0.0 and 1.0 → the 255-level grid
+    // contains both endpoints exactly and reconstruction is lossless
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    import spark.implicits._
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, (0 until 16).map(j => if ((i + j) % 2 == 0) 0.0f else 1.0f).toArray, i % 2)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("two-level corpus reconstructs exactly: mse = linf = 0, codes are 0/255") {
+    val out = SparkEntry.queries("q_embed_quantize")(spark, twoLevelDir).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      assert(r.getDouble(2) == 0.0, s"vec ${r.getLong(0)}: mse ${r.getDouble(2)} != 0")
+      assert(r.getDouble(3) == 0.0, s"vec ${r.getLong(0)}: linf ${r.getDouble(3)} != 0")
+      // 8 dims at level 255 per vector (alternating pattern)
+      assert(r.getLong(1) == 8L * 255L, s"vec ${r.getLong(0)}: qsum ${r.getLong(1)}")
+    }
+  }
+
+  test("reconstruction error is bounded by the worst per-dimension step") {
+    val e = sources.Tables.embeddings(spark, TinyDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val step = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg((max(col("x")) - min(col("x"))).as("r"))
+      .agg(max(col("r"))).head.getDouble(0) / 255.0
+    val out = SparkEntry.queries("q_embed_quantize")(spark, TinyDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // floor quantization: error < one step (plus fp headroom)
+      assert(r.getDouble(3) <= step * (1.0 + 1e-9),
+        s"vec ${r.getLong(0)}: linf ${r.getDouble(3)} > step $step")
+      assert(r.getDouble(2) <= step * step,
+        s"vec ${r.getLong(0)}: mse ${r.getDouble(2)} > step^2")
+    }
+  }
+
+  test("quantization is partition-invariant (same rows under a repartitioned session)") {
+    val a = SparkEntry.queries("q_embed_quantize")(spark, TinyDir).collect().toSeq
+    val b = withConf("spark.sql.shuffle.partitions" -> "7") {
+      SparkEntry.queries("q_embed_quantize")(spark, TinyDir).collect().toSeq
+    }
+    assert(a == b)
+  }
+
+  // ---- q_quantize_ann ----
+
+  test("int8 ADC retrieval keeps most exact top-10 neighbors (mean recall >= 0.8)") {
+    val out = SparkEntry.queries("q_quantize_ann")(spark, TinyDir).collect()
+    assert(out.length == 16, "one row per probe")
+    out.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 10)
+      assert(math.abs(r.getDouble(2) - r.getInt(1) / 10.0) < 1e-9)
+    }
+    val mean = out.map(_.getDouble(2)).sum / out.length
+    assert(mean >= 0.8, s"mean ADC recall $mean < 0.8")
+  }
+
+  test("lossless two-level corpus: quantized retrieval is exact (overlap = n-1 < 10)") {
+    val out = SparkEntry.queries("q_quantize_ann")(spark, twoLevelDir).collect()
+    // 8 vectors: every probe's candidate set is all 7 others, and the
+    // reconstruction is exact, so the two top-k lists coincide entirely
+    assert(out.length == 8)
+    out.foreach(r => assert(r.getInt(1) == 7, s"probe ${r.getLong(0)}: overlap ${r.getInt(1)} != 7"))
+  }
+
+  // ---- q_curriculum ----
+
+  test("stages partition the corpus into 4 near-equal difficulty-ordered buckets") {
+    val docs = sources.Tables.documents(spark, TinyDir)
+    val n = docs.count()
+    val out = SparkEntry.queries("q_curriculum")(spark, TinyDir).collect()
+    assert(out.length == n, s"curriculum covers ${out.length} of $n docs")
+    assert(out.map(_.getLong(0)).distinct.length == n, "doc_ids must be unique")
+    val byStage = out.groupBy(_.getInt(2)).map { case (s0, rs) => s0 -> rs }
+    assert(byStage.keySet == Set(0, 1, 2, 3))
+    byStage.foreach { case (s0, rs) =>
+      val want = Set(n / 4, (n + 3) / 4)
+      assert(want.contains(rs.length.toLong), s"stage $s0 size ${rs.length} not in $want")
+      // pos is a permutation of 0..size-1 within the stage
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (0L until rs.length.toLong),
+        s"stage $s0: pos is not a 0-based permutation")
+    }
+    // difficulty is monotone across stage boundaries (ties may touch)
+    (0 until 3).foreach { s0 =>
+      val hi = byStage(s0).map(_.getDouble(1)).max
+      val lo = byStage(s0 + 1).map(_.getDouble(1)).min
+      assert(hi <= lo, s"stage $s0 max difficulty $hi > stage ${s0 + 1} min $lo")
+    }
+  }
+
+  test("intra-stage order is the seeded doc_id hash (rerun-stable, looks shuffled)") {
+    val a = SparkEntry.queries("q_curriculum")(spark, TinyDir).collect().toSeq
+    val b = SparkEntry.queries("q_curriculum")(spark, TinyDir).collect().toSeq
+    assert(a == b, "curriculum order must be rerun-stable")
+    // within a stage, consecutive pos must follow ascending (xxhash64(doc_id, 17), doc_id)
+    val stage0 = a.filter(_.getInt(2) == 0).sortBy(_.getLong(3)).map(_.getLong(0))
+    val hk = sources.Tables.documents(spark, TinyDir)
+      .select(col("doc_id"), xxhash64(col("doc_id"), lit(17)).as("hk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = stage0.sortBy(id => (hk(id), id))
+    assert(stage0.toSeq == want.toSeq, "stage-0 order must be the seeded hash order")
+    // and it is not simply doc_id order (the hash actually shuffles)
+    assert(stage0.toSeq != stage0.sorted.toSeq, "hash order degenerated to id order")
+  }
+}

@@ -60,6 +60,12 @@ class PlanSweepSpec extends SparkSpec {
     "q_mix_reweight",      // 20-row mix table x 1-row mixture average per
                            // round (constant sides; corpus read once)
     "q_split_temporal",    // rows x 1-row span bounds (constant side)
+    "q_embed_quantize",    // rows x 1-row (mnl, mxl) quantizer model
+                           // (constant side; corpus read once)
+    "q_quantize_ann",      // rows x 1-row quantizer model + x 16-row probe
+                           // grid (constant sides; one corpus pass)
+    "q_quality_classifier",// rows x 1-row broadcast (β, b0) model
+                           // (constant side; scoring is map-side)
     "q_ab_test",           // #groups-row moment table paired with itself
                            // (model-vs-model; data aggregates once)
     "q_rank_sum",          // rows x G²-row broadcast pair grid (constant
