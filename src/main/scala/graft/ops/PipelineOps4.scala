@@ -548,6 +548,76 @@ object PipelineOps4 {
     head + PipelineOps3.irlsRoundsSql(dimD, lambda, rounds, cgIters) + tail
   }
 
+  /** CLUSTER LABELING — the corpus-cartography card (the Atlas-style
+    * "what is each region of embedding space ABOUT" table): k-means
+    * cells from the q_embed_cluster machinery (the bit-stable
+    * [[Similarity.fitKmeansCodebook]] Lloyd fit), joined to the
+    * documents (vec_id == doc_id, the established pairing), and each
+    * cell labeled with its 5 most DISTINCTIVE tokens — smoothed
+    * log-ratio of in-cell frequency vs corpus frequency (the DSIR
+    * importance shape applied cell-vs-corpus), not raw counts, so stop
+    * words cancel and the label actually describes the cluster.
+    *
+    * At scale: the codebook is model-fit-sized (sample-bounded driver
+    * Lloyd); cell assignment is a pure projection; the token pass is one
+    * corpus-sized equi-join (doc_id) + a (cell, token) count shuffle;
+    * everything after is vocabulary-sized, and the two 1-row totals ride
+    * broadcast. Output: (cell, rnk, tok, score, c). */
+  val qClusterLabels: Q = Q("q_cluster_labels", clusterLabelsOracleSql()) { (s, d) =>
+    val emb = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val codebook = Similarity.fitKmeansCodebook(
+      emb.select(col("vec_id").as("id"), col("v")), k = 8)
+    val cells = emb
+      .withColumn("cell", Similarity.nearestCell(col("v"), codebook))
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val ct = toks.join(cells, Seq("doc_id"))
+      .groupBy("cell", "tok").agg(count(lit(1)).as("c"))
+    val nt = ct.groupBy("cell").agg(sum(col("c")).cast("long").as("n"))
+    val gt = ct.groupBy("tok").agg(sum(col("c")).cast("long").as("g"))
+    val tot = gt.agg(sum(col("g")).cast("long").as("t"),
+      count(lit(1)).as("vsz"))
+    val score = round(
+      log((dbl(col("c")) + 1) / (dbl(col("n")) + dbl(col("vsz")))) -
+        log((dbl(col("g")) + 1) / (dbl(col("t")) + dbl(col("vsz")))), 6)
+    val sc = ct.join(nt, Seq("cell")).join(gt, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("tok"), col("c"), score.as("score"))
+    val w = Window.partitionBy("cell").orderBy(col("score").desc, col("tok").asc)
+    sc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("cell"), col("rnk"), col("tok"), col("score"), col("c"))
+      .orderBy("cell", "rnk")
+  }
+
+  /** The q_cluster_labels oracle: [[OracleKit.kmeansCtes]] replays the
+    * Lloyd fit bit-identically (the q_embed_cluster argument), the
+    * argmax assignment mirrors nearestCell's (cosine DESC, cid) rank,
+    * and the token scoring is plain SQL in the exact double shapes. */
+  private def clusterLabelsOracleSql(k: Int = 8, iters: Int = 4): String = {
+    val vecs = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    val (ctes, cb) = OracleKit.kmeansCtes(vecs, k, iters)
+    val cos = OracleKit.cosSql("s.v", "c.cent")
+    (ctes ++ Seq(
+      s"asg AS MATERIALIZED (SELECT id AS doc_id, cell FROM (SELECT s.id, c.cid AS cell," +
+        s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY $cos DESC, c.cid) AS rn" +
+        s" FROM km_vecs s CROSS JOIN $cb c) WHERE rn = 1)",
+      "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)",
+      "ct AS MATERIALIZED (SELECT a.cell, t.tok, COUNT(*) AS c FROM tk t JOIN asg a USING (doc_id) GROUP BY 1, 2)",
+      "nt AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n FROM ct GROUP BY 1)",
+      "gt AS MATERIALIZED (SELECT tok, CAST(SUM(c) AS BIGINT) AS g FROM ct GROUP BY 1)",
+      "tt AS (SELECT CAST(SUM(g) AS BIGINT) AS t, COUNT(*)::BIGINT AS vsz FROM gt)",
+      "sc AS (SELECT ct.cell, ct.tok, ct.c," +
+        " round(ln((CAST(ct.c AS DOUBLE) + 1) / (CAST(nt.n AS DOUBLE) + CAST(tt.vsz AS DOUBLE)))" +
+        " - ln((CAST(gt.g AS DOUBLE) + 1) / (CAST(tt.t AS DOUBLE) + CAST(tt.vsz AS DOUBLE))), 6) AS score" +
+        " FROM ct JOIN nt USING (cell) JOIN gt USING (tok) CROSS JOIN tt)"))
+      .mkString("WITH ", ", ", " ") +
+      "SELECT cell, CAST(rnk AS INT) AS rnk, tok, score, c FROM (" +
+      "SELECT cell, tok, c, score, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY score DESC, tok) AS rnk FROM sc)" +
+      " WHERE rnk <= 5 ORDER BY cell, rnk"
+  }
+
   val all: Seq[Q] = Seq(qEmbedQuantize, qQuantizeAnn, qCurriculum, qNnDescent,
-    qQualityClassifier)
+    qQualityClassifier, qClusterLabels)
 }

@@ -20,6 +20,7 @@ class EmptyInputSweepSpec extends SparkSpec {
     // router treats an empty sample as degenerate and ships the fused
     // scan, which is trivially empty-correct
     "q_embed_cluster" -> "k-means codebook fit needs at least one vector",
+    "q_cluster_labels" -> "k-means codebook fit needs at least one vector",
     "q_semdedup" -> "k-means codebook fit needs at least one vector",
     "q_d4_diversify" -> "k-means codebook fit needs at least one vector",
     "q_kcenter_coreset" -> "greedy center pick needs at least one vector",

@@ -78,6 +78,56 @@ class PipelineOps4Spec extends SparkSpec {
     out.foreach(r => assert(r.getInt(1) == 7, s"probe ${r.getLong(0)}: overlap ${r.getInt(1)} != 7"))
   }
 
+  // ---- q_cluster_labels ----
+
+  test("planted clusters: each cell's label tokens come from its own vocabulary, shared filler never wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_clbl").toString
+    // two well-separated embedding clusters; docs of cluster 0 speak
+    // alpha-vocabulary, cluster 1 zeta-vocabulary, everyone says "the"
+    val n = 24
+    val emb = (0 until n).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(if (i < n / 2) 0 else 4) = 10.0f
+      v(7) = 0.01f * i
+      (i.toLong, v, i % 3)
+    }
+    emb.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val docs = (0 until n).map { i =>
+      val text = if (i < n / 2) "the alpha beta gamma the alpha" else "the zeta eta theta the zeta"
+      (i.toLong, text, "en", s"src${i % 4}", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_cluster_labels")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val alphaVocab = Set("alpha", "beta", "gamma")
+    val zetaVocab = Set("zeta", "eta", "theta")
+    out.groupBy(_.getLong(0)).foreach { case (cell, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      val top = byRank.head.getString(2)
+      assert(top != "the", s"cell $cell: shared filler ranked #1")
+      assert(alphaVocab(top) || zetaVocab(top), s"cell $cell: top token $top")
+      // the cell is vocabulary-pure: its top-3 tokens are from ONE side
+      val top3 = byRank.take(3).map(_.getString(2)).toSet
+      assert(top3.subsetOf(alphaVocab) || top3.subsetOf(zetaVocab),
+        s"cell $cell mixes vocabularies: $top3")
+    }
+  }
+
+  test("cluster labels on the real corpus: at most 5 ranked rows per cell, rerun-stable") {
+    val a = SparkEntry.queries("q_cluster_labels")(spark, TinyDir).collect().toSeq
+    assert(a.nonEmpty)
+    a.groupBy(_.getLong(0)).foreach { case (cell, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        s"cell $cell ranks not contiguous")
+    }
+    val b = SparkEntry.queries("q_cluster_labels")(spark, TinyDir).collect().toSeq
+    assert(a == b)
+  }
+
   // ---- q_curriculum ----
 
   test("stages partition the corpus into 4 near-equal difficulty-ordered buckets") {

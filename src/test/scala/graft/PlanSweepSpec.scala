@@ -66,6 +66,8 @@ class PlanSweepSpec extends SparkSpec {
                            // grid (constant sides; one corpus pass)
     "q_quality_classifier",// rows x 1-row broadcast (β, b0) model
                            // (constant side; scoring is map-side)
+    "q_cluster_labels",    // vocab-sized (cell, tok) scores x 1-row
+                           // corpus totals (constant side)
     "q_ab_test",           // #groups-row moment table paired with itself
                            // (model-vs-model; data aggregates once)
     "q_rank_sum",          // rows x G²-row broadcast pair grid (constant
