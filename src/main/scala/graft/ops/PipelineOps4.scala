@@ -618,6 +618,59 @@ object PipelineOps4 {
       " WHERE rnk <= 5 ORDER BY cell, rnk"
   }
 
+  /** PREFERENCE-PAIR MINING — the DPO/RLHF data-prep pass: within each
+    * source, pair the highest-quality documents against the
+    * lowest-quality ones (chosen rank i ↔ rejected rank i, i ≤ 3) with
+    * the quality margin attached — the standard recipe for
+    * bootstrapping preference data from a scalar quality signal when no
+    * human ranking exists (same-source pairing keeps the contrast about
+    * QUALITY, not domain). The signal is the canonical
+    * [[TextAnalysis.qualityScoreExpr]] — the exact score the mix
+    * planner and quality gates already consume, so preferences can
+    * never drift from the pipeline's own quality notion.
+    *
+    * At scale: one scoring pass (map-side regex counts), two top-3
+    * windows per source — both heap-pruned by the plan_topk rewrite
+    * (rule_topk_rewrite turns row_number ≤ k into a bounded per-key
+    * heap, no per-source sort) — and one (source, rank) equi-join.
+    * Degenerate sources self-heal: the `cq > rq` margin filter drops
+    * pairs where top and bottom meet (tiny or uniform-quality sources),
+    * so a doc never prefers itself. */
+  val qPreferencePairs: Q = Q(
+    "q_preference_pairs",
+    """WITH q AS (SELECT doc_id, source,
+      |  round(0.4 * (CAST(stop AS DOUBLE) / CAST(tokens AS DOUBLE))
+      |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE))
+      |      + 0.3 * least(1.0, CAST(tokens AS DOUBLE) / 100.0), 6) AS quality
+      |FROM (SELECT doc_id, source,
+      |    CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens,
+      |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|to|in)\b')) AS BIGINT) AS stop
+      |  FROM documents)),
+      |c AS (SELECT source, doc_id AS chosen_id, quality AS cq,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk FROM q),
+      |r AS (SELECT source, doc_id AS rejected_id, quality AS rq,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality ASC, doc_id) AS rnk FROM q)
+      |SELECT source, CAST(rnk AS INT) AS rnk, chosen_id, rejected_id,
+      |  round(cq - rq, 6) AS margin
+      |FROM c JOIN r USING (source, rnk)
+      |WHERE rnk <= 3 AND cq > rq
+      |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+    val q = T.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScoreExpr(col("text")).as("quality"))
+    val wc = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id").asc)
+    val wr = Window.partitionBy("source").orderBy(col("quality").asc, col("doc_id").asc)
+    val c = q.withColumn("rnk", row_number().over(wc)).filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk"), col("doc_id").as("chosen_id"), col("quality").as("cq"))
+    val r = q.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk"), col("doc_id").as("rejected_id"), col("quality").as("rq"))
+    c.join(r, Seq("source", "rnk")).filter(col("cq") > col("rq"))
+      .select(col("source"), col("rnk"), col("chosen_id"), col("rejected_id"),
+        round(col("cq") - col("rq"), 6).as("margin"))
+      .orderBy("source", "rnk")
+  }
+
   val all: Seq[Q] = Seq(qEmbedQuantize, qQuantizeAnn, qCurriculum, qNnDescent,
-    qQualityClassifier, qClusterLabels)
+    qQualityClassifier, qClusterLabels, qPreferencePairs)
 }

@@ -42,7 +42,8 @@ object Similarity {
         "Either raise maxFusedRows to opt in to the exact quadratic job, or use an " +
         "approximate twin with a recall contract: Similarity.lshCandidatePairs " +
         "(banded random-hyperplane LSH), Similarity.knnGraphFromCandidates " +
-        "(kNN over LSH candidates), Similarity.cellCandidatePairs (IVF cells), or " +
+        "(kNN over LSH candidates), Similarity.cellCandidatePairs (IVF cells), " +
+        "PipelineOps4.nnDescentGraph (NN-Descent kNN graph, linear in n), or " +
         "Dedup.minhashVerifiedPairs / Dedup.simhashVerifiedPairs for text near-dup.")
 
   private def requireFusedScanAllowed(n: Long, maxFusedRows: Long, op: String): Unit =

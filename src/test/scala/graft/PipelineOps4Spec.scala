@@ -128,6 +128,51 @@ class PipelineOps4Spec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- q_preference_pairs ----
+
+  test("preference pairs: best-vs-worst within source, margin positive, uniform sources yield none") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pref").toString
+    val docs = Seq(
+      // srcA: quality strictly increases with stopword density
+      (1L, "xx yy zz qq ww", "en", "srcA"),
+      (2L, "the of and xx yy", "en", "srcA"),
+      (3L, "the of and to in", "en", "srcA"),
+      // srcB: two copies of identical text — uniform quality, no pairs
+      (10L, "same text here", "en", "srcB"),
+      (11L, "same text here", "en", "srcB"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_preference_pairs")(spark, dir).collect()
+    assert(out.forall(_.getString(0) == "srcA"), "uniform srcB must yield no pairs")
+    out.foreach { r =>
+      assert(r.getLong(2) != r.getLong(3), "chosen must differ from rejected")
+      assert(r.getDouble(4) > 0, "margin must be strictly positive")
+    }
+    // rank-1 pair is the extreme contrast: most stopword-dense vs least
+    val r1 = out.find(_.getInt(1) == 1).get
+    assert(r1.getLong(2) == 3L && r1.getLong(3) == 1L,
+      s"rank-1 pair ${r1.getLong(2)} vs ${r1.getLong(3)}")
+  }
+
+  test("preference pairs on the real corpus: per-source ranks, margins consistent with quality") {
+    val out = SparkEntry.queries("q_preference_pairs")(spark, TinyDir).collect()
+    assert(out.nonEmpty)
+    val quality = SparkEntry.queries("q_quality_score")(spark, TinyDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    out.foreach { r =>
+      val margin = quality(r.getLong(2)) - quality(r.getLong(3))
+      assert(math.abs(margin - r.getDouble(4)) < 1e-6,
+        s"pair ${r.getLong(2)}/${r.getLong(3)}: margin ${r.getDouble(4)} != $margin")
+      assert(r.getDouble(4) > 0)
+    }
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getInt(1)).distinct.length == rows.length,
+        s"$src has duplicate ranks")
+    }
+  }
+
   // ---- q_curriculum ----
 
   test("stages partition the corpus into 4 near-equal difficulty-ordered buckets") {
