@@ -184,6 +184,32 @@ object AnnIndex {
     }
   }
 
+  /** The frozen serving side of the index — codebook + merged index
+    * tables pinned to one generation, for callers that cache across
+    * micro-batches ([[graft.streaming.FrozenSides.annIndex]]). */
+  final case class FrozenAnn(root: String, cents: DataFrame, index: DataFrame)
+
+  /** Identity probe for the serving cache: the resolved live root, the
+    * live index directory (a compaction swaps it under the same root)
+    * AND the stream-append directory's mtime (an [[appendStream]]
+    * micro-batch landing under the same root must be visible to the
+    * next serving batch — the NearDupIndex append-awareness posture).
+    * Stat-only: no parquet listing or reads. */
+  private[graft] def frozenProbe(spark: SparkSession, path: String): (String, String) = {
+    val root = liveRoot(spark, path)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/index")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDir = AtomicSwap.live(fs, cur).getOrElse(cur)
+    val streamDir = new org.apache.hadoop.fs.Path(s"$root/index_stream")
+    val sm = if (fs.exists(streamDir)) fs.getFileStatus(streamDir).getModificationTime else 0L
+    (root, s"$root@$liveDir@$sm")
+  }
+
+  /** The serving tables at an already-probed root (the read half; a
+    * caching caller invokes this only on an identity miss). */
+  private[graft] def frozenAt(spark: SparkSession, root: String): FrozenAnn =
+    FrozenAnn(root, spark.read.parquet(s"$root/codebook"), readIndex(spark, root))
+
   /** Top-k cosine neighbors for `probes` (query_id, qv) against a built
     * index: probe cells from the codebook sidecar (model-sized, driver
     * collect is K rows), then a pruned read of ONLY those cell
@@ -192,19 +218,28 @@ object AnnIndex {
   def query(spark: SparkSession, path: String, probes: DataFrame,
             nProbe: Int, topK: Int): DataFrame = {
     val root = liveRoot(spark, path)
-    val cents = spark.read.parquet(s"$root/codebook")
+    queryWith(frozenAt(spark, root), probes, nProbe, topK)
+  }
+
+  /** The query core against an already-read frozen side. Per-query and
+    * index-frozen, so answers are COMPOSITIONAL: any micro-batching of
+    * the query stream returns identical rows per query — the streaming
+    * serving sink's correctness contract. On a fresh read the cell
+    * filter prunes index directories at planning time; on a cached
+    * (persisted) index it is an in-memory scan filter. */
+  private[graft] def queryWith(f: FrozenAnn, probes: DataFrame,
+                               nProbe: Int, topK: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
     val probeCells = probes
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(f.cents))
       .withColumn("ccos", VectorFunctions.cosineSim(col("qv"), col("cv")))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
-    // bounded driver read: at most K distinct cell ids gate the scan —
-    // literal partition filters prune index directories at planning time
+    // bounded driver read: at most K distinct cell ids gate the scan
     val cells = probeCells.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val cands = readIndex(spark, root)
+    val cands = f.index
       .filter(col("cell").isin(cells: _*))
       .join(broadcast(probeCells), Seq("cell"))
       .filter(col("query_id") =!= col("id"))

@@ -66,6 +66,20 @@ object FrozenSides {
       Dedup.NearDupIndex.Frozen(root, v, po, pr)
     }
 
+  /** The ANN index's serving side for `path`, persisted across
+    * micro-batches; re-read when the live root moves (refit), the live
+    * index dir moves (compaction), or the stream-append dir's mtime
+    * bumps (an appendStream batch landed — next serving batch must see
+    * it). Hit cost is the probe's stats only. */
+  def annIndex(spark: SparkSession, path: String): graft.sources.AnnIndex.FrozenAnn = {
+    val (root, identity) = graft.sources.AnnIndex.frozenProbe(spark, path)
+    val Seq(c, ix) = cached(s"ann:$path", identity) {
+      val f = graft.sources.AnnIndex.frozenAt(spark, root)
+      Seq(f.cents, f.index)
+    }
+    graft.sources.AnnIndex.FrozenAnn(root, c, ix)
+  }
+
   /** A plain frozen parquet artifact (the DSIR model), persisted across
     * micro-batches; re-read when the path's directory mtime changes (an
     * overwrite rewrite replaces the directory contents). */

@@ -575,6 +575,34 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming VECTOR SEARCH (stream_vector_search): arriving QUERY
+    * vectors (query_id, qv) are answered per micro-batch against the
+    * FROZEN ANN index — the SERVING twin of the vector store
+    * (stream_ann_append is its ingest twin): top-k cosine through the
+    * IVF cell-probe path of [[graft.sources.AnnIndex.queryWith]].
+    * Per-query answers against a frozen index are COMPOSITIONAL — any
+    * micro-batching of the query stream returns identical rows per
+    * query (spec pins streamed union == one-shot). The index side
+    * (codebook + merged index) is read ONCE and persisted across
+    * batches via [[FrozenSides.annIndex]]; a refit's root swap, a
+    * compaction's index-dir swap, or a stream-append landing all bump
+    * the identity and re-read on the next batch. Exactly-once via the
+    * overwrite-idempotent `part=batch_<id>` region convention. */
+  def vectorSearchSink(queries: DataFrame, indexPath: String, outDir: String,
+                       nProbe: Int = 4, topK: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.sources.AnnIndex.queryWith(
+              graft.streaming.FrozenSides.annIndex(spark, indexPath),
+              batch.select("query_id", "qv"), nProbe, topK)
+            .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
+        }
+        ()
+      }
+
   /** Streaming QUALITY-CLASSIFIER gate (stream_quality_gate): every
     * arriving micro-batch of documents is scored by the FROZEN
     * fastText-style quality model (the (D+1)-row weight table of

@@ -65,6 +65,42 @@ class ClassifierGateSpec extends SparkSpec {
     assert(regions.length == 2, regions.mkString(","))
   }
 
+  test("a model refit between micro-batches is picked up by the next batch (mtime invalidation)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.streaming.FrozenSides.clear()
+    val root = java.nio.file.Files.createTempDirectory("graft_cgate2").toString
+    // model A: en == alpha vocabulary; model B: the labels FLIP (en docs
+    // speak zeta), so the same page gets opposite verdicts under A and B
+    val refA = ((0 until 12).map(i => doc(i, "alpha beta gamma alpha", "en")) ++
+      (0 until 12).map(i => doc(100 + i, "zeta eta theta zeta", "de")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val refB = ((0 until 12).map(i => doc(i, "zeta eta theta zeta", "en")) ++
+      (0 until 12).map(i => doc(100 + i, "alpha beta gamma alpha", "de")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.ops.PipelineOps4.qualityModel(refA)
+      .write.mode("overwrite").parquet(s"$root/model.parquet")
+    val page = Seq((300L, "alpha beta alpha gamma", "en"))
+    val mem = MemoryStream[(Long, String, String)]
+    val out = s"$root/out"
+    val q = graft.streaming.StreamingOps.classifierGateSink(
+        mem.toDF().toDF("doc_id", "text", "lang"),
+        s"$root/model.parquet", out)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      mem.addData(page.toIndexedSeq: _*); q.processAllAvailable()
+      // refit lands between batches: whole-directory overwrite bumps mtime
+      graft.ops.PipelineOps4.qualityModel(refB)
+        .write.mode("overwrite").parquet(s"$root/model.parquet")
+      mem.addData(page.map { case (id, t, l) => (id + 1, t, l) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val preds = spark.read.parquet(out).select("doc_id", "pred").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(preds(300L) == 1, "batch 1 scored under model A: alpha page passes")
+    assert(preds(301L) == 0, "batch 2 must see the refit model B: alpha page fails")
+  }
+
   test("one-shot gate on the corpus model matches q_quality_classifier's own scores") {
     // train-on-corpus + score-corpus through the model artifact must equal
     // the one-call classifier (same features, same IRLS, same eta shape)
