@@ -671,6 +671,131 @@ object PipelineOps4 {
       .orderBy("source", "rnk")
   }
 
+  /** IVF nprobe TUNING TABLE — the recall/cost curve an operator reads
+    * before fixing the serving index's probe count: for 16 deterministic
+    * probe vectors, exact top-10 vs cell-restricted top-10 at
+    * nprobe ∈ {1,2,4,8}, reporting mean recall AND the mean fraction of
+    * the corpus actually scanned (the cost axis — recall without its
+    * price is not a tuning table). Uses the q_ann_ivf machinery (same
+    * bit-stable codebook fit, same cell-preference ranking), evaluated
+    * at every grid point off ONE checkpointed (probe, neighbor) pair
+    * table — the corpus is paired with the probe set once, not once per
+    * grid point.
+    *
+    * Determinism: per-probe recalls and scan fractions round to 6dp and
+    * aggregate as DECIMAL(18,6) (order-invariant, SURVEY §5); the means
+    * are the decimal sums cast to double and divided by the probe COUNT
+    * — deliberately UN-rounded: a final round(·, 6) sat exactly on a
+    * half-ulp boundary at the gate SF and split the engines (Spark
+    * rounds the shortest decimal repr, DuckDB the exact binary — the
+    * OracleKit decimal-cast pitfall), while the raw division of
+    * identical doubles is bit-equal by construction. */
+  val qIvfTune: Q = Q("q_ivf_tune", ivfTuneOracleSql()) { (s, d) =>
+    import graft.functions.VectorFunctions.cosineSim
+    val k = 16; val grid = Seq(1, 2, 4, 8); val topK = 10
+    val corpus = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    val codebook = Similarity.fitKmeansCodebook(
+      corpus.select(col("vec_id").as("id"), col("v")), k)
+    import s.implicits._
+    val cents = codebook.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cid", "cv")
+    val nAll = corpus.count()
+    val assigned = corpus.select(col("vec_id"), col("v"),
+      Similarity.nearestCell(col("v"), codebook).as("cell"))
+    val probes = corpus.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val pcells = probes.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosineSim(col("qv"), col("cv")))
+      .withColumn("crnk", row_number().over(wProbe))
+      .select(col("query_id"), col("cid").as("cell"), col("crnk"))
+    val pairs = assigned.crossJoin(broadcast(probes))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        cosineSim(col("qv"), col("v")).as("cos"))
+      .join(broadcast(pcells), Seq("query_id", "cell"))
+      .localCheckpoint(true)
+    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = pairs.withColumn("re", row_number().over(wq))
+      .filter(col("re") <= topK).select("query_id", "neighbor_id")
+    // every grid point in ONE pass: explode the grid onto the pair table
+    // (≤ |grid|× rows), rank within (query, nprobe), aggregate — four
+    // separate per-n job chains collapse into one window + two groupBys
+    val gridCol = array(grid.map(lit): _*)
+    val sub = pairs.select(col("query_id"), col("neighbor_id"), col("crnk"),
+        col("cos"), explode(gridCol).as("np"))
+      .filter(col("crnk") <= col("np"))
+    val wqn = Window.partitionBy("query_id", "np")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val ap = sub.withColumn("ra", row_number().over(wqn))
+      .filter(col("ra") <= topK).select("query_id", "np", "neighbor_id")
+    val ov = exact.join(ap, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id", "np").agg(count(lit(1)).as("ov"))
+    val cf = sub.groupBy("query_id", "np").agg(count(lit(1)).as("cand"))
+    probes.select(col("query_id"), explode(gridCol).as("np"))
+      .join(ov, Seq("query_id", "np"), "left")
+      .join(cf, Seq("query_id", "np"), "left")
+      .select(col("np"),
+        round(coalesce(col("ov"), lit(0L)).cast("double") / lit(topK.toDouble), 6)
+          .cast(DecimalType(18, 6)).as("rec"),
+        round(coalesce(col("cand"), lit(0L)).cast("double") / lit((nAll - 1).toDouble), 6)
+          .cast(DecimalType(18, 6)).as("frac"))
+      .groupBy("np")
+      .agg(count(lit(1)).as("nq"), sum(col("rec")).as("sr"), sum(col("frac")).as("sf"))
+      .select(col("np").as("nprobe"),
+        (dbl(col("sr")) / dbl(col("nq"))).as("mean_recall"),
+        (dbl(col("sf")) / dbl(col("nq"))).as("mean_scan_frac"))
+      .orderBy("nprobe")
+  }
+
+  /** The q_ivf_tune oracle: the q_ann_ivf replay (bit-identical Lloyd
+    * via [[OracleKit.kmeansCtes]], argmax assignment, cell-preference
+    * ranks) with the grid evaluation unrolled — one shared pair CTE,
+    * per-nprobe windowed top-10 + overlap + candidate counts, DECIMAL
+    * means. */
+  private def ivfTuneOracleSql(k: Int = 16, iters: Int = 4,
+                               grid: Seq[Int] = Seq(1, 2, 4, 8),
+                               topK: Int = 10): String = {
+    val vecs = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    val (ctes, cb) = OracleKit.kmeansCtes(vecs, k, iters)
+    val base = ctes ++ Seq(
+      s"asg AS MATERIALIZED (SELECT id, v, cell FROM (SELECT s.id, s.v, c.cid AS cell," +
+        s" ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY ${OracleKit.cosSql("s.v", "c.cent")} DESC, c.cid) AS rn" +
+        s" FROM km_vecs s CROSS JOIN $cb c) WHERE rn = 1)",
+      s"pc AS MATERIALIZED (SELECT q.id AS query_id, c.cid AS cell," +
+        s" ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY ${OracleKit.cosSql("q.v", "c.cent")} DESC, c.cid) AS crnk" +
+        s" FROM km_vecs q CROSS JOIN $cb c WHERE q.id < 16)",
+      "prb AS (SELECT id AS query_id, v AS qv FROM km_vecs WHERE id < 16)",
+      "nall AS (SELECT COUNT(*) AS n FROM km_vecs)",
+      s"pairs AS MATERIALIZED (SELECT p.query_id, a.id AS neighbor_id, pc.crnk," +
+        s" ${OracleKit.cosSql("p.qv", "a.v")} AS cos" +
+        s" FROM prb p JOIN asg a ON a.id <> p.query_id" +
+        s" JOIN pc ON pc.query_id = p.query_id AND pc.cell = a.cell)",
+      s"ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id," +
+        s" ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS re" +
+        s" FROM pairs) WHERE re <= $topK)")
+    val perN = grid.flatMap { n =>
+      Seq(
+        s"ap$n AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id," +
+          s" ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS ra" +
+          s" FROM pairs WHERE crnk <= $n) WHERE ra <= $topK)",
+        s"ov$n AS (SELECT e.query_id, COUNT(*) AS ov FROM ex e JOIN ap$n a USING (query_id, neighbor_id) GROUP BY 1)",
+        s"cf$n AS (SELECT query_id, COUNT(*) AS cand FROM pairs WHERE crnk <= $n GROUP BY 1)",
+        s"row$n AS (SELECT $n AS nprobe," +
+          s" CAST(SUM(rec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_recall," +
+          s" CAST(SUM(frac) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_scan_frac" +
+          s" FROM (SELECT" +
+          s" CAST(round(CAST(coalesce(ov$n.ov, 0) AS DOUBLE) / CAST($topK.0 AS DOUBLE), 6) AS DECIMAL(18,6)) AS rec," +
+          s" CAST(round(CAST(coalesce(cf$n.cand, 0) AS DOUBLE) / CAST(nall.n - 1 AS DOUBLE), 6) AS DECIMAL(18,6)) AS frac" +
+          s" FROM prb LEFT JOIN ov$n ON ov$n.query_id = prb.query_id" +
+          s" LEFT JOIN cf$n ON cf$n.query_id = prb.query_id CROSS JOIN nall))")
+    }
+    (base ++ perN).mkString("WITH ", ", ", " ") +
+      grid.map(n => s"SELECT * FROM row$n").mkString("", " UNION ALL ", " ORDER BY nprobe")
+  }
+
   val all: Seq[Q] = Seq(qEmbedQuantize, qQuantizeAnn, qCurriculum, qNnDescent,
-    qQualityClassifier, qClusterLabels, qPreferencePairs)
+    qQualityClassifier, qClusterLabels, qPreferencePairs, qIvfTune)
 }

@@ -15,6 +15,7 @@ class EmptyInputSweepSpec extends SparkSpec {
     * for an empty world and fail FAST with a clear error instead. */
   private val requiresData: Map[String, String] = Map(
     "q_ann_ivf" -> "k-means codebook fit needs at least one vector",
+    "q_ivf_tune" -> "k-means codebook fit needs at least one vector",
     "q_ann_pq" -> "PQ codebook fit needs at least one vector",
     // q_dedup_embed / q_knn_graph left this list in r10: the driver-side
     // router treats an empty sample as degenerate and ships the fused

@@ -173,6 +173,23 @@ class PipelineOps4Spec extends SparkSpec {
     }
   }
 
+  // ---- q_ivf_tune ----
+
+  test("ivf tuning table: recall and scan fraction are monotone in nprobe, bounded") {
+    val out = SparkEntry.queries("q_ivf_tune")(spark, TinyDir).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    val rec = out.map(_.getDouble(1))
+    val frac = out.map(_.getDouble(2))
+    rec.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    frac.foreach(f => assert(f > 0.0 && f <= 1.0))
+    rec.zip(rec.tail).foreach { case (a, b) =>
+      assert(a <= b + 1e-9, s"recall not monotone: $a > $b") }
+    frac.zip(frac.tail).foreach { case (a, b) =>
+      assert(a < b, s"scan fraction must strictly grow: $a >= $b") }
+    // probing half the cells must already find most true neighbors here
+    assert(rec.last >= 0.5, s"recall@8 ${rec.last} suspiciously low")
+  }
+
   // ---- q_curriculum ----
 
   test("stages partition the corpus into 4 near-equal difficulty-ordered buckets") {

@@ -68,6 +68,8 @@ class PlanSweepSpec extends SparkSpec {
                            // (constant side; scoring is map-side)
     "q_cluster_labels",    // vocab-sized (cell, tok) scores x 1-row
                            // corpus totals (constant side)
+    "q_ivf_tune",          // 16-probe broadcast grid x corpus, one pass
+                           // evaluated at every nprobe (constant side)
     "q_ab_test",           // #groups-row moment table paired with itself
                            // (model-vs-model; data aggregates once)
     "q_rank_sum",          // rows x G²-row broadcast pair grid (constant
