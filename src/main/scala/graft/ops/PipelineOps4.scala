@@ -566,6 +566,7 @@ object PipelineOps4 {
   val qClusterLabels: Q = Q("q_cluster_labels", clusterLabelsOracleSql()) { (s, d) =>
     val emb = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true)
     val codebook = Similarity.fitKmeansCodebook(
       emb.select(col("vec_id").as("id"), col("v")), k = 8)
     val cells = emb
