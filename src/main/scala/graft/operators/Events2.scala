@@ -260,6 +260,75 @@ object Events2 {
     }
   }
 
+  /** MULTI-TOUCH attribution — the credit models between
+    * [[qFirstLastTouch]]'s extremes: journeys are segmented per user at
+    * each purchase (journey id = count of PRECEDING purchases, one
+    * cumulative window), the journey's click/view touches split the
+    * conversion's credit LINEARLY (1/n each) and POSITION-BASED (the
+    * U-shaped 40/20/40: first and last touch 0.4 each, middles share
+    * 0.2; n=1 → 1.0, n=2 → 0.5/0.5), and credit aggregates per touch
+    * type — the marketing-attribution table next to first/last touch.
+    *
+    * Per-journey exactly one purchase (the segmentation invariant), so
+    * the touch⋈conversion join never fans out; journeys without a
+    * closing purchase earn nothing (inner join). All windows are
+    * user-partitioned (one shuffle); per-touch credits round to 6dp and
+    * aggregate as DECIMAL(18,6) — order-invariant, SURVEY §5. */
+  val qAttribution: Q = Q(
+    "q_attribution",
+    """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+      |  FROM events),
+      |conv AS (SELECT user_id, jid FROM o WHERE event_type = 'purchase'),
+      |tch AS (SELECT o.user_id, o.jid, o.tus, o.event_id, o.event_type
+      |        FROM o JOIN conv USING (user_id, jid)
+      |        WHERE o.event_type IN ('click', 'view')),
+      |sized AS (SELECT event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, jid ORDER BY tus, event_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY user_id, jid) AS n
+      |  FROM tch),
+      |cr AS (SELECT event_type,
+      |    CAST(round(1.0 / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS lc,
+      |    CAST(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+      |              WHEN rk = 1 OR rk = n THEN 0.4
+      |              ELSE round(0.2 / CAST(n - 2 AS DOUBLE), 6) END AS DECIMAL(18,6)) AS pc
+      |  FROM sized)
+      |SELECT event_type, COUNT(*) AS touches,
+      |  CAST(SUM(lc) AS DOUBLE) AS linear_credit,
+      |  CAST(SUM(pc) AS DOUBLE) AS position_credit
+      |FROM cr GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withJ = ev.withColumn("jid",
+      coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w),
+        lit(0L)))
+    val conv = withJ.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("jid"))
+    val touches = withJ.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("jid"), col("tus"), col("event_id"), col("event_type"))
+    val wj = Window.partitionBy("user_id", "jid").orderBy(col("tus"), col("event_id"))
+    val sized = touches.join(conv, Seq("user_id", "jid"))
+      .withColumn("rk", row_number().over(wj))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id", "jid")))
+    val linear = round(lit(1.0) / dbl(col("n")), 6)
+    val position = when(col("n") === 1, lit(1.0))
+      .when(col("n") === 2, lit(0.5))
+      .when(col("rk") === 1 || col("rk") === col("n"), lit(0.4))
+      .otherwise(round(lit(0.2) / dbl(col("n") - 2), 6))
+    sized.select(col("event_type"),
+        linear.cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lc"),
+        position.cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("pc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("touches"),
+        dbl(sum(col("lc"))).as("linear_credit"),
+        dbl(sum(col("pc"))).as("position_credit"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(qRollingStats, qFirstLastTouch, qAnomalyDays, qGapStats,
-    qTrendSlope, qSeasonality, qChangepoint)
+    qTrendSlope, qSeasonality, qChangepoint, qAttribution)
 }

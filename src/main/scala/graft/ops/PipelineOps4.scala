@@ -797,6 +797,86 @@ object PipelineOps4 {
       grid.map(n => s"SELECT * FROM row$n").mkString("", " UNION ALL ", " ORDER BY nprobe")
   }
 
+  /** ZIPF-LAW FIT of the corpus token distribution — the one-row
+    * diagnostic a corpus card quotes ("does this look like natural
+    * language?"): token frequencies ranked, OLS of ln(freq) on ln(rank)
+    * over the non-hapax tail (count ≥ 2 — the singleton plateau is
+    * excluded by rule, not by eyeball), reporting the fitted exponent
+    * (natural text ≈ −1), intercept and R². A synthetic or
+    * template-generated corpus shows up as a flat slope or a broken R²
+    * before any human reads a sample.
+    *
+    * At scale: one corpus token-count shuffle; the rank is a
+    * [[PipelineOps3.exclusivePrefixSum]] over the VOCAB-sized count
+    * table (range-partitioned — no single-task global window); the
+    * regression is five DECIMAL(18,6) sums of 6dp-rounded log terms
+    * (order-invariant) with the closed form evaluated on the cast
+    * scalars. */
+  val qZipfFit: Q = Q(
+    "q_zipf_fit",
+    """WITH cnt AS (SELECT tok, COUNT(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok),
+      |nt AS (SELECT COUNT(*) AS n_types FROM cnt),
+      |rk AS (SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk FROM cnt),
+      |ft AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 6) AS x,
+      |              round(ln(CAST(c AS DOUBLE)), 6) AS y
+      |       FROM rk WHERE c >= 2),
+      |tm AS (SELECT x, y, round(x * x, 6) AS xx, round(x * y, 6) AS xy,
+      |              round(y * y, 6) AS yy FROM ft),
+      |ag AS (SELECT COUNT(*) AS m,
+      |  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(xy AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(yy AS DECIMAL(18,6))) AS DOUBLE) AS syy FROM tm),
+      |fin AS (SELECT m,
+      |  (CAST(m AS DOUBLE) * sxy - sx * sy) /
+      |    (CAST(m AS DOUBLE) * sxx - sx * sx) AS slope,
+      |  sx, sy, sxx, sxy, syy FROM ag)
+      |SELECT nt.n_types, m AS n_fit,
+      |  round(slope, 6) AS slope,
+      |  round((sy - slope * sx) / CAST(m AS DOUBLE), 6) AS intercept,
+      |  round(CASE WHEN (CAST(m AS DOUBLE) * sxx - sx * sx) > 0
+      |              AND (CAST(m AS DOUBLE) * syy - sy * sy) > 0
+      |             THEN ((CAST(m AS DOUBLE) * sxy - sx * sy) * (CAST(m AS DOUBLE) * sxy - sx * sy)) /
+      |                  ((CAST(m AS DOUBLE) * sxx - sx * sx) * (CAST(m AS DOUBLE) * syy - sy * sy))
+      |             ELSE CAST(0.0 AS DOUBLE) END, 6) AS r2
+      |FROM fin CROSS JOIN nt""".stripMargin) { (s, d) =>
+    val cnt = T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ntDf = cnt.groupBy().agg(count(lit(1)).as("n_types"))
+    val base = cnt.withColumn("negc", -col("c"))
+      .withColumn("__g", lit(0)).withColumn("one", lit(1L))
+    val ranked = PipelineOps3.exclusivePrefixSum(base, "__g", Seq("negc", "tok"), "one", 32)
+      .select(col("tok"), col("c"), (col("pre") + 1).as("rnk"))
+    val ag = ranked.filter(col("c") >= 2)
+      .select(round(log(dbl(col("rnk"))), 6).as("x"), round(log(dbl(col("c"))), 6).as("y"))
+      .select(col("x"), col("y"),
+        round(col("x") * col("x"), 6).as("xx"),
+        round(col("x") * col("y"), 6).as("xy"),
+        round(col("y") * col("y"), 6).as("yy"))
+      .agg(count(lit(1)).as("m"),
+        dbl(sum(col("x").cast(DecimalType(18, 6)))).as("sx"),
+        dbl(sum(col("y").cast(DecimalType(18, 6)))).as("sy"),
+        dbl(sum(col("xx").cast(DecimalType(18, 6)))).as("sxx"),
+        dbl(sum(col("xy").cast(DecimalType(18, 6)))).as("sxy"),
+        dbl(sum(col("yy").cast(DecimalType(18, 6)))).as("syy"))
+    val md = dbl(col("m"))
+    val slope = (md * col("sxy") - col("sx") * col("sy")) /
+      (md * col("sxx") - col("sx") * col("sx"))
+    ag.withColumn("slope0", slope)
+      .crossJoin(broadcast(ntDf))
+      .select(col("n_types"), col("m").as("n_fit"),
+        round(col("slope0"), 6).as("slope"),
+        round((col("sy") - col("slope0") * col("sx")) / md, 6).as("intercept"),
+        round(when((md * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (md * col("syy") - col("sy") * col("sy")) > 0,
+          ((md * col("sxy") - col("sx") * col("sy")) * (md * col("sxy") - col("sx") * col("sy"))) /
+            ((md * col("sxx") - col("sx") * col("sx")) * (md * col("syy") - col("sy") * col("sy"))))
+          .otherwise(lit(0.0)), 6).as("r2"))
+  }
+
   val all: Seq[Q] = Seq(qEmbedQuantize, qQuantizeAnn, qCurriculum, qNnDescent,
-    qQualityClassifier, qClusterLabels, qPreferencePairs, qIvfTune)
+    qQualityClassifier, qClusterLabels, qPreferencePairs, qIvfTune, qZipfFit)
 }

@@ -190,6 +190,57 @@ class PipelineOps4Spec extends SparkSpec {
     assert(rec.last >= 0.5, s"recall@8 ${rec.last} suspiciously low")
   }
 
+  // ---- q_attribution ----
+
+  test("multi-touch attribution: linear and U-shaped credits on planted journeys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    def ev(id: Long, user: Long, t: Long, typ: String) =
+      (id, new java.sql.Timestamp(1700000000000L + t * 60000L), user, typ, 1.0, "{}")
+    val events = Seq(
+      // user 1: view, click -> purchase; trailing view never converts
+      ev(1, 1, 1, "view"), ev(2, 1, 2, "click"), ev(3, 1, 3, "purchase"), ev(4, 1, 4, "view"),
+      // user 2: click, click, view -> purchase (first/middle/last shape)
+      ev(10, 2, 1, "click"), ev(11, 2, 2, "click"), ev(12, 2, 3, "view"), ev(13, 2, 4, "purchase"),
+      // user 3: bare purchase earns nothing
+      ev(20, 3, 1, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_attribution")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (ct, cl, cp) = out("click")
+    assert(ct == 3 && math.abs(cl - 1.166666) < 1e-6 && math.abs(cp - 1.1) < 1e-6,
+      s"click: $ct $cl $cp")
+    val (vt, vl, vp) = out("view")
+    assert(vt == 2 && math.abs(vl - 0.833333) < 1e-6 && math.abs(vp - 0.9) < 1e-6,
+      s"view: $vt $vl $vp")
+    // total credit distributed == journeys that actually had touches (2)
+    assert(math.abs((cl + vl) - 2.0) < 1e-5, s"linear credit must sum to conversions: ${cl + vl}")
+    assert(math.abs((cp + vp) - 2.0) < 1e-5, s"position credit must sum to conversions: ${cp + vp}")
+  }
+
+  // ---- q_zipf_fit ----
+
+  test("planted perfect power law fits slope -1 with r2 ~ 1; real corpus slope is negative") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf").toString
+    // frequencies 12, 6, 4 = 12/rank at ranks 1..3 — exactly Zipf(-1);
+    // hapax tokens are excluded by the count >= 2 rule
+    val words = Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++ Seq.fill(4)("w3") ++
+      Seq("h1", "h2", "h3")
+    Seq((1L, words.mkString(" "), "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_zipf_fit")(spark, dir).head()
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3, s"types ${r.getLong(0)} fit ${r.getLong(1)}")
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-4, s"slope ${r.getDouble(2)} != -1")
+    assert(r.getDouble(4) > 0.9999, s"r2 ${r.getDouble(4)} != 1")
+    val real = SparkEntry.queries("q_zipf_fit")(spark, TinyDir).head()
+    assert(real.getDouble(2) < 0, "real corpus slope must be negative")
+    assert(real.getDouble(4) > 0 && real.getDouble(4) <= 1.0)
+    assert(real.getLong(1) <= real.getLong(0))
+  }
+
   // ---- q_curriculum ----
 
   test("stages partition the corpus into 4 near-equal difficulty-ordered buckets") {

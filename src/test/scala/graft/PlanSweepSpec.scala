@@ -70,6 +70,8 @@ class PlanSweepSpec extends SparkSpec {
                            // corpus totals (constant side)
     "q_ivf_tune",          // 16-probe broadcast grid x corpus, one pass
                            // evaluated at every nprobe (constant side)
+    "q_zipf_fit",          // 1-row regression sums x 1-row type count
+                           // (constant sides; vocab aggregated once)
     "q_ab_test",           // #groups-row moment table paired with itself
                            // (model-vs-model; data aggregates once)
     "q_rank_sum",          // rows x G²-row broadcast pair grid (constant
