@@ -280,8 +280,12 @@ object PipelineOps4 {
     *   cand = pairs of und-neighbors through a common point (local join)
     *   keep = top-k of (cand ∪ current) by (cosine DESC, dst ASC)
     * Candidate volume is n·(2k)² per round — LINEAR in n for fixed k
-    * (vs n²/2 exact), and every stage is a hash equi-join on node id
-    * with a per-node window bounded by 4k²+k rows. Rounds are fixed (2)
+    * (vs n²/2 exact) as a TRUE worst-case bound, because the reverse
+    * neighbor set is deterministically ρ-sampled to k per node
+    * ([[boundedNeighborSets]]; without the sample a single hub vector's
+    * unbounded in-degree makes the local join quadratic). Every stage
+    * is a hash equi-join on node id with a per-node window bounded by
+    * 4k²+k rows. Rounds are fixed (2)
     * and each round's result is eagerly checkpointed (bounded lineage,
     * PLANS.md round-2 rule).
     *
@@ -329,17 +333,17 @@ object PipelineOps4 {
       .filter(col("dst") =!= col("src")).distinct()
     var scored: DataFrame = null
     for (_ <- 1 to rounds) {
-      // B(p) = N(p) ∪ N⁻¹(p) as ONE set column (groupBy + collect_set —
-      // a single exchange; the set is bounded by 2k). The local join is
-      // then a map-side double explode (|B|² pair rows, no join), and
-      // the candidate dedup is a second collect_set keyed on the new
-      // src — which ALSO leaves the data hash-partitioned by src, so
-      // the broadcast array joins and the top-k window below add no
-      // further exchange: two shuffles per round total (the naive
-      // distinct-join-distinct-window form pays four).
-      val bp = edges.select("src", "dst")
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .groupBy("src").agg(collect_set(col("dst")).as("bp"))
+      // B(p) = N(p) ∪ sample_k(N⁻¹(p)) as ONE set column — see
+      // [[boundedNeighborSets]]; the reverse side is ρ-sampled to k per
+      // node (Dong et al. 2011 §2.3) so |B(p)| ≤ 2k HOLDS even when one
+      // hub vector lands in millions of neighbor lists. The local join
+      // is then a map-side double explode (|B|² ≤ 4k² pair rows, no
+      // join), and the candidate dedup is a second collect_set keyed on
+      // the new src — which ALSO leaves the data hash-partitioned by
+      // src, so the broadcast array joins and the top-k window below
+      // add no further exchange (the naive
+      // distinct-join-distinct-window form pays four shuffles).
+      val bp = boundedNeighborSets(edges, k)
       val pairs = bp.select(explode(col("bp")).as("u"), col("bp"))
         .select(col("u").as("src"), explode(col("bp")).as("dst"))
         .filter(col("dst") =!= col("src"))
@@ -363,6 +367,29 @@ object PipelineOps4 {
       .orderBy("src_id", "rnk")
   }
 
+  /** B(p) = N(p) ∪ sample_k(N⁻¹(p)) for every node, one set column per
+    * node. Out-degree is already ≤ k (the round's top-k window); the
+    * REVERSE neighbor set is the unbounded side — in-degree has no cap,
+    * and a hub vector (exact-duplicate clusters, boilerplate-heavy
+    * crawls) that appears in m neighbor lists would make the |B|² local
+    * join quadratic in m. Dong et al. 2011's fix is ρ-sampling the
+    * reverse neighbors; here ρ·k = k and the sample is DETERMINISTIC: a
+    * per-node row_number over xxhash64(src·1000003 + dst) (same replay
+    * machinery as the epoch shuffle — the oracle recomputes the
+    * identical hash), ties on dst. So |B(p)| ≤ 2k ALWAYS and the
+    * candidate volume n·(2k)² is a true worst-case bound, not an
+    * isotropic-data assumption ([[NnDescentSpec]] plants a 10×-injected
+    * hub and asserts the bound from the built sets). */
+  private[graft] def boundedNeighborSets(edges: DataFrame, k: Int): DataFrame = {
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val wR = Window.partitionBy("src")
+      .orderBy(xxhash64(col("src") * lit(1000003L) + col("dst")).asc, col("dst").asc)
+    val revK = rev.withColumn("rr", row_number().over(wR))
+      .filter(col("rr") <= k).drop("rr")
+    edges.select("src", "dst").union(revK)
+      .groupBy("src").agg(collect_set(col("dst")).as("bp"))
+  }
+
   /** The q_nn_descent oracle: the same congruential init and 2 unrolled
     * local-join rounds in plain SQL (UNION dedups exactly like Spark's
     * union().distinct(); the per-node window ranks by the identical
@@ -373,7 +400,17 @@ object PipelineOps4 {
     val cos = OracleKit.cosSql("x.v", "y.v")
     val roundsSql = (1 to rounds).map { t =>
       val p = s"e${t - 1}"
-      s"""u$t AS (SELECT src, dst FROM $p UNION SELECT dst AS src, src AS dst FROM $p),
+      // the reverse side replays boundedNeighborSets' ρ-sample: the same
+      // xxhash64(src·1000003 + dst) order key (exact HUGEINT arithmetic
+      // feeds the replay's mod-2^64 step, so any wrap matches Spark's)
+      val rh = OracleKit.xxhash64Sql(
+        s"SELECT dst AS src, src AS dst FROM $p",
+        "(src::HUGEINT * 1000003 + dst)", "src, dst", None)
+      s"""rk$t AS (SELECT src, dst,
+         |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY hk, dst) AS rr
+         |        FROM ($rh)),
+         |u$t AS (SELECT src, dst FROM $p
+         |        UNION SELECT src, dst FROM rk$t WHERE rr <= $k),
          |c$t AS (SELECT a.dst AS src, b.dst AS dst FROM u$t a JOIN u$t b
          |          ON a.src = b.src AND a.dst <> b.dst
          |        UNION SELECT src, dst FROM $p),
@@ -485,7 +522,11 @@ object PipelineOps4 {
                    iters: Int = 3): DataFrame = {
     val s = docs.sparkSession
     val labeled = hashedLabeled(docs, buckets).localCheckpoint(true)
-    val beta = PipelineOps3.logisticFitBetas(
+    // an empty (or filtered-to-empty) reference corpus is a result, not
+    // an outage: freeze the zero model (mirrors qualityClassify's guard;
+    // the dimension is the fixed bucket count, nothing is data-derived)
+    val beta = if (labeled.isEmpty) new Array[Double](buckets + 1)
+    else PipelineOps3.logisticFitBetas(
       labeled.select(col("x"), col("y")), lambda, iters)
     import s.implicits._
     ((-1, beta(buckets)) +: (0 until buckets).map(i => (i, beta(i))))

@@ -191,17 +191,27 @@ object AnnIndex {
 
   /** Identity probe for the serving cache: the resolved live root, the
     * live index directory (a compaction swaps it under the same root)
-    * AND the stream-append directory's mtime (an [[appendStream]]
+    * AND the stream-append commit identity (an [[appendStream]]
     * micro-batch landing under the same root must be visible to the
     * next serving batch — the NearDupIndex append-awareness posture).
-    * Stat-only: no parquet listing or reads. */
+    * The stream component is the mtime of `index_stream/_spark_metadata`
+    * — the file sink's batch COMMIT files are direct children of that
+    * dir, so every committed batch bumps it; the `index_stream` dir
+    * itself only changes when a cell=… subdirectory is CREATED, so its
+    * mtime goes stale after the first batch while later appends land
+    * inside existing cell dirs (ADVICE r11 high). Stat-only: no parquet
+    * listing or reads. */
   private[graft] def frozenProbe(spark: SparkSession, path: String): (String, String) = {
     val root = liveRoot(spark, path)
     val cur = new org.apache.hadoop.fs.Path(s"$root/index")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val liveDir = AtomicSwap.live(fs, cur).getOrElse(cur)
     val streamDir = new org.apache.hadoop.fs.Path(s"$root/index_stream")
-    val sm = if (fs.exists(streamDir)) fs.getFileStatus(streamDir).getModificationTime else 0L
+    val metaDir = new org.apache.hadoop.fs.Path(streamDir, "_spark_metadata")
+    val sm =
+      if (fs.exists(metaDir)) fs.getFileStatus(metaDir).getModificationTime
+      else if (fs.exists(streamDir)) fs.getFileStatus(streamDir).getModificationTime
+      else 0L
     (root, s"$root@$liveDir@$sm")
   }
 

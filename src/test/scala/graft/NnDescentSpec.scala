@@ -73,6 +73,34 @@ class NnDescentSpec extends SparkSpec {
     }
   }
 
+  test("planted hub: |B(p)| <= 2k and candidate volume <= n*(2k)^2 despite 10k in-degree") {
+    import spark.implicits._
+    val k = 14
+    val n = 10050L
+    // node 0 is a hub: nodes 1..10000 all list it as a neighbor (the
+    // exact-duplicate-cluster shape); each node also carries k-1
+    // ordinary edges so out-degree is realistic
+    val hub = (1L until 10001L).map(i => (i, 0L))
+    val rest = for (i <- 0L until n; m <- 1 until k) yield (i, (i + m * 7 + 1) % n)
+    val edges = (hub ++ rest).filter { case (s, d) => s != d }
+      .toDF("src", "dst").distinct()
+    val bp = ops.PipelineOps4.boundedNeighborSets(edges, k)
+    val sizes = bp.select(size(col("bp")).as("sz"))
+    val maxB = sizes.agg(max(col("sz"))).head.getInt(0)
+    assert(maxB <= 2 * k, s"max |B(p)| = $maxB exceeds 2k = ${2 * k}")
+    // candidate volume of the local join = sum |B(p)|^2
+    val cand = sizes.agg(sum(col("sz").cast("long") * col("sz"))).head.getLong(0)
+    assert(cand <= n * (2 * k) * (2 * k),
+      s"candidate volume $cand exceeds n*(2k)^2 = ${n * 4 * k * k}")
+    // and the rho-sample is deterministic: same sets on rerun
+    val again = ops.PipelineOps4.boundedNeighborSets(edges, k)
+      .select(col("src"), array_sort(col("bp")).as("bp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val first = bp.select(col("src"), array_sort(col("bp")).as("bp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == first, "rho-sample must be rerun-stable")
+  }
+
   test("rerun-stable (deterministic init and tie-breaks)") {
     val a = SparkEntry.queries("q_nn_descent")(spark, TinyDir).collect().toSeq
     val b = SparkEntry.queries("q_nn_descent")(spark, TinyDir).collect().toSeq

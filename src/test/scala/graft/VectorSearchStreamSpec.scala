@@ -55,13 +55,28 @@ class VectorSearchStreamSpec extends SparkSpec {
         memApp.toDF().toDF("id", "v"), s"$root/idx", s"$root/appckpt")
       try {
         memApp.addData((9999L, vNew)); qa.processAllAvailable()
+        mem.addData((2000L, probes.head._2)); q.processAllAvailable()
+        val after = spark.read.parquet(out).filter(col("query_id") === 2000L)
+          .orderBy("rnk", "neighbor_id").collect()
+        assert(after.nonEmpty)
+        assert(after.head.getLong(1) == 9999L,
+          s"appended exact-match vector must rank first, got ${after.head.getLong(1)}")
+
+        // STEADY-STATE append (ADVICE r11 high): this second batch lands
+        // INSIDE the already-created cell=… dirs, so the index_stream
+        // dir's own mtime does not move — only the _spark_metadata
+        // commit identity does. It must still invalidate the serving
+        // cache and be visible on the next serving batch.
+        val vNew2 = { val v = Array.fill(8)(0.0); v(0) = 10.0; v(1) = 0.01; v.toSeq }
+        memApp.addData((9998L, vNew2)); qa.processAllAvailable()
+        mem.addData((2001L, probes.head._2)); q.processAllAvailable()
+        val after2 = spark.read.parquet(out).filter(col("query_id") === 2001L)
+          .orderBy("rnk", "neighbor_id").collect()
+        assert(after2.nonEmpty)
+        assert(after2.take(2).map(_.getLong(1)).toSet == Set(9999L, 9998L),
+          s"steady-state appended vector must be served, got " +
+            after2.take(3).map(_.getLong(1)).mkString(","))
       } finally qa.stop()
-      mem.addData((2000L, probes.head._2)); q.processAllAvailable()
-      val after = spark.read.parquet(out).filter(col("query_id") === 2000L)
-        .orderBy("rnk", "neighbor_id").collect()
-      assert(after.nonEmpty)
-      assert(after.head.getLong(1) == 9999L,
-        s"appended exact-match vector must rank first, got ${after.head.getLong(1)}")
     } finally q.stop()
   }
 }
