@@ -149,30 +149,33 @@ object OracleKit {
   def foldSumSql(listExpr: String): String =
     s"list_reduce($listExpr, (acc, x) -> acc + x)"
 
-  /** NAMED ASCII guard (VERDICT r10 #8): every string-hash replay in this
-    * kit reads "UTF-8 bytes" via `ord(substr(...))`, which is the byte
-    * only for ASCII — on a non-ASCII corpus the replay would silently
-    * hash different bytes than Spark and the gate would report a bare
-    * hash mismatch with no cause attached. This predicate (true for
-    * every ASCII row, so semantics are unchanged) makes the failure a
-    * LOUD, named DuckDB error instead. Use as a WHERE conjunct on the
-    * doc scan feeding [[polyHashFoldSteps]]; [[xxhash64StrSteps]] embeds
-    * the same check per gram. One regex per row — cheap next to the
-    * per-byte fold it guards. */
-  def asciiGuardSql(col: String, ctx: String): String =
-    s"(CASE WHEN regexp_matches($col, '[^\\x00-\\x7f]') THEN " +
-      s"CAST(error('graft oracle: non-ASCII character in $ctx — the string-hash " +
-      "replay reads UTF-8 bytes via ord(substr), which is only byte-faithful on " +
-      "ASCII corpora; re-generate the oracle with a byte-level path or screen the " +
-      s"corpus') AS BOOLEAN) ELSE true END)"
+  /** The UTF-8 BYTE list of a VARCHAR column — byte-faithful on EVERY
+    * corpus (VERDICT r11 #2: replaces the ASCII-only `ord(substr(...))`
+    * read and retires the named ASCII guard that made non-ASCII corpora
+    * fail the gate loudly instead of joining it). One `str_split_regex`
+    * pass to characters, `unicode()` per character, then the codepoint
+    * expanded arithmetically to its 1-4 UTF-8 bytes and flattened —
+    * exactly the bytes Spark's UTF8String carries into xxhash64 and
+    * [[graft.functions.RollingHash]]. Pair with `strlen()` (DuckDB's
+    * BYTE length) wherever Spark counts bytes. The empty-string case is
+    * guarded (`str_split_regex('', '')` yields [''] whose unicode is
+    * -1, not an empty list). */
+  def utf8BytesSql(col: String): String =
+    s"(CASE WHEN $col IS NULL OR $col = '' THEN CAST([] AS BIGINT[]) ELSE " +
+      s"flatten(list_transform(list_transform(str_split_regex($col, ''), ch -> unicode(ch)::BIGINT), cp -> " +
+      "CASE WHEN cp < 128 THEN [cp] " +
+      "WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] " +
+      "WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] " +
+      "ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64] END)) END)"
 
-  /** Signed rolling polynomial hash of the n bytes of `textCol` starting
-    * at 0-based position column `posCol` — [[graft.functions.RollingHash]]'s
-    * per-window value as ONE list_reduce fold (an n-layer nested-projection
-    * chain re-copies every carried column — including the document text —
-    * through all n layers; at n = 50 that was the oracle's whole cost). */
-  def polyHashFoldSteps(textCol: String, posCol: String, n: Int, base: Long): Seq[(String, String)] = {
-    val bytes = s"list_transform(range(1, ${n + 1}), i -> ord(substr($textCol, ($posCol + i)::INT, 1))::UBIGINT)"
+  /** Signed rolling polynomial hash of the n bytes of byte-list column
+    * `blCol` ([[utf8BytesSql]]) starting at 0-based BYTE position column
+    * `posCol` — [[graft.functions.RollingHash]]'s per-window value as
+    * ONE list_reduce fold (an n-layer nested-projection chain re-copies
+    * every carried column — including the byte list — through all n
+    * layers; at n = 50 that was the oracle's whole cost). */
+  def polyHashFoldSteps(blCol: String, posCol: String, n: Int, base: Long): Seq[(String, String)] = {
+    val bytes = s"list_transform(range(1, ${n + 1}), i -> $blCol[($posCol + i)::INT]::UBIGINT)"
     Seq(
       "rhu" -> s"list_reduce($bytes, (a, b) -> ((${mul64("a", base)}::HUGEINT + b) % $M64)::UBIGINT)",
       "hh" -> toSigned64("rhu"))
@@ -194,9 +197,10 @@ object OracleKit {
   /** Steps computing `hu` = XXH64(utf8Bytes(shCol), seed 42) as UBIGINT —
     * Spark's `xxhash64(stringCol)`, full algorithm (4-lane 32-byte stripes
     * via per-lane list_reduce folds, then the 8/4/1-byte tail). Bytes come
-    * from ord(substr), byte-faithful only on ASCII — so the length step
-    * carries the [[asciiGuardSql]] check and a non-ASCII gram fails the
-    * oracle LOUD with a named reason, never a bare hash mismatch. */
+    * from [[utf8BytesSql]] and the length from `strlen` (BYTE count), so
+    * the replay is byte-faithful on EVERY corpus — non-ASCII strings hash
+    * identically to Spark and JOIN the gate (VERDICT r11 #2; the r10
+    * named ASCII guard is retired). */
   def xxhash64StrSteps(shCol: String): Seq[(String, String)] = {
     val v = Seq(42L + P1 + P2, 42L + P2, 42L, 42L - P1)
     val laneSteps = (0 until 4).flatMap { l =>
@@ -212,8 +216,8 @@ object OracleKit {
       m0 +: rounds
     }
     Seq(
-      "nb" -> s"(CASE WHEN ${asciiGuardSql(shCol, shCol)} THEN length($shCol)::BIGINT END)",
-      "bl" -> s"list_transform(range(1, nb + 1), i -> ord(substr($shCol, i::INT, 1)))",
+      "nb" -> s"strlen($shCol)::BIGINT",
+      "bl" -> utf8BytesSql(shCol),
       "ns" -> "nb // 32") ++ laneSteps ++ merges ++ Seq(
       "hb" -> s"CASE WHEN nb >= 32 THEN mg4 ELSE ${u(42L + P5)}::UBIGINT END",
       "hl" -> add64("hb", "nb::UBIGINT"),

@@ -144,16 +144,16 @@ object TextAnalysis {
     * SQL-portable"): [[RollingHash]]'s polynomial hash is plain wrapping
     * int64 arithmetic, so DuckDB replays every window hash through
     * [[OracleKit.mul64]] — one mul-add per byte as nested projections
-    * (ord(substr) IS the UTF-8 byte only on ASCII; the
-    * [[OracleKit.asciiGuardSql]] conjunct turns a non-ASCII doc into a
-    * NAMED oracle error, not a bare hash mismatch) — then the same w-row
-    * MIN window. */
+    * over the UTF-8 BYTE list ([[OracleKit.utf8BytesSql]]; window count
+    * and positions use `strlen`, the BYTE length, exactly matching
+    * [[RollingHash]]'s byte windows on any script) — then the same
+    * w-row MIN window. */
   private def winnowOracleSql(n: Int = 16, w: Int = 8): String = {
     val chain = OracleKit.nestedProjections(
-      s"SELECT doc_id, text, unnest(range(0, length(text) - $n + 1)) AS p" +
-        s" FROM documents WHERE length(text) >= $n" +
-        s" AND ${OracleKit.asciiGuardSql("text", "documents.text")}",
-      OracleKit.polyHashFoldSteps("text", "p", n, 1000003L), "doc_id, p, hh")
+      s"SELECT doc_id, bl, unnest(range(0, nb - $n + 1)) AS p" +
+        s" FROM (SELECT doc_id, ${OracleKit.utf8BytesSql("text")} AS bl," +
+        s" strlen(text)::BIGINT AS nb FROM documents WHERE strlen(text) >= $n)",
+      OracleKit.polyHashFoldSteps("bl", "p", n, 1000003L), "doc_id, p, hh")
     s"""WITH wh AS MATERIALIZED ($chain),
        |wmin AS MATERIALIZED (SELECT doc_id, MIN(hh) OVER (PARTITION BY doc_id ORDER BY p
        |  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp FROM wh),
@@ -200,20 +200,23 @@ object TextAnalysis {
     val base = 1000003L
     var pow = 1L // base^(l-1) mod 2^64, the leading-byte weight
     for (_ <- 1 until l) pow *= base
+    // byte-level (VERDICT r11 #2): the UTF-8 byte list replaces the text
+    // through the recursion, lengths/positions are BYTE-based (strlen),
+    // so the replay matches RollingHash's byte windows on any script
     val anchor = OracleKit.nestedProjections(
-      s"SELECT doc_id, text, length(text)::BIGINT AS len, 0::BIGINT AS p" +
-        s" FROM documents WHERE length(text) >= $l" +
-        s" AND ${OracleKit.asciiGuardSql("text", "documents.text")}",
-      OracleKit.polyHashFoldSteps("text", "p", l, base), "doc_id, text, len, p, rhu")
-    val bOut = "ord(substr(r.text, (r.p + 1)::INT, 1))::UBIGINT" // byte leaving the window
-    val bIn = s"ord(substr(r.text, (r.p + $l + 1)::INT, 1))::UBIGINT" // byte entering
+      s"SELECT doc_id, bl, len, 0::BIGINT AS p" +
+        s" FROM (SELECT doc_id, ${OracleKit.utf8BytesSql("text")} AS bl," +
+        s" strlen(text)::BIGINT AS len FROM documents WHERE strlen(text) >= $l)",
+      OracleKit.polyHashFoldSteps("bl", "p", l, base), "doc_id, bl, len, p, rhu")
+    val bOut = "r.bl[(r.p + 1)::INT]::UBIGINT" // byte leaving the window
+    val bIn = s"r.bl[(r.p + $l + 1)::INT]::UBIGINT" // byte entering
     val stripped = s"((r.rhu::HUGEINT - ${OracleKit.mul64(bOut, pow)}::HUGEINT" +
       " + 18446744073709551616) % 18446744073709551616)::UBIGINT"
     val next = s"((${OracleKit.mul64(s"($stripped)", base)}::HUGEINT + $bIn) % 18446744073709551616)::UBIGINT"
-    s"""WITH RECURSIVE roll(doc_id, text, len, p, rhu) AS (
+    s"""WITH RECURSIVE roll(doc_id, bl, len, p, rhu) AS (
        |  $anchor
        |  UNION ALL
-       |  SELECT r.doc_id, r.text, r.len, r.p + 1, $next
+       |  SELECT r.doc_id, r.bl, r.len, r.p + 1, $next
        |  FROM roll r WHERE r.p + 1 <= r.len - $l),
        |sh AS MATERIALIZED (SELECT doc_id, p, ${OracleKit.toSigned64("rhu")} AS hh FROM roll),
        |""".stripMargin
