@@ -1290,7 +1290,7 @@ object Dedup {
     * Fully oracled (r10 — previously rows-only "seeded hashes aren't
     * SQL-portable"): the whole seeded-hash stack replays in DuckDB —
     * gram-string XXH64 ([[OracleKit.xxhash64StrSteps]], stripes + tail
-    * over ord(substr) bytes), the 64 murmur seed folds
+    * over true UTF-8 bytes), the 64 murmur seed folds
     * ([[OracleKit.murmurLongSteps]]), and the band-signature
     * array-murmur ([[OracleKit.murmurIntArraySteps]]) — so candidate
     * recall AND estimation error hash-match, not just the exact side. */

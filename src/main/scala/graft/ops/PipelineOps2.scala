@@ -302,15 +302,30 @@ object PipelineOps2 {
        |  LIMIT 1),""".stripMargin
   }
 
-  /** The shared merge-round machinery (w0 symbols + `steps` rounds of
-    * pair-count/argmax/fold), common prefix of the BPE and WordPiece
-    * oracles. */
-  private def bpeRoundsSql(steps: Int, bestSql: Int => String = bpeBestSql): String =
-    s"""WITH RECURSIVE w0 AS MATERIALIZED (
-       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+  /** Character-level word→symbols init (the BPE/WordPiece default). */
+  private val charW0Sql: String =
+    s"""  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE length(w) > 0 GROUP BY w),
+       |  WHERE length(w) > 0 GROUP BY w""".stripMargin
+
+  /** BYTE-level word→symbols init (q_bpe_bytes): each word's UTF-8
+    * bytes as two-hex-char symbols — `hex(encode(w))` chunked by 2.
+    * Uppercase hex on both engines; `strlen` is the BYTE count. */
+  private val byteW0Sql: String =
+    s"""  SELECT w, cnt, list_transform(range(1, strlen(w) + 1),
+       |      i -> substr(hex(encode(w)), (2 * i - 1)::INT, 2)) AS syms
+       |  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE length(w) > 0 GROUP BY w)""".stripMargin
+
+  /** The shared merge-round machinery (w0 symbols + `steps` rounds of
+    * pair-count/argmax/fold), common prefix of the BPE, byte-BPE and
+    * WordPiece oracles. */
+  private def bpeRoundsSql(steps: Int, bestSql: Int => String = bpeBestSql,
+                           w0Sql: String = charW0Sql): String =
+    s"""WITH RECURSIVE w0 AS MATERIALIZED (
+       |$w0Sql),
        |""".stripMargin + (1 to steps).map(k => bpeStepSql(k, bestSql)).mkString
 
   /** The q_bpe_tokenize oracle: the [[bpeRoundsSql]] rounds, then the
@@ -446,6 +461,118 @@ object PipelineOps2 {
       .select(col("step"), col("left"), col("right"), col("merged"), col("pair_count"),
         round(col("sc"), 6).as("score"))
       .orderBy("step")
+  }
+
+  /** Each word's UTF-8 BYTES as two-hex-char symbols — the byte-level
+    * alphabet (`hex(encode(w))` chunked by 2; uppercase hex on both
+    * engines, so merge tie-breaks compare identically). */
+  private def byteSymsCol: Column = {
+    val hx = hex(encode(col("w"), "UTF-8"))
+    transform(sequence(lit(1), octet_length(col("w"))), i => hx.substr(i * 2 - 1, lit(2)))
+  }
+
+  /** The word-frequency table with byte symbols — byte-BPE's w0. */
+  private def byteWords(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", byteSymsCol)
+      .localCheckpoint(true)
+
+  /** The shared greedy merge-training loop over a (w, cnt, syms) table:
+    * each round counts adjacent symbol pairs weighted by word frequency,
+    * takes the (count desc, l, r) argmax (one driver row, model-sized),
+    * and applies the merge corpus-wide as [[applyMerge]]'s map-side
+    * fold; localCheckpoint per round bounds lineage. Returns the merge
+    * table and the final symbol table. */
+  private def mergeRounds(words: DataFrame, steps: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var cur = words
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to steps) {
+      val n = size(col("syms"))
+      val pairs = cur
+        .filter(n >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, l + r, c))
+        cur = cur.withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  private def byteBpeOracleSql(steps: Int = 3): String = {
+    val res = (1 to steps).map(k =>
+      if (k == 1) s"""  SELECT 1 AS step, l AS "left", r AS "right", l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM best1"""
+      else s"""  SELECT $k, l, r, l || r, CAST(c AS BIGINT) FROM best$k""")
+      .mkString("\n  UNION ALL\n")
+    bpeRoundsSql(steps, bpeBestSql, byteW0Sql) +
+      s"""res AS (
+         |$res)
+         |SELECT CAST(step AS INT) AS step, "left", "right", merged, pair_count
+         |FROM res ORDER BY step""".stripMargin
+  }
+
+  private def byteBpeTokenizeOracleSql(steps: Int = 3): String =
+    bpeRoundsSql(steps, bpeBestSql, byteW0Sql) +
+      s"""tok AS (SELECT t.tok AS token, SUM(cnt) AS n
+         |        FROM w$steps, unnest(syms) t(tok) GROUP BY 1)
+         |SELECT token, CAST(n AS BIGINT) AS n FROM tok
+         |ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** BYTE-LEVEL BPE with byte fallback (the GPT-2/tiktoken lineage —
+    * Radford et al. 2019 §2.2; VERDICT r11 #3): identical greedy rounds
+    * to [[qBpeMerges]], but the base alphabet is each word's UTF-8
+    * BYTES, not its characters — so CJK / no-whitespace / emoji text
+    * decomposes into ≤256 base symbols instead of an unbounded character
+    * set, EVERY string is representable (byte fallback: a never-merged
+    * byte is itself a token — no OOV), and multi-byte characters can
+    * merge across their own byte boundaries exactly as GPT-2's
+    * tokenizer does. Symbols are printable two-hex-char strings
+    * (GPT-2's byte↔unicode bijection re-expressed for a columnar
+    * engine): `merged = l || r` IS byte-sequence concatenation, and the
+    * merge table stays ASCII-safe in any store.
+    *
+    * At scale: same posture as [[qBpeMerges]] — the vocab-sized word
+    * table iterates, never the corpus; pair counting is one explode +
+    * hash aggregation per round over O(total distinct-word bytes) rows;
+    * the argmax is one driver row. On a no-whitespace corpus the
+    * "words" are sentence-sized, which grows the explode linearly (the
+    * byte count), not quadratically; a production trainer would add
+    * GPT-2's regex pre-tokenization to cap word length — the engine
+    * side is [[graft.ops.TextAnalysis]]'s matches machinery, composable
+    * here unchanged.
+    *
+    * Oracle: the same round unrolling as [[bpeOracleSql]] with the w0
+    * alphabet swapped to `hex(encode(w))` 2-char chunks
+    * ([[byteW0Sql]]) — uppercase hex both engines, byte-exact on any
+    * script ([[Utf8OracleSpec]]'s corpus would join this gate too). */
+  val qBpeBytes: Q = Q("q_bpe_bytes", byteBpeOracleSql()) { (s, d) =>
+    import s.implicits._
+    val (merges, _) = mergeRounds(byteWords(T.documents(s, d)), 3)
+    merges.toDF("step", "left", "right", "merged", "pair_count").orderBy("step")
+  }
+
+  /** The APPLY half of [[qBpeBytes]]: train the byte merges, tokenize
+    * the corpus, ship the top-20 token frequencies (hex-byte tokens).
+    * Together with [[qBpeBytes]] this closes train→apply for the
+    * byte-level tokenizer the way [[qBpeTokenize]] does for the
+    * char-level one. */
+  val qBpeBytesTokenize: Q = Q("q_bpe_bytes_tokenize", byteBpeTokenizeOracleSql()) { (s, d) =>
+    val (_, toks) = mergeRounds(byteWords(T.documents(s, d)), 3)
+    toks.select(explode(col("syms")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
   }
 
   /** One unigram E-step in DuckDB: probability table off v{k-1}, per-word
@@ -1184,6 +1311,6 @@ object PipelineOps2 {
   }
 
   val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qD4Diversify, qBpeMerges, qWordpieceMerges, qUnigramLm, qUnigramTokenize, qTokenizerFertility, qSearchIndexed,
-    qSpanDup, qSpanExtents, qBpeTokenize, qQualityTiers, qRagChunk, qSpanStrip,
-    qStripAudit)
+    qSpanDup, qSpanExtents, qBpeTokenize, qBpeBytes, qBpeBytesTokenize,
+    qQualityTiers, qRagChunk, qSpanStrip, qStripAudit)
 }

@@ -140,7 +140,8 @@ class Utf8OracleSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_utf8corpus").toString
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    Seq("q_fingerprint_winnow", "q_dedup_substr", "q_span_decontam", "q_dedup_minhash")
+    Seq("q_fingerprint_winnow", "q_dedup_substr", "q_span_decontam", "q_dedup_minhash",
+        "q_bpe_bytes")
       .foreach(gateCompare(_, dir))
   }
 }
