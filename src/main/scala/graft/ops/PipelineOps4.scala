@@ -395,8 +395,10 @@ object PipelineOps4 {
     * union().distinct(); the per-node window ranks by the identical
     * (cosine DESC, dst) key; [[OracleKit.cosSql]] matches the codegen'd
     * left fold bit-for-bit). MATERIALIZED on the scored sets — each is
-    * referenced twice and DuckDB inlines CTEs. */
-  private def nnDescentOracleSql(k: Int = 14, rounds: Int = 2): String = {
+    * referenced twice and DuckDB inlines CTEs. The CTE chain (through
+    * `fin`, the ranked final graph) is shared with the
+    * [[qGraphSearch]] oracle, which searches over the same graph. */
+  private def nnDescentCtes(k: Int, rounds: Int): String = {
     val cos = OracleKit.cosSql("x.v", "y.v")
     val roundsSql = (1 to rounds).map { t =>
       val p = s"e${t - 1}"
@@ -429,14 +431,128 @@ object PipelineOps4 {
        |      FROM ev, nn, unnest(range(1, ${k + 1})) AS z(m)
        |      WHERE (rid * 37 + m * 101 + 13) % n <> rid),
        |$roundsSql
-       |fin AS (SELECT src, dst, cv,
+       |fin AS MATERIALIZED (SELECT src, dst, cv,
        |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY cv DESC, dst) AS rnk
        |        FROM s$rounds)
-       |SELECT x.vec_id AS src_id, CAST(f.rnk AS INT) AS rnk, y.vec_id AS dst_id,
-       |       round(f.cv, 6) AS sim
-       |FROM fin f JOIN ev x ON x.rid = f.src JOIN ev y ON y.rid = f.dst
-       |WHERE f.rnk <= $k
-       |ORDER BY src_id, rnk""".stripMargin
+       |""".stripMargin
+  }
+
+  private def nnDescentOracleSql(k: Int = 14, rounds: Int = 2): String =
+    nnDescentCtes(k, rounds) +
+      s"""SELECT x.vec_id AS src_id, CAST(f.rnk AS INT) AS rnk, y.vec_id AS dst_id,
+         |       round(f.cv, 6) AS sim
+         |FROM fin f JOIN ev x ON x.rid = f.src JOIN ev y ON y.rid = f.dst
+         |WHERE f.rnk <= $k
+         |ORDER BY src_id, rnk""".stripMargin
+
+  /** GRAPH-ANN SERVING over the NN-Descent graph (the HNSW layer-0 /
+    * DiskANN search idea, batch-expressed; completes graph-ANN —
+    * construction landed r11, this is the serving leg): each query
+    * starts from a small DETERMINISTIC entry set (the `entries` lowest
+    * vec_ids), then `hops` rounds of greedy beam expansion — score the
+    * frontier's graph neighbors against the query, keep the best `beam`
+    * per query — and finally the top-k of EVERYTHING visited. Where
+    * HNSW walks one node at a time per query, the batch form advances
+    * every query one hop per round: the frontier⋈graph expansion is one
+    * hash equi-join on node id, scoring is one map-side cosine against
+    * the broadcast probe set, and the beam prune is a per-query window —
+    * so a million concurrent queries cost 3 joins + 3 windows total,
+    * not a million walks. Per query per round the candidate set is
+    * ≤ beam·(k+1) rows; nothing is ever corpus×corpus.
+    *
+    * Determinism: entry set and all tie-breaks are (score DESC, node
+    * ASC); the graph itself is the oracle-pinned [[qNnDescent]] build.
+    * Output: (query_id, neighbor_id, cos, rnk) like the q_ann_* family
+    * (rank over 6-dp rounded cosine, self-matches dropped). Recall vs
+    * exact top-k is ≥ 0.8 on the bench corpus ([[GraphSearchSpec]]) —
+    * the number a serving team reads before replacing exact re-rank. */
+  val qGraphSearch: Q = Q("q_graph_search", graphSearchOracleSql()) { (s, d) =>
+    val vecs = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graphSearch(vecs, k = 14, rounds = 2, entries = 4, beam = 8, hops = 3, topK = 5)
+  }
+
+  private[graft] def graphSearch(vecs: DataFrame, k: Int, rounds: Int, entries: Int,
+                                 beam: Int, hops: Int, topK: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val graph = nnDescentGraph(vecs, k, rounds)
+      .select(col("src_id").as("gsrc"), col("dst_id").as("gdst"))
+      .localCheckpoint(true)
+    val corpus = vecs.select(col("vec_id").as("node"), col("v").as("nv"))
+      .localCheckpoint(true) // one scan serves all hop joins
+    val probes = corpus.filter(col("node") < 10)
+      .select(col("node").as("query_id"), col("nv").as("qv"))
+    val entry = corpus.orderBy("node").limit(entries).select("node")
+    var frontier = probes.select("query_id").crossJoin(broadcast(entry))
+    // visited accumulates SCORED rows, so the closing ranking re-joins
+    // nothing: every candidate arrives with its cosine, and a (query,
+    // node) re-visit carries the bit-identical double (same codegen'd
+    // expression), so one final distinct dedups the union
+    var visitedScored: DataFrame = null
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .unionByName(frontier.join(graph, frontier("node") === graph("gsrc"))
+          .select(col("query_id"), col("gdst").as("node")))
+        .distinct()
+      // one checkpoint per hop: `scored` feeds BOTH the beam prune and
+      // the visited accumulator, and its exact stats keep the next
+      // hop's joins broadcast-sized
+      val scored = cand.join(corpus, "node").join(broadcast(probes), "query_id")
+        .select(col("query_id"), col("node"), cosineSim(col("qv"), col("nv")).as("cs"))
+        .localCheckpoint(true)
+      visitedScored =
+        if (visitedScored == null) scored else visitedScored.unionByName(scored)
+      val wB = Window.partitionBy("query_id").orderBy(col("cs").desc, col("node"))
+      frontier = scored.withColumn("br", row_number().over(wB))
+        .filter(col("br") <= beam)
+        .select("query_id", "node")
+    }
+    val fsc = visitedScored.distinct()
+      .filter(col("node") =!= col("query_id"))
+      .withColumn("cos", round(col("cs"), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("node"))
+    fsc.withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("node").as("neighbor_id"), col("cos"), col("rnk"))
+      .orderBy("query_id", "rnk", "neighbor_id")
+  }
+
+  /** The q_graph_search oracle: [[nnDescentCtes]]'s graph, then the
+    * fixed `hops` beam rounds unrolled — candidate UNION (dedups like
+    * Spark's union().distinct()), one scored CTE per round with the
+    * identical unrounded beam key, ROW_NUMBER beam prune, visited-set
+    * accumulation — and the final rank over 6-dp rounded cosine. */
+  private def graphSearchOracleSql(k: Int = 14, rounds: Int = 2, entries: Int = 4,
+                                   beam: Int = 8, hops: Int = 3, topK: Int = 5): String = {
+    val cosQ = OracleKit.cosSql("p.qv", "e.v")
+    val hopsSql = (1 to hops).map { t =>
+      val p = s"gf${t - 1}"
+      s"""gc$t AS (SELECT query_id, node FROM $p
+         |       UNION SELECT f.query_id, g.gdst AS node FROM $p f JOIN g ON g.gsrc = f.node),
+         |gs$t AS MATERIALIZED (SELECT c.query_id, c.node, $cosQ AS cs
+         |       FROM gc$t c JOIN ev e ON e.vec_id = c.node JOIN pr p ON p.query_id = c.query_id),
+         |gf$t AS MATERIALIZED (SELECT query_id, node FROM (
+         |       SELECT query_id, node, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, node) AS br
+         |       FROM gs$t) WHERE br <= $beam),
+         |gv$t AS (SELECT query_id, node FROM gv${t - 1} UNION SELECT query_id, node FROM gc$t),
+         |""".stripMargin
+    }.mkString
+    nnDescentCtes(k, rounds) + ",\n" +
+      s"""g AS MATERIALIZED (SELECT x.vec_id AS gsrc, y.vec_id AS gdst
+         |     FROM fin f JOIN ev x ON x.rid = f.src JOIN ev y ON y.rid = f.dst
+         |     WHERE f.rnk <= $k),
+         |pr AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 10),
+         |en AS (SELECT vec_id AS node FROM ev ORDER BY vec_id LIMIT $entries),
+         |gf0 AS (SELECT query_id, node FROM pr, en),
+         |gv0 AS (SELECT query_id, node FROM gf0),
+         |$hopsSql
+         |fsc AS (SELECT v.query_id, v.node, round($cosQ, 6) AS cos
+         |       FROM gv$hops v JOIN ev e ON e.vec_id = v.node JOIN pr p ON p.query_id = v.query_id
+         |       WHERE v.node <> v.query_id)
+         |SELECT query_id, node AS neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT *, RANK() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rnk FROM fsc)
+         |WHERE rnk <= $topK
+         |ORDER BY query_id, rnk, neighbor_id""".stripMargin
   }
 
   /** FASTTEXT-STYLE QUALITY CLASSIFIER over hashed token features — the
@@ -919,5 +1035,6 @@ object PipelineOps4 {
   }
 
   val all: Seq[Q] = Seq(qEmbedQuantize, qQuantizeAnn, qCurriculum, qNnDescent,
-    qQualityClassifier, qClusterLabels, qPreferencePairs, qIvfTune, qZipfFit)
+    qGraphSearch, qQualityClassifier, qClusterLabels, qPreferencePairs, qIvfTune,
+    qZipfFit)
 }
