@@ -794,6 +794,10 @@ object Dedup {
                 n: Int = 3, threshold: Double = 0.5,
                 crashAfter: Int = Int.MaxValue,
                 beforeCommit: () => Unit = () => ()): Unit = {
+      // cross-DRIVER exclusion (VERDICT r11 #8): the writer lease makes a
+      // second driver's rebuild/ingest fail loud at entry; the region
+      // re-check below remains the SAME-driver interleave detector
+      graft.sources.WriterLease.ensure(spark, path, "rebuild")
       val cur = new org.apache.hadoop.fs.Path(path)
       val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val live = liveRoot(spark, path)

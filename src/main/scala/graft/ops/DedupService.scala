@@ -85,9 +85,13 @@ object DedupService {
     AtomicSwap.commit(f, cur)
   }
 
-  /** Index the base corpus and solve its components once. */
+  /** Index the base corpus and solve its components once. Claims the
+    * service writer lease ([[graft.sources.WriterLease]]) — a second
+    * driver maintaining the same path fails loud here, not mid-write. */
   def init(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
+    graft.sources.WriterLease.ensure(spark, path, "init")
+    graft.sources.WriterLease.ensure(spark, indexDir(path), "init")
     Dedup.NearDupIndex.build(docs, indexDir(path))
     val comp = graft.operators.GraphOps2.connectedComponents(
       Dedup.nearDupEdges(docs), 20)
@@ -108,8 +112,18 @@ object DedupService {
     * batch's index region with different docs while its labels stand —
     * index/labels divergence with no error. */
   def ingest(spark: SparkSession, path: String, batchId: Long,
-             batch: DataFrame): Unit = {
+             batch: DataFrame): Unit =
+    ingestAs(graft.sources.WriterLease.owner(spark), spark, path, batchId, batch)
+
+  private def ingestAs(me: String, spark: SparkSession, path: String,
+                       batchId: Long, batch: DataFrame): Unit = {
     require(batchId >= 1, "batch ids start at 1 (0 is the base build)")
+    // the writer lease covers BOTH roots this call mutates: the service
+    // root (labels) and the index root (the one a concurrent driver's
+    // rebuildIfStale would contend on) — a second driver fails loud
+    // before any write
+    graft.sources.WriterLease.ensureAs(me, spark, path, s"ingest b$batchId")
+    graft.sources.WriterLease.ensureAs(me, spark, indexDir(path), s"ingest b$batchId")
     val last = lastBatch(spark, path)
     if (batchId == last) return // committed replay: no writes at all
     require(batchId == last + 1,
@@ -140,10 +154,15 @@ object DedupService {
     * already-committed labels — the corpus dedup index and labeling stay
     * fresh as the stream runs. Requires [[init]] to have run first. */
   def ingestSink(docs: DataFrame, path: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the writer identity is the DRIVER session defining this sink:
+    // foreachBatch hands each micro-batch a CLONED session, which must
+    // not read as a different writer per batch
+    val me = graft.sources.WriterLease.owner(docs.sparkSession)
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        ingest(batch.sparkSession, path, bid + 1, batch)
+        ingestAs(me, batch.sparkSession, path, bid + 1, batch)
       }
+  }
 }

@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Single-writer lease for maintained artifacts (VERDICT r11 #8): two
+  * concurrent DRIVERS running ingest/rebuild against the same service
+  * root would interleave region writes, label commits and root swaps in
+  * ways the single-driver exclusion matrix (DedupRebuildIngestSpec)
+  * cannot see. The lease records the maintaining driver: the first
+  * mutating call from a session creates `<root>_writer_lease`
+  * (create-exclusive — the filesystem's atomic claim primitive, the
+  * same commit-point discipline as [[AtomicSwap]]); every later call
+  * from the SAME session verifies and proceeds (re-entrant, so the
+  * in-driver ingest×rebuild interleave semantics are unchanged); a
+  * call from a DIFFERENT session fails LOUD naming the holder and the
+  * remedy, instead of silently corrupting the index.
+  *
+  * The lease file is a SIBLING of the root (`<root>_writer_lease`,
+  * never `<root>/...`): rebuild swaps the whole root directory via
+  * [[AtomicSwap]] renames, and a lease inside it would travel with the
+  * outgoing snapshot.
+  *
+  * Lifetime is the session: a maintained service has one writer driver,
+  * and handing over means [[release]] from the owner (or, after a
+  * crashed driver is CONFIRMED dead, [[breakLease]] — the lease is a
+  * claim record, not a liveness detector, so takeover is an operator
+  * decision by design). */
+object WriterLease {
+
+  private def leasePath(root: String): Path = {
+    val p = new Path(root)
+    new Path(p.getParent, p.getName + "_writer_lease")
+  }
+
+  /** Stable per-session writer identity: two SparkSessions — even in one
+    * JVM, even sharing a SparkContext — are two writers. Structured
+    * Streaming runs foreachBatch in a CLONED session, so a streaming
+    * sink must capture its driver's identity at definition time and
+    * thread it through [[ensureAs]] (see DedupService.ingestSink) —
+    * probing the micro-batch session would misread one stream as a
+    * parade of writers. */
+  private[graft] def owner(spark: SparkSession): String =
+    s"${spark.sparkContext.applicationId}/${System.identityHashCode(spark).toHexString}"
+
+  /** The current holder's identity line, if a lease exists. */
+  def holder(spark: SparkSession, root: String): Option[String] = {
+    val lp = leasePath(root)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lp)) None
+    else {
+      val in = fs.open(lp)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator.next())
+      finally in.close()
+    }
+  }
+
+  /** Acquire the lease for this session, or verify this session already
+    * holds it. A lease held by another writer fails loud. */
+  def ensure(spark: SparkSession, root: String, op: String): Unit =
+    ensureAs(owner(spark), spark, root, op)
+
+  /** [[ensure]] with an explicit writer identity — for streaming sinks,
+    * which must claim as the DRIVER session that defined them, not the
+    * per-micro-batch clone. */
+  private[graft] def ensureAs(me: String, spark: SparkSession, root: String,
+                              op: String): Unit = {
+    holder(spark, root) match {
+      case Some(h) if h == me => () // re-entrant: same driver, any op
+      case Some(h) =>
+        throw new IllegalStateException(
+          s"writer lease for $root is held by $h (this session is $me, op=$op) — " +
+            "two drivers must not maintain the same artifact concurrently: " +
+            "stop or release() from the owning driver, or, after confirming it " +
+            "is dead, WriterLease.breakLease() to take over.")
+      case None =>
+        val lp = leasePath(root)
+        val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          val out = fs.create(lp, false) // create-exclusive: the claim point
+          try out.write(s"$me\n$op\n${java.time.Instant.now()}\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch {
+          case _: java.io.IOException =>
+            // lost the creation race: re-read and fail loud unless it's us
+            holder(spark, root) match {
+              case Some(h) if h == me => ()
+              case h => throw new IllegalStateException(
+                s"writer lease for $root was claimed concurrently by ${h.getOrElse("?")} " +
+                  s"(this session is $me, op=$op) — see WriterLease for the remedy.")
+            }
+        }
+    }
+  }
+
+  /** Release this session's lease (absent is fine; another writer's
+    * lease fails loud rather than being stolen). */
+  def release(spark: SparkSession, root: String): Unit = {
+    val me = owner(spark)
+    holder(spark, root) match {
+      case None => ()
+      case Some(h) if h == me =>
+        val lp = leasePath(root)
+        lp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lp, false)
+        ()
+      case Some(h) => throw new IllegalStateException(
+        s"cannot release $root's writer lease: held by $h, this session is $me")
+    }
+  }
+
+  /** Operator takeover: force-remove the lease. Only after the holding
+    * driver is confirmed dead — the lease is the record that it isn't. */
+  def breakLease(spark: SparkSession, root: String): Unit = {
+    val lp = leasePath(root)
+    lp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lp, false)
+    ()
+  }
+}

@@ -2,14 +2,13 @@ package graft.streaming
 
 import graft.ops.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 /** Per-batch cache of FROZEN serving artifacts for the streaming sinks
   * (VERDICT r10 #6): screenSink/dsirScoreSink re-read their vocab/
   * postings/profiles/model parquet on EVERY micro-batch, though the
   * artifact is frozen by contract — a rebuild replaces the whole root via
   * [[graft.sources.AtomicSwap]] (near-dup index) or an overwrite of the
-  * model dir (DSIR). So: read once, persist (memory, disk spill), reuse
+  * model dir (DSIR). So: read once, materialize, reuse
   * across batches, and invalidate by the artifact's IDENTITY — the
   * resolved live root for swap-rooted indexes, the directory's
   * modification time for plain parquet models. The identity check per
@@ -23,26 +22,28 @@ import org.apache.spark.storage.StorageLevel
   * decode of the frozen side, which at a 1-second trigger interval
   * otherwise dominates the micro-batch.
   *
-  * Unpersist of a displaced generation is DEFERRED one invalidation: two
-  * streaming queries may share a path key, and the one that did not
-  * trigger the refresh can still be mid-batch on the old generation's
-  * DataFrames — unpersisting them immediately would force a recompute
-  * against source files the new generation's producer may have already
-  * deleted (ADVICE r11). So each entry retires its predecessor's tables
-  * and only unpersists them when IT is displaced: a long-lived stream
-  * holds at most two cached generations per path. */
+  * Generations are materialized with `localCheckpoint`, NOT
+  * `persist` (ADVICE r11): persist registers the read plan in Spark's
+  * CacheManager, whose lookup is PLAN identity — and two generations of
+  * the same artifact read the same path, so keeping the old generation
+  * persisted (to protect a concurrent mid-batch reader) makes the NEW
+  * generation's identical-looking read silently resolve to the OLD
+  * cached data (this exact stale-serve was reproduced by the r12
+  * append-visibility spec when a one-generation unpersist deferral was
+  * tried). A localCheckpoint is a plan-free LogicalRDD: each generation
+  * is its own materialization, a displaced generation stays readable
+  * for any batch still holding its DataFrame (blocks are freed by the
+  * ContextCleaner when the last reference drops — reference-counted by
+  * the JVM, no unpersist race), and a fresh read can never alias to it. */
 object FrozenSides {
 
-  private final case class Entry(identity: String, tables: Seq[DataFrame],
-                                 retired: Seq[DataFrame])
+  private final case class Entry(identity: String, tables: Seq[DataFrame])
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  private def persistAll(dfs: Seq[DataFrame]): Seq[DataFrame] = {
-    // materialize eagerly: the first micro-batch pays the read ONCE here
-    // rather than once per downstream consumer of the plan
-    dfs.foreach { df => df.persist(StorageLevel.MEMORY_AND_DISK); df.count(); () }
-    dfs
-  }
+  private def persistAll(dfs: Seq[DataFrame]): Seq[DataFrame] =
+    // eager: the first micro-batch pays the read ONCE here rather than
+    // once per downstream consumer of the plan
+    dfs.map(_.localCheckpoint(true))
 
   private def cached(key: String, identity: String)
                     (read: => Seq[DataFrame]): Seq[DataFrame] = {
@@ -50,11 +51,7 @@ object FrozenSides {
     if (hit != null && hit.identity == identity) hit.tables
     else {
       val fresh = persistAll(read)
-      val prevTables = if (hit != null) hit.tables else Nil
-      val prev = cache.put(key, Entry(identity, fresh, prevTables))
-      // unpersist the generation displaced TWO invalidations ago — the
-      // immediately-displaced one may still serve a concurrent batch
-      if (prev != null) prev.retired.foreach { df => df.unpersist(false); () }
+      cache.put(key, Entry(identity, fresh))
       fresh
     }
   }
@@ -107,11 +104,7 @@ object FrozenSides {
     cached(s"parquet:$path", identity)(Seq(spark.read.parquet(path))).head
   }
 
-  /** Drop every cached entry (test isolation). */
-  private[graft] def clear(): Unit = {
-    cache.values().forEach { e =>
-      (e.tables ++ e.retired).foreach { df => df.unpersist(false); () }
-    }
-    cache.clear()
-  }
+  /** Drop every cached entry (test isolation); checkpoint blocks are
+    * freed by the ContextCleaner once unreferenced. */
+  private[graft] def clear(): Unit = cache.clear()
 }

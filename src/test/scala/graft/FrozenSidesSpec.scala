@@ -1,7 +1,6 @@
 package graft
 
 import graft.streaming.FrozenSides
-import org.apache.spark.storage.StorageLevel
 
 /** FrozenSides identity + lifecycle contracts (VERDICT r11 #5, ADVICE
   * r11 low): a plain-parquet model refit landing inside the same mtime
@@ -33,24 +32,25 @@ class FrozenSidesSpec extends SparkSpec {
       s"pinned-mtime refit was absorbed: served ${second.toSeq}")
   }
 
-  test("displaced generation stays persisted for one further invalidation, then unpersists") {
+  test("a displaced generation stays readable; fresh generations never alias to it") {
     FrozenSides.clear()
     val dir = java.nio.file.Files.createTempDirectory("graft_frz2").toString + "/model"
     writeModel(dir, Seq((0, 1.0)))
     val gen1 = FrozenSides.parquetTable(spark, dir)
-    assert(gen1.storageLevel != StorageLevel.NONE, "fresh generation must be persisted")
+    assert(gen1.collect().head.getDouble(1) == 1.0)
     writeModel(dir, Seq((0, 2.0)))
     val gen2 = FrozenSides.parquetTable(spark, dir)
-    assert(gen2.collect().head.getDouble(1) == 2.0)
-    // gen1 was displaced but a concurrent batch may still be on it:
-    // it must NOT be unpersisted yet
-    assert(gen1.storageLevel != StorageLevel.NONE,
-      "immediately-displaced generation must stay persisted one more round")
-    writeModel(dir, Seq((0, 3.0)))
-    val gen3 = FrozenSides.parquetTable(spark, dir)
-    assert(gen3.collect().head.getDouble(1) == 3.0)
-    assert(gen1.storageLevel == StorageLevel.NONE,
-      "generation displaced two invalidations ago must be unpersisted")
+    // the fresh generation must serve the NEW content — a persist-based
+    // cache aliases the identical read plan to the old generation's
+    // blocks (Spark's CacheManager matches on plan identity), which is
+    // exactly the stale-serve the localCheckpoint design prevents
+    assert(gen2.collect().head.getDouble(1) == 2.0,
+      "fresh generation aliased to the displaced one")
+    // and a concurrent batch still holding gen1 keeps reading the OLD
+    // snapshot (never yanked mid-read, never recomputed against files
+    // the producer may have deleted)
+    assert(gen1.collect().head.getDouble(1) == 1.0,
+      "displaced generation must stay readable for in-flight batches")
     FrozenSides.clear()
   }
 }
