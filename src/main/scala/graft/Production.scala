@@ -54,6 +54,27 @@ object Production {
           ops.Dedup.minhashVerifiedPairs(docs(s, d), "doc_id", "text")
             .select("id_a", "id_b"))
         .orderBy("a", "b", "c")),
+    // the embedding-pair family's exact forms are n² BY DEFINITION (the
+    // oracle computes the all-pairs SQL); the r12 sf1 rehearsal measured
+    // them at ~86-107× for 10× rows. These twins are the candidate-join
+    // plans a 100 TB run actually ships: LSH band buckets + exact verify
+    // (precision 1, recall = the S-curve), no all-pairs stage anywhere.
+    "q_knn_graph" -> ((s, d) => {
+      val emb = sources.Tables.embeddings(s, d)
+      ops.Similarity.knnGraphFromCandidates(emb, "vec_id", "embedding", 4,
+        ops.Similarity.lshCandidatePairs(emb, "vec_id", "embedding"))
+        .orderBy("node", "rnk")
+    }),
+    "q_dedup_embed" -> ((s, d) => {
+      val emb = sources.Tables.embeddings(s, d)
+      ops.Similarity.cosinePairsVerified(emb, "vec_id", "embedding",
+          ops.Similarity.lshCandidatePairs(emb, "vec_id", "embedding"), 0.38)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_dedup_fuse" -> ((s, d) =>
+      ops.Dedup.fusedSurvivors(s, d, emb =>
+        ops.Similarity.cosinePairsVerified(emb, "vec_id", "embedding",
+          ops.Similarity.lshCandidatePairs(emb, "vec_id", "embedding"), 0.38))),
     "q_sketch_quantile" -> ((s, d) => ops.Sketches.sketchQuantileProd(s, d)),
     "q_sketch_setops" -> ((s, d) => ops.Sketches.sketchSetopsProd(s, d)),
     "q_sketch_cms" -> ((s, d) => ops.Sketches.sketchCmsProd(s, d)),

@@ -16,14 +16,18 @@ object QBench {
       catch { case _: Throwable => () }
     }
     val names = args.tail.toSeq
+    // "prod/<name>" resolves the production twin from Production.forms
+    def fnOf(n: String) =
+      if (n.startsWith("prod/")) Production.forms(n.stripPrefix("prod/"))
+      else SparkEntry.queries(n)
     // warmup pass (JIT + codegen + page cache), then 3 measured passes
-    names.foreach { n => try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => () } }
+    names.foreach { n => try fnOf(n)(spark, sfDir).count() catch { case _: Throwable => () } }
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     val samples = (1 to 3).flatMap { round =>
       names.map { name =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        fnOf(name)(spark, sfDir).count()
         val s = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -1560,6 +1560,18 @@ object Dedup {
       |LEFT JOIN em ON em.doc_id = d.doc_id
       |LEFT JOIN xm ON xm.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    fusedSurvivors(s, d, emb =>
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.38)._1)
+  }
+
+  /** The shared fused-dedup pipeline behind [[qDedupFuse]]; `embedArm`
+    * supplies the embedding pair source — the measured-routed exact form
+    * for the certified gate query, the LSH-candidate verified form for
+    * the production twin (the r12 sf1 rehearsal measured the exact
+    * embed arm at ~100× for 10× rows — the n² certificate doing exactly
+    * what its oracle defines — so the twin is what a 100 TB run ships). */
+  private[graft] def fusedSurvivors(s: org.apache.spark.sql.SparkSession, d: String,
+                                    embedArm: DataFrame => DataFrame): DataFrame = {
     val docs = T.documents(s, d)
     // each pair source is read TWICE (the fused union + its flag join):
     // checkpoint once or the full LSH/scan pipelines run twice over.
@@ -1571,8 +1583,7 @@ object Dedup {
     import scala.concurrent.ExecutionContext.Implicits.global
     val fText = Future(minhashVerifiedPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").localCheckpoint(true))
-    val fEmbed = Future(Similarity.cosineNearDupPairs(
-        T.embeddings(s, d), "vec_id", "embedding", 0.38)._1
+    val fEmbed = Future(embedArm(T.embeddings(s, d))
       .select("id_a", "id_b").localCheckpoint(true))
     // exact-text groups as STAR edges (min-id hub): same components as
     // the clique, group-size work instead of group-size²

@@ -459,10 +459,19 @@ object TextAnalysis {
     * the corpus: the quoted benchmark item is excised, the page
     * survives). Islands are disjoint (see [[leakedSpans]]), so the
     * cleaned doc is the ordered concatenation of the complement
-    * segments — exact string surgery, byte-identical across engines (the
+    * segments — exact string surgery, identical across engines (the
     * oracle compares the cleaned TEXT itself, not a proxy metric). One
     * extra doc-keyed aggregation over the span table; the corpus is
-    * still scanned once. */
+    * still scanned once.
+    *
+    * Non-ASCII caveat: span extents are BYTE offsets (RollingHash
+    * windows) while the surgery indexes CHARACTERS — Spark `substring`
+    * and DuckDB `substr` share that interpretation, so the gate holds
+    * on any script, but on multi-byte text the cut lands at the
+    * char-position of the byte offset (up to a few chars early). A
+    * byte-exact cut needs binary-slice surgery on both engines; noted
+    * in PLANS r12 as a known-approximate posture, chosen over emitting
+    * invalid UTF-8 when a window boundary splits a character. */
   val qDecontamStrip: Q = Q("q_decontam_strip", decontamStripOracleSql()) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val l = 50

@@ -63,6 +63,65 @@ class ProductionFormsSpec extends SparkSpec {
     assert(rows(prod) == rows(cert))
   }
 
+  test("production dedup_embed: exact-verified subset of the certified pair set") {
+    val cert = rows(ops.Dedup.qDedupEmbed.fn(spark, TinyDir)).toSet
+    val prod = rows(Production.forms("q_dedup_embed")(spark, TinyDir))
+    // precision 1: every twin pair (with its cosine) is in the exact set
+    assert(prod.toSet.subsetOf(cert),
+      s"twin emitted a pair the exact scan does not have: ${(prod.toSet -- cert).take(3)}")
+    // recall IS the 4×8 hyperplane S-curve — this bench corpus is
+    // isotropic with tau=0.38, deep in the curve's low tail (real
+    // near-dup corpora sit at cos ≥ 0.8 where the same banding is
+    // ≈ 1.0, the q_dedup_calibration table). Pin recall to the curve's
+    // per-pair prediction, not an arbitrary floor: a banding regression
+    // moves it off the math, loudly.
+    val predicted = cert.toSeq.map { r =>
+      val c = r(2).asInstanceOf[Double]
+      val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(pBit, 8), 4)
+    }.sum / cert.size
+    val recall = prod.size.toDouble / cert.size
+    assert(math.abs(recall - predicted) <= 0.1,
+      s"LSH twin recall $recall vs S-curve prediction $predicted (${prod.size}/${cert.size})")
+  }
+
+  test("production knn_graph: exact cosines on candidate edges, bounded degree, recall floor") {
+    val prod = Production.forms("q_knn_graph")(spark, TinyDir).collect()
+    val cert = ops.Similarity.qKnnGraph.fn(spark, TinyDir).collect()
+    val certEdges = cert.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    prod.groupBy(_.getLong(0)).foreach { case (n, rs) =>
+      assert(rs.length <= 4, s"node $n degree ${rs.length} > 4")
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1 to rs.length).map(_.toLong),
+        s"node $n ranks not contiguous")
+    }
+    // every twin edge's cosine is the TRUE cosine (exact verify), and
+    // edge recall vs the certified graph tracks the 4×8 S-curve
+    // per-edge capture probability (see the dedup_embed twin's pin)
+    val prodEdges = prod.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hit = certEdges.count(prodEdges.contains)
+    val predicted = certEdges.toSeq.map { case (_, _, c) =>
+      val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(pBit, 8), 4)
+    }.sum / certEdges.size
+    val recall = hit.toDouble / certEdges.size
+    assert(math.abs(recall - predicted) <= 0.1,
+      s"knn twin recall $recall vs S-curve prediction $predicted ($hit/${certEdges.size})")
+  }
+
+  test("production fuse: text/exact arms identical, embed flags a subset") {
+    val cert = ops.Dedup.qDedupFuse.fn(spark, TinyDir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    val prod = Production.forms("q_dedup_fuse")(spark, TinyDir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(prod.keySet == cert.keySet)
+    prod.foreach { case (id, (t, e, x)) =>
+      val (ct, ce, cx) = cert(id)
+      assert(t == ct, s"doc $id text_dup differs (same arm both forms)")
+      assert(x == cx, s"doc $id exact_dup differs (same arm both forms)")
+      assert(!e || ce, s"doc $id embed_dup set by the twin but not the exact arm")
+    }
+  }
+
   test("production sketch quantiles: sketch values, sketch-only plan") {
     val prod = Production.forms("q_sketch_quantile")(spark, TinyDir)
     // the sketch is a pure function of the input set: the production
