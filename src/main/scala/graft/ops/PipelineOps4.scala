@@ -474,7 +474,6 @@ object PipelineOps4 {
 
   private[graft] def graphSearch(vecs: DataFrame, k: Int, rounds: Int, entries: Int,
                                  beam: Int, hops: Int, topK: Int): DataFrame = {
-    import graft.functions.VectorFunctions.cosineSim
     val graph = nnDescentGraph(vecs, k, rounds)
       .select(col("src_id").as("gsrc"), col("dst_id").as("gdst"))
       .localCheckpoint(true)
@@ -482,6 +481,19 @@ object PipelineOps4 {
       .localCheckpoint(true) // one scan serves all hop joins
     val probes = corpus.filter(col("node") < 10)
       .select(col("node").as("query_id"), col("nv").as("qv"))
+    searchWith(graph, corpus, probes, entries, beam, hops, topK)
+  }
+
+  /** The search core against an already-built graph + vector side
+    * (`graph`: gsrc/gdst edges, `corpus`: node/nv — both expected
+    * materialized, e.g. [[graft.streaming.FrozenSides.parquetTable]]'s
+    * checkpoints or [[nnDescentGraph]]'s). Per-query and graph-frozen, so
+    * answers are COMPOSITIONAL: any micro-batching of the probe stream
+    * returns identical rows per query — the streaming serving sink's
+    * correctness contract (the AnnIndex.queryWith posture). */
+  private[graft] def searchWith(graph: DataFrame, corpus: DataFrame, probes: DataFrame,
+                                entries: Int, beam: Int, hops: Int, topK: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
     val entry = corpus.orderBy("node").limit(entries).select("node")
     var frontier = probes.select("query_id").crossJoin(broadcast(entry))
     // visited accumulates SCORED rows, so the closing ranking re-joins

@@ -603,6 +603,36 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming GRAPH-ANN SEARCH (stream_graph_search): arriving QUERY
+    * vectors (query_id, qv) are answered per micro-batch by the beam
+    * search over the FROZEN kNN-graph bundle
+    * ([[graft.sources.GraphBundle]] — graph + vectors, both read once
+    * and persisted across batches via [[FrozenSides.parquetTable]]; a
+    * refit's overwrite of either dir bumps the identity and re-reads on
+    * the next batch). Per-query answers against a frozen graph are
+    * COMPOSITIONAL — any micro-batching of the query stream returns
+    * identical rows per query (spec pins streamed union == one-shot).
+    * Exactly-once via the overwrite-idempotent `part=batch_<id>` region
+    * convention. Together with the batch q_graph_search this completes
+    * graph-ANN's serving story: construct (q_nn_descent), persist
+    * (sink_knn_graph), serve at ingest (this). */
+  def graphSearchSink(queries: DataFrame, bundlePath: String, outDir: String,
+                      entries: Int = 4, beam: Int = 8, hops: Int = 3,
+                      topK: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ops.PipelineOps4.searchWith(
+              FrozenSides.parquetTable(spark, s"$bundlePath/graph"),
+              FrozenSides.parquetTable(spark, s"$bundlePath/vectors"),
+              batch.select("query_id", "qv"), entries, beam, hops, topK)
+            .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
+        }
+        ()
+      }
+
   /** Streaming QUALITY-CLASSIFIER gate (stream_quality_gate): every
     * arriving micro-batch of documents is scored by the FROZEN
     * fastText-style quality model (the (D+1)-row weight table of
