@@ -575,6 +575,64 @@ object PipelineOps2 {
       .limit(20)
   }
 
+  /** GPT-2's pre-tokenizer pattern, LOOKAHEAD-FREE so Spark's Java regex
+    * and DuckDB's RE2 split identically (both are leftmost-first on
+    * alternation; GPT-2's original carries a `\s+(?!\S)` lookahead RE2
+    * cannot express — dropping it only moves where a multi-space run
+    * splits, never what bytes survive): contractions, space-prefixed
+    * letter/digit/punctuation runs (the leading space rides WITH the
+    * word — GPT-2's word-initial marker, which whitespace splitting
+    * destroys), trailing whitespace runs. */
+  private[graft] val preTokPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  private def preTokW0Sql: String = {
+    val pat = preTokPattern.replace("'", "''")
+    s"""  SELECT w, cnt, list_transform(range(1, strlen(w) + 1),
+       |      i -> substr(hex(encode(w)), (2 * i - 1)::INT, 2)) AS syms
+       |  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS w FROM documents)
+       |        WHERE strlen(w) > 0 GROUP BY w)""".stripMargin
+  }
+
+  private def bpePretokOracleSql(steps: Int = 3): String = {
+    val res = (1 to steps).map(k =>
+      if (k == 1) s"""  SELECT 1 AS step, l AS "left", r AS "right", l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM best1"""
+      else s"""  SELECT $k, l, r, l || r, CAST(c AS BIGINT) FROM best$k""")
+      .mkString("\n  UNION ALL\n")
+    bpeRoundsSql(steps, bpeBestSql, preTokW0Sql) +
+      s"""res AS (
+         |$res)
+         |SELECT CAST(step AS INT) AS step, "left", "right", merged, pair_count
+         |FROM res ORDER BY step""".stripMargin
+  }
+
+  /** BYTE-LEVEL BPE over GPT-2 REGEX PRE-TOKENS (Radford et al. 2019
+    * §2.2 — the full pipeline: regex pre-tokenize, then BPE over each
+    * pre-token's bytes): where [[qBpeBytes]] splits on whitespace, this
+    * splits with the contraction/letter-run/digit-run/punctuation-run
+    * pattern, so merges respect linguistic boundaries ("don't" →
+    * " don" + "'t", digits never merge into words, and the leading
+    * space is part of the token — the word-initial marker every GPT-2
+    * descendant vocabulary carries). The merge machinery, scale shape
+    * and byte-fallback property are [[qBpeBytes]]'s unchanged; only the
+    * word universe differs (one regexp_extract_all scan — codegen'd —
+    * instead of split). Oracle: the same unrolled rounds with w0's
+    * tokenizer swapped; the pattern is lookahead-free so both regex
+    * dialects split identically (spec pins the splits cross-engine on
+    * planted contraction/multi-space/multilingual text). */
+  val qBpePretok: Q = Q("q_bpe_pretok", bpePretokOracleSql()) { (s, d) =>
+    import s.implicits._
+    val toks = T.documents(s, d).select(
+      explode(regexp_extract_all(col("text"), lit(preTokPattern), lit(0))).as("w"))
+    val words = toks.filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", byteSymsCol)
+      .localCheckpoint(true)
+    val (merges, _) = mergeRounds(words, 3)
+    merges.toDF("step", "left", "right", "merged", "pair_count").orderBy("step")
+  }
+
   /** One unigram E-step in DuckDB: probability table off v{k-1}, per-word
     * Viterbi (recursive CTE), token counts `cnts$k`. */
   private def unigramEStepSql(k: Int): String = {
@@ -1312,5 +1370,5 @@ object PipelineOps2 {
 
   val all: Seq[Q] = Seq(qStripBoilerplate, qSemDedup, qD4Diversify, qBpeMerges, qWordpieceMerges, qUnigramLm, qUnigramTokenize, qTokenizerFertility, qSearchIndexed,
     qSpanDup, qSpanExtents, qBpeTokenize, qBpeBytes, qBpeBytesTokenize,
-    qQualityTiers, qRagChunk, qSpanStrip, qStripAudit)
+    qBpePretok, qQualityTiers, qRagChunk, qSpanStrip, qStripAudit)
 }

@@ -90,6 +90,32 @@ class ByteBpeSpec extends SparkSpec {
     assert(gotTok.toSeq == wantTok, s"got=${gotTok.toSeq} want=$wantTok")
   }
 
+  test("pre-tokenizer: contractions split, leading space rides with the word, digits separate") {
+    import spark.implicits._
+    val texts = Seq(
+      "The fox's 42 jumps, isn't it?  ok",
+      "it'll we've I'm you're don't",
+      "café 3.14 naïve")
+    val got = texts.toDF("text").select(
+        regexp_extract_all(col("text"), lit(PipelineOps2.preTokPattern), lit(0)).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    // reference: the same pattern through plain Java regex — the Spark
+    // side must be a pure regexp_extract_all with no extra semantics
+    val p = java.util.regex.Pattern.compile(PipelineOps2.preTokPattern)
+    val want = texts.map { t =>
+      val m = p.matcher(t); val b = List.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    assert(got.toList == want, s"got=$got want=$want")
+    // the GPT-2 conventions the whitespace splitter destroys:
+    assert(got.head.contains("'s"), "contraction must be its own token")
+    assert(got.head.contains(" quick") || got.head.contains(" fox"),
+      "word-initial space must ride with the word")
+    assert(got.head.contains(" 42"), "digit runs split from letters")
+    assert(got(1) == List("it", "'ll", " we", "'ve", " I", "'m", " you", "'re", " don", "'t"))
+  }
+
   test("base alphabet is bounded by 256 byte symbols (char-level is unbounded on CJK)") {
     import spark.implicits._
     val docs = Seq((0L, "日本語のテキストを処理する分散エンジン", "ja", "s0"))

@@ -130,7 +130,7 @@ class Utf8OracleSpec extends SparkSpec {
       "日本語のテキストを処理するための分散クエリエンジンのテストです。",
       "Продолжение теста на кириллице с длинным текстом. ",
       "Mixed 🚀 emoji and Ωmega symbols in the corpus. ",
-      "plain ascii filler text that pads the document body. ")
+      "plain ascii filler, it's 3.14 — don't split wrong.  ")
     val docs = (0 until 40).map { i =>
       val base = scripts(i % scripts.size) * 3
       val text = if (i % 4 == 0) base + shared + scripts((i + 1) % scripts.size)
@@ -141,7 +141,7 @@ class Utf8OracleSpec extends SparkSpec {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     Seq("q_fingerprint_winnow", "q_dedup_substr", "q_span_decontam", "q_dedup_minhash",
-        "q_bpe_bytes")
+        "q_bpe_bytes", "q_bpe_pretok")
       .foreach(gateCompare(_, dir))
   }
 }
