@@ -108,6 +108,15 @@ class ProductionFormsSpec extends SparkSpec {
       s"knn twin recall $recall vs S-curve prediction $predicted ($hit/${certEdges.size})")
   }
 
+  test("production graph_search: serving against the frozen bundle equals the gate query") {
+    // the split is build/serve: the bundle is built once, the twin's
+    // recurring cost is the beam search alone — and against the SAME
+    // graph parameters the answers are identical to the gate query's
+    val prod = rows(Production.forms("q_graph_search")(spark, TinyDir))
+    val cert = rows(ops.PipelineOps4.qGraphSearch.fn(spark, TinyDir))
+    assert(prod == cert, "bundle serving must answer exactly like the gate query")
+  }
+
   test("production fuse: text/exact arms identical, embed flags a subset") {
     val cert = ops.Dedup.qDedupFuse.fn(spark, TinyDir).collect()
       .map(r => r.getLong(0) -> (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
