@@ -481,7 +481,66 @@ object PipelineOps4 {
       .localCheckpoint(true) // one scan serves all hop joins
     val probes = corpus.filter(col("node") < 10)
       .select(col("node").as("query_id"), col("nv").as("qv"))
-    searchWith(graph, corpus, probes, entries, beam, hops, topK)
+    searchWith(graph, corpus, probes, pickEntries(graph, entries), beam, hops, topK)
+  }
+
+  /** DEGREE-PICKED, NEIGHBORHOOD-EXCLUDED entry set for the beam search
+    * (VERDICT r12 #6 — entry-by-lowest-id could start every walk inside
+    * ONE cluster of a clustered corpus and never escape in `hops` hops):
+    * greedily take the highest IN-degree node (in a kNN graph that is a
+    * local hub — well-connected, a good place to start), then EXCLUDE
+    * its out-neighborhood before the next pick, so successive entries
+    * come from disjoint graph regions — `entries` diverse restarts, the
+    * flat-graph stand-in for HNSW's upper layers. Deterministic (degree
+    * DESC, node ASC; exclusion is the picked node + its out-edges) and
+    * replayed verbatim by the oracle. Driver cost: one in-degree
+    * aggregation over the edge table, then `entries` argmax probes on
+    * the materialized degree table and one k-row neighbor read per pick
+    * — model-sized collects, never corpus rows. Returns the (rank,
+    * node) picks in pick order; greedy is prefix-stable, so the first E
+    * rows ARE pickEntries(graph, E). */
+  private[graft] def pickEntries(graph: DataFrame, entries: Int): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val deg = graph.groupBy(col("gdst").as("node")).agg(count(lit(1)).as("dc"))
+      .localCheckpoint(true) // probed `entries` times
+    val picked = scala.collection.mutable.ArrayBuffer[Long]()
+    var excluded = Set.empty[Long]
+    var exhausted = false
+    for (_ <- 1 to entries if !exhausted) {
+      val rem = if (excluded.isEmpty) deg
+                else deg.filter(!col("node").isin(excluded.toSeq: _*))
+      rem.orderBy(col("dc").desc, col("node")).limit(1).collect() match {
+        case Array(top) =>
+          val n = top.getLong(0)
+          picked += n
+          excluded ++= graph.filter(col("gsrc") === n)
+            .select("gdst").collect().map(_.getLong(0))
+          excluded += n
+        case _ => exhausted = true // every in-linked node excluded
+      }
+    }
+    picked.toSeq.zipWithIndex.map { case (n, i) => (i + 1, n) }.toDF("erank", "node")
+  }
+
+  /** The oracle replay of [[pickEntries]]: `entries` unrolled greedy
+    * steps over the in-degree table of edge CTE `g` (gsrc, gdst), each
+    * excluding the previous picks' out-neighborhoods. Emits CTEs
+    * `deg, en1..enN, ex1..exN` and the final `en(node)`. */
+  private def pickEntriesCtes(entries: Int): String = {
+    val steps = (1 to entries).map { i =>
+      val notIn = if (i == 1) ""
+                  else s" WHERE node NOT IN (SELECT node FROM ex${i - 1})"
+      val prev = if (i == 1) "" else s"SELECT node FROM ex${i - 1} UNION "
+      s"""en$i AS (SELECT node FROM deg$notIn ORDER BY dc DESC, node LIMIT 1),
+         |ex$i AS (${prev}SELECT node FROM en$i
+         |  UNION SELECT g.gdst AS node FROM g JOIN en$i ON g.gsrc = en$i.node),
+         |""".stripMargin
+    }.mkString
+    s"""deg AS MATERIALIZED (SELECT gdst AS node, COUNT(*)::BIGINT AS dc FROM g GROUP BY gdst),
+       |$steps
+       |en AS (${(1 to entries).map(i => s"SELECT node FROM en$i").mkString(" UNION ")}),
+       |""".stripMargin
   }
 
   /** The search core against an already-built graph + vector side
@@ -492,10 +551,9 @@ object PipelineOps4 {
     * returns identical rows per query — the streaming serving sink's
     * correctness contract (the AnnIndex.queryWith posture). */
   private[graft] def searchWith(graph: DataFrame, corpus: DataFrame, probes: DataFrame,
-                                entries: Int, beam: Int, hops: Int, topK: Int): DataFrame = {
+                                entry: DataFrame, beam: Int, hops: Int, topK: Int): DataFrame = {
     import graft.functions.VectorFunctions.cosineSim
-    val entry = corpus.orderBy("node").limit(entries).select("node")
-    var frontier = probes.select("query_id").crossJoin(broadcast(entry))
+    var frontier = probes.select("query_id").crossJoin(broadcast(entry.select("node")))
     // visited accumulates SCORED rows, so the closing ranking re-joins
     // nothing: every candidate arrives with its cosine, and a (query,
     // node) re-visit carries the bit-identical double (same codegen'd
@@ -554,7 +612,7 @@ object PipelineOps4 {
          |     FROM fin f JOIN ev x ON x.rid = f.src JOIN ev y ON y.rid = f.dst
          |     WHERE f.rnk <= $k),
          |pr AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 10),
-         |en AS (SELECT vec_id AS node FROM ev ORDER BY vec_id LIMIT $entries),
+         |${pickEntriesCtes(entries)}
          |gf0 AS (SELECT query_id, node FROM pr, en),
          |gv0 AS (SELECT query_id, node FROM gf0),
          |$hopsSql

@@ -426,6 +426,11 @@ object AnnIndex {
             pqM: Int = 16, pqK: Int = 16,
             crashAfter: Int = Int.MaxValue,
             beforeCommit: () => Unit = () => ()): Unit = {
+    // refit mutates shared serving state (stage + root swap): a second
+    // driver refitting the same index would interleave stagings and
+    // swaps — same exclusion as DedupService/NearDupIndex.rebuild
+    // (VERDICT r12 #8)
+    WriterLease.ensure(spark, path, "ann_refit")
     val cur = new org.apache.hadoop.fs.Path(path)
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val streamDir = new org.apache.hadoop.fs.Path(

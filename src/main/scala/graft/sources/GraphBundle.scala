@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,12 +12,21 @@ import org.apache.spark.sql.functions._
   *   `<path>/graph`   — (gsrc, gdst) edges, k per node
   *   `<path>/vectors` — (node, nv) the corpus vectors
   *
-  * Build is a plain overwrite (a REFIT republishes both dirs; the
-  * streaming server's [[graft.streaming.FrozenSides.parquetTable]]
-  * identity — dir mtime + child count/bytes/mtimes — picks the new
-  * generation up on the next micro-batch). The reference analog is the
-  * tcrd_app serving split: precompute the heavy artifact offline, answer
-  * point queries against the frozen copy.
+  * A graph generation is only meaningful AGAINST the vector generation
+  * it was built from: neighbor ids index into those vectors, and the
+  * beam search scores hops with their cosines. So a REPUBLISH commits
+  * both dirs as ONE snapshot (VERDICT r12 #1 — two independent
+  * overwrites had a torn window serving a new graph against old
+  * vectors): stage `graph/` + `vectors/` under `<path>_next`, land via
+  * [[AtomicSwap.commit]], and derive ONE serving identity from the
+  * swapped root ([[frozenProbe]] → [[graft.streaming.FrozenSides.graphBundle]]).
+  * Readers resolve [[AtomicSwap.live]] at every crash point
+  * (GraphBundleSwapSpec enumerates them); a re-run converges. The build
+  * claims a [[WriterLease]] on the root — two drivers republishing the
+  * same bundle would interleave stagings and swaps.
+  *
+  * The reference analog is the tcrd_app serving split: precompute the
+  * heavy artifact offline, answer point queries against the frozen copy.
   *
   * At scale the graph is n·k rows keyed by node and the vectors n rows
   * keyed by id — both hash-partitioned equi-join sides for the batch
@@ -24,21 +34,88 @@ import org.apache.spark.sql.functions._
   * joined corpus×corpus. */
 object GraphBundle {
 
-  def build(vecs: DataFrame, path: String, k: Int = 14, rounds: Int = 2): Unit = {
-    graft.ops.PipelineOps4.nnDescentGraph(vecs, k, rounds)
+  /** The root a reader serves from: the bundle itself, or the backup if
+    * a crash caught the swap between its renames. */
+  private[graft] def liveRoot(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.live(fs, p).map(_.toString).getOrElse(path)
+  }
+
+  /** Entry candidates persisted per generation — the greedy
+    * degree-picked sequence is prefix-stable, so a search asking for E ≤
+    * [[EntryCandidates]] entries takes the first E rows and matches the
+    * in-memory rule exactly. */
+  val EntryCandidates = 8
+
+  /** Build (or REPUBLISH) the bundle as one atomic snapshot. A crash
+    * while staging leaves the live bundle untouched (stale staging is
+    * cleared on the next run); a crash inside the commit leaves a root
+    * [[AtomicSwap.live]] resolves to one COMPLETE generation.
+    * `crashAfter` is the commit's test hook. */
+  def build(vecs: DataFrame, path: String, k: Int = 14, rounds: Int = 2,
+            crashAfter: Int = Int.MaxValue): Unit = {
+    val spark = vecs.sparkSession
+    WriterLease.ensure(spark, path, "graph_bundle_build")
+    val cur = new Path(path)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = AtomicSwap.nextOf(cur)
+    fs.delete(next, true) // stale staging from a crashed build
+    val graph = graft.ops.PipelineOps4.nnDescentGraph(vecs, k, rounds)
       .select(col("src_id").as("gsrc"), col("dst_id").as("gdst"))
-      .write.mode("overwrite").parquet(s"$path/graph")
+      .localCheckpoint(true) // feeds the write AND the entry picks
+    graph.write.mode("overwrite").parquet(s"$next/graph")
     vecs.select(col("vec_id").as("node"), col("v").as("nv"))
-      .write.mode("overwrite").parquet(s"$path/vectors")
+      .write.mode("overwrite").parquet(s"$next/vectors")
+    // entry candidates chosen at BUILD time (VERDICT r12 #6): the
+    // degree-greedy picks are a per-generation property of the graph —
+    // computing them here keeps the serving path stat-and-join only
+    graft.ops.PipelineOps4.pickEntries(graph, EntryCandidates)
+      .coalesce(1).write.mode("overwrite").parquet(s"$next/entries")
+    AtomicSwap.commit(fs, cur, crashAfter = crashAfter)
+  }
+
+  /** ONE identity for the WHOLE bundle: the resolved live root plus
+    * both subdirs' file stats. Per-dir identities (the r12 shape —
+    * FrozenSides.parquetTable on `graph` and `vectors` separately)
+    * could resolve ACROSS a republish boundary and cache a new graph
+    * next to old vectors; a single probe taken at one instant against
+    * one live root cannot mix generations, because the root swaps
+    * atomically. Stat-only — no parquet listing or reads. */
+  private[graft] def frozenProbe(spark: SparkSession, path: String): (String, String) = {
+    val root = liveRoot(spark, path)
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirId(name: String): String = {
+      val d = new Path(rp, name)
+      val kids = fs.listStatus(d)
+      val kidM = if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max
+      s"${fs.getFileStatus(d).getModificationTime}@${kids.length}@${kids.map(_.getLen).sum}@$kidM"
+    }
+    (root, s"$root|${dirId("graph")}|${dirId("vectors")}|${dirId("entries")}")
+  }
+
+  /** The first `entries` persisted entry candidates (pick order). */
+  private[graft] def entryPrefix(entriesDf: DataFrame, entries: Int): DataFrame = {
+    require(entries <= EntryCandidates,
+      s"GraphBundle persists $EntryCandidates entry candidates; " +
+        s"entries=$entries would diverge from the in-memory entry rule — " +
+        "rebuild with a larger EntryCandidates or lower entries")
+    entriesDf.orderBy("erank").limit(entries).select("node")
   }
 
   /** One-shot search against the persisted bundle (the batch twin of
-    * [[graft.streaming.StreamingOps.graphSearchSink]]). */
+    * [[graft.streaming.StreamingOps.graphSearchSink]]). All three sides
+    * read from ONE resolved root — never mixed generations. */
   def search(spark: SparkSession, path: String, probes: DataFrame,
              entries: Int = 4, beam: Int = 8, hops: Int = 3,
-             topK: Int = 5): DataFrame =
+             topK: Int = 5): DataFrame = {
+    val root = liveRoot(spark, path)
     graft.ops.PipelineOps4.searchWith(
-      spark.read.parquet(s"$path/graph").localCheckpoint(true),
-      spark.read.parquet(s"$path/vectors").localCheckpoint(true),
-      probes, entries, beam, hops, topK)
+      spark.read.parquet(s"$root/graph").localCheckpoint(true),
+      spark.read.parquet(s"$root/vectors").localCheckpoint(true),
+      probes,
+      entryPrefix(spark.read.parquet(s"$root/entries"), entries),
+      beam, hops, topK)
+  }
 }

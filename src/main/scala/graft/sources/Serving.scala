@@ -71,6 +71,18 @@ object Serving {
       concat_ws(",", col("id"), col("nsh")),
       "dedup_index", sourceTag, loadedAtUs, prov)
 
+    // kNN-graph serving bundle (VERDICT r12 #4): a release consumer who
+    // serves graph-ANN reads this instead of re-running NN-Descent on
+    // the corpus it just downloaded. Ledger row reads back the swapped
+    // root's edge table. The publish claims the bundle's WriterLease and
+    // RELEASES it on completion — the release job is one-shot, and a
+    // later maintainer (refit cadence) claims fresh.
+    GraphBundle.build(emb.select(col("id").as("vec_id"), col("v")), s"$outDir/knn_graph")
+    WriterLease.release(spark, s"$outDir/knn_graph")
+    ProvenanceOps.record(
+      spark.read.parquet(s"${GraphBundle.liveRoot(spark, s"$outDir/knn_graph")}/graph"),
+      concat_ws(",", col("gsrc"), col("gdst")), "knn_graph", sourceTag, loadedAtUs, prov)
+
     card.foreach { c =>
       ProvenanceOps.writeWithProvenance(c, s"$outDir/card",
         col("metric"), "corpus_card", sourceTag, loadedAtUs, prov)

@@ -33,6 +33,26 @@ object WriterLease {
     new Path(p.getParent, p.getName + "_writer_lease")
   }
 
+  /** The claim is only as atomic as `create(path, overwrite=false)` —
+    * HDFS/local-FS give a true exclusive create, but the S3-family
+    * object stores implement it as check-then-put, so two drivers can
+    * BOTH believe they won — exactly the scenario the lease exists to
+    * exclude (ADVICE r12; the [[AtomicSwap]] rename-semantics caveat,
+    * applied here). Fail loud on schemes known to lack the primitive
+    * rather than hand out a lease that doesn't exclude; on such stores
+    * the claim must go through the store's conditional-put / table
+    * format's metadata commit instead. */
+  private val nonAtomicCreateSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cosn", "swift")
+
+  private def requireAtomicCreate(fs: org.apache.hadoop.fs.FileSystem, lp: Path): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    require(!nonAtomicCreateSchemes.contains(scheme),
+      s"WriterLease needs an atomic create-exclusive, which '$scheme' does not provide " +
+        s"(object-store create is check-then-put): claim the writer role through the " +
+        s"store's conditional-put or the table format's metadata commit instead ($lp)")
+  }
+
   /** Stable per-session writer identity: two SparkSessions — even in one
     * JVM, even sharing a SparkContext — are two writers. Structured
     * Streaming runs foreachBatch in a CLONED session, so a streaming
@@ -43,16 +63,30 @@ object WriterLease {
   private[graft] def owner(spark: SparkSession): String =
     s"${spark.sparkContext.applicationId}/${System.identityHashCode(spark).toHexString}"
 
-  /** The current holder's identity line, if a lease exists. */
+  /** The current holder's identity line, if a lease exists. An EMPTY
+    * lease file (a writer crashed between create-exclusive and the
+    * identity write, or a reader raced into that window) is corrupt
+    * state, not a holder: fail LOUD with the same named remedy as a
+    * foreign holder (ADVICE r12 — `linesIterator.next()` on empty
+    * contents threw an unnamed NoSuchElementException and wedged even
+    * the owning session, since ensureAs could never match identity). */
   def holder(spark: SparkSession, root: String): Option[String] = {
     val lp = leasePath(root)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(lp)) None
     else {
       val in = fs.open(lp)
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).linesIterator.next())
-      finally in.close()
+      val line =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator.nextOption()
+        finally in.close()
+      line match {
+        case Some(l) if l.nonEmpty => Some(l)
+        case _ => throw new IllegalStateException(
+          s"writer lease file $lp exists but is empty — a claiming writer " +
+            "crashed between create-exclusive and the identity write. After " +
+            "confirming no writer is mid-claim, WriterLease.breakLease() to clear.")
+      }
     }
   }
 
@@ -77,6 +111,7 @@ object WriterLease {
       case None =>
         val lp = leasePath(root)
         val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        requireAtomicCreate(fs, lp)
         try {
           val out = fs.create(lp, false) // create-exclusive: the claim point
           try out.write(s"$me\n$op\n${java.time.Instant.now()}\n"

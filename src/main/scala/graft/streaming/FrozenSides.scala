@@ -87,6 +87,23 @@ object FrozenSides {
     graft.sources.AnnIndex.FrozenAnn(root, c, ix)
   }
 
+  /** The kNN-graph bundle's serving side (graph edges + vectors), pinned
+    * to ONE generation: both tables are cached under a SINGLE identity
+    * from [[graft.sources.GraphBundle.frozenProbe]] (VERDICT r12 #1 —
+    * per-dir [[parquetTable]] identities could resolve across a
+    * republish boundary and serve a NEW graph joined against OLD
+    * vectors: neighbor ids that don't exist, cosines against the wrong
+    * generation). Re-read when the republish swap lands; hit cost is
+    * the probe's stats only. */
+  def graphBundle(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    val (root, identity) = graft.sources.GraphBundle.frozenProbe(spark, path)
+    val Seq(g, v, e) = cached(s"graphbundle:$path", identity) {
+      Seq(spark.read.parquet(s"$root/graph"), spark.read.parquet(s"$root/vectors"),
+        spark.read.parquet(s"$root/entries"))
+    }
+    (g, v, e)
+  }
+
   /** A plain frozen parquet artifact (the DSIR model), persisted across
     * micro-batches; re-read when the directory changes. The identity is
     * the dir mtime PLUS the child file count and total byte length
@@ -107,4 +124,51 @@ object FrozenSides {
   /** Drop every cached entry (test isolation); checkpoint blocks are
     * freed by the ContextCleaner once unreferenced. */
   private[graft] def clear(): Unit = cache.clear()
+
+  /** A failure is a LOST CHECKPOINT BLOCK when the cause chain carries
+    * Spark's local-checkpoint block error ("Checkpoint block rdd_x_y not
+    * found! Either the executor that originally checkpointed this
+    * partition is no longer alive…") or a BlockManager fetch miss. */
+  private[graft] def isLostBlock(e: Throwable): Boolean = {
+    var t = e; var depth = 0
+    while (t != null && depth < 20) {
+      val m = Option(t.getMessage).getOrElse("")
+      if (t.getClass.getName.contains("BlockNotFound") ||
+          m.contains("Checkpoint block") ||
+          (m.contains("block") && m.contains("not found"))) return true
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
+  }
+
+  private def evictPaths(paths: Seq[String]): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (paths.exists(p => k.endsWith(s":$p"))) it.remove()
+    }
+  }
+
+  /** Lost-block recovery for a micro-batch that serves from this cache
+    * (ADVICE r12): cached generations are executor-LOCAL checkpoint
+    * blocks with no lineage, so in cluster mode an executor loss makes a
+    * generation unrecoverable — and since the artifact identity is
+    * unchanged, the poisoned entry would otherwise be served to (and
+    * fail) EVERY later micro-batch until process restart. Wrap the batch
+    * work: a lost-block failure evicts the artifact's entries and
+    * retries ONCE (the retry re-reads from storage — the artifact is
+    * frozen, so the re-read is the same generation); a failure on the
+    * retry evicts again and rethrows, so even then the NEXT batch
+    * re-reads instead of wedging. Non-block failures pass through. */
+  def recovering[A](paths: String*)(work: => A): A =
+    try work catch {
+      case e: Throwable if isLostBlock(e) =>
+        evictPaths(paths)
+        try work catch {
+          case e2: Throwable =>
+            if (isLostBlock(e2)) evictPaths(paths)
+            throw e2
+        }
+    }
 }

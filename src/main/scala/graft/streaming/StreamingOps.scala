@@ -538,7 +538,7 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) FrozenSides.recovering(indexPath) {
           val spark = batch.sparkSession
           FrozenSides.nearDup(spark, indexPath)
             .fold(graft.ops.Dedup.NearDupIndex.emptyScreen(spark))(f =>
@@ -567,7 +567,7 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) FrozenSides.recovering(modelPath) {
           val model = FrozenSides.parquetTable(batch.sparkSession, modelPath)
           graft.ops.PipelineOps3.dsirScore(batch, model, buckets)
             .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
@@ -593,7 +593,7 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) FrozenSides.recovering(indexPath) {
           val spark = batch.sparkSession
           graft.sources.AnnIndex.queryWith(
               graft.streaming.FrozenSides.annIndex(spark, indexPath),
@@ -606,10 +606,12 @@ object StreamingOps {
   /** Streaming GRAPH-ANN SEARCH (stream_graph_search): arriving QUERY
     * vectors (query_id, qv) are answered per micro-batch by the beam
     * search over the FROZEN kNN-graph bundle
-    * ([[graft.sources.GraphBundle]] — graph + vectors, both read once
-    * and persisted across batches via [[FrozenSides.parquetTable]]; a
-    * refit's overwrite of either dir bumps the identity and re-reads on
-    * the next batch). Per-query answers against a frozen graph are
+    * ([[graft.sources.GraphBundle]] — graph + vectors, read once and
+    * persisted across batches via [[FrozenSides.graphBundle]] under ONE
+    * bundle identity: a republish's AtomicSwap lands both dirs as one
+    * generation and the next batch re-reads both together — never a new
+    * graph against old vectors, VERDICT r12 #1). Per-query answers
+    * against a frozen graph are
     * COMPOSITIONAL — any micro-batching of the query stream returns
     * identical rows per query (spec pins streamed union == one-shot).
     * Exactly-once via the overwrite-idempotent `part=batch_<id>` region
@@ -622,12 +624,13 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) FrozenSides.recovering(bundlePath) {
           val spark = batch.sparkSession
-          graft.ops.PipelineOps4.searchWith(
-              FrozenSides.parquetTable(spark, s"$bundlePath/graph"),
-              FrozenSides.parquetTable(spark, s"$bundlePath/vectors"),
-              batch.select("query_id", "qv"), entries, beam, hops, topK)
+          val (graph, vectors, entriesDf) = FrozenSides.graphBundle(spark, bundlePath)
+          graft.ops.PipelineOps4.searchWith(graph, vectors,
+              batch.select("query_id", "qv"),
+              graft.sources.GraphBundle.entryPrefix(entriesDf, entries),
+              beam, hops, topK)
             .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
         }
         ()
@@ -653,7 +656,7 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) FrozenSides.recovering(modelPath) {
           val model = FrozenSides.parquetTable(batch.sparkSession, modelPath)
           graft.ops.PipelineOps4.qualityScoreWith(model, batch, buckets)
             .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
@@ -675,7 +678,7 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) FrozenSides.recovering(s"$indexPath/hashes") {
           val spark = batch.sparkSession
           graft.sources.SpanIndex.screen(spark, indexPath, batch,
               Some(FrozenSides.parquetTable(spark, s"$indexPath/hashes")))
@@ -703,7 +706,7 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) FrozenSides.recovering(corpusIdxPath, benchIdxPath) {
           val spark = batch.sparkSession
           graft.ops.CorpusQuality.releaseGate(batch,
               FrozenSides.nearDup(spark, corpusIdxPath),

@@ -51,4 +51,44 @@ class GraphSearchSpec extends SparkSpec {
     val b = SparkEntry.queries("q_graph_search")(spark, TinyDir).collect().toSeq
     assert(a == b)
   }
+
+  test("adversarial plant: low ids share one cluster, probes sit in another — recall holds (VERDICT r12 #6)") {
+    // 4 well-separated clusters of 16 nodes in CONTIGUOUS id blocks:
+    // ids 0-15 are all cluster 0, so the retired lowest-id entry rule
+    // started every walk inside cluster 0 and — the clusters being
+    // separated, the kNN graph having no cross-cluster edges — could
+    // never reach a cluster-3 probe. The degree-greedy, neighborhood-
+    // excluded entries must land in distinct regions and keep recall.
+    import spark.implicits._
+    val corpus = (for (c <- 0 until 4; j <- 0 until 16) yield {
+      val v = Array.fill(8)(0.0); v(c * 2) = 10.0; v(7) = 0.05 * (j + 1)
+      ((c * 16 + j).toLong, v.toSeq)
+    }).toDF("vec_id", "v")
+    val graph = graft.ops.PipelineOps4
+      .nnDescentGraph(corpus, 14, 2)
+      .select(col("src_id").as("gsrc"), col("dst_id").as("gdst"))
+      .localCheckpoint(true)
+    val entries = graft.ops.PipelineOps4.pickEntries(graph, 4)
+    val entryClusters = entries.select("node").collect()
+      .map(_.getLong(0) / 16).toSet
+    assert(entryClusters.size >= 3,
+      s"greedy exclusion must spread entries across clusters, got $entryClusters")
+    // probes: one per cluster INCLUDING the far cluster 3
+    val probes = (0 until 4).map { c =>
+      val v = Array.fill(8)(0.0); v(c * 2) = 10.0
+      (9000L + c, v.toSeq)
+    }.toDF("query_id", "qv")
+    val got = graft.ops.PipelineOps4.searchWith(
+        graph, corpus.select(col("vec_id").as("node"), col("v").as("nv")),
+        probes, entries, beam = 8, hops = 3, topK = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    (0 until 4).foreach { c =>
+      val want = (c * 16 until c * 16 + 16).map(_.toLong).toSet
+      val hits = (got.getOrElse(9000L + c, Set.empty[Long]) & want).size
+      assert(hits >= 4, // recall >= 0.8 of top-5
+        s"cluster-$c probe found only $hits/5 in-cluster neighbors " +
+          s"(got ${got.getOrElse(9000L + c, Set.empty[Long])})")
+    }
+  }
 }

@@ -47,12 +47,29 @@ class ServingSpec extends SparkSpec {
     // and post-release ingest resumes from the published path directly
     assert(graft.ops.DedupService.appliedBatch(spark, s"$out/dedup") == 0L)
 
+    // the published kNN-graph bundle serves q_graph_search-identical
+    // answers (VERDICT r12 #4): a release consumer reads the bundle
+    // instead of re-running NN-Descent on the corpus it just downloaded
+    val emb = graft.sources.Tables.embeddings(spark, TinyDir)
+    val gProbes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val viaBundle = graft.sources.GraphBundle
+      .search(spark, s"$out/knn_graph", gProbes).collect().toSeq
+    val direct = SparkEntry.queries("q_graph_search")(spark, TinyDir).collect().toSeq
+    assert(viaBundle == direct,
+      "published graph bundle must serve the q_graph_search answers")
+    // the publish released its lease: a later maintainer claims fresh
+    assert(graft.sources.WriterLease.holder(spark, s"$out/knn_graph").isEmpty)
+
     // one ledger row per artifact, row counts honest
     val ledger = graft.operators.ProvenanceOps.ledger(spark, s"$out/provenance")
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(ledger.keySet ==
       Set("ann_index", "inverted_index", "docs_sorted", "corpus_card",
-        "dedup_labels", "dedup_index"))
+        "dedup_labels", "dedup_index", "knn_graph"))
+    assert(ledger("knn_graph") ==
+      spark.read.parquet(s"$out/knn_graph/graph").count())
     assert(ledger("docs_sorted") == docs.count())
     assert(ledger("corpus_card") == 7L)
     assert(ledger("dedup_labels") == docs.count())
@@ -98,7 +115,7 @@ class ServingSpec extends SparkSpec {
     val ledger = graft.operators.ProvenanceOps.ledger(spark, s"$out/provenance").collect()
     assert(ledger.map(_.getString(0)).toSet ==
       Set("ann_index", "inverted_index", "docs_sorted",
-        "dedup_labels", "dedup_index"))
+        "dedup_labels", "dedup_index", "knn_graph"))
     assert(ledger.forall(_.getAs[Long]("loaded_at_us") == 9L))
     val dedupIds = graft.ops.DedupService.labels(spark, s"$out/dedup")
       .select("doc_id").collect().map(_.getLong(0)).toSet
