@@ -582,9 +582,15 @@ object PipelineOps2 {
     * splits, never what bytes survive): contractions, space-prefixed
     * letter/digit/punctuation runs (the leading space rides WITH the
     * word — GPT-2's word-initial marker, which whitespace splitting
-    * destroys), trailing whitespace runs. */
+    * destroys), trailing whitespace runs.
+    * Whitespace is the EXPLICIT class `[ \t\n\x0B\f\r]`, not `\s`:
+    * Java's `\s` includes U+000B (vertical tab) while RE2's does not,
+    * so a VT-bearing document would pre-tokenize differently on the two
+    * engines and fail the gate as a bare diff (ADVICE r12). The
+    * explicit class pins Java's interpretation in both dialects
+    * (Utf8OracleSpec plants a VT doc). */
   private[graft] val preTokPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
 
   private def preTokW0Sql: String = {
     val pat = preTokPattern.replace("'", "''")

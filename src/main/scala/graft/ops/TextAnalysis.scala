@@ -372,7 +372,7 @@ object TextAnalysis {
        |  FROM spans GROUP BY doc_id)
        |SELECT d.doc_id, COALESCE(a.n_spans, 0)::BIGINT AS n_leaked_spans,
        |  COALESCE(a.lb, 0)::BIGINT AS leaked_bytes,
-       |  round(CAST(COALESCE(a.lb, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE), 6) AS leaked_frac
+       |  round(CAST(COALESCE(a.lb, 0) AS DOUBLE) / CAST(strlen(d.text) AS DOUBLE), 6) AS leaked_frac
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |WHERE d.doc_id >= 25 ORDER BY d.doc_id""".stripMargin
 
@@ -424,7 +424,10 @@ object TextAnalysis {
     val agg = leakedSpans(docs, l).groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).cast("long").as("lb"))
     docs.filter(col("doc_id") >= 25)
-      .select(col("doc_id"), length(col("text")).as("nlen"))
+      // BYTE length: leaked_bytes over a byte denominator (extents are
+      // byte offsets) — a char denominator overstated the fraction on
+      // multi-byte scripts
+      .select(col("doc_id"), octet_length(col("text")).as("nlen"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_leaked_spans"),
@@ -433,20 +436,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** `o` is a 0-based BYTE offset into byte-list column `db.bl`; true iff
+    * the byte AT `o` is a UTF-8 continuation byte (0x80..0xBF). Offset 0
+    * can never be one in valid UTF-8, and past-the-end reads are false,
+    * so the snap arithmetic needs no other bounds guard. */
+  private def contSql(o: String): String =
+    s"($o >= 1 AND $o < db.blen AND db.bl[($o + 1)::INT] BETWEEN 128 AND 191)"
+
+  private def snapDownSql(o: String): String =
+    s"($o - (CASE WHEN NOT ${contSql(o)} THEN 0 WHEN NOT ${contSql(s"$o - 1")} THEN 1 " +
+      s"WHEN NOT ${contSql(s"$o - 2")} THEN 2 ELSE 3 END))"
+
+  private def snapUpSql(o: String): String =
+    s"($o + (CASE WHEN NOT ${contSql(o)} THEN 0 WHEN NOT ${contSql(s"$o + 1")} THEN 1 " +
+      s"WHEN NOT ${contSql(s"$o + 2")} THEN 2 ELSE 3 END))"
+
   private def decontamStripOracleSql(l: Int = 50): String =
     crossSetSpanCtes(l) +
-      s"""lastgap AS (
-       |  SELECT sp.doc_id, MAX(sp.e) AS gs, ANY_VALUE(length(d.text))::BIGINT AS ge
-       |  FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id GROUP BY sp.doc_id),
+      s"""docb AS MATERIALIZED (
+       |  SELECT doc_id, ${graft.ops.OracleKit.utf8BytesSql("text")} AS bl,
+       |         strlen(text)::BIGINT AS blen
+       |  FROM documents WHERE doc_id >= 25),
+       |cspans AS (
+       |  SELECT doc_id,
+       |    len(list_filter(db.bl[1:(${snapDownSql("sp.s")})::INT], x -> x < 128 OR x > 191))::BIGINT AS cs,
+       |    len(list_filter(db.bl[1:(${snapUpSql("sp.e")})::INT],   x -> x < 128 OR x > 191))::BIGINT AS ce
+       |  FROM spans sp JOIN docb db USING (doc_id)),
+       |lastgap AS (
+       |  SELECT c.doc_id, MAX(c.ce) AS gs, ANY_VALUE(length(d.text))::BIGINT AS ge
+       |  FROM cspans c JOIN documents d ON d.doc_id = c.doc_id GROUP BY c.doc_id),
        |gaps AS (
-       |  SELECT doc_id, COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
-       |         s AS ge
-       |  FROM spans
+       |  SELECT doc_id, COALESCE(LAG(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) AS gs,
+       |         cs AS ge
+       |  FROM cspans
        |  UNION ALL
        |  SELECT doc_id, gs, ge FROM lastgap),
        |ct AS (
        |  SELECT g.doc_id,
-       |    string_agg(substr(d.text, (g.gs + 1)::INT, (g.ge - g.gs)::INT), '' ORDER BY g.gs) AS clean_text
+       |    string_agg(substr(d.text, (g.gs + 1)::INT, greatest(0, g.ge - g.gs)::INT), '' ORDER BY g.gs) AS clean_text
        |  FROM gaps g JOIN documents d USING (doc_id) GROUP BY g.doc_id),
        |n AS (SELECT doc_id, COUNT(*)::BIGINT AS n_cut FROM spans GROUP BY doc_id)
        |SELECT d.doc_id, COALESCE(n.n_cut, 0)::BIGINT AS n_cut,
@@ -464,29 +491,65 @@ object TextAnalysis {
     * extra doc-keyed aggregation over the span table; the corpus is
     * still scanned once.
     *
-    * Non-ASCII caveat: span extents are BYTE offsets (RollingHash
-    * windows) while the surgery indexes CHARACTERS — Spark `substring`
-    * and DuckDB `substr` share that interpretation, so the gate holds
-    * on any script, but on multi-byte text the cut lands at the
-    * char-position of the byte offset (up to a few chars early). A
-    * byte-exact cut needs binary-slice surgery on both engines; noted
-    * in PLANS r12 as a known-approximate posture, chosen over emitting
-    * invalid UTF-8 when a window boundary splits a character. */
+    * BYTE-EXACT on every script (VERDICT r12 #5, supersedes the r12
+    * char-position approximation): span extents are BYTE offsets
+    * (RollingHash windows), so each extent is first SNAPPED OUTWARD to
+    * a UTF-8 character boundary — start down to the beginning of the
+    * character containing it, end up past the character containing it
+    * (a partially-leaked character is excised whole: the conservative
+    * posture for decontamination, and the only one that never emits a
+    * split character). Snapped offsets ARE character boundaries, so
+    * their exact character positions come from decoding the byte
+    * prefix, and the surgery itself is plain character-domain segment
+    * concatenation — identical on both engines, byte-for-byte equal to
+    * a binary-slice cut at the snapped extents (Utf8OracleSpec runs
+    * the full gate on a mixed-script corpus with spans landing inside
+    * multi-byte characters). The snap reads at most 4 one-byte slices
+    * per extent and one prefix decode — per SPAN cost, not per corpus
+    * byte. */
   val qDecontamStrip: Q = Q("q_decontam_strip", decontamStripOracleSql()) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val l = 50
     val docs = T.documents(s, d)
     val spans = leakedSpans(docs, l).localCheckpoint(true) // gaps + lastgap + n_cut read it
-    val wDoc = Window.partitionBy("doc_id").orderBy("s")
-    val gaps = spans
-      .withColumn("gs", coalesce(lag(col("e"), 1).over(wDoc), lit(0L)))
-      .select(col("doc_id"), col("gs"), col("s").as("ge"))
-      .unionByName(spans.groupBy("doc_id").agg(max(col("e")).as("gs"))
+    // UTF-8 boundary snap over the doc's bytes: o is a 0-based BYTE
+    // offset; byte AT o is a continuation byte iff 0x80 <= b < 0xC0
+    // (binary comparison is unsigned; an out-of-range slice is empty
+    // and compares below 0x80)
+    def contAt(bin: Column, o: Column): Column =
+      o >= 1L &&
+        bin.substr((o + 1L).cast("int"), lit(1)) >= lit(Array(0x80.toByte)) &&
+        bin.substr((o + 1L).cast("int"), lit(1)) < lit(Array(0xC0.toByte))
+    def snapDown(bin: Column, o: Column): Column =
+      o - when(!contAt(bin, o), 0L).when(!contAt(bin, o - 1L), 1L)
+        .when(!contAt(bin, o - 2L), 2L).otherwise(3L)
+    def snapUp(bin: Column, o: Column): Column =
+      o + when(!contAt(bin, o), 0L).when(!contAt(bin, o + 1L), 1L)
+        .when(!contAt(bin, o + 2L), 2L).otherwise(3L)
+    // a snapped offset is a character boundary, so its character
+    // position is the decoded length of the byte prefix
+    def charOff(bin: Column, o: Column): Column =
+      length(decode(bin.substr(lit(1), o.cast("int")), "UTF-8")).cast("long")
+    val cspans = spans
+      .join(docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")), "doc_id")
+      .select(col("doc_id"),
+        charOff(col("bin"), snapDown(col("bin"), col("s"))).as("cs"),
+        charOff(col("bin"), snapUp(col("bin"), col("e"))).as("ce"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("cs")
+    val gaps = cspans
+      .withColumn("gs", coalesce(lag(col("ce"), 1).over(wDoc), lit(0L)))
+      .select(col("doc_id"), col("gs"), col("cs").as("ge"))
+      .unionByName(cspans.groupBy("doc_id").agg(max(col("ce")).as("gs"))
         .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("ge")), "doc_id")
         .select("doc_id", "gs", "ge"))
+    // greatest(0, …): outward snapping can push an island's snapped end
+    // to — or past — the next island's snapped start (both extents
+    // inside one character); the gap between them clamps to empty,
+    // i.e. the islands merge, and the complement is still exactly the
+    // union of the snapped spans
     val cleaned = gaps.join(docs.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), col("gs"),
-        expr("substring(text, cast(gs + 1 as int), cast(ge - gs as int))").as("seg"))
+        expr("substring(text, cast(gs + 1 as int), cast(greatest(0L, ge - gs) as int))").as("seg"))
       .groupBy("doc_id")
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("gs"), col("seg")))),

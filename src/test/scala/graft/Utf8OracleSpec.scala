@@ -130,7 +130,9 @@ class Utf8OracleSpec extends SparkSpec {
       "日本語のテキストを処理するための分散クエリエンジンのテストです。",
       "Продолжение теста на кириллице с длинным текстом. ",
       "Mixed 🚀 emoji and Ωmega symbols in the corpus. ",
-      "plain ascii filler, it's 3.14 — don't split wrong.  ")
+      // the \u000B vertical tab pins preTokPattern's explicit whitespace
+      // class: Java \s includes VT, RE2's does not (ADVICE r12)
+      "plain ascii filler,\u000Bit's 3.14 — don't split wrong.  ")
     val docs = (0 until 40).map { i =>
       val base = scripts(i % scripts.size) * 3
       val text = if (i % 4 == 0) base + shared + scripts((i + 1) % scripts.size)
@@ -141,7 +143,19 @@ class Utf8OracleSpec extends SparkSpec {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     Seq("q_fingerprint_winnow", "q_dedup_substr", "q_span_decontam", "q_dedup_minhash",
-        "q_bpe_bytes", "q_bpe_pretok")
+        "q_bpe_bytes", "q_bpe_pretok", "q_decontam_strip")
       .foreach(gateCompare(_, dir))
+    // byte-exact excision (VERDICT r12 #5): the planted shared span —
+    // which lands mid-multi-byte-character in several docs — must be
+    // GONE from every cut doc, with no split-character residue (the
+    // result is a JVM String, so validity is structural; completeness
+    // is the check)
+    val cut = SparkEntry.queries("q_decontam_strip")(spark, dir)
+      .filter(col("n_cut") > 0).collect()
+    assert(cut.nonEmpty, "the planted cross-set span must be found")
+    cut.foreach { r =>
+      assert(!r.getString(2).contains(shared.trim),
+        s"doc ${r.getLong(0)}: leaked span survived the byte-exact strip")
+    }
   }
 }
