@@ -65,17 +65,26 @@ object Production {
     // oracle computes the all-pairs SQL); the r12 sf1 rehearsal measured
     // them at ~86-107× for 10× rows. These twins are the candidate-join
     // plans a 100 TB run actually ships: LSH band buckets + exact verify
-    // (precision 1, recall = the S-curve), no all-pairs stage anywhere.
+    // (precision 1), no all-pairs stage anywhere — and since r13 the
+    // banding is CHOSEN for the twin's operating threshold by
+    // recallTargetedLsh (VERDICT r12 #3), with predicted recall ≥ 0.8 or
+    // a loud error. The operating threshold is cos ≥ 0.8, the point real
+    // near-dup corpora sit at (the r12 verdict's own observation): the
+    // gate's tau=0.38 exists to give the n² certificate forms a non-empty
+    // answer on the ISOTROPIC bench corpus, and the S-curve math says no
+    // banding reaches recall 0.8 there sub-quadratically — a production
+    // caller who wants 0.38-on-isotropic gets the loud error, and a
+    // ProductionFormsSpec leg pins exactly that.
     "q_knn_graph" -> ((s, d) => {
       val emb = sources.Tables.embeddings(s, d)
       ops.Similarity.knnGraphFromCandidates(emb, "vec_id", "embedding", 4,
-        ops.Similarity.lshCandidatePairs(emb, "vec_id", "embedding"))
+        ops.Similarity.lshCandidatePairsAt(emb, "vec_id", "embedding", tau = 0.8))
         .orderBy("node", "rnk")
     }),
     "q_dedup_embed" -> ((s, d) => {
       val emb = sources.Tables.embeddings(s, d)
       ops.Similarity.cosinePairsVerified(emb, "vec_id", "embedding",
-          ops.Similarity.lshCandidatePairs(emb, "vec_id", "embedding"), 0.38)
+          ops.Similarity.lshCandidatePairsAt(emb, "vec_id", "embedding", tau = 0.8), 0.8)
         .orderBy("id_a", "id_b")
     }),
     "q_graph_search" -> ((s, d) => {
@@ -95,7 +104,7 @@ object Production {
     "q_dedup_fuse" -> ((s, d) =>
       ops.Dedup.fusedSurvivors(s, d, emb =>
         ops.Similarity.cosinePairsVerified(emb, "vec_id", "embedding",
-          ops.Similarity.lshCandidatePairs(emb, "vec_id", "embedding"), 0.38))),
+          ops.Similarity.lshCandidatePairsAt(emb, "vec_id", "embedding", tau = 0.8), 0.8))),
     "q_sketch_quantile" -> ((s, d) => ops.Sketches.sketchQuantileProd(s, d)),
     "q_sketch_setops" -> ((s, d) => ops.Sketches.sketchSetopsProd(s, d)),
     "q_sketch_cms" -> ((s, d) => ops.Sketches.sketchCmsProd(s, d)),

@@ -510,5 +510,201 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // AUDIO: real WAV/PCM codec + spectral-fingerprint near-dup
+  // ---------------------------------------------------------------------
+
+  /** REAL audio decode path (VERDICT r12 #7, the [[ImageCodec]] precedent
+    * applied to sound): WAV/PCM via the JDK's own javax.sound.sampled —
+    * zero external deps, works headless — behind the same mapPartitions
+    * interface as the stub pipeline. Corrupt payloads flag as None, never
+    * kill the task: unrecognized bytes (UnsupportedAudioFileException), a
+    * recognized-but-truncated body (IOException mid-read), and malformed
+    * headers that make the WAV reader throw runtime exceptions are all
+    * NonFatal-absorbed, matching the image codec's quarantine contract. */
+  object AudioCodec {
+
+    /** (sampleRate, channels, mono samples in [-1, 1]) of a decodable
+      * clip. Multi-channel input is downmixed by per-frame mean; sample
+      * width is normalized to signed 16-bit little-endian by the JDK's
+      * own converter (so 8-bit/big-endian/unsigned variants decode to
+      * the same number line). */
+    def decode(bytes: Array[Byte]): Option[(Float, Int, Array[Double])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+            fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          val raw = pcm.readAllBytes()
+          val ch = fmt.getChannels
+          val n = raw.length / 2 / ch
+          val mono = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              acc += (((raw(off + 1) << 8) | (raw(off) & 0xff)).toShort) / 32768.0
+              c += 1
+            }
+            mono(i) = acc / ch
+            i += 1
+          }
+          Some((fmt.getSampleRate, ch, mono))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Encode mono samples as 16-bit signed PCM WAV. */
+    def encodeWav(samples: Array[Double], sampleRate: Float): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val v = math.round(math.max(-1.0, math.min(1.0, samples(i))) * 32767).toShort
+        raw(2 * i) = (v & 0xff).toByte
+        raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Encode mono samples as 8-bit UNSIGNED PCM WAV — the lossy
+      * re-encode twin for the near-dup specs (adds ~48 dB quantization
+      * noise, the way a low-bitrate transcode perturbs a clip). */
+    def encodeWav8(samples: Array[Double], sampleRate: Float): Array[Byte] = {
+      val raw = new Array[Byte](samples.length)
+      var i = 0
+      while (i < samples.length) {
+        raw(i) = (math.round(math.max(-1.0, math.min(1.0, samples(i))) * 127) + 128).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  /** How many of the 64 spectral bands must straddle their mean for a
+    * clip to count as non-degenerate (silence / DC hum concentrates
+    * energy so the above-mean mask goes near-empty or near-full). */
+  private val FlatSpectrumBits = 4
+
+  /** 64-bit SPECTRAL fingerprint of a mono clip — aHash's shape in the
+    * frequency domain: Goertzel band energies at 64 log-spaced
+    * frequencies (100 Hz … 0.45·rate), bit i set iff band i's energy
+    * exceeds the 64-band mean. A uniform GAIN scales every band energy
+    * by the same factor, so the above-mean mask — and the fingerprint —
+    * is exactly volume-invariant; a lossy re-encode perturbs band
+    * energies slightly, moving only bits whose energy sat near the mean
+    * (small hamming distance); different material has a different
+    * spectral shape entirely. O(64·n) per clip, no FFT dependency. */
+  def audioFingerprint(samples: Array[Double], sampleRate: Float): (Long, Boolean) = {
+    val n = samples.length
+    if (n == 0) return (0L, true)
+    val fMin = 100.0
+    val fMax = 0.45 * sampleRate
+    val e = new Array[Double](64)
+    var b = 0
+    while (b < 64) {
+      val f = fMin * math.pow(fMax / fMin, b / 63.0)
+      val w = 2.0 * math.Pi * f / sampleRate
+      val coeff = 2.0 * math.cos(w)
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < n) {
+        s0 = samples(i) + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        i += 1
+      }
+      e(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+      b += 1
+    }
+    val mean = e.sum / 64
+    var fp = 0L
+    var above = 0
+    var i = 0
+    while (i < 64) {
+      if (e(i) > mean) { fp |= (1L << i); above += 1 }
+      i += 1
+    }
+    (fp, above < FlatSpectrumBits || above > 64 - FlatSpectrumBits)
+  }
+
+  /** Binary column → per-clip spectral signature: (doc_id, afp, flat,
+    * n_samples, decoded). mapPartitions like [[imageSignatures]];
+    * corrupt payloads come back flagged, never dropped. */
+  def audioSignatures(binDf: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = false),
+      StructField("flat", BooleanType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    binDf.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          AudioCodec.decode(r.getAs[Array[Byte]](1)) match {
+            case Some((rate, _, mono)) =>
+              val (fp, flat) = audioFingerprint(mono, rate)
+              Row(r.getLong(0), fp, flat, mono.length.toLong, true)
+            case None => Row(r.getLong(0), 0L, false, 0L, false)
+          }
+        }
+      }(enc)
+  }
+
+  /** AUDIO near-dup pairs at hamming <= maxDist over the spectral
+    * fingerprint — the sound-domain leg of the dedup family on the text
+    * family's exact machinery: 4×16-bit band buckets as candidate keys
+    * (pigeonhole-lossless for maxDist ≤ 3), codegen bit_count(xor)
+    * verify, the only shuffle the band equi-join. Volume-shifted and
+    * re-encoded copies pair (the fingerprint is gain-invariant and
+    * quantization noise moves few bits); different clips don't. Flat
+    * guard: silence and near-silence degenerate to all-zero/all-one
+    * masks under ANY gain, so a flat-flat candidate pair must also agree
+    * on duration before it counts. */
+  def audioNearDupPairs(binDf: DataFrame, idCol: String, binCol: String,
+                        maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding is only lossless for hamming <= 3")
+    val sig = audioSignatures(binDf, idCol, binCol)
+      .filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("afp"), col("flat"), col("n_samples"))
+    val banded = sig.select(col("id"), col("afp"), col("flat"), col("n_samples"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("afp"), 16 * j).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x"))
+      .select(col("id"), col("afp"), col("flat"), col("n_samples"),
+        col("x.band").as("band"), col("x.bval").as("bval"))
+    val a = banded.select(col("band"), col("bval"), col("id").as("id_a"),
+      col("afp").as("fa"), col("flat").as("xa"), col("n_samples").as("na"))
+    val b = banded.select(col("band"), col("bval"), col("id").as("id_b"),
+      col("afp").as("fb"), col("flat").as("xb"), col("n_samples").as("nb"))
+    a.join(b, Seq("band", "bval")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"),
+        (col("xa") && col("xb")).as("both_flat"),
+        (col("na") === col("nb")).as("same_len"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .filter(!col("both_flat") || col("same_len"))
+      .select("id_a", "id_b", "hamming")
+  }
+
   val all: Seq[Q] = Seq(qMultimodalFeatures, qFrameSample, qModalityBatch)
 }

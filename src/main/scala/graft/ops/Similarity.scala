@@ -205,6 +205,64 @@ object Similarity {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Predicted CANDIDATE RECALL of the sign-hyperplane banding at cosine
+    * `tau` (Charikar 2002; the curve q_dedup_calibration tabulates
+    * empirically): per-bit agreement p = 1 − acos(tau)/π, a band of
+    * `bits` bits matches with p^bits, any of `bands` bands with
+    * 1 − (1 − p^bits)^bands. */
+  def lshPredictedRecall(tau: Double, bands: Int, bits: Int): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits), bands)
+  }
+
+  /** RECALL-TARGETED banding (VERDICT r12 #3 — nothing stopped a caller
+    * from shipping the LSH twin at a threshold where its recall is ≈0.09):
+    * choose (bands, bitsPerBand) from the S-curve so predicted candidate
+    * recall at the caller's operating threshold `tau` is ≥ `minRecall`,
+    * taking the MOST selective bits-per-band whose required band count
+    * fits `maxBands` — more bits per band = exponentially smaller buckets
+    * = fewer candidate pairs; bands are what recall costs at that
+    * selectivity. A volume guard rejects choices whose RANDOM-pair
+    * collision rate bands·2^−bits exceeds `maxCandidateFrac` — a banding
+    * that "reaches" recall by colliding everything with everything is the
+    * all-pairs scan wearing a costume. When no banding under both caps
+    * reaches the floor, fail LOUD with the curve's math (the maxFusedRows
+    * posture applied to recall): a low threshold on an isotropic corpus
+    * is intrinsically un-bandable, and the caller should see that, not a
+    * silent 9%-recall pair list. Returns (bands, bitsPerBand). */
+  def recallTargetedLsh(tau: Double, minRecall: Double = 0.8,
+                        maxBands: Int = 32, maxBits: Int = 16,
+                        maxCandidateFrac: Double = 0.05): (Int, Int) = {
+    require(minRecall > 0 && minRecall < 1, s"minRecall=$minRecall out of (0,1)")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    val fit = (maxBits to 1 by -1).iterator.map { r =>
+      val pr = math.pow(p, r)
+      val b = math.ceil(math.log1p(-minRecall) / math.log1p(-pr))
+      (b, r)
+    }.collectFirst {
+      case (b, r) if b >= 1 && b <= maxBands &&
+        b * math.pow(2.0, -r) <= maxCandidateFrac => (b.toInt, r)
+    }
+    fit.getOrElse(throw new IllegalArgumentException(
+      f"recallTargetedLsh: no (bands<=$maxBands%d, bits<=$maxBits%d) reaches recall>=" +
+        f"$minRecall%.2f at tau=$tau%.2f within random-collision budget $maxCandidateFrac%.3f " +
+        f"— the hyperplane S-curve 1-(1-p^bits)^bands with p=1-acos(tau)/pi=$p%.4f needs " +
+        f"${math.ceil(math.log1p(-minRecall) / math.log1p(-math.pow(p, maxBits)))}%.0f bands at " +
+        f"$maxBits%d bits; banding cannot reach this threshold sub-quadratically — raise tau " +
+        "(real near-dup corpora operate at cos>=0.8), lower minRecall, or run the exact " +
+        "certificate form (q_dedup_embed) at this scale"))
+  }
+
+  /** [[lshCandidatePairs]] with banding CHOSEN for the caller's operating
+    * threshold by [[recallTargetedLsh]] — the shipped production entry:
+    * predicted recall ≥ `minRecall` at `tau` or a loud error. */
+  def lshCandidatePairsAt(emb: DataFrame, idCol: String, vecCol: String,
+                          tau: Double, minRecall: Double = 0.8,
+                          maxBands: Int = 32, dim: Int = 64): DataFrame = {
+    val (bands, bits) = recallTargetedLsh(tau, minRecall, maxBands)
+    lshCandidatePairs(emb, idCol, vecCol, bands, bits, dim)
+  }
+
   /** Composed candidates + exact-verify cosine pairs: the PARAMETERIZED
     * pair source for the embedding near-dup family. Joins the vectors to
     * a caller-supplied (id_a, id_b) candidate list (two id-keyed hash

@@ -66,23 +66,61 @@ class ProductionFormsSpec extends SparkSpec {
   test("production dedup_embed: exact-verified subset of the certified pair set") {
     val cert = rows(ops.Dedup.qDedupEmbed.fn(spark, TinyDir)).toSet
     val prod = rows(Production.forms("q_dedup_embed")(spark, TinyDir))
-    // precision 1: every twin pair (with its cosine) is in the exact set
+    // the twin operates at cos >= 0.8 (recall-targeted banding, VERDICT
+    // r12 #3) while the certificate gate runs tau=0.38 so the n² oracle
+    // has a non-empty answer on the isotropic corpus — so precision 1
+    // means: every twin pair is in the exact set AND at the twin's
+    // threshold
     assert(prod.toSet.subsetOf(cert),
       s"twin emitted a pair the exact scan does not have: ${(prod.toSet -- cert).take(3)}")
-    // recall IS the 4×8 hyperplane S-curve — this bench corpus is
-    // isotropic with tau=0.38, deep in the curve's low tail (real
-    // near-dup corpora sit at cos ≥ 0.8 where the same banding is
-    // ≈ 1.0, the q_dedup_calibration table). Pin recall to the curve's
-    // per-pair prediction, not an arbitrary floor: a banding regression
-    // moves it off the math, loudly.
-    val predicted = cert.toSeq.map { r =>
-      val c = r(2).asInstanceOf[Double]
-      val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
-      1.0 - math.pow(1.0 - math.pow(pBit, 8), 4)
-    }.sum / cert.size
-    val recall = prod.size.toDouble / cert.size
-    assert(math.abs(recall - predicted) <= 0.1,
-      s"LSH twin recall $recall vs S-curve prediction $predicted (${prod.size}/${cert.size})")
+    assert(prod.forall(_(2).asInstanceOf[Double] >= 0.8))
+    // recall at the OPERATING threshold is pinned on the planted
+    // near-dup corpus below ("achievable" recall); here pin the honest
+    // relation on the isotropic corpus: the exact pairs at cos >= 0.8
+    // (usually none — isotropic vectors don't near-dup) are captured at
+    // the chosen banding's predicted rate or the set is empty on both
+    // sides
+    val certHigh = cert.filter(_(2).asInstanceOf[Double] >= 0.8)
+    if (certHigh.isEmpty) assert(prod.isEmpty)
+    else assert(prod.size.toDouble / certHigh.size >= 0.5)
+  }
+
+  test("recall-targeted banding: planted near-dup corpus reaches recall >= 0.8 at tau = 0.8") {
+    import spark.implicits._
+    // 40 base directions, 3 jittered copies each: within-cluster pairs
+    // sit at cos >= ~0.95 (true near-dups), cross-cluster pairs are
+    // near-orthogonal — the corpus shape real dedup operates on
+    val rnd = new scala.util.Random(7)
+    val bases = Array.fill(40)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (for (c <- 0 until 40; j <- 0 until 3) yield {
+      val v = bases(c).map(_ + 0.08 * rnd.nextGaussian())
+      ((c * 3 + j).toLong, v.toSeq)
+    }).toDF("vec_id", "embedding")
+    val exact = ops.Similarity.cosinePairsVerified(vecs, "vec_id", "embedding",
+        vecs.select(col("vec_id").as("id_a")).crossJoin(
+          vecs.select(col("vec_id").as("id_b"))).filter(col("id_a") < col("id_b")),
+        0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 40, s"plant must contain true near-dups, got ${exact.size}")
+    val got = ops.Similarity.cosinePairsVerified(vecs, "vec_id", "embedding",
+        ops.Similarity.lshCandidatePairsAt(vecs, "vec_id", "embedding", tau = 0.8),
+        0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"recall-targeted banding must capture >= 0.8 of true near-dups, got $recall")
+  }
+
+  test("a threshold the S-curve cannot band sub-quadratically fails loud, naming the curve") {
+    val e = intercept[IllegalArgumentException] {
+      ops.Similarity.recallTargetedLsh(0.38)
+    }
+    assert(e.getMessage.contains("S-curve") && e.getMessage.contains("tau=0.38"),
+      s"the error must carry the curve's math: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      ops.Similarity.lshCandidatePairsAt(
+        T.embeddings(spark, TinyDir), "vec_id", "embedding", tau = 0.38)
+    }
+    assert(e2.getMessage.contains("S-curve"))
   }
 
   test("production knn_graph: exact cosines on candidate edges, bounded degree, recall floor") {
@@ -95,17 +133,19 @@ class ProductionFormsSpec extends SparkSpec {
         s"node $n ranks not contiguous")
     }
     // every twin edge's cosine is the TRUE cosine (exact verify), and
-    // edge recall vs the certified graph tracks the 4×8 S-curve
-    // per-edge capture probability (see the dedup_embed twin's pin)
+    // edge recall vs the certified graph tracks the CHOSEN banding's
+    // S-curve per-edge capture probability — the banding is now picked
+    // by recallTargetedLsh at the twin's tau=0.8 operating point
+    // (VERDICT r12 #3), so the prediction reads the same chooser
+    val (bands, bits) = ops.Similarity.recallTargetedLsh(0.8)
     val prodEdges = prod.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val hit = certEdges.count(prodEdges.contains)
     val predicted = certEdges.toSeq.map { case (_, _, c) =>
-      val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
-      1.0 - math.pow(1.0 - math.pow(pBit, 8), 4)
+      ops.Similarity.lshPredictedRecall(c, bands, bits)
     }.sum / certEdges.size
     val recall = hit.toDouble / certEdges.size
     assert(math.abs(recall - predicted) <= 0.1,
-      s"knn twin recall $recall vs S-curve prediction $predicted ($hit/${certEdges.size})")
+      s"knn twin recall $recall vs S-curve prediction $predicted ($hit/${certEdges.size}, bands=$bands bits=$bits)")
   }
 
   test("production graph_search: serving against the frozen bundle equals the gate query") {
