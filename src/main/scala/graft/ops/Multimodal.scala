@@ -706,5 +706,188 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ---------------------------------------------------------------------
+  // VIDEO: real MJPEG-in-AVI container codec + frame-aligned near-dup
+  // ---------------------------------------------------------------------
+
+  /** REAL video container path: MJPEG-in-AVI via a plain RIFF chunk walk
+    * (the AVI container is a RIFF tree; MJPEG stores each frame as an
+    * independent JPEG in a `00dc` chunk of the `movi` list) — zero
+    * external deps, frames decode through the same JDK ImageIO the image
+    * leg uses. This is a real container format, not a byte-slicing stub:
+    * ffmpeg-written MJPEG AVIs parse with the same walk. Malformed
+    * payloads (not RIFF/AVI, truncated chunk bodies, chunk sizes past
+    * EOF) come back None — the image/audio quarantine contract. */
+  object VideoCodec {
+
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** The JPEG payload of every video frame (`..dc`/`..db` chunks of the
+      * `movi` list, in file order). None if the payload is not a
+      * well-formed AVI. */
+    def decodeFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+      try {
+        if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+            fourcc(bytes, 8) != "AVI ") return None
+        val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        // walk LIST chunks; recurse into 'movi'
+        def walk(from: Int, to: Int): Unit = {
+          var p = from
+          while (p + 8 <= to) {
+            val id = fourcc(bytes, p)
+            val sz = le32(bytes, p + 4)
+            if (sz < 0 || p + 8 + sz > to) throw new java.io.IOException("chunk past end")
+            if (id == "LIST") {
+              val listType = fourcc(bytes, p + 8)
+              if (listType == "movi") walk(p + 12, p + 8 + sz)
+            } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
+              frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
+            }
+            p += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+        }
+        walk(12, math.min(bytes.length, 8 + le32(bytes, 4)))
+        if (frames.isEmpty) None else Some(frames.toSeq)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Encode frames as an MJPEG AVI (each frame JPEG'd at `quality`) —
+      * the test-side twin of [[decodeFrames]] and the "re-encode"
+      * perturbation for the near-dup specs. Header carries real
+      * dimensions/counts; the payload is the `movi` list of `00dc`
+      * JPEG chunks. */
+    def encodeAviMjpeg(frames: Seq[java.awt.image.BufferedImage],
+                       fps: Int = 10, quality: Float = 0.9f): Array[Byte] = {
+      def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+        val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val p = w.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        try { w.setOutput(ios); w.write(null, new javax.imageio.IIOImage(img, null, null), p) }
+        finally { ios.close(); w.dispose() }
+        out.toByteArray
+      }
+      val payloads = frames.map(jpeg)
+      val bb = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+        bb.write((v >> 16) & 0xff); bb.write((v >> 24) & 0xff) }
+      def tag(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+      val (fw, fh) = (frames.head.getWidth, frames.head.getHeight)
+      // avih: 14 dwords of header (micro-sec/frame, ..., frame count, dims)
+      val avih = { val a = new Array[Int](14)
+        a(0) = 1000000 / fps; a(3) = 0x10; a(4) = payloads.size
+        a(6) = 1; a(8) = fw; a(9) = fh; a }
+      val moviBody = payloads.map(p => 8 + p.length + (p.length & 1)).sum + 4
+      val hdrlBody = 4 + 8 + avih.length * 4 // 'hdrl' + avih chunk
+      val riffBody = 4 + 8 + hdrlBody + 8 + moviBody
+      tag("RIFF"); w32(riffBody); tag("AVI ")
+      tag("LIST"); w32(hdrlBody); tag("hdrl")
+      tag("avih"); w32(avih.length * 4); avih.foreach(w32)
+      tag("LIST"); w32(moviBody); tag("movi")
+      payloads.foreach { p =>
+        tag("00dc"); w32(p.length); bb.write(p)
+        if ((p.length & 1) == 1) bb.write(0)
+      }
+      bb.toByteArray
+    }
+  }
+
+  /** Binary column → per-SAMPLED-FRAME perceptual signature: (doc_id,
+    * frame_idx, ahash, flat, n_frames, decoded) — real container parse
+    * ([[VideoCodec.decodeFrames]]), real pixel decode (ImageIO), every
+    * `stride`-th frame hashed with the image leg's 8×8 aHash. A
+    * malformed payload emits ONE flagged row (frame_idx −1, decoded
+    * false) so quarantined counts stay queryable. One-to-many
+    * mapPartitions keeps the expansion pipelined, the [[sampleFrames]]
+    * posture with a real codec. */
+  def videoFrameSignatures(binDf: DataFrame, idCol: String, binCol: String,
+                           stride: Int = 1): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false),
+      StructField("flat", BooleanType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    binDf.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          VideoCodec.decodeFrames(r.getAs[Array[Byte]](1)) match {
+            case None => Iterator.single(Row(id, -1L, 0L, false, 0L, false))
+            case Some(frames) =>
+              val n = frames.size.toLong
+              (0 until frames.size by stride).iterator.map { f =>
+                val img =
+                  try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(f)))
+                  catch { case scala.util.control.NonFatal(_) => null }
+                if (img == null) Row(id, f.toLong, 0L, false, n, false)
+                else {
+                  val luma = lumaGrid(img, 8, 8)
+                  val mean = luma.sum / 64
+                  var ah = 0L; var i = 0
+                  while (i < 64) { if (luma(i) > mean) ah |= (1L << i); i += 1 }
+                  Row(id, f.toLong, ah, (luma.max - luma.min) < FlatLumaRange, n, true)
+                }
+              }
+          }
+        }
+      }(enc)
+  }
+
+  /** VIDEO near-dup pairs: candidates from a FRAME-ALIGNED band join —
+    * the key is (frame_idx, 16-bit aHash band), so temporal structure is
+    * part of the match and the per-frame banding stays pigeonhole-
+    * lossless at hamming ≤ 3 — then per-pair verify: the fraction of
+    * aligned sampled frames within `maxDist` must reach `minFrameFrac`
+    * (re-encodes perturb a few frames a few bits; different material
+    * misses almost every frame). Flat frames (solid color — every title
+    * card hashes alike) are excluded from BOTH the candidate key and the
+    * match/alignment counts, so two different clips sharing black lead-in
+    * frames don't pair on the lead-in. The only shuffle is the band
+    * equi-join; nothing is ever video×video. */
+  def videoNearDupPairs(binDf: DataFrame, idCol: String, binCol: String,
+                        stride: Int = 1, maxDist: Int = 3,
+                        minFrameFrac: Double = 0.8): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding is only lossless for hamming <= 3")
+    val sig = videoFrameSignatures(binDf, idCol, binCol, stride)
+      .filter(col("decoded") && !col("flat"))
+      .select(col("doc_id").as("id"), col("frame_idx"), col("ahash"))
+      .localCheckpoint(true) // feeds banding, per-video counts, and verify
+    val perVideo = sig.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    val banded = sig.select(col("id"), col("frame_idx"), col("ahash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("ahash"), 16 * j).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x"))
+      .select(col("id"), col("frame_idx"), col("ahash"),
+        col("x.band").as("band"), col("x.bval").as("bval"))
+    val a = banded.select(col("frame_idx"), col("band"), col("bval"),
+      col("id").as("id_a"), col("ahash").as("ha"))
+    val b = banded.select(col("frame_idx"), col("band"), col("bval"),
+      col("id").as("id_b"), col("ahash").as("hb"))
+    val frameMatches = a.join(b, Seq("frame_idx", "band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxDist)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_match"), max(col("hd")).as("max_hamming"))
+    frameMatches
+      .join(perVideo.select(col("id").as("id_a"), col("nf").as("na")), "id_a")
+      .join(perVideo.select(col("id").as("id_b"), col("nf").as("nb")), "id_b")
+      .withColumn("frame_frac",
+        col("n_match").cast("double") / greatest(col("na"), col("nb")))
+      .filter(col("frame_frac") >= minFrameFrac)
+      .select("id_a", "id_b", "n_match", "frame_frac", "max_hamming")
+  }
+
   val all: Seq[Q] = Seq(qMultimodalFeatures, qFrameSample, qModalityBatch)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.VideoCodec
+import org.apache.spark.sql.functions._
+
+/** Real video container leg: MJPEG-in-AVI RIFF parse, per-frame ImageIO
+  * decode + aHash, frame-aligned near-dup. Planted contract (the audio
+  * leg's, applied to video): re-encoded copies pair, different clips
+  * don't, corrupt payloads quarantined, shared flat lead-ins don't pair
+  * two different clips. */
+class VideoDedupSpec extends SparkSpec {
+
+  /** A deterministic 8-frame 32×32 clip: a bright block orbits with
+    * phase `phase`; `shade` shifts global brightness (re-encode + small
+    * pixel perturbations are what JPEG quality changes inject). */
+  private def clip(phase: Int, leadIn: Int = 0): Seq[java.awt.image.BufferedImage] = {
+    val black = {
+      val i = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      i
+    }
+    val moving = (0 until 8).map { f =>
+      val img = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        g.setColor(java.awt.Color.DARK_GRAY)
+        g.fillRect(0, 0, 32, 32)
+        g.setColor(java.awt.Color.WHITE)
+        val pos = (f + phase) % 8
+        g.fillRect((pos % 4) * 8, (pos / 4) * 16, 8, 16)
+      } finally g.dispose()
+      img
+    }
+    Seq.fill(leadIn)(black) ++ moving
+  }
+
+  test("decodeFrames: container roundtrip recovers every frame as a decodable JPEG") {
+    val avi = VideoCodec.encodeAviMjpeg(clip(0), quality = 0.9f)
+    val Some(frames) = VideoCodec.decodeFrames(avi)
+    assert(frames.size == 8)
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 32)
+    }
+    assert(VideoCodec.decodeFrames(Array.tabulate[Byte](300)(i => (i * 31).toByte)).isEmpty)
+    // truncated container: RIFF header intact, chunk body cut — quarantined
+    assert(VideoCodec.decodeFrames(avi.take(avi.length / 2)).isEmpty ||
+      VideoCodec.decodeFrames(avi.take(avi.length / 2)).exists(_.nonEmpty == false))
+  }
+
+  test("planted near-dups: a JPEG re-encode pairs, different material does not, corrupt quarantined") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, VideoCodec.encodeAviMjpeg(clip(0), quality = 0.92f)),  // original
+      (1L, VideoCodec.encodeAviMjpeg(clip(0), quality = 0.5f)),   // lossy re-encode
+      (2L, VideoCodec.encodeAviMjpeg(clip(3), quality = 0.92f)),  // different material
+      (3L, Array.tabulate[Byte](400)(i => (i * 61).toByte)))      // corrupt
+    val df = rows.toDF("doc_id", "payload")
+    val sigs = Multimodal.videoFrameSignatures(df, "doc_id", "payload").collect()
+    val byDoc = sigs.groupBy(_.getLong(0))
+    assert(byDoc(3L).forall(r => !r.getBoolean(5) && r.getLong(1) == -1L),
+      "corrupt payload must emit one flagged row")
+    assert(byDoc(0L).count(_.getBoolean(5)) == 8, "all 8 frames decode")
+
+    val pairs = Multimodal.videoNearDupPairs(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"JPEG re-encode must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"different material must not pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("flat lead-in frames cannot pair two different clips") {
+    import spark.implicits._
+    // both clips open with 6 black frames; the moving content differs
+    val df = Seq(
+      (0L, VideoCodec.encodeAviMjpeg(clip(0, leadIn = 6))),
+      (1L, VideoCodec.encodeAviMjpeg(clip(3, leadIn = 6)))).toDF("doc_id", "payload")
+    val pairs = Multimodal.videoNearDupPairs(df, "doc_id", "payload").collect()
+    assert(pairs.isEmpty,
+      s"shared black lead-in must not pair different clips: ${pairs.mkString(",")}")
+  }
+}
