@@ -115,6 +115,74 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = newLeft, right = newRight)
 }
 
+/** hyperplane_bands(v) = all `bands` LSH band signatures of vector `v` in
+  * ONE pass — sign-of-dot against `bands`·`bits` hyperplanes, bit i of
+  * band b set iff v·plane(b·bits+i) > 0 (bit-identical to assembling the
+  * same planes with per-plane dot_product + shiftleft, which is what it
+  * replaces: at bands·bits = 403 the per-plane form is 403 expression
+  * trees each embedding a 64-double literal — a plan-size/codegen cliff
+  * that cost the recall-targeted production twins ~5s/query at sf0.1
+  * BEFORE any data moved). Planes ride as one reference object (a flat
+  * double[]), the generated code is two tight primitive loops, and
+  * generated-code size is constant in bands·bits. */
+case class HyperplaneBands(child: Expression, planes: Array[Double],
+                           bands: Int, bits: Int, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes.length == bands * bits * dim,
+    s"hyperplane_bands: ${planes.length} plane coords != $bands*$bits*$dim")
+  override def prettyName: String = "hyperplane_bands"
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val sigs = new Array[Long](bands)
+    var p = 0
+    while (p < bands * bits) {
+      var dot = 0.0
+      val base = p * dim
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * planes(base + i); i += 1 }
+      if (dot > 0) sigs(p / bits) |= 1L << (p % bits)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pl = ctx.addReferenceObj("planes", planes, "double[]")
+      val sigs = ctx.freshName("sigs")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |long[] $sigs = new long[$bands];
+         |for (int $p = 0; $p < ${bands * bits}; $p++) {
+         |  double $dot = 0.0;
+         |  int $base = $p * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $pl[$base + $i];
+         |  }
+         |  if ($dot > 0) $sigs[$p / $bits] |= 1L << ($p % $bits);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the vector expressions. */
 object VectorFunctions {
   private def c(e: Expression): Column = GraftShims.column(e)
@@ -122,4 +190,7 @@ object VectorFunctions {
 
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def cosineSim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  def hyperplaneBands(v: Column, planes: Array[Array[Double]],
+                      bands: Int, bits: Int, dim: Int): Column =
+    c(HyperplaneBands(e(v), planes.flatten, bands, bits, dim))
 }

@@ -187,18 +187,14 @@ object Similarity {
                         dim: Int = 64): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand, dim)
     val corpus = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    def bandSig(b: Int) =
-      (0 until bitsPerBand).map { i =>
-        val p = b * bitsPerBand + i
-        shiftleft(when(VectorFunctions.dotProduct(col("v"), typedlit(planes(p))) > 0,
-          1L).otherwise(0L), i)
-      }.reduce(_ + _)
-    val banded = corpus.select(col("id") +:
-        (0 until bands).map(b => bandSig(b).as(s"band$b")): _*)
-      .select(col("id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("x"))
-      .select(col("id"), col("x.band").as("band"), col("x.sig").as("sig"))
+    // ALL band signatures in one native expression pass
+    // ([[graft.functions.HyperplaneBands]]): per-plane expression trees
+    // are a plan-size cliff once recall-targeted banding pushes
+    // bands·bits into the hundreds — bit-identical output, constant
+    // generated-code size
+    val banded = corpus.select(col("id"),
+        posexplode(VectorFunctions.hyperplaneBands(
+          col("v"), planes, bands, bitsPerBand, dim)).as(Seq("band", "sig")))
     banded.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("sig"), col("id").as("id_b")), Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
