@@ -1215,35 +1215,69 @@ object Dedup {
     * bit votes (per-occurrence ±1 votes == count-weighted votes), 8×8-bit
     * band candidates, exact trigram-Jaccard verify at 0.9.
     *
-    * Fully oracled (r10, the q_dedup_minhash recipe): the output is the
-    * exact-verified pair graph + the edge-for-edge certificate flag
-    * against the exact SSJoin graph, and the oracle computes that exact
-    * graph in SQL — a banding miss surfaces as a hash mismatch, and
-    * MinhashCertificateSpec's simhash sibling red-teams the flag at a
-    * banding that MUST miss. Recall floor is structural: 8 bands find
-    * every pair with simhash hamming ≤ 7 (pigeonhole), and on this
-    * corpus family J ≥ 0.9 pairs measure hamming ≤ 7 (r10 measurement:
-    * max 7 at sf0.001, 5 at sf0.01; the J≈0.89/hamming-9 pair sits below
-    * the threshold). The hamming-cutoff library form stays at
-    * [[simhashHammingPairs]]. */
-  val qDedupSimhash: Q = Q(
-    "q_dedup_simhash",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-      |  sh AS (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
-      |         FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
-      |  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  COUNT(*) AS n_common,
-      |  round(CAST(COUNT(*) AS DOUBLE) /
-      |    CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) AS jaccard,
-      |  TRUE AS pairs_exact_verified
-      |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |JOIN sz sa ON sa.doc_id = a.doc_id
-      |JOIN sz sb ON sb.doc_id = b.doc_id
-      |GROUP BY a.doc_id, b.doc_id
-      |HAVING CAST(COUNT(*) AS DOUBLE) /
-      |    CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= 0.9
-      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    * Fully oracled — and since r13 the oracle replays the WHOLE simhash
+    * chain, not just the exact graph: per-token XXH64
+    * ([[OracleKit.xxhash64StrSteps]]), the 64 count-weighted bit votes,
+    * the packed signature, the 8×8-bit band candidates with the
+    * hamming ≤ 7 prefilter, the exact-Jaccard verify (= exact-graph ∩
+    * candidates), AND the certificate flag (verified count == exact
+    * count). The r10 oracle asserted the exact graph with a literal TRUE
+    * flag, which encoded the claim "8-band candidates are lossless for
+    * J ≥ 0.9 on this corpus family" — true at sf0.001/sf0.01 (max
+    * hamming 7/5), FALSE at sf0.1 (the r13 sweep measured J ≥ 0.9 pairs
+    * out to hamming 11: 10 of 249 pairs beyond the pigeonhole cutoff),
+    * where the gate then failed as a bare row diff. SimHash recall for a
+    * Jaccard threshold is empirical, not structural — exactly what the
+    * certificate flag exists to report — so the oracle now computes the
+    * same banding and the same honest flag at every SF, and the flag
+    * (false at sf0.1) is the signed confession instead of a gate break.
+    * MinhashCertificateSpec's simhash sibling still red-teams the flag
+    * at a banding that must miss. The hamming-cutoff library form stays
+    * at [[simhashHammingPairs]]. */
+  private def dedupSimhashOracleSql(bands: Int = 8, threshold: Double = 0.9): String = {
+    val bits = 64 / bands
+    val mh = bands - 1
+    val tx = OracleKit.nestedProjections(
+      "SELECT tok FROM dtok", OracleKit.xxhash64StrSteps("tok"), "tok, hu")
+    val votes = (0 until 64).map(i =>
+      s"SUM(CASE WHEN (x.hu >> $i) & 1 = 1 THEN c.cnt ELSE -c.cnt END) AS v$i").mkString(",\n    ")
+    val pack = (0 until 64).map(i =>
+      s"(CASE WHEN v$i > 0 THEN ${BigInt(1) << i}::UBIGINT ELSE 0::UBIGINT END)").mkString(" + ")
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |  sh AS MATERIALIZED (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
+       |         FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
+       |  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |  exact AS MATERIALIZED (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+       |      round(CAST(COUNT(*) AS DOUBLE) /
+       |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE), 6) AS jaccard
+       |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |    JOIN sz sa ON sa.doc_id = a.doc_id
+       |    JOIN sz sb ON sb.doc_id = b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id
+       |    HAVING CAST(COUNT(*) AS DOUBLE) /
+       |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= $threshold),
+       |  tc AS MATERIALIZED (SELECT doc_id, t.tok AS tok, COUNT(*)::BIGINT AS cnt
+       |    FROM toks, unnest(tok) AS t(tok) WHERE t.tok <> '' GROUP BY doc_id, t.tok),
+       |  dtok AS MATERIALIZED (SELECT DISTINCT tok FROM tc),
+       |  tx AS MATERIALIZED ($tx),
+       |  vts AS MATERIALIZED (SELECT c.doc_id,
+       |    $votes
+       |    FROM tc c JOIN tx x USING (tok) GROUP BY c.doc_id),
+       |  sim AS MATERIALIZED (SELECT doc_id, ($pack)::UBIGINT AS shu FROM vts),
+       |  bnd AS (SELECT doc_id, shu, band, (shu >> ($bits * band)::INT) & ${(1L << bits) - 1} AS bval
+       |    FROM (SELECT doc_id, shu, unnest(range(0, $bands))::INT AS band FROM sim)),
+       |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM bnd a JOIN bnd b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |    WHERE bit_count(xor(a.shu, b.shu)) <= $mh),
+       |  verified AS MATERIALIZED (SELECT e.* FROM exact e JOIN cand USING (id_a, id_b)),
+       |  flag AS (SELECT (SELECT COUNT(*) FROM verified) = (SELECT COUNT(*) FROM exact) AS ok)
+       |SELECT v.id_a, v.id_b, v.n_common, v.jaccard, flag.ok AS pairs_exact_verified
+       |FROM verified v, flag
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val qDedupSimhash: Q = Q("q_dedup_simhash", dedupSimhashOracleSql()) { (s, d) =>
     val g = simhashGraphOf(T.documents(s, d), "doc_id", "text",
       n = 3, bands = 8, threshold = 0.9, certify = true)
     g.verified.withColumn("pairs_exact_verified", lit(g.exactVerified))
@@ -1307,7 +1341,19 @@ object Dedup {
     val band = OracleKit.nestedProjections(
       s"SELECT doc_id, seed // $rows AS band, list(sv ORDER BY seed) AS bs FROM csig GROUP BY doc_id, seed // $rows",
       OracleKit.murmurIntArraySteps("bs", rows), "doc_id, band, bsu")
-    s"""WITH ctoks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    // the Spark side calibrates on boundedHashSample(docs, 2000) — the
+    // adaptive-modulus hash sample; the oracle replays THE SAME filter
+    // (xxhash64(doc_id) % max(1, n/2000) == 0). At sf ≤ 0.01 the modulus
+    // is 1 and the filter is the identity, which is why its omission was
+    // invisible until the r13 sf0.1 sweep (bare mean_abs_err diff).
+    val dHash = OracleKit.xxhash64Sql(
+      "SELECT doc_id FROM documents", "doc_id", "doc_id", None)
+    s"""WITH cm AS (SELECT greatest(1, (SELECT COUNT(*) FROM documents) // 2000) AS m),
+       |cdh AS MATERIALIZED ($dHash),
+       |sdocs AS MATERIALIZED (
+       |  SELECT d.* FROM documents d JOIN cdh h USING (doc_id), cm
+       |  WHERE ((h.hk % cm.m) + cm.m) % cm.m = 0),
+       |ctoks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tok FROM sdocs),
        |csh AS MATERIALIZED (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
        |  FROM ctoks, unnest(range(1, len(tok) - 1)) AS z(i)),
        |cgr AS MATERIALIZED (SELECT DISTINCT sh FROM csh),

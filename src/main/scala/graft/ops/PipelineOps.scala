@@ -49,10 +49,13 @@ object PipelineOps {
       |term AS (SELECT doc_id, round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6) AS lp
       |         FROM bg JOIN bc USING (cur, nxt) JOIN cc USING (cur)),
       |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-      |               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS s
+      |               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS s,
+      |               CAST(SUM(CAST(lp AS DECIMAL(18,6))) * -1000000 AS BIGINT) AS t6
       |        FROM term GROUP BY 1)
       |SELECT doc_id, n_bigrams,
-      |       round(-s / n_bigrams, 6) AS avg_nll,
+      |       CAST(CASE WHEN t6 >= 0 THEN (2 * t6 + n_bigrams) // (2 * n_bigrams)
+      |                 ELSE -((2 * (-t6) + n_bigrams) // (2 * n_bigrams)) END AS DOUBLE)
+      |         / 1000000.0 AS avg_nll,
       |       round(exp(-s / n_bigrams), 6) AS ppl
       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
     val pos = T.documents(s, d)
@@ -65,11 +68,19 @@ object PipelineOps {
     val cc = bc.groupBy("cur").agg(sum(col("c2")).cast("long").as("c1"))
     val term = bg.join(bc, Seq("cur", "nxt")).join(cc, Seq("cur"))
       .select(col("doc_id"), round(log(dbl(col("c2")) / dbl(col("c1"))), 6).as("lp"))
+    // avg_nll via scaled-integer HALF_UP division, NOT round(-s/n, 6):
+    // the decimal term sum is cross-engine exact, but a double divide
+    // whose quotient lands on a 6-dp rounding boundary resolves the tie
+    // differently in the two engines' round() (one row at sf0.1 did —
+    // the r13 sweep's 1e-6 avg_nll diff). Integer arithmetic has no tie.
     term.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        dbl(sum(col("lp").cast(DecimalType(18, 6)))).as("s"))
+        dbl(sum(col("lp").cast(DecimalType(18, 6)))).as("s"),
+        expr("CAST(SUM(CAST(lp AS DECIMAL(18,6))) * -1000000 AS BIGINT)").as("t6"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(-col("s") / col("n_bigrams"), 6).as("avg_nll"),
+        (expr("CAST(CASE WHEN t6 >= 0 THEN (2 * t6 + n_bigrams) DIV (2 * n_bigrams) " +
+          "ELSE -((2 * (-t6) + n_bigrams) DIV (2 * n_bigrams)) END AS DOUBLE)")
+          / lit(1000000.0)).as("avg_nll"),
         round(exp(-col("s") / col("n_bigrams")), 6).as("ppl"))
       .orderBy("doc_id")
   }
@@ -109,10 +120,13 @@ object PipelineOps {
       |  FROM bg JOIN bc USING (cur, nxt) JOIN cc USING (cur)
       |  JOIN bw USING (nxt) CROSS JOIN dd),
       |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-      |               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS s
+      |               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS s,
+      |               CAST(SUM(CAST(lp AS DECIMAL(18,6))) * -1000000 AS BIGINT) AS t6
       |        FROM term GROUP BY 1)
       |SELECT doc_id, n_bigrams,
-      |       round(-s / n_bigrams, 6) AS avg_nll,
+      |       CAST(CASE WHEN t6 >= 0 THEN (2 * t6 + n_bigrams) // (2 * n_bigrams)
+      |                 ELSE -((2 * (-t6) + n_bigrams) // (2 * n_bigrams)) END AS DOUBLE)
+      |         / 1000000.0 AS avg_nll,
       |       round(exp(-s / n_bigrams), 6) AS ppl
       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
     val pos = T.documents(s, d)
@@ -130,11 +144,19 @@ object PipelineOps {
     val term = bg.join(bc, Seq("cur", "nxt")).join(cc, Seq("cur"))
       .join(bw, Seq("nxt")).crossJoin(broadcast(dd))
       .select(col("doc_id"), round(log(p), 6).as("lp"))
+    // avg_nll via scaled-integer HALF_UP division, NOT round(-s/n, 6):
+    // the decimal term sum is cross-engine exact, but a double divide
+    // whose quotient lands on a 6-dp rounding boundary resolves the tie
+    // differently in the two engines' round() (one row at sf0.1 did —
+    // the r13 sweep's 1e-6 avg_nll diff). Integer arithmetic has no tie.
     term.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        dbl(sum(col("lp").cast(DecimalType(18, 6)))).as("s"))
+        dbl(sum(col("lp").cast(DecimalType(18, 6)))).as("s"),
+        expr("CAST(SUM(CAST(lp AS DECIMAL(18,6))) * -1000000 AS BIGINT)").as("t6"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(-col("s") / col("n_bigrams"), 6).as("avg_nll"),
+        (expr("CAST(CASE WHEN t6 >= 0 THEN (2 * t6 + n_bigrams) DIV (2 * n_bigrams) " +
+          "ELSE -((2 * (-t6) + n_bigrams) DIV (2 * n_bigrams)) END AS DOUBLE)")
+          / lit(1000000.0)).as("avg_nll"),
         round(exp(-col("s") / col("n_bigrams")), 6).as("ppl"))
       .orderBy("doc_id")
   }
