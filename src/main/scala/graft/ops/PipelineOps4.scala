@@ -503,21 +503,47 @@ object PipelineOps4 {
     val spark = graph.sparkSession
     import spark.implicits._
     val deg = graph.groupBy(col("gdst").as("node")).agg(count(lit(1)).as("dc"))
-      .localCheckpoint(true) // probed `entries` times
+      .localCheckpoint(true) // the fetch below + the rare spill-over probes
+    // TWO driver jobs, not 2·entries: fetch the top slice of the degree
+    // table once, fetch the out-neighborhoods of everything in it once,
+    // then run the greedy locally. The greedy's picks provably stay
+    // inside the slice while |picked ∪ excluded| < slice size (excluded
+    // only grows, so scanning the (dc DESC, node) order and taking the
+    // first non-excluded node IS the global argmax), so the slice is
+    // sized for out-degree ≤ 30 · entries; a graph that exceeds it falls
+    // back to per-pick argmax probes for the remainder — same rule,
+    // same picks.
+    val fetch = math.max(entries * 32, 64)
+    val top = deg.orderBy(col("dc").desc, col("node")).limit(fetch)
+      .select("node").collect().map(_.getLong(0))
+    val nbrs: Map[Long, Array[Long]] = graph
+      .join(broadcast(top.toSeq.toDF("gsrc")), "gsrc")
+      .select("gsrc", "gdst").collect()
+      .groupBy(_.getLong(0)).map { case (src, rs) => src -> rs.map(_.getLong(1)) }
     val picked = scala.collection.mutable.ArrayBuffer[Long]()
     var excluded = Set.empty[Long]
-    var exhausted = false
-    for (_ <- 1 to entries if !exhausted) {
-      val rem = if (excluded.isEmpty) deg
-                else deg.filter(!col("node").isin(excluded.toSeq: _*))
+    val it = top.iterator
+    while (picked.size < entries && it.hasNext) {
+      val n = it.next()
+      if (!excluded.contains(n)) {
+        picked += n
+        excluded ++= nbrs.getOrElse(n, Array.empty)
+        excluded += n
+      }
+    }
+    // spill-over (out-degree beyond the slice's sizing): per-pick probes
+    var exhausted = picked.size >= entries ||
+      deg.count() <= fetch // slice WAS the whole table
+    while (picked.size < entries && !exhausted) {
+      val rem = deg.filter(!col("node").isin((excluded ++ picked).toSeq: _*))
       rem.orderBy(col("dc").desc, col("node")).limit(1).collect() match {
-        case Array(top) =>
-          val n = top.getLong(0)
+        case Array(row) =>
+          val n = row.getLong(0)
           picked += n
           excluded ++= graph.filter(col("gsrc") === n)
             .select("gdst").collect().map(_.getLong(0))
           excluded += n
-        case _ => exhausted = true // every in-linked node excluded
+        case _ => exhausted = true
       }
     }
     picked.toSeq.zipWithIndex.map { case (n, i) => (i + 1, n) }.toDF("erank", "node")
