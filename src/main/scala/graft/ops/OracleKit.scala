@@ -139,6 +139,22 @@ object OracleKit {
       s" CAST(abs($ms) // 1000000000000000000 AS VARCHAR) || '.' ||" +
       s" lpad(CAST(abs($ms) % 1000000000000000000 AS VARCHAR), 18, '0')) AS DOUBLE) END"
 
+  /** Spark's `round(doubleCol, d)` replayed exactly: Spark rounds the
+    * SHORTEST decimal representation (java BigDecimal.valueOf) HALF_UP
+    * (= half away from zero), while DuckDB's `round(DOUBLE, d)` scales
+    * the BINARY value by 10^d first — a multiply whose own rounding can
+    * push a near-midpoint quotient onto the other side (the r13 sf0.1
+    * sweep caught exactly one such row in ~3.4M rounded values:
+    * q_perplexity_kn's avg_nll). DuckDB's CAST(double AS VARCHAR) is the
+    * shortest repr and its DECIMAL round is half-away-from-zero, so the
+    * VARCHAR→DECIMAL route replays Spark bit-for-bit with no multiply.
+    * Use for any rounded column whose input double is cross-engine
+    * identical but not itself a short decimal — quotients, exps, sums of
+    * unrounded doubles. (Columns that round an already-6-dp value, or
+    * whose inputs differ upstream anyway, don't need it.) */
+  def sparkRound(x: String, d: Int): String =
+    s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)), $d) AS DOUBLE)"
+
   /** Left-fold cosine, same shape as [[graft.functions.CosineSimilarity]]. */
   def cosSql(a: String, b: String): String =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"

@@ -87,6 +87,35 @@ class Utf8OracleSpec extends SparkSpec {
     }
   }
 
+  test("sparkRound replays Spark's round(double, 6) on midpoint-adversarial quotients") {
+    assume(duckAvailable, "python3+duckdb (the oracle gate engine) not available")
+    // quotient-shaped doubles whose 7th decimal sits at or near ..5:
+    // exactly the class where Spark's shortest-repr HALF_UP and DuckDB's
+    // scale-the-binary round(DOUBLE, 6) can disagree (q_perplexity_kn's
+    // one-row sf0.1 diff)
+    val rnd = new scala.util.Random(13)
+    val vals = ((1 to 150).map(k => (k * 1000 + 0.5) / 1e6) ++
+      (1 to 150).map(k => -(k * 997 + 0.5) / 1e6) ++
+      (1 to 100).map(_ => -(rnd.nextInt(8000000) + 0.5) / (rnd.nextInt(97) + 3).toDouble / 1e4) ++
+      Seq(3.41638650000000021, -2.0000005, 0.0000005, -0.0000005, 123.4567895)).distinct
+    import spark.implicits._
+    val want = vals.toDF("x").select(round(col("x"), 6)).collect().map(_.getDouble(0))
+    val lits = vals.map(_.toString).mkString("[", ", ", "]")
+    val sql =
+      s"""SELECT string_agg(CAST(${graft.ops.OracleKit.sparkRound("x", 6)} AS VARCHAR), ',' ORDER BY i)
+         |FROM (SELECT unnest($lits) AS x, generate_subscripts($lits, 1) AS i)""".stripMargin
+    duck(sql) match {
+      case Right(s) =>
+        val got = s.split(",").map(_.toDouble)
+        assert(got.length == want.length)
+        vals.indices.foreach { i =>
+          assert(java.lang.Double.compare(got(i), want(i)) == 0,
+            s"x=${vals(i)}: duck sparkRound ${got(i)} != spark round ${want(i)}")
+        }
+      case Left(m) => fail(s"sparkRound batch failed: $m")
+    }
+  }
+
   /** The full driver gate on one query over a planted corpus dir: Spark
     * result → parquet, oracle SQL → DuckDB over a `documents` view,
     * exact column/row/value compare (check_oracle.py's semantics). */
