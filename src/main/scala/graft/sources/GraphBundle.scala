@@ -75,6 +75,28 @@ object GraphBundle {
     AtomicSwap.commit(fs, cur, crashAfter = crashAfter)
   }
 
+  /** REFIT-CADENCE policy (the [[AnnIndex.refitIfStale]] posture applied
+    * to the graph bundle): measure ID DRIFT between the serving
+    * generation's vector table and the CURRENT corpus — new ids the
+    * graph cannot answer about plus vanished ids it still serves — and
+    * republish (atomically, under the lease) when the drifted fraction
+    * exceeds `maxDrift`. The measure is two id-only anti-join counts
+    * against a column-pruned read of `vectors/`; the republish is the
+    * (rare) corpus-sized refresh. Run on the ingest cadence; returns
+    * true iff a republish ran. */
+  def refitIfStale(vecs: DataFrame, path: String, maxDrift: Double = 0.1,
+                   k: Int = 14, rounds: Int = 2): Boolean = {
+    val spark = vecs.sparkSession
+    val root = liveRoot(spark, path)
+    val served = spark.read.parquet(s"$root/vectors").select(col("node"))
+    val ids = vecs.select(col("vec_id").as("node")).localCheckpoint(true)
+    val missing = ids.join(served, Seq("node"), "left_anti").count()
+    val gone = served.join(ids, Seq("node"), "left_anti").count()
+    val stale = (missing + gone).toDouble / math.max(1L, ids.count()) > maxDrift
+    if (stale) build(vecs, path, k, rounds)
+    stale
+  }
+
   /** ONE identity for the WHOLE bundle: the resolved live root plus
     * both subdirs' file stats. Per-dir identities (the r12 shape —
     * FrozenSides.parquetTable on `graph` and `vectors` separately)

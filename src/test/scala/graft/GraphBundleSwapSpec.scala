@@ -144,6 +144,29 @@ class GraphBundleSwapSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("refitIfStale: fresh corpus is a no-op, drifted corpus republishes atomically") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_grefit").toString
+    val path = s"$root/bundle"
+    GraphBundle.build(gen(0L), path, k = 6, rounds = 2)
+    val before = served(path)
+    // same corpus: no drift, no republish, generation untouched
+    assert(!GraphBundle.refitIfStale(gen(0L), path, maxDrift = 0.1, k = 6, rounds = 2))
+    assert(served(path) == before)
+    // 25% of ids replaced: over the 0.1 drift floor → atomic republish,
+    // and the new generation answers about the NEW ids
+    val drifted = gen(0L).filter(col("vec_id") % 4 =!= 0L)
+      .unionByName((for (j <- 0 until 12) yield {
+        val v = Array.fill(8)(0.0); v(0) = 10.0; v(7) = 0.05 * (j + 1)
+        (20000L + j, v.toSeq)
+      }).toDF("vec_id", "v"))
+    assert(GraphBundle.refitIfStale(drifted, path, maxDrift = 0.1, k = 6, rounds = 2))
+    val after = served(path)
+    assert(after != before)
+    assert(after.exists(_._2 >= 20000L),
+      "post-refit serving must reach the drifted-in vectors")
+  }
+
   test("a second driver's republish fails loud on the writer lease; release hands over") {
     val driverB = spark.newSession()
     val root = java.nio.file.Files.createTempDirectory("graft_glease").toString
