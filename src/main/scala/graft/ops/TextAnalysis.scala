@@ -508,10 +508,27 @@ object TextAnalysis {
     * per extent and one prefix decode — per SPAN cost, not per corpus
     * byte. */
   val qDecontamStrip: Q = Q("q_decontam_strip", decontamStripOracleSql()) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val l = 50
     val docs = T.documents(s, d)
-    val spans = leakedSpans(docs, l).localCheckpoint(true) // gaps + lastgap + n_cut read it
+    val spans = leakedSpans(docs, l)
+    stripSpans(docs.filter(col("doc_id") >= 25).select("doc_id", "text"), spans)
+      .orderBy("doc_id")
+  }
+
+  /** BYTE-EXACT span surgery (the q_decontam_strip core, reusable — the
+    * streaming strip sink applies it per micro-batch): cut every
+    * (doc_id, s, e) BYTE extent of `spans` out of `docs(doc_id, text)`,
+    * each extent SNAPPED OUTWARD to UTF-8 character boundaries, and
+    * return (doc_id, n_cut, clean_text) for EVERY doc (clean docs pass
+    * through with n_cut 0). Snapped offsets are character boundaries, so
+    * their exact character positions come from a prefix decode and the
+    * surgery is plain segment concatenation — byte-for-byte equal to a
+    * binary cut at the snapped extents, never a split character. */
+  private[graft] def stripSpans(docs: org.apache.spark.sql.DataFrame,
+                                spansIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = spansIn.localCheckpoint(true) // gaps + lastgap + n_cut read it
     // UTF-8 boundary snap over the doc's bytes: o is a 0-based BYTE
     // offset; byte AT o is a continuation byte iff 0x80 <= b < 0xC0
     // (binary comparison is unsigned; an out-of-range slice is empty
@@ -555,13 +572,12 @@ object TextAnalysis {
         sort_array(collect_list(struct(col("gs"), col("seg")))),
         x => x.getField("seg")), "").as("clean_text"))
     val ncut = spans.groupBy("doc_id").agg(count(lit(1)).as("n_cut"))
-    docs.filter(col("doc_id") >= 25).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .join(cleaned, Seq("doc_id"), "left")
       .join(ncut, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_cut"), lit(0L)).as("n_cut"),
         coalesce(col("clean_text"), col("text")).as("clean_text"))
-      .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint, qDedupSubstr,

@@ -52,6 +52,27 @@ object SpanIndex {
     * pass None to read fresh from the index. */
   def screen(spark: SparkSession, path: String, batch: DataFrame,
              hashes: Option[DataFrame] = None): DataFrame = {
+    val spans = extents(spark, path, batch, hashes)
+    val agg = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_leaked_spans"),
+        sum(col("e") - col("s")).cast("long").as("leaked_bytes"))
+    batch.select(col("doc_id"), octet_length(col("text")).as("nlen"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_leaked_spans"), lit(0L)).as("n_leaked_spans"),
+        coalesce(col("leaked_bytes"), lit(0L)).as("leaked_bytes"),
+        round(coalesce(col("leaked_bytes"), lit(0L)).cast("double") /
+          col("nlen").cast("double"), 6).as("leaked_frac"))
+  }
+
+  /** The leaked-span EXTENTS themselves — (doc_id, s, e) maximal byte
+    * ranges (0-based, end exclusive) of `batch` docs that verbatim-occur
+    * in the indexed suite; the strip sink's input ([[screen]] is the
+    * per-doc aggregate view of the same spans). Islands are disjoint by
+    * construction, which is what lets the surgery cut them with plain
+    * segment concatenation. */
+  def extents(spark: SparkSession, path: String, batch: DataFrame,
+              hashes: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = windowLength(spark, path)
     val idx = hashes.getOrElse(spark.read.parquet(s"$path/hashes"))
@@ -60,21 +81,12 @@ object SpanIndex {
       .join(broadcast(idx.select(col("hh").as("h"))), "h")
       .select("doc_id", "p")
     val wDoc = Window.partitionBy("doc_id").orderBy("p")
-    val spans = hit
+    hit
       .withColumn("prev", lag(col("p"), 1).over(wDoc))
       .withColumn("island",
         sum(when(col("prev").isNull || col("p") - col("prev") > l, 1).otherwise(0)).over(wDoc))
       .groupBy("doc_id", "island")
       .agg(min(col("p")).as("s"), (max(col("p")) + l).as("e"))
-    val agg = spans.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_leaked_spans"),
-        sum(col("e") - col("s")).cast("long").as("leaked_bytes"))
-    batch.select(col("doc_id"), length(col("text")).as("nlen"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_leaked_spans"), lit(0L)).as("n_leaked_spans"),
-        coalesce(col("leaked_bytes"), lit(0L)).as("leaked_bytes"),
-        round(coalesce(col("leaked_bytes"), lit(0L)).cast("double") /
-          col("nlen").cast("double"), 6).as("leaked_frac"))
+      .select("doc_id", "s", "e")
   }
 }

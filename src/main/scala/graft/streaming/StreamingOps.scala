@@ -687,6 +687,31 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming SPAN-STRIP (stream_decontam_strip): the APPLY half of
+    * [[spanScreenSink]] — every arriving micro-batch of documents has
+    * its leaked byte ranges (verbatim quotes of the frozen benchmark
+    * suite, [[graft.sources.SpanIndex.extents]]) EXCISED byte-exactly
+    * ([[graft.ops.TextAnalysis.stripSpans]] — UTF-8-boundary-snapped
+    * surgery), shipping (doc_id, n_cut, clean_text): the crawler
+    * removes the quoted benchmark item the moment the page arrives, and
+    * the page survives. Per-doc against the frozen hash set, so
+    * compositional — streamed union == one-shot extents+strip,
+    * spec-pinned. Exactly-once via the overwrite-idempotent
+    * `part=batch_<id>` region convention. */
+  def decontamStripSink(docs: DataFrame, indexPath: String, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) FrozenSides.recovering(s"$indexPath/hashes") {
+          val spark = batch.sparkSession
+          val spans = graft.sources.SpanIndex.extents(spark, indexPath, batch,
+            Some(FrozenSides.parquetTable(spark, s"$indexPath/hashes")))
+          graft.ops.TextAnalysis.stripSpans(batch.select("doc_id", "text"), spans)
+            .write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
+        }
+        ()
+      }
+
   /** Streaming RELEASE GATE (stream_release_gate): every arriving
     * micro-batch of documents gets the staged release verdict of
     * [[graft.ops.CorpusQuality.releaseGate]] — quality reason chain,

@@ -82,6 +82,48 @@ class SpanDecontamSpec extends SparkSpec {
     assert(streamed == oneShot, s"one-shot disagrees: $oneShot")
   }
 
+  test("streaming strip sink: leaked spans excised at ingest, streamed == one-shot, multi-byte safe") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_stripidx").toString + "/idx"
+    graft.sources.SpanIndex.build(
+      Seq((1L, s"aaa1-$Run-zzz1 and some benchmark question text follows here"))
+        .toDF("doc_id", "text"), idx)
+    val arriving = Seq(
+      (100L, s"bbb2_${Run}_yyy2 a crawled page quoting the benchmark item verbatim"),
+      (101L, s"ccc3=$TrainRun=xxx3 a page with no benchmark overlap whatsoever"),
+      // the quote sits between multi-byte characters: the snap must cut
+      // whole characters, never leave split-character residue
+      (102L, s"日本語のテキスト${Run}続きの文章です — the rest of the page"))
+    val out = java.nio.file.Files.createTempDirectory("strip_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("strip_ck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.decontamStripSink(
+        mem.toDF().toDF("doc_id", "text"), idx, out)
+      .option("checkpointLocation", ckpt).start()
+    val (b1, b2) = arriving.partition(_._1 % 2 == 0)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_cut", "clean_text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(streamed(100L)._1 == 1L && !streamed(100L)._2.contains(Run))
+    assert(streamed(101L) == ((0L, arriving(1)._2)), "clean doc must pass through untouched")
+    assert(streamed(102L)._1 == 1L && !streamed(102L)._2.contains(Run))
+    assert(streamed(102L)._2.contains("日本語のテキスト") || streamed(102L)._2.contains("続きの文章"),
+      s"multi-byte neighbours must survive whole: ${streamed(102L)._2}")
+    // compositional: streamed union == one-shot extents + strip
+    val oneShot = {
+      val docs = arriving.toDF("doc_id", "text")
+      graft.ops.TextAnalysis.stripSpans(docs,
+          graft.sources.SpanIndex.extents(spark, idx, docs))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    }
+    assert(streamed == oneShot, s"one-shot disagrees")
+  }
+
   test("real corpus: every training doc reports; fractions in [0, 1]") {
     val rows = SparkEntry.queries("q_span_decontam")(spark, TinyDir).collect()
     val train = graft.sources.Tables.documents(spark, TinyDir)
