@@ -319,7 +319,7 @@ object Multimodal {
 
   /** How far from flat the 8×8 luma grid must span for its hashes to
     * carry signal; below this every bit is noise around the mean. */
-  private val FlatLumaRange = 8.0
+  private[graft] val FlatLumaRange = 8.0
 
   /** Per-image perceptual signatures: (doc_id, ahash, dhash, mean_luma,
     * flat, decoded) — corrupt payloads flagged, never dropped. `flat` is

@@ -712,6 +712,37 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming MEDIA SCREEN (stream_media_screen): every arriving
+    * micro-batch of binary payloads (doc_id, payload) is matched against
+    * the frozen [[graft.sources.MediaIndex]] reference signatures —
+    * perceptual-hash screening at ingest for the non-text modalities
+    * (blocked imagery, licensed audio): the crawler flags a re-encoded /
+    * volume-shifted / brightness-shifted copy of a reference item the
+    * moment it arrives. `modality` is "image" or "audio". Signatures are
+    * per-payload against a frozen set, so verdicts are compositional —
+    * streamed union == one-shot screen, spec-pinned. Exactly-once via
+    * the overwrite-idempotent `part=batch_<id>` region convention. */
+  def mediaScreenSink(docs: DataFrame, indexPath: String, outDir: String,
+                      modality: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(modality == "image" || modality == "audio",
+      s"modality must be image|audio, got $modality")
+    val sigDir = if (modality == "image") "img_sigs" else "aud_sigs"
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) FrozenSides.recovering(s"$indexPath/$sigDir") {
+          val spark = batch.sparkSession
+          val sigs = Some(FrozenSides.parquetTable(spark, s"$indexPath/$sigDir"))
+          val hits =
+            if (modality == "image")
+              graft.sources.MediaIndex.screenImages(spark, indexPath, batch, sigs)
+            else graft.sources.MediaIndex.screenAudio(spark, indexPath, batch, sigs)
+          hits.write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
+        }
+        ()
+      }
+  }
+
   /** Streaming RELEASE GATE (stream_release_gate): every arriving
     * micro-batch of documents gets the staged release verdict of
     * [[graft.ops.CorpusQuality.releaseGate]] — quality reason chain,
