@@ -495,6 +495,58 @@ object PipelineOps {
     }
   }
 
+  /** DATA-CONSTRAINED EPOCH ALLOCATION (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": repeating data has rapidly
+    * diminishing returns — up to ~4 epochs repeated tokens are nearly as
+    * good as fresh, then value decays): given a token BUDGET of 2× the
+    * corpus's unique tokens, allocate whole EPOCHS per source by greedy
+    * marginal value — the e-th epoch of source s is worth
+    * `src_tokens·δ^(e−1)` (δ = 1/2, a power of two so the ranking key is
+    * double-exact cross-engine) and costs `src_tokens` of budget; grant
+    * candidates in (value DESC, source, epoch) order while the running
+    * cost fits. Per-source value decays monotonically, so grants are
+    * automatically contiguous epochs from 1. The plan: one per-source
+    * aggregation, an 8-way epoch explode of the SOURCE table (sources,
+    * not docs — model-sized), one ranking window over it; the corpus is
+    * scanned once. Output per source: unique tokens, epochs granted,
+    * budget consumed, effective (decay-weighted) tokens. */
+  val qDataBudget: Q = Q(
+    "q_data_budget",
+    """WITH tok AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+      |             FROM documents GROUP BY 1),
+      |b AS (SELECT 2 * CAST(SUM(src_tokens) AS BIGINT) AS budget FROM tok),
+      |cand AS (SELECT source, src_tokens, e,
+      |           CAST(src_tokens AS DOUBLE) * power(0.5, e - 1) AS val
+      |         FROM tok, unnest(range(1, 9)) AS t(e)),
+      |ranked AS (SELECT *, SUM(src_tokens) OVER (ORDER BY val DESC, source, e
+      |             ROWS UNBOUNDED PRECEDING) AS cum FROM cand),
+      |granted AS (SELECT * FROM ranked, b WHERE cum <= b.budget)
+      |SELECT source, ANY_VALUE(src_tokens) AS unique_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS epochs,
+      |  CAST(COUNT(*) AS BIGINT) * ANY_VALUE(src_tokens) AS tokens_used,
+      |  CAST(SUM(val) AS DOUBLE) AS effective_tokens
+      |FROM granted GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = T.documents(s, d).groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("src_tokens"))
+      .localCheckpoint(true) // source-count-sized; feeds budget + explode
+    val budget = tok.agg((sum(col("src_tokens")) * 2).cast("long").as("budget"))
+    val cand = tok.select(col("source"), col("src_tokens"),
+        explode(sequence(lit(1), lit(8))).as("e"))
+      .withColumn("val", dbl(col("src_tokens")) * pow(lit(0.5), col("e") - 1))
+    val w = Window.orderBy(col("val").desc, col("source"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand.withColumn("cum", sum(col("src_tokens")).over(w))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum") <= col("budget"))
+      .groupBy("source")
+      .agg(first(col("src_tokens")).as("unique_tokens"),
+        count(lit(1)).cast("long").as("epochs"),
+        (count(lit(1)) * first(col("src_tokens"))).cast("long").as("tokens_used"),
+        sum(col("val")).cast("double").as("effective_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(qPerplexity, qPerplexityKn, qDedupIncr, qMixPlan, qMixTemperature, qUnimax, qEmbedCluster,
-    qMixReweight)
+    qMixReweight, qDataBudget)
 }
