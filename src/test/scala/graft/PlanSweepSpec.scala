@@ -53,6 +53,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_mix_temperature",   // 20-row mix table x 1-row normalizer (constant
                            // sides; same shape as q_mix_plan)
     "q_unimax",            // 20-row mix table x 1-row budget (constant side)
+    "q_data_budget",       // (sources x 8)-row epoch grid x 1-row budget
+                           // (constant side; the q_mix_plan shape)
     "q_perplexity_kn",     // bigram terms x 1-row distinct-bigram total
                            // (constant side; the KN continuation base)
     "q_dsir",              // bucket table x 1-row pool totals (constant
