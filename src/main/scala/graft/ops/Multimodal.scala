@@ -399,6 +399,7 @@ object Multimodal {
       .filter(col("decoded"))
       .select(col("doc_id").as("id"), col("ahash"), col("dhash"),
         col("mean_luma"), col("flat"))
+      .localCheckpoint(true) // both self-join sides read it: decode once
     // band space: hash index (0=aHash, 1=dHash) × 4 16-bit slices
     val banded = sig.select(col("id"), col("ahash"), col("dhash"),
         col("mean_luma"), col("flat"),
@@ -685,6 +686,8 @@ object Multimodal {
     val sig = audioSignatures(binDf, idCol, binCol)
       .filter(col("decoded"))
       .select(col("doc_id").as("id"), col("afp"), col("flat"), col("n_samples"))
+      .localCheckpoint(true) // both self-join sides read it: decode +
+                             // Goertzel fingerprint once per clip
     val banded = sig.select(col("id"), col("afp"), col("flat"), col("n_samples"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
@@ -735,8 +738,13 @@ object Multimodal {
         if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
             fourcc(bytes, 8) != "AVI ") return None
         val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-        // walk LIST chunks; recurse into 'movi'
-        def walk(from: Int, to: Int): Unit = {
+        // walk LIST chunks; recurse into 'movi', and INSIDE movi into
+        // any nested LIST — interleaved AVIs group frames in 'rec '
+        // lists (the layout ffmpeg writes with audio present), and a
+        // movi-only recursion would decode those clips to zero frames.
+        // Frame chunks count only INSIDE movi: a '..dc'-shaped id
+        // elsewhere (index or header data) is not a frame.
+        def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
           var p = from
           while (p + 8 <= to) {
             val id = fourcc(bytes, p)
@@ -744,14 +752,16 @@ object Multimodal {
             if (sz < 0 || p + 8 + sz > to) throw new java.io.IOException("chunk past end")
             if (id == "LIST") {
               val listType = fourcc(bytes, p + 8)
-              if (listType == "movi") walk(p + 12, p + 8 + sz)
-            } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
+              if (listType == "movi" || inMovi)
+                walk(p + 12, p + 8 + sz, inMovi || listType == "movi")
+            } else if (inMovi && id.length == 4 &&
+                (id.endsWith("dc") || id.endsWith("db"))) {
               frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
             }
             p += 8 + sz + (sz & 1) // chunks are word-aligned
           }
         }
-        walk(12, math.min(bytes.length, 8 + le32(bytes, 4)))
+        walk(12, math.min(bytes.length, 8 + le32(bytes, 4)), inMovi = false)
         if (frames.isEmpty) None else Some(frames.toSeq)
       } catch { case scala.util.control.NonFatal(_) => None }
 

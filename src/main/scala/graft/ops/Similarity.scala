@@ -233,7 +233,9 @@ object Similarity {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
     val fit = (maxBits to 1 by -1).iterator.map { r =>
       val pr = math.pow(p, r)
-      val b = math.ceil(math.log1p(-minRecall) / math.log1p(-pr))
+      // max(1, ·): pr >= minRecall means a single band already clears the
+      // floor (tau -> 1 drives pr -> 1 and the raw ratio -> 0/-Inf)
+      val b = math.max(1.0, math.ceil(math.log1p(-minRecall) / math.log1p(-pr)))
       (b, r)
     }.collectFirst {
       case (b, r) if b >= 1 && b <= maxBands &&

@@ -110,11 +110,25 @@ object GraphBundle {
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dirId(name: String): String = {
       val d = new Path(rp, name)
+      if (!fs.exists(d)) return "absent" // pre-r13 bundle layout: no entries/
       val kids = fs.listStatus(d)
       val kidM = if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max
       s"${fs.getFileStatus(d).getModificationTime}@${kids.length}@${kids.map(_.getLen).sum}@$kidM"
     }
     (root, s"$root|${dirId("graph")}|${dirId("vectors")}|${dirId("entries")}")
+  }
+
+  /** The persisted entry candidates — or, for a bundle written by the
+    * pre-r13 layout (graph/ + vectors/ only), the SAME degree-greedy
+    * picks computed from the graph on the fly: an old bundle keeps
+    * serving (at the one-time cost of the picks) instead of wedging on a
+    * missing dir; its next republish persists them. */
+  private[graft] def entriesOrPick(spark: SparkSession, root: String): DataFrame = {
+    val d = new Path(s"$root/entries")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(d)) spark.read.parquet(s"$root/entries")
+    else graft.ops.PipelineOps4.pickEntries(
+      spark.read.parquet(s"$root/graph"), EntryCandidates)
   }
 
   /** The first `entries` persisted entry candidates (pick order). */
@@ -128,16 +142,25 @@ object GraphBundle {
 
   /** One-shot search against the persisted bundle (the batch twin of
     * [[graft.streaming.StreamingOps.graphSearchSink]]). All three sides
-    * read from ONE resolved root — never mixed generations. */
+    * read from ONE resolved root, and the probe is re-taken AFTER the
+    * eager reads: a republish landing between them would otherwise mix
+    * generations across the sequential reads (the
+    * FrozenSides.cachedValidated discipline, one-shot form). */
   def search(spark: SparkSession, path: String, probes: DataFrame,
              entries: Int = 4, beam: Int = 8, hops: Int = 3,
              topK: Int = 5): DataFrame = {
-    val root = liveRoot(spark, path)
-    graft.ops.PipelineOps4.searchWith(
-      spark.read.parquet(s"$root/graph").localCheckpoint(true),
-      spark.read.parquet(s"$root/vectors").localCheckpoint(true),
-      probes,
-      entryPrefix(spark.read.parquet(s"$root/entries"), entries),
-      beam, hops, topK)
+    var attempts = 0
+    while (attempts < 5) {
+      val (root, identity) = frozenProbe(spark, path)
+      val graph = spark.read.parquet(s"$root/graph").localCheckpoint(true)
+      val vectors = spark.read.parquet(s"$root/vectors").localCheckpoint(true)
+      val entry = entryPrefix(entriesOrPick(spark, root).localCheckpoint(true), entries)
+      if (frozenProbe(spark, path)._2 == identity)
+        return graft.ops.PipelineOps4.searchWith(
+          graph, vectors, probes, entry, beam, hops, topK)
+      attempts += 1 // republish landed mid-read: retry on the new root
+    }
+    throw new IllegalStateException(
+      s"graph bundle at $path republished faster than a search could read it 5 times")
   }
 }

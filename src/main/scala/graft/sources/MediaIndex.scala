@@ -38,34 +38,36 @@ object MediaIndex {
       struct(lit(j).as("band"),
         shiftright(hash, 16 * j).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x")
 
+  /** ONE explode over the 8-slot band space (aHash bands 0-3, dHash
+    * bands 4-7) — the [[Multimodal.imageNearDupPairs]] shape: a
+    * two-branch union would re-execute the ImageIO decode per branch. */
+  private def bandCols2(a: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+    explode(array((for (h <- 0 until 2; j <- 0 until 4) yield
+      struct(lit(h * 4 + j).as("band"),
+        shiftright(if (h == 0) a else d, 16 * j)
+          .bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x")
+
   /** Image screen: (doc_id, index_id, hamming) for every arriving
     * payload within hamming ≤ `maxDist` of a reference image on EITHER
     * perceptual hash. Corrupt payloads decode to nothing and match
-    * nothing (count them via [[Multimodal.imageSignatures]]). */
+    * nothing (count them via [[Multimodal.imageSignatures]]). Each side
+    * is signatured in ONE pass — one ImageIO decode per payload. */
   def screenImages(spark: SparkSession, path: String, batch: DataFrame,
                    sigs: Option[DataFrame] = None, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4x16-bit banding is only lossless for hamming <= 3")
     val ref = sigs.getOrElse(spark.read.parquet(s"$path/img_sigs"))
     val refBanded = ref.select(col("doc_id").as("index_id"),
         col("ahash").as("ra"), col("dhash").as("rd"),
-        col("mean_luma").as("rl"), col("flat").as("rf"), bandCols(col("ahash")))
+        col("mean_luma").as("rl"), col("flat").as("rf"),
+        bandCols2(col("ahash"), col("dhash")))
       .select(col("index_id"), col("ra"), col("rd"), col("rl"), col("rf"),
         col("x.band").as("band"), col("x.bval").as("bval"))
-      .unionByName(ref.select(col("doc_id").as("index_id"),
-          col("ahash").as("ra"), col("dhash").as("rd"),
-          col("mean_luma").as("rl"), col("flat").as("rf"), bandCols(col("dhash")))
-        .select(col("index_id"), col("ra"), col("rd"), col("rl"), col("rf"),
-          (col("x.band") + 4).as("band"), col("x.bval").as("bval")))
-    val arr = Multimodal.imageSignatures(batch, "doc_id", "payload")
+    val arrBanded = Multimodal.imageSignatures(batch, "doc_id", "payload")
       .filter(col("decoded"))
-    val arrBanded = arr.select(col("doc_id"), col("ahash"), col("dhash"),
-        col("mean_luma"), col("flat"), bandCols(col("ahash")))
+      .select(col("doc_id"), col("ahash"), col("dhash"), col("mean_luma"),
+        col("flat"), bandCols2(col("ahash"), col("dhash")))
       .select(col("doc_id"), col("ahash"), col("dhash"), col("mean_luma"),
         col("flat"), col("x.band").as("band"), col("x.bval").as("bval"))
-      .unionByName(arr.select(col("doc_id"), col("ahash"), col("dhash"),
-          col("mean_luma"), col("flat"), bandCols(col("dhash")))
-        .select(col("doc_id"), col("ahash"), col("dhash"), col("mean_luma"),
-          col("flat"), (col("x.band") + 4).as("band"), col("x.bval").as("bval")))
     arrBanded.join(broadcast(refBanded), Seq("band", "bval"))
       .select(col("doc_id"), col("index_id"),
         bit_count(col("ahash").bitwiseXOR(col("ra"))).cast("long").as("hamming"),

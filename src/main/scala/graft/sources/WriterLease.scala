@@ -75,15 +75,30 @@ object WriterLease {
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(lp)) None
     else {
-      val in = fs.open(lp)
-      val line =
+      def readLine(): Option[String] = {
+        val in = fs.open(lp)
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8).linesIterator.nextOption()
+          .filter(_.nonEmpty)
         finally in.close()
+      }
+      // an empty lease is EITHER a healthy claim mid-write (the
+      // create-exclusive → identity-write window is non-atomic; a reader
+      // racing into it must not report corruption and point operators at
+      // breakLease on a LIVE claim) or a writer that crashed inside it.
+      // Distinguish by a short bounded re-read: a live claimant finishes
+      // the write within it; only a persistently-empty lease is corrupt.
+      var line = readLine()
+      var attempts = 0
+      while (line.isEmpty && attempts < 3) {
+        Thread.sleep(100)
+        line = readLine()
+        attempts += 1
+      }
       line match {
-        case Some(l) if l.nonEmpty => Some(l)
-        case _ => throw new IllegalStateException(
-          s"writer lease file $lp exists but is empty — a claiming writer " +
+        case some @ Some(_) => some
+        case None => throw new IllegalStateException(
+          s"writer lease file $lp exists but stayed empty — a claiming writer " +
             "crashed between create-exclusive and the identity write. After " +
             "confirming no writer is mid-claim, WriterLease.breakLease() to clear.")
       }

@@ -37,7 +37,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the JVM, no unpersist race), and a fresh read can never alias to it. */
 object FrozenSides {
 
-  private final case class Entry(identity: String, tables: Seq[DataFrame])
+  private final case class Entry(identity: String, root: String, tables: Seq[DataFrame])
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
   private def persistAll(dfs: Seq[DataFrame]): Seq[DataFrame] =
@@ -51,9 +51,39 @@ object FrozenSides {
     if (hit != null && hit.identity == identity) hit.tables
     else {
       val fresh = persistAll(read)
-      cache.put(key, Entry(identity, fresh))
+      cache.put(key, Entry(identity, "", fresh))
       fresh
     }
+  }
+
+  /** [[cached]] for MULTI-TABLE swap-rooted artifacts, with the
+    * probe→read window CLOSED: probe-then-read is not atomic against an
+    * AtomicSwap republish, so a commit landing between the identity
+    * probe and the last table's read could cache one table from each
+    * generation — the exact torn state the single identity exists to
+    * prevent. The reads are EAGER (localCheckpoint materializes before
+    * return), so re-probing AFTER them and requiring the identity
+    * unchanged proves no republish landed inside the window; a moved
+    * identity discards the reads and retries against the new root.
+    * Returns (root read from, tables). */
+  private def cachedValidated(key: String, probe: () => (String, String))
+                             (read: String => Seq[DataFrame]): (String, Seq[DataFrame]) = {
+    var attempts = 0
+    while (attempts < 5) {
+      val (root, identity) = probe()
+      val hit = cache.get(key)
+      if (hit != null && hit.identity == identity) return (hit.root, hit.tables)
+      val fresh = persistAll(read(root))
+      if (probe()._2 == identity) {
+        cache.put(key, Entry(identity, root, fresh))
+        return (root, fresh)
+      }
+      attempts += 1 // a republish landed mid-read: the generation may be mixed
+    }
+    throw new IllegalStateException(
+      s"$key: artifact identity kept moving across 5 read attempts — " +
+        "republishes are landing faster than a micro-batch can read; " +
+        "let the maintainer settle and retry")
   }
 
   /** The near-dup index's frozen side for `path`, persisted across
@@ -65,9 +95,12 @@ object FrozenSides {
     * probe's stats only — no parquet listing or footer reads.
     * None for an empty index (same contract as [[Dedup.NearDupIndex.screen]]). */
   def nearDup(spark: SparkSession, path: String): Option[Dedup.NearDupIndex.Frozen] =
-    Dedup.NearDupIndex.frozenProbe(spark, path).map { case (root, identity) =>
-      val Seq(v, po, pr) = cached(s"neardup:$path", identity) {
-        val f = Dedup.NearDupIndex.frozenAt(spark, root)
+    Dedup.NearDupIndex.frozenProbe(spark, path).map { _ =>
+      val (root, Seq(v, po, pr)) = cachedValidated(s"neardup:$path",
+        () => Dedup.NearDupIndex.frozenProbe(spark, path)
+          .getOrElse(throw new IllegalStateException(
+            s"near-dup index at $path vanished mid-read"))) { r =>
+        val f = Dedup.NearDupIndex.frozenAt(spark, r)
         Seq(f.vocab, f.postings, f.profiles)
       }
       Dedup.NearDupIndex.Frozen(root, v, po, pr)
@@ -79,9 +112,9 @@ object FrozenSides {
     * bumps (an appendStream batch landed — next serving batch must see
     * it). Hit cost is the probe's stats only. */
   def annIndex(spark: SparkSession, path: String): graft.sources.AnnIndex.FrozenAnn = {
-    val (root, identity) = graft.sources.AnnIndex.frozenProbe(spark, path)
-    val Seq(c, ix) = cached(s"ann:$path", identity) {
-      val f = graft.sources.AnnIndex.frozenAt(spark, root)
+    val (root, Seq(c, ix)) = cachedValidated(s"ann:$path",
+      () => graft.sources.AnnIndex.frozenProbe(spark, path)) { r =>
+      val f = graft.sources.AnnIndex.frozenAt(spark, r)
       Seq(f.cents, f.index)
     }
     graft.sources.AnnIndex.FrozenAnn(root, c, ix)
@@ -96,10 +129,10 @@ object FrozenSides {
     * generation). Re-read when the republish swap lands; hit cost is
     * the probe's stats only. */
   def graphBundle(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
-    val (root, identity) = graft.sources.GraphBundle.frozenProbe(spark, path)
-    val Seq(g, v, e) = cached(s"graphbundle:$path", identity) {
-      Seq(spark.read.parquet(s"$root/graph"), spark.read.parquet(s"$root/vectors"),
-        spark.read.parquet(s"$root/entries"))
+    val (_, Seq(g, v, e)) = cachedValidated(s"graphbundle:$path",
+      () => graft.sources.GraphBundle.frozenProbe(spark, path)) { r =>
+      Seq(spark.read.parquet(s"$r/graph"), spark.read.parquet(s"$r/vectors"),
+        graft.sources.GraphBundle.entriesOrPick(spark, r))
     }
     (g, v, e)
   }
@@ -133,9 +166,14 @@ object FrozenSides {
     var t = e; var depth = 0
     while (t != null && depth < 20) {
       val m = Option(t.getMessage).getOrElse("")
-      if (t.getClass.getName.contains("BlockNotFound") ||
-          m.contains("Checkpoint block") ||
-          (m.contains("block") && m.contains("not found"))) return true
+      // ONLY the block-manager signatures: Spark's BlockNotFoundException
+      // and the LocalCheckpointRDD "Checkpoint block rdd_x_y not found!"
+      // error. A generic "block … not found" match would also catch
+      // HDFS's BlockMissingException — genuine storage loss of the
+      // artifact itself, where a retry against the same broken storage
+      // just doubles the failure latency and mislabels the incident.
+      if (t.getClass.getName.contains("BlockNotFoundException") ||
+          m.contains("Checkpoint block")) return true
       t = if (t.getCause eq t) null else t.getCause
       depth += 1
     }

@@ -48,6 +48,33 @@ class VideoDedupSpec extends SparkSpec {
       VideoCodec.decodeFrames(avi.take(avi.length / 2)).exists(_.nonEmpty == false))
   }
 
+  test("interleaved AVIs ('rec ' lists inside movi, the ffmpeg layout with audio) decode every frame") {
+    // rebuild a plain MJPEG AVI into the interleaved shape: each 00dc
+    // chunk wrapped in its own LIST 'rec ' group
+    val plain = VideoCodec.encodeAviMjpeg(clip(0))
+    val Some(frames) = VideoCodec.decodeFrames(plain)
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+      bb.write((v >> 16) & 0xff); bb.write((v >> 24) & 0xff) }
+    def tag(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    val recs = frames.map(f => 8 + 4 + 8 + f.length + (f.length & 1)) // LIST+rec+00dc+pad
+    val moviBody = 4 + recs.sum
+    val hdrlBody = 4 + 8 + 14 * 4
+    tag("RIFF"); w32(4 + 8 + hdrlBody + 8 + moviBody); tag("AVI ")
+    tag("LIST"); w32(hdrlBody); tag("hdrl")
+    tag("avih"); w32(14 * 4); (0 until 14).foreach(_ => w32(0))
+    tag("LIST"); w32(moviBody); tag("movi")
+    frames.foreach { f =>
+      tag("LIST"); w32(4 + 8 + f.length + (f.length & 1)); tag("rec ")
+      tag("00dc"); w32(f.length); bb.write(f)
+      if ((f.length & 1) == 1) bb.write(0)
+    }
+    val Some(got) = VideoCodec.decodeFrames(bb.toByteArray)
+    assert(got.size == frames.size,
+      s"rec-interleaved AVI must yield all ${frames.size} frames, got ${got.size}")
+    assert(got.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+  }
+
   test("planted near-dups: a JPEG re-encode pairs, different material does not, corrupt quarantined") {
     import spark.implicits._
     val rows = Seq(
