@@ -1054,8 +1054,70 @@ object PipelineOps3 {
     dsirScore(docs, dsirModel(docs)).orderBy("doc_id")
   }
 
+  /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): half the docs
+    * (deterministic hash-rate selection — the paper's 50% FIM rate) are
+    * rewritten in PSM order, `<fim_prefix> P <fim_suffix> S <fim_middle>
+    * M`, with the two split points derived from disjoint bit ranges of
+    * ONE xxhash64(doc_id) (non-negative after the unsigned shift, so
+    * `%` agrees across engines) — reproducible with no RNG state, the
+    * property every epoch-stable data transform here shares. Short docs
+    * (< 20 chars) pass through: splitting them trains nothing. One
+    * projection over one corpus scan — no shuffle at all. Oracle: the
+    * closed-form XXH64 long replay + the same bit slicing + char-domain
+    * substr on both engines. */
+  private def fimOracleSql: String = {
+    val xx = OracleKit.xxhash64Sql(
+      "SELECT doc_id, text FROM documents", "doc_id", "doc_id, text", None)
+    s"""WITH fx AS MATERIALIZED ($xx),
+       |fu AS (SELECT doc_id, text,
+       |    (hk::HUGEINT + CASE WHEN hk < 0 THEN 18446744073709551616::HUGEINT
+       |                        ELSE 0::HUGEINT END)::UBIGINT AS hu,
+       |    length(text)::BIGINT AS n FROM fx),
+       |fp AS (SELECT doc_id, text, n,
+       |    CAST((hu >> 4) % 10 AS BIGINT) AS r,
+       |    CAST((hu >> 16) % ((n + 1)::UBIGINT) AS BIGINT) AS q1,
+       |    CAST((hu >> 40) % ((n + 1)::UBIGINT) AS BIGINT) AS q2
+       |  FROM fu),
+       |ff AS (SELECT doc_id, text, n, (r < 5 AND n >= 20) AS fim,
+       |    least(q1, q2) AS lo, greatest(q1, q2) AS hi FROM fp)
+       |SELECT doc_id, fim,
+       |  CASE WHEN fim THEN lo ELSE 0 END AS n_prefix,
+       |  CASE WHEN fim THEN hi - lo ELSE 0 END AS n_middle,
+       |  CASE WHEN fim THEN n - hi ELSE 0 END AS n_suffix,
+       |  CASE WHEN fim THEN '<fim_prefix>' || substr(text, 1, lo::INT)
+       |    || '<fim_suffix>' || substr(text, (hi + 1)::INT, (n - hi)::INT)
+       |    || '<fim_middle>' || substr(text, (lo + 1)::INT, (hi - lo)::INT)
+       |  ELSE text END AS fim_text
+       |FROM ff ORDER BY doc_id""".stripMargin
+  }
+
+  val qFim: Q = Q("q_fim", fimOracleSql) { (s, d) =>
+    val n = length(col("text")).cast("long")
+    val h = xxhash64(col("doc_id"))
+    val r = shiftrightunsigned(h, 4) % 10
+    val q1 = shiftrightunsigned(h, 16) % (n + 1L)
+    val q2 = shiftrightunsigned(h, 40) % (n + 1L)
+    T.documents(s, d)
+      .select(col("doc_id"), col("text"), n.as("n"),
+        (r < 5 && n >= 20L).as("fim"),
+        least(q1, q2).as("lo"), greatest(q1, q2).as("hi"))
+      .select(col("doc_id"), col("fim"),
+        when(col("fim"), col("lo")).otherwise(0L).as("n_prefix"),
+        when(col("fim"), col("hi") - col("lo")).otherwise(0L).as("n_middle"),
+        when(col("fim"), col("n") - col("hi")).otherwise(0L).as("n_suffix"),
+        when(col("fim"), concat(lit("<fim_prefix>"),
+            expr("substring(text, 1, cast(lo as int))"),
+            lit("<fim_suffix>"),
+            expr("substring(text, cast(hi + 1 as int), cast(n - hi as int))"),
+            lit("<fim_middle>"),
+            expr("substring(text, cast(lo + 1 as int), cast(hi - lo as int))")))
+          .otherwise(col("text")).as("fim_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qSplitLeakageSafe, qShardPlan, qBatchPack, qPcaEmbed,
     qCorpusExport, qLangConfusion, qDupMatrix, qLinearProbe, qLogisticProbe,
     qMulticlassProbe, qDsir,
-    qEpochShuffle, qSplitTemporal)
+    qEpochShuffle, qSplitTemporal, qFim)
 }
