@@ -29,9 +29,16 @@ object Bench {
       // measure every query from a clean slate: iterative operators leave
       // localCheckpoint RDD blocks behind (freed only on driver GC via the
       // ContextCleaner); letting them accumulate across 100+ queries
-      // evicts/THRASHes later queries' storage and poisons their timings
+      // evicts/THRASHes later queries' storage and poisons their timings.
+      // EXEMPT the FrozenSides serving generations (r14): stripping a live
+      // generation's blocks while its identity stays valid forces every
+      // later sample through a lost-block failure + evict + re-read — a
+      // measurement artifact no production serving loop pays.
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val protectedIds = graft.streaming.FrozenSides.ownedRddIds
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!protectedIds.contains(id)) rdd.unpersist(blocking = false)
+      }
       (secs, ok)
     }
     // This machine is shared, and contention windows are SUSTAINED (r10:

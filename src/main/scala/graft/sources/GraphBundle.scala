@@ -97,26 +97,46 @@ object GraphBundle {
     stale
   }
 
+  /** Monotone nonce for [[frozenProbe]]'s vanished-mid-stat sentinel:
+    * each sentinel identity is UNIQUE, so it can never validate a read
+    * (the post-read probe cannot match it) and never hit a cache entry —
+    * it always routes the caller onto its retry path. */
+  private val vanishedSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** ONE identity for the WHOLE bundle: the resolved live root plus
     * both subdirs' file stats. Per-dir identities (the r12 shape —
     * FrozenSides.parquetTable on `graph` and `vectors` separately)
     * could resolve ACROSS a republish boundary and cache a new graph
     * next to old vectors; a single probe taken at one instant against
     * one live root cannot mix generations, because the root swaps
-    * atomically. Stat-only — no parquet listing or reads. */
-  private[graft] def frozenProbe(spark: SparkSession, path: String): (String, String) = {
-    val root = liveRoot(spark, path)
-    val rp = new Path(root)
-    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dirId(name: String): String = {
-      val d = new Path(rp, name)
-      if (!fs.exists(d)) return "absent" // pre-r13 bundle layout: no entries/
-      val kids = fs.listStatus(d)
-      val kidM = if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max
-      s"${fs.getFileStatus(d).getModificationTime}@${kids.length}@${kids.map(_.getLen).sum}@$kidM"
+    * atomically. Stat-only — no parquet listing or reads.
+    *
+    * The stat sequence itself (exists → listStatus → getFileStatus) is
+    * not atomic against a concurrent republish either (ADVICE r13): a
+    * commit step can delete `_prev` or rename the root between two
+    * stats, surfacing as FileNotFoundException from a probe that was
+    * told the dir exists. That is not an error — it is the probe
+    * OBSERVING the republish — so it returns a unique sentinel identity
+    * instead of propagating: the caller's identity-compare retry loop
+    * (cachedValidated / [[search]]) treats it as "identity moved" and
+    * re-probes, which lands on the post-swap root. */
+  private[graft] def frozenProbe(spark: SparkSession, path: String): (String, String) =
+    try {
+      val root = liveRoot(spark, path)
+      val rp = new Path(root)
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dirId(name: String): String = {
+        val d = new Path(rp, name)
+        if (!fs.exists(d)) return "absent" // pre-r13 bundle layout: no entries/
+        val kids = fs.listStatus(d)
+        val kidM = if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max
+        s"${fs.getFileStatus(d).getModificationTime}@${kids.length}@${kids.map(_.getLen).sum}@$kidM"
+      }
+      (root, s"$root|${dirId("graph")}|${dirId("vectors")}|${dirId("entries")}")
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        (path, s"vanished#${vanishedSeq.incrementAndGet()}")
     }
-    (root, s"$root|${dirId("graph")}|${dirId("vectors")}|${dirId("entries")}")
-  }
 
   /** The persisted entry candidates — or, for a bundle written by the
     * pre-r13 layout (graph/ + vectors/ only), the SAME degree-greedy
@@ -142,25 +162,23 @@ object GraphBundle {
 
   /** One-shot search against the persisted bundle (the batch twin of
     * [[graft.streaming.StreamingOps.graphSearchSink]]). All three sides
-    * read from ONE resolved root, and the probe is re-taken AFTER the
-    * eager reads: a republish landing between them would otherwise mix
-    * generations across the sequential reads (the
-    * FrozenSides.cachedValidated discipline, one-shot form). */
+    * come from [[graft.streaming.FrozenSides.graphBundle]] — ONE
+    * generation under ONE identity, with the probe→read window closed —
+    * and are CACHED ACROSS CALLS (VERDICT r13 #1: the previous one-shot
+    * form re-read and triple-localCheckpointed graph + vectors + entries
+    * on EVERY call, a per-call fixed cost of three materializations that
+    * a point-query serving loop pays thousands of times against an
+    * artifact that is frozen by contract). A republish moves the bundle
+    * identity and the next call re-reads; a lost executor's checkpoint
+    * blocks are recovered by the same evict-and-retry the streaming sink
+    * uses. */
   def search(spark: SparkSession, path: String, probes: DataFrame,
              entries: Int = 4, beam: Int = 8, hops: Int = 3,
-             topK: Int = 5): DataFrame = {
-    var attempts = 0
-    while (attempts < 5) {
-      val (root, identity) = frozenProbe(spark, path)
-      val graph = spark.read.parquet(s"$root/graph").localCheckpoint(true)
-      val vectors = spark.read.parquet(s"$root/vectors").localCheckpoint(true)
-      val entry = entryPrefix(entriesOrPick(spark, root).localCheckpoint(true), entries)
-      if (frozenProbe(spark, path)._2 == identity)
-        return graft.ops.PipelineOps4.searchWith(
-          graph, vectors, probes, entry, beam, hops, topK)
-      attempts += 1 // republish landed mid-read: retry on the new root
+             topK: Int = 5): DataFrame =
+    graft.streaming.FrozenSides.recovering(path) {
+      val (graph, vectors, entriesDf) =
+        graft.streaming.FrozenSides.graphBundle(spark, path)
+      graft.ops.PipelineOps4.searchWith(
+        graph, vectors, probes, entryPrefix(entriesDf, entries), beam, hops, topK)
     }
-    throw new IllegalStateException(
-      s"graph bundle at $path republished faster than a search could read it 5 times")
-  }
 }

@@ -66,17 +66,28 @@ object FrozenSides {
     * unchanged proves no republish landed inside the window; a moved
     * identity discards the reads and retries against the new root.
     * Returns (root read from, tables). */
-  private def cachedValidated(key: String, probe: () => (String, String))
-                             (read: String => Seq[DataFrame]): (String, Seq[DataFrame]) = {
+  private[graft] def cachedValidated(key: String, probe: () => (String, String))
+                                    (read: String => Seq[DataFrame]): (String, Seq[DataFrame]) = {
     var attempts = 0
     while (attempts < 5) {
-      val (root, identity) = probe()
-      val hit = cache.get(key)
-      if (hit != null && hit.identity == identity) return (hit.root, hit.tables)
-      val fresh = persistAll(read(root))
-      if (probe()._2 == identity) {
-        cache.put(key, Entry(identity, root, fresh))
-        return (root, fresh)
+      try {
+        val (root, identity) = probe()
+        val hit = cache.get(key)
+        if (hit != null && hit.identity == identity) return (hit.root, hit.tables)
+        val fresh = persistAll(read(root))
+        if (probe()._2 == identity) {
+          cache.put(key, Entry(identity, root, fresh))
+          return (root, fresh)
+        }
+      } catch {
+        // a concurrent republish can make the probe's stat sequence or
+        // the read itself observe files mid-rename/delete (ADVICE r13:
+        // commit step 4 deletes _prev after the root was resolved; the
+        // root renames between exists and listStatus; an eager read's
+        // tasks stat files the swap just moved). That is the republish
+        // RACE this loop exists to survive, not storage loss — count it
+        // as an attempt and re-probe, which lands post-swap.
+        case e: Throwable if isVanished(e) => ()
       }
       attempts += 1 // a republish landed mid-read: the generation may be mixed
     }
@@ -157,6 +168,39 @@ object FrozenSides {
   /** Drop every cached entry (test isolation); checkpoint blocks are
     * freed by the ContextCleaner once unreferenced. */
   private[graft] def clear(): Unit = cache.clear()
+
+  /** The persisted-RDD ids of every LIVE cached generation — for the
+    * bench harnesses, whose between-sample "unpersist everything" sweep
+    * would otherwise strip a valid generation's checkpoint blocks while
+    * its identity stays current: every later sample then pays a
+    * lost-block failure + evict + full re-read (r14 — QBench measured
+    * exactly that loop once GraphBundle.search started caching). A
+    * production serving loop never blanket-unpersists foreign RDDs; the
+    * harness must not either. Transient per-query checkpoints stay
+    * sweepable — only the frozen serving generations are exempt. */
+  private[graft] def ownedRddIds: Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    cache.values.asScala.toSeq.flatMap(_.tables).flatMap { df =>
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }
+    }.toSet
+  }
+
+  /** A failure is the artifact VANISHING MID-STAT/MID-READ — the
+    * signature of a republish racing the reader, distinct from lost
+    * checkpoint blocks — when the cause chain carries a
+    * FileNotFoundException (driver-side stat or executor-side open,
+    * which Spark wraps in SparkException layers). */
+  private def isVanished(e: Throwable): Boolean = {
+    var t = e; var depth = 0
+    while (t != null && depth < 20) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** A failure is a LOST CHECKPOINT BLOCK when the cause chain carries
     * Spark's local-checkpoint block error ("Checkpoint block rdd_x_y not
