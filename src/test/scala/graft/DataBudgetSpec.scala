@@ -7,11 +7,20 @@ package graft
 class DataBudgetSpec extends SparkSpec {
 
   test("budget respected, epochs contiguous, greedy marginal-value order") {
+    import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_data_budget")(spark, TinyDir).collect()
     assert(rows.nonEmpty)
+    // the budget base is 2x the tokens of ALL sources (from the documents
+    // table) — summing unique_tokens over OUTPUT rows understates it when
+    // a source's epoch-1 candidate falls past the greedy cut and the
+    // source is absent from the output entirely (ADVICE r13)
+    val allTokens = sources.Tables.documents(spark, TinyDir)
+      .agg(sum(size(split(col("text"), " "))).cast("long")).collect()(0).getLong(0)
+    val budget = 2 * allTokens
     val uniq = rows.map(r => r.getLong(1)).sum
+    assert(uniq <= allTokens, "output sources are a subset of the corpus")
     val used = rows.map(r => r.getLong(3)).sum
-    assert(used <= 2 * uniq, s"used $used over budget ${2 * uniq}")
+    assert(used <= budget, s"used $used over budget $budget")
     rows.foreach { r =>
       val (n, e, usedS, eff) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
       assert(e >= 1 && e <= 8)
@@ -25,7 +34,7 @@ class DataBudgetSpec extends SparkSpec {
     val minGranted = rows.map { r =>
       r.getLong(1).toDouble * math.pow(0.5, r.getLong(2).toDouble - 1)
     }.min
-    val leftover = 2 * uniq - used
+    val leftover = budget - used
     rows.foreach { r =>
       val (n, e) = (r.getLong(1), r.getLong(2))
       if (e < 8 && n <= leftover) {

@@ -31,8 +31,11 @@ class FimSpec extends SparkSpec {
         val middle = body.substring(mi + M.length)
         assert(prefix + middle + suffix == orig,
           s"doc $id: segments must reconstruct the original")
-        assert(prefix.length == np && middle.length == nm && suffix.length == ns)
-        assert(orig.length >= 20)
+        // q_fim counts CODE POINTS (Spark's length()); JVM String.length
+        // is UTF-16 code units — they diverge on astral chars (ADVICE r13)
+        def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+        assert(cp(prefix) == np && cp(middle) == nm && cp(suffix) == ns)
+        assert(cp(orig) >= 20)
       }
     }
     val rate = fimCount.toDouble / rows.length

@@ -205,19 +205,66 @@ class GraphBundleSwapSpec extends SparkSpec {
       .contains(WriterLease.owner(driverB)))
   }
 
-  test("an EMPTY lease file is corrupt state: loud named error, breakLease clears (ADVICE r12)") {
+  test("an EMPTY lease file is corrupt state once STALE: loud named error, breakLease clears (ADVICE r12/r13)") {
     val root = java.nio.file.Files.createTempDirectory("graft_emptylease").toString
     val path = s"$root/bundle"
     val lp = new Path(s"$root/bundle_writer_lease")
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(lp, false).close() // zero-byte lease: crashed mid-claim
+
+    // FRESH empty lease (ADVICE r13): a claimant paused inside the
+    // create->write window must NOT be diagnosed as crashed — the error
+    // names a probable live claim and never points at breakLease
+    val eFresh = intercept[IllegalStateException] {
+      WriterLease.ensure(spark, path, "graph_bundle_build")
+    }
+    assert(eFresh.getMessage.contains("empty") && !eFresh.getMessage.contains("breakLease"),
+      s"a fresh empty lease is a probable live mid-claim: ${eFresh.getMessage}")
+
+    // STALE empty lease: age the file past the mid-claim window — now it
+    // is a crashed writer and the remedy is named
+    val old = System.currentTimeMillis() - 120000L
+    fs.setTimes(lp, old, old)
     val e = intercept[IllegalStateException] {
       WriterLease.ensure(spark, path, "graph_bundle_build")
     }
     assert(e.getMessage.contains("empty") && e.getMessage.contains("breakLease"),
-      s"empty lease must fail loud with the remedy: ${e.getMessage}")
+      s"stale empty lease must fail loud with the remedy: ${e.getMessage}")
     WriterLease.breakLease(spark, path)
     WriterLease.ensure(spark, path, "graph_bundle_build")
     assert(WriterLease.holder(spark, path).contains(WriterLease.owner(spark)))
   }
+
+  test("an UNKNOWN scheme must pass the create-exclusive capability probe (VERDICT r13 #8)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.sloppy.impl", classOf[SloppyFs].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_sloppy").toString
+    val e = intercept[IllegalArgumentException] {
+      WriterLease.ensure(spark, s"sloppy:$root/bundle", "graph_bundle_build")
+    }
+    assert(e.getMessage.contains("capability probe"),
+      s"a silently-overwriting FS must fail the probe: ${e.getMessage}")
+    // and the probe left nothing behind
+    val kids = new java.io.File(root).list()
+    assert(kids == null || kids.isEmpty, s"probe must clean up: ${kids.mkString(",")}")
+  }
+}
+
+/** A FileSystem whose create(overwrite=false) silently overwrites — the
+  * non-atomic-create store shape the WriterLease capability probe must
+  * reject (everything else delegates to the local filesystem). */
+class SloppyFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("sloppy:///")
+  // both create chains Hadoop routes through: with and without permission
+  override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, true, bufferSize, replication, blockSize, progress)
 }
