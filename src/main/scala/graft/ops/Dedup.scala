@@ -1234,16 +1234,34 @@ object Dedup {
     * MinhashCertificateSpec's simhash sibling still red-teams the flag
     * at a banding that must miss. The hamming-cutoff library form stays
     * at [[simhashHammingPairs]]. */
-  private def dedupSimhashOracleSql(bands: Int = 8, threshold: Double = 0.9): String = {
-    val bits = 64 / bands
-    val mh = bands - 1
+  /** The DuckDB replay of [[simhashes]] as a CTE chain ending in
+    * `sim(doc_id, shu UBIGINT)` — factored so every oracle built on the
+    * corpus simhash (q_dedup_simhash's certificate AND the media stub-
+    * signature gate, [[Multimodal.qMediaNeardup]]) replays ONE
+    * implementation: space-split tokens, count-weighted xxhash64 bit
+    * votes, sign pack. `toks` is exposed for callers that also shingle. */
+  private[graft] def simhashSigCtes: String = {
     val tx = OracleKit.nestedProjections(
       "SELECT tok FROM dtok", OracleKit.xxhash64StrSteps("tok"), "tok, hu")
     val votes = (0 until 64).map(i =>
       s"SUM(CASE WHEN (x.hu >> $i) & 1 = 1 THEN c.cnt ELSE -c.cnt END) AS v$i").mkString(",\n    ")
     val pack = (0 until 64).map(i =>
       s"(CASE WHEN v$i > 0 THEN ${BigInt(1) << i}::UBIGINT ELSE 0::UBIGINT END)").mkString(" + ")
-    s"""WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    s"""toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |  tc AS MATERIALIZED (SELECT doc_id, t.tok AS tok, COUNT(*)::BIGINT AS cnt
+       |    FROM toks, unnest(tok) AS t(tok) WHERE t.tok <> '' GROUP BY doc_id, t.tok),
+       |  dtok AS MATERIALIZED (SELECT DISTINCT tok FROM tc),
+       |  tx AS MATERIALIZED ($tx),
+       |  vts AS MATERIALIZED (SELECT c.doc_id,
+       |    $votes
+       |    FROM tc c JOIN tx x USING (tok) GROUP BY c.doc_id),
+       |  sim AS MATERIALIZED (SELECT doc_id, ($pack)::UBIGINT AS shu FROM vts)""".stripMargin
+  }
+
+  private def dedupSimhashOracleSql(bands: Int = 8, threshold: Double = 0.9): String = {
+    val bits = 64 / bands
+    val mh = bands - 1
+    s"""WITH $simhashSigCtes,
        |  sh AS MATERIALIZED (SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS sh
        |         FROM toks, unnest(range(1, len(tok) - 1)) AS t(i)),
        |  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -1257,14 +1275,6 @@ object Dedup {
        |    GROUP BY a.doc_id, b.doc_id
        |    HAVING CAST(COUNT(*) AS DOUBLE) /
        |        CAST(ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*) AS DOUBLE) >= $threshold),
-       |  tc AS MATERIALIZED (SELECT doc_id, t.tok AS tok, COUNT(*)::BIGINT AS cnt
-       |    FROM toks, unnest(tok) AS t(tok) WHERE t.tok <> '' GROUP BY doc_id, t.tok),
-       |  dtok AS MATERIALIZED (SELECT DISTINCT tok FROM tc),
-       |  tx AS MATERIALIZED ($tx),
-       |  vts AS MATERIALIZED (SELECT c.doc_id,
-       |    $votes
-       |    FROM tc c JOIN tx x USING (tok) GROUP BY c.doc_id),
-       |  sim AS MATERIALIZED (SELECT doc_id, ($pack)::UBIGINT AS shu FROM vts),
        |  bnd AS (SELECT doc_id, shu, band, (shu >> ($bits * band)::INT) & ${(1L << bits) - 1} AS bval
        |    FROM (SELECT doc_id, shu, unnest(range(0, $bands))::INT AS band FROM sim)),
        |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -682,22 +682,37 @@ object Multimodal {
     * on duration before it counts. */
   def audioNearDupPairs(binDf: DataFrame, idCol: String, binCol: String,
                         maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4x16-bit banding is only lossless for hamming <= 3")
     val sig = audioSignatures(binDf, idCol, binCol)
       .filter(col("decoded"))
-      .select(col("doc_id").as("id"), col("afp"), col("flat"), col("n_samples"))
+      .select(col("doc_id").as("id"), col("afp").as("fp"), col("flat"),
+        col("n_samples").as("len"))
       .localCheckpoint(true) // both self-join sides read it: decode +
                              // Goertzel fingerprint once per clip
-    val banded = sig.select(col("id"), col("afp"), col("flat"), col("n_samples"),
+    hamming64BandPairs(sig, maxDist)
+  }
+
+  /** The single-signature media near-dup MACHINERY, signature-source
+    * agnostic: 4×16-bit band buckets as candidate keys (pigeonhole-
+    * lossless for maxDist ≤ 3), codegen bit_count(xor) verify, flat
+    * guard (degenerate signatures must also agree on `len` before a pair
+    * counts), the only shuffle the band equi-join. Input: (id, fp, flat,
+    * len). Shared by the REAL audio leg ([[audioNearDupPairs]] — decode
+    * can't replay in SQL, so it stays spec-covered) and the STUB-
+    * signature gate query ([[qMediaNeardup]] — pure byte-function
+    * signatures the DuckDB oracle replays, so THIS machinery joins the
+    * full-hash correctness gate at every SF). */
+  private[graft] def hamming64BandPairs(sig: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding is only lossless for hamming <= 3")
+    val banded = sig.select(col("id"), col("fp"), col("flat"), col("len"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
-            shiftright(col("afp"), 16 * j).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x"))
-      .select(col("id"), col("afp"), col("flat"), col("n_samples"),
+            shiftright(col("fp"), 16 * j).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x"))
+      .select(col("id"), col("fp"), col("flat"), col("len"),
         col("x.band").as("band"), col("x.bval").as("bval"))
     val a = banded.select(col("band"), col("bval"), col("id").as("id_a"),
-      col("afp").as("fa"), col("flat").as("xa"), col("n_samples").as("na"))
+      col("fp").as("fa"), col("flat").as("xa"), col("len").as("na"))
     val b = banded.select(col("band"), col("bval"), col("id").as("id_b"),
-      col("afp").as("fb"), col("flat").as("xb"), col("n_samples").as("nb"))
+      col("fp").as("fb"), col("flat").as("xb"), col("len").as("nb"))
     a.join(b, Seq("band", "bval")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"),
@@ -899,5 +914,187 @@ object Multimodal {
       .select("id_a", "id_b", "n_match", "frame_frac", "max_hamming")
   }
 
-  val all: Seq[Q] = Seq(qMultimodalFeatures, qFrameSample, qModalityBatch)
+  // ---------------------------------------------------------------------
+  // OFFSET-TOLERANT frame matching (VERDICT r13 #2): candidates keyed by
+  // (band, bval) ALONE + a per-pair relative-offset VOTE, so a trimmed or
+  // ±k-frame-shifted copy still pairs — the frame-ALIGNED key of
+  // [[videoNearDupPairs]] shares no key across any temporal offset.
+  // ---------------------------------------------------------------------
+
+  /** Frame-level band-candidate matches between two frame-signature
+    * tables (id, frame_idx, fsig): 4×16-bit bands of each frame's
+    * signature are the candidate key — WITHOUT frame_idx, so temporally
+    * shifted copies still collide — verified per frame pair to
+    * bit_count(xor) ≤ `maxDist` (pigeonhole-lossless per frame at ≤ 3).
+    * Output: (id_a, id_b, fa, fb, hd) distinct. Candidate volume is
+    * Σ_bucket |a_b|·|b_b| over 16-bit buckets — flat frames (the one
+    * systematic collision mass: every title card hashes alike) must be
+    * excluded by the CALLER, which keeps buckets populated by content,
+    * not by degeneracy. `broadcastB` for reference-set-sized b sides
+    * (the MediaIndex screen orientation: corpus never shuffles). */
+  private[graft] def frameBandMatches(aSig: DataFrame, bSig: DataFrame,
+                                      maxDist: Int, requireLess: Boolean,
+                                      broadcastB: Boolean): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding is only lossless for hamming <= 3")
+    def banded(df: DataFrame) = df.select(col("id"), col("frame_idx"), col("fsig"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("fsig"), 16 * j).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("x"))
+      .select(col("id"), col("frame_idx"), col("fsig"),
+        col("x.band").as("band"), col("x.bval").as("bval"))
+    val a = banded(aSig).select(col("band"), col("bval"), col("id").as("id_a"),
+      col("frame_idx").as("fa"), col("fsig").as("ha"))
+    val b0 = banded(bSig).select(col("band"), col("bval"), col("id").as("id_b"),
+      col("frame_idx").as("fb"), col("fsig").as("hb"))
+    val b = if (broadcastB) broadcast(b0) else b0
+    a.join(b, Seq("band", "bval"))
+      .filter(if (requireLess) col("id_a") < col("id_b") else col("id_a").isNotNull)
+      .select(col("id_a"), col("id_b"), col("fa"), col("fb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxDist)
+  }
+
+  /** The relative-offset VOTE over [[frameBandMatches]] output: per
+    * (id_a, id_b) the MODAL frame delta (ties to the smallest delta —
+    * deterministic cross-engine), granted when its matched-frame count
+    * reaches `minFrameFrac` of the SHORTER side's frame count — `least`,
+    * not `greatest`, so a TRIMMED copy (fewer frames, all matching at one
+    * offset) still reaches the floor. `na`/`nb` carry each side's
+    * non-degenerate frame counts as (id_a, na) / (id_b, nb). Output:
+    * (id_a, id_b, n_match, frame_frac, frame_offset). */
+  private[graft] def modalOffsetGrant(matches: DataFrame, na: DataFrame,
+                                      nb: DataFrame, minFrameFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDelta = matches.withColumn("delta", col("fa") - col("fb"))
+      .groupBy("id_a", "id_b", "delta").agg(count(lit(1)).as("n_match"))
+    val w = Window.partitionBy("id_a", "id_b")
+      .orderBy(col("n_match").desc, col("delta").asc)
+    byDelta.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(na, "id_a").join(nb, "id_b")
+      .withColumn("frame_frac",
+        col("n_match").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("frame_frac") >= minFrameFrac)
+      .select(col("id_a"), col("id_b"), col("n_match"), col("frame_frac"),
+        col("delta").as("frame_offset"))
+  }
+
+  /** VIDEO near-dup pairs, OFFSET-TOLERANT (the production form; the
+    * frame-aligned [[videoNearDupPairs]] remains the strict exact-copy
+    * detector): a copy trimmed at the head or shifted by ±k frames shares
+    * every (band, bval) key at one consistent frame delta, and the modal-
+    * offset vote recovers that delta — where the aligned key would pair
+    * NOTHING (VERDICT r13 #2). Flat frames stay excluded from candidates
+    * and counts (the lead-in guard), and the frac denominator is the
+    * SHORTER side, so trims don't dilute. */
+  def videoNearDupPairsOffset(binDf: DataFrame, idCol: String, binCol: String,
+                              stride: Int = 1, maxDist: Int = 3,
+                              minFrameFrac: Double = 0.8): DataFrame = {
+    val sig = videoFrameSignatures(binDf, idCol, binCol, stride)
+      .filter(col("decoded") && !col("flat"))
+      .select(col("doc_id").as("id"), col("frame_idx"), col("ahash").as("fsig"))
+      .localCheckpoint(true) // feeds banding (both sides) + per-video counts
+    val nf = sig.groupBy("id").agg(count(lit(1)).as("nf"))
+    modalOffsetGrant(
+      frameBandMatches(sig, sig, maxDist, requireLess = true, broadcastB = false),
+      nf.select(col("id").as("id_a"), col("nf").as("na")),
+      nf.select(col("id").as("id_b"), col("nf").as("nb")), minFrameFrac)
+  }
+
+  // ---------------------------------------------------------------------
+  // STUB-SIGNATURE gate queries (VERDICT r13 #5): the real codecs cannot
+  // replay in DuckDB, so the near-dup MACHINERY above joins the full-hash
+  // correctness gate through signatures that are pure byte functions of
+  // documents.text — the q_frame_sample recipe. The Scala path is the
+  // SAME shared functions the real legs call; only the signature source
+  // is swapped.
+  // ---------------------------------------------------------------------
+
+  /** [[hamming64BandPairs]] under the gate: the stub "perceptual hash" is
+    * the corpus simhash (already bit-replayed by the q_dedup_simhash
+    * oracle), flat = a popcount-degenerate signature, len = the payload's
+    * byte length — so band join, hamming verify, and the flat+len guard
+    * all hash-match DuckDB at every SF. */
+  val qMediaNeardup: Q = Q("q_media_neardup", mediaNeardupOracleSql) { (s, d) =>
+    val docs = T.documents(s, d)
+    val sig = Dedup.simhashes(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"),
+        octet_length(col("text")).cast("long").as("len")), Seq("id"))
+      .select(col("id"), col("simhash").as("fp"),
+        (bit_count(col("simhash")) < 4 || bit_count(col("simhash")) > 60).as("flat"),
+        col("len"))
+    hamming64BandPairs(sig, 3).orderBy("id_a", "id_b")
+  }
+
+  /** [[frameBandMatches]] + [[modalOffsetGrant]] under the gate: stub
+    * "frames" are the document's consecutive 32-char windows, each
+    * signatured by xxhash64 (byte-replayed by OracleKit), single-repeated-
+    * char windows playing the flat-frame role — so the offset-tolerant
+    * candidate join, the modal-delta vote, the least-side frac, and the
+    * tie-break all hash-match DuckDB at every SF. */
+  val qMediaFrames: Q = Q("q_media_frames", mediaFramesOracleSql) { (s, d) =>
+    val sig = T.documents(s, d)
+      .select(col("doc_id").as("id"), col("text"))
+      .withColumn("nf0", floor(length(col("text")) / 32).cast("long"))
+      .filter(col("nf0") >= 1)
+      .select(col("id"), col("text"),
+        explode(sequence(lit(0L), col("nf0") - 1)).as("frame_idx"))
+      .withColumn("ck", expr("substring(text, CAST(32 * frame_idx + 1 AS INT), 32)"))
+      .filter(expr("length(replace(ck, substring(ck, 1, 1), '')) != 0"))
+      .select(col("id"), col("frame_idx"), xxhash64(col("ck")).as("fsig"))
+      .localCheckpoint(true) // feeds banding (both sides) + per-doc counts
+    val nf = sig.groupBy("id").agg(count(lit(1)).as("nf"))
+    modalOffsetGrant(
+      frameBandMatches(sig, sig, 3, requireLess = true, broadcastB = false),
+      nf.select(col("id").as("id_a"), col("nf").as("na")),
+      nf.select(col("id").as("id_b"), col("nf").as("nb")), 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def mediaNeardupOracleSql: String =
+    s"""WITH ${Dedup.simhashSigCtes},
+       |  sig AS (SELECT s.doc_id AS id, s.shu,
+       |      (bit_count(s.shu) < 4 OR bit_count(s.shu) > 60) AS flat,
+       |      octet_length(encode(d.text)) AS len
+       |    FROM sim s JOIN documents d ON d.doc_id = s.doc_id),
+       |  bnd AS (SELECT id, shu, flat, len, band, (shu >> (16 * band)::INT) & 65535 AS bval
+       |    FROM (SELECT *, unnest(range(0, 4))::INT AS band FROM sig)),
+       |  cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |      bit_count(xor(a.shu, b.shu))::BIGINT AS hamming,
+       |      (a.flat AND b.flat) AS both_flat, (a.len = b.len) AS same_len
+       |    FROM bnd a JOIN bnd b ON a.band = b.band AND a.bval = b.bval AND a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM cand
+       |WHERE hamming <= 3 AND (NOT both_flat OR same_len)
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private def mediaFramesOracleSql: String = {
+    val hx = graft.ops.OracleKit.nestedProjections(
+      "SELECT id, frame_idx, ck FROM nonflat",
+      graft.ops.OracleKit.xxhash64StrSteps("ck"), "id, frame_idx, hu")
+    s"""WITH chunks0 AS (SELECT doc_id AS id, f AS frame_idx,
+       |    substr(text, (32 * f + 1)::INT, 32) AS ck
+       |  FROM documents, unnest(range(0, len(text) // 32)) AS t(f)),
+       |nonflat AS (SELECT * FROM chunks0 WHERE len(replace(ck, substr(ck, 1, 1), '')) <> 0),
+       |hx AS MATERIALIZED ($hx),
+       |nf AS (SELECT id, COUNT(*)::BIGINT AS n FROM hx GROUP BY 1),
+       |bnd AS (SELECT id, frame_idx, hu, band, (hu >> (16 * band)::INT) & 65535 AS bval
+       |  FROM (SELECT *, unnest(range(0, 4))::INT AS band FROM hx)),
+       |fm AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.frame_idx AS fa, b.frame_idx AS fb,
+       |    bit_count(xor(a.hu, b.hu))::BIGINT AS hd
+       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bval = b.bval AND a.id < b.id),
+       |dm AS (SELECT id_a, id_b, fa - fb AS delta, COUNT(*)::BIGINT AS n_match
+       |  FROM fm WHERE hd <= 3 GROUP BY 1, 2, 3),
+       |pick AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+       |    ORDER BY n_match DESC, delta ASC) AS rn FROM dm),
+       |outp AS (SELECT p.id_a, p.id_b, p.n_match,
+       |    CAST(p.n_match AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS frame_frac,
+       |    p.delta AS frame_offset
+       |  FROM pick p JOIN nf na ON na.id = p.id_a JOIN nf nb ON nb.id = p.id_b
+       |  WHERE p.rn = 1)
+       |SELECT id_a, id_b, n_match, frame_frac, frame_offset FROM outp
+       |WHERE frame_frac >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(qMultimodalFeatures, qFrameSample, qModalityBatch,
+    qMediaNeardup, qMediaFrames)
 }

@@ -148,6 +148,26 @@ object FrozenSides {
     (g, v, e)
   }
 
+  /** A SWAP-ROOTED frozen parquet artifact (the MediaIndex signature
+    * sets), persisted across micro-batches: the read resolves
+    * [[graft.sources.AtomicSwap.live]] and the identity carries the
+    * resolved root + its file stats, so an atomic republish of the
+    * artifact is picked up on the next batch and a torn mid-swap window
+    * (root briefly absent between the two renames) lands on the retry
+    * path instead of failing the batch. */
+  def swapParquet(spark: SparkSession, path: String): DataFrame = {
+    val probe = () => {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = graft.sources.AtomicSwap.live(fs, p).map(_.toString).getOrElse(path)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val kids = fs.listStatus(rp) // FNFE mid-swap → cachedValidated retries
+      val kidM = if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max
+      (root, s"$root@${kids.length}@${kids.map(_.getLen).sum}@$kidM")
+    }
+    cachedValidated(s"swapparquet:$path", probe)(r => Seq(spark.read.parquet(r)))._2.head
+  }
+
   /** A plain frozen parquet artifact (the DSIR model), persisted across
     * micro-batches; re-read when the directory changes. The identity is
     * the dir mtime PLUS the child file count and total byte length

@@ -718,25 +718,36 @@ object StreamingOps {
     * perceptual-hash screening at ingest for the non-text modalities
     * (blocked imagery, licensed audio): the crawler flags a re-encoded /
     * volume-shifted / brightness-shifted copy of a reference item the
-    * moment it arrives. `modality` is "image" or "audio". Signatures are
+    * moment it arrives — and, for video, a clip TRIMMED or shifted by ±k
+    * frames (the offset-tolerant modal-delta match, VERDICT r13 #2).
+    * `modality` is "image", "audio" or "video". Signatures are
     * per-payload against a frozen set, so verdicts are compositional —
-    * streamed union == one-shot screen, spec-pinned. Exactly-once via
-    * the overwrite-idempotent `part=batch_<id>` region convention. */
+    * streamed union == one-shot screen, spec-pinned. The signature set is
+    * read once and cached across micro-batches under its SWAP identity
+    * ([[FrozenSides.swapParquet]] — an atomic republish is picked up on
+    * the next batch; a torn mid-swap stat retries instead of killing the
+    * query). Exactly-once via the overwrite-idempotent `part=batch_<id>`
+    * region convention. */
   def mediaScreenSink(docs: DataFrame, indexPath: String, outDir: String,
                       modality: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(modality == "image" || modality == "audio",
-      s"modality must be image|audio, got $modality")
-    val sigDir = if (modality == "image") "img_sigs" else "aud_sigs"
+    require(modality == "image" || modality == "audio" || modality == "video",
+      s"modality must be image|audio|video, got $modality")
+    val sigDir = modality match {
+      case "image" => "img_sigs"
+      case "audio" => "aud_sigs"
+      case _       => "vid_sigs"
+    }
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) FrozenSides.recovering(s"$indexPath/$sigDir") {
           val spark = batch.sparkSession
-          val sigs = Some(FrozenSides.parquetTable(spark, s"$indexPath/$sigDir"))
-          val hits =
-            if (modality == "image")
-              graft.sources.MediaIndex.screenImages(spark, indexPath, batch, sigs)
-            else graft.sources.MediaIndex.screenAudio(spark, indexPath, batch, sigs)
+          val sigs = Some(FrozenSides.swapParquet(spark, s"$indexPath/$sigDir"))
+          val hits = modality match {
+            case "image" => graft.sources.MediaIndex.screenImages(spark, indexPath, batch, sigs)
+            case "audio" => graft.sources.MediaIndex.screenAudio(spark, indexPath, batch, sigs)
+            case _       => graft.sources.MediaIndex.screenVideo(spark, indexPath, batch, sigs)
+          }
           hits.write.mode("overwrite").parquet(s"$outDir/part=batch_$bid")
         }
         ()

@@ -80,4 +80,83 @@ class MediaIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == oneShot)
   }
+
+  /** A 32×32 video frame: white rect at a k-dependent position; `wide`
+    * flips the rect's aspect so a "fresh" clip shares no frame image
+    * with a reference clip at any k. */
+  private def vframe(k: Int, wide: Boolean = false): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.DARK_GRAY)
+      g.fillRect(0, 0, 32, 32)
+      g.setColor(java.awt.Color.WHITE)
+      if (wide) g.fillRect((k * 5) % 16, (k * 7) % 24, 16, 8)
+      else g.fillRect((k * 5) % 24, (k * 7) % 16, 8, 16)
+    } finally g.dispose()
+    img
+  }
+
+  private def vclip(ks: Seq[Int], wide: Boolean = false, lead: Int = 0): Array[Byte] = {
+    val black = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    graft.ops.Multimodal.VideoCodec.encodeAviMjpeg(
+      Seq.fill(lead)(black) ++ ks.map(vframe(_, wide)),
+      quality = if (wide) 0.92f else 0.8f)
+  }
+
+  test("video screen: a head-trimmed re-encoded copy flags with the modal offset; fresh clip passes; corrupt quarantined") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mediavid").toString
+    MediaIndex.buildVideo(
+      Seq((9L, vclip(0 until 10))).toDF("doc_id", "payload"),
+      "doc_id", "payload", root)
+    val batch = Seq(
+      (300L, vclip(2 until 10)),                               // head-trimmed copy
+      (301L, vclip(0 until 10, wide = true)),                  // fresh material
+      (302L, Array.tabulate[Byte](400)(i => (i * 53).toByte))) // corrupt
+      .toDF("doc_id", "payload")
+    val rows = MediaIndex.screenVideo(spark, root, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val hit = rows.filter(t => t._1 == 300L)
+    assert(hit.length == 1 && hit.head._2 == 9L,
+      s"trimmed copy must flag against the reference: ${rows.mkString(",")}")
+    assert(hit.head._5 == -2L, s"modal offset must recover the 2-frame trim: ${hit.head}")
+    assert(hit.head._4 >= 0.8)
+    assert(!rows.exists(_._1 == 301L), s"fresh clip must pass: ${rows.mkString(",")}")
+    assert(!rows.exists(_._1 == 302L), "corrupt payload matches nothing")
+  }
+
+  test("video screen streams; an ATOMIC republish of the signature set is picked up on the next batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.streaming.FrozenSides.clear()
+    val root = java.nio.file.Files.createTempDirectory("graft_mediavid2").toString
+    MediaIndex.buildVideo(
+      Seq((9L, vclip(0 until 10))).toDF("doc_id", "payload"),
+      "doc_id", "payload", root)
+    // ref B and its copy use the `wide` frame family: the tall family's
+    // positions repeat with period 48, so a tall k=52 frame would EQUAL
+    // ref A's k=4 frame and falsely flag in batch 1
+    val copyA = vclip(2 until 10)                             // trimmed copy of ref A
+    val copyB = vclip(Seq(52, 53, 54, 55, 56), wide = true)   // subsequence of the LATER ref B
+    val out = s"$root/out"
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingOps.mediaScreenSink(
+        mem.toDF().toDF("doc_id", "payload"), root, out, "video")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      mem.addData((400L, copyA), (401L, copyB)); q.processAllAvailable()
+      // REPUBLISH: reference set B replaces A atomically (same sig root)
+      MediaIndex.buildVideo(
+        Seq((10L, vclip(50 until 60, wide = true))).toDF("doc_id", "payload"),
+        "doc_id", "payload", root)
+      mem.addData((402L, copyA), (403L, copyB)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 1 screens against A: the A-copy flags, the B-copy passes;
+    // batch 2 (after the republish) against B: roles swap
+    assert(streamed == Set((400L, 9L), (403L, 10L)), s"streamed: $streamed")
+  }
 }

@@ -106,5 +106,34 @@ class VideoDedupSpec extends SparkSpec {
     val pairs = Multimodal.videoNearDupPairs(df, "doc_id", "payload").collect()
     assert(pairs.isEmpty,
       s"shared black lead-in must not pair different clips: ${pairs.mkString(",")}")
+    // the OFFSET-TOLERANT form keeps the same guard: flat frames are
+    // excluded before banding, so the shared lead-in votes for nothing
+    val offs = Multimodal.videoNearDupPairsOffset(df, "doc_id", "payload").collect()
+    assert(offs.isEmpty,
+      s"shared black lead-in must not pair under the offset vote: ${offs.mkString(",")}")
+  }
+
+  test("offset vote: a lead-in-shifted re-encode pairs where the aligned key pairs nothing (VERDICT r13 #2)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, VideoCodec.encodeAviMjpeg(clip(0), quality = 0.92f)),
+      // the SAME material behind a 2-frame black lead-in, lossily
+      // re-encoded — a trimmed/offset copy: no (frame_idx, band) key
+      // survives the shift, but every content frame matches at delta −2
+      (1L, VideoCodec.encodeAviMjpeg(clip(0, leadIn = 2), quality = 0.7f)),
+      (2L, VideoCodec.encodeAviMjpeg(clip(3), quality = 0.92f))) // different material
+      .toDF("doc_id", "payload")
+    val aligned = Multimodal.videoNearDupPairs(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!aligned.contains((0L, 1L)),
+      s"the frame-ALIGNED key cannot see a 2-frame shift (that is the gap): $aligned")
+    val rows = Multimodal.videoNearDupPairsOffset(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val hit = rows.filter(t => t._1 == 0L && t._2 == 1L)
+    assert(hit.length == 1, s"shifted copy must pair under the offset vote: ${rows.mkString(",")}")
+    assert(hit.head._5 == -2L, s"modal delta must recover the 2-frame lead-in: ${hit.head}")
+    assert(hit.head._4 >= 0.8, s"all content frames match at the modal delta: ${hit.head}")
+    assert(!rows.exists(t => t._1 == 2L || t._2 == 2L),
+      s"different material must not pair: ${rows.mkString(",")}")
   }
 }
