@@ -46,19 +46,23 @@ object Production {
       ops.Dedup.NearDupIndex.screen(s, idx, docs(s, d).filter(col("doc_id") >= 25))
         .orderBy("id", "index_id")
     }),
+    // the minhash family twins run at the operating threshold j >= 0.5
+    // with banding CHOSEN for it by recallTargetedMinhash (VERDICT r13
+    // #3, the Jaccard leg): predicted candidate recall >= 0.8 at tau,
+    // where the old fixed 16x4 banding predicted ~0.64
     "q_dedup_minhash" -> ((s, d) =>
-      ops.Dedup.minhashVerifiedPairs(docs(s, d), "doc_id", "text")
+      ops.Dedup.minhashVerifiedPairsAt(docs(s, d), "doc_id", "text", tau = 0.5)
         .orderBy("id_a", "id_b")),
     "q_dedup_simhash" -> ((s, d) =>
       ops.Dedup.simhashVerifiedPairs(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
     "q_dedup_minhash_pick" -> ((s, d) =>
       ops.Dedup.survivorPick(docs(s, d),
-          ops.Dedup.minhashVerifiedPairs(docs(s, d), "doc_id", "text"))
+          ops.Dedup.minhashVerifiedPairsAt(docs(s, d), "doc_id", "text", tau = 0.5))
         .orderBy("doc_id")),
     "q_triangle_lsh" -> ((s, d) =>
       operators.GraphOps2.orientedTriangles(
-          ops.Dedup.minhashVerifiedPairs(docs(s, d), "doc_id", "text")
+          ops.Dedup.minhashVerifiedPairsAt(docs(s, d), "doc_id", "text", tau = 0.5)
             .select("id_a", "id_b"))
         .orderBy("a", "b", "c")),
     // the embedding-pair family's exact forms are n² BY DEFINITION (the

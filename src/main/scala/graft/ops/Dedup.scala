@@ -942,6 +942,71 @@ object Dedup {
     verifyJaccard(cand, profiles, threshold)
   }
 
+  /** Predicted CANDIDATE RECALL of minhash banding at Jaccard `j`: a band
+    * of `rows` minhash values matches with j^rows, any of `bands` bands
+    * with 1 − (1 − j^rows)^bands — the Jaccard S-curve (Broder 1997 /
+    * the MMDS banding analysis), twin of
+    * [[Similarity.lshPredictedRecall]]'s hyperplane curve. */
+  def minhashPredictedRecall(j: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(math.max(0.0, math.min(1.0, j)), rows), bands)
+
+  /** RECALL-TARGETED minhash banding (VERDICT r13 #3 — the hyperplane
+    * chooser [[Similarity.recallTargetedLsh]] applied to the Jaccard
+    * family; until now every minhash entry point shipped fixed 16×4
+    * banding whose implied operating point is j≈0.5 REGARDLESS of the
+    * caller's threshold): choose (bands, rows) from the S-curve so
+    * predicted candidate recall at the caller's `tau` is ≥ `minRecall`,
+    * taking the most selective rows-per-band whose required band count
+    * fits `maxBands` — more rows per band = exponentially rarer band
+    * collisions; bands are what recall costs at that selectivity. The
+    * volume guard rejects choices whose BACKGROUND-pair collision rate
+    * bands·bgJaccard^rows exceeds `maxCandidateFrac` (bgJaccard models
+    * the trigram overlap unrelated docs share — boilerplate, stopword
+    * runs; rows=1 banding "reaches" any recall by colliding every doc
+    * sharing one frequent shingle-min, which is the all-pairs scan
+    * wearing a costume). No fit under both caps fails LOUD with the
+    * curve's math. NOTE: the exact-prefix [[NearDupIndex]]/decontam
+    * screens need no chooser — the prefix filter is LOSSLESS (recall 1
+    * by the prefix theorem); banding choice governs the probabilistic
+    * minhash family only. Returns (bands, rows); signature size k =
+    * bands·rows. */
+  def recallTargetedMinhash(tau: Double, minRecall: Double = 0.8,
+                            maxBands: Int = 32, maxRows: Int = 16,
+                            bgJaccard: Double = 0.1,
+                            maxCandidateFrac: Double = 0.05): (Int, Int) = {
+    require(minRecall > 0 && minRecall < 1, s"minRecall=$minRecall out of (0,1)")
+    require(tau > 0 && tau <= 1, s"tau=$tau out of (0,1]")
+    val fit = (maxRows to 1 by -1).iterator.map { r =>
+      val pr = math.pow(tau, r)
+      // max(1, ·): pr >= minRecall means one band already clears the floor
+      val b = math.max(1.0, math.ceil(math.log1p(-minRecall) / math.log1p(-pr)))
+      (b, r)
+    }.collectFirst {
+      case (b, r) if b >= 1 && b <= maxBands &&
+        b * math.pow(bgJaccard, r) <= maxCandidateFrac => (b.toInt, r)
+    }
+    fit.getOrElse(throw new IllegalArgumentException(
+      f"recallTargetedMinhash: no (bands<=$maxBands%d, rows<=$maxRows%d) reaches recall>=" +
+        f"$minRecall%.2f at jaccard tau=$tau%.2f within background-collision budget " +
+        f"$maxCandidateFrac%.3f (bgJaccard=$bgJaccard%.2f) — the S-curve " +
+        f"1-(1-tau^rows)^bands needs ${math.ceil(math.log1p(-minRecall) /
+          math.log1p(-math.pow(tau, maxRows)))}%.0f bands at $maxRows%d rows; banding " +
+        "cannot reach this threshold sub-quadratically — raise tau, lower minRecall, " +
+        "or run the exact prefix-filtered form (jaccardPairsPrefix / NearDupIndex, " +
+        "recall 1 by the prefix theorem) at this scale"))
+  }
+
+  /** [[minhashVerifiedPairs]] with banding CHOSEN for the caller's
+    * operating threshold by [[recallTargetedMinhash]] — the shipped
+    * production entry: predicted candidate recall ≥ `minRecall` at
+    * `tau` or a loud error. Verification stays exact (precision 1). */
+  def minhashVerifiedPairsAt(docs: DataFrame, idCol: String, textCol: String,
+                             tau: Double, minRecall: Double = 0.8,
+                             n: Int = 3, maxBands: Int = 32): DataFrame = {
+    val (bands, rows) = recallTargetedMinhash(tau, minRecall, maxBands)
+    minhashVerifiedPairs(docs, idCol, textCol, n, bands * rows, bands, tau)
+  }
+
   /** The q_dedup_minhash chain, built ONCE and shared by the whole
     * LSH-graph family (q_dedup_minhash, q_dedup_minhash_pick,
     * q_triangle_lsh — each pays it once, never twice). `certify = true`
@@ -1637,7 +1702,11 @@ object Dedup {
     // (measured at sf0.1/local[32]: 6.0s serial → ~4s overlapped)
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fText = Future(minhashVerifiedPairs(docs, "doc_id", "text")
+    // recall-targeted banding at the arm's operating threshold (25×4 at
+    // j>=0.5): the 25-band candidate set is a strict SUPERSET of the old
+    // fixed 16×4 one (same seed stream, more band slices), and verify is
+    // exact — output can only move TOWARD the exact pair graph
+    val fText = Future(minhashVerifiedPairsAt(docs, "doc_id", "text", tau = 0.5)
       .select("id_a", "id_b").localCheckpoint(true))
     val fEmbed = Future(embedArm(T.embeddings(s, d))
       .select("id_a", "id_b").localCheckpoint(true))

@@ -484,6 +484,25 @@ object StreamingOps {
       graft.ops.Dedup.minhashSigProjected(docs, "doc_id", "text", 3, k),
       bands, k / bands)
 
+  /** [[buildNearDupIndex]] with banding CHOSEN for the screen's operating
+    * threshold by [[graft.ops.Dedup.recallTargetedMinhash]] (VERDICT r13
+    * #3): the index and every stream that screens against it MUST share
+    * one banding, so derive both from the same tau — predicted candidate
+    * recall ≥ 0.8 at the threshold or a loud error, instead of fixed
+    * 16×4 whose implied operating point is j≈0.5 regardless of tau. */
+  def buildNearDupIndexAt(docs: DataFrame, tau: Double): DataFrame = {
+    val (bands, rows) = graft.ops.Dedup.recallTargetedMinhash(tau)
+    buildNearDupIndex(docs, bands * rows, bands)
+  }
+
+  /** [[nearDupStream]] against a [[buildNearDupIndexAt]] index — the
+    * matching recall-targeted stream side (same chooser, same tau ⇒ same
+    * banding as the static index). */
+  def nearDupStreamAt(docs: DataFrame, index: DataFrame, tau: Double): DataFrame = {
+    val (bands, rows) = graft.ops.Dedup.recallTargetedMinhash(tau)
+    nearDupStream(docs, index, bands * rows, bands, tau)
+  }
+
   /** Streaming near-duplicate screen: incoming docs against a STATIC
     * MinHash band index of the historical corpus — "is this scrape page
     * already in the training set?" at ingest time, without re-running

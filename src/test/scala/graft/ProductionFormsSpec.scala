@@ -110,6 +110,49 @@ class ProductionFormsSpec extends SparkSpec {
       s"recall-targeted banding must capture >= 0.8 of true near-dups, got $recall")
   }
 
+  test("recall-targeted MINHASH banding: planted trigram near-dups reach candidate recall >= 0.8 at tau = 0.5") {
+    import spark.implicits._
+    // 40 clusters of 2 docs sharing ~75% of their token stream: the
+    // within-cluster trigram Jaccard sits near 0.6 (true near-dups above
+    // the j >= 0.5 operating threshold); cross-cluster docs share no
+    // token at all. Deterministic corpus + seeded minhash ⇒ no flake.
+    val docs = (for (c <- 0 until 40; j <- 0 until 2) yield {
+      val shared = (0 until 45).map(i => s"c${c}t$i")
+      val own = (0 until 15).map(i => s"c${c}v${j}x$i")
+      ((c * 2 + j).toLong, (shared ++ own).mkString(" "))
+    }).toDF("doc_id", "text")
+    val exact = ops.Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 40, s"plant must contain exactly the 40 cluster pairs: ${exact.size}")
+    val (bands, rows) = ops.Dedup.recallTargetedMinhash(0.5)
+    assert(ops.Dedup.minhashPredictedRecall(0.5, bands, rows) >= 0.8,
+      s"chooser must meet its own floor: ($bands, $rows)")
+    // the old fixed banding's implied recall at its own threshold — the
+    // gap the chooser exists to close
+    assert(ops.Dedup.minhashPredictedRecall(0.5, 16, 4) < 0.7)
+    val got = ops.Dedup.minhashVerifiedPairsAt(docs, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "verification is exact: precision 1")
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"recall-targeted minhash banding must capture >= 0.8 of true near-dups, got $recall")
+  }
+
+  test("a Jaccard threshold the S-curve cannot band within the background-collision budget fails loud") {
+    val e = intercept[IllegalArgumentException] {
+      ops.Dedup.recallTargetedMinhash(0.05)
+    }
+    assert(e.getMessage.contains("S-curve") && e.getMessage.contains("tau=0.05"),
+      s"the error must carry the curve's math: ${e.getMessage}")
+    assert(e.getMessage.contains("prefix"),
+      s"the error must route the caller to the lossless exact form: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      ops.Dedup.minhashVerifiedPairsAt(
+        T.documents(spark, TinyDir), "doc_id", "text", tau = 0.05)
+    }
+    assert(e2.getMessage.contains("S-curve"))
+  }
+
   test("a threshold the S-curve cannot band sub-quadratically fails loud, naming the curve") {
     val e = intercept[IllegalArgumentException] {
       ops.Similarity.recallTargetedLsh(0.38)
