@@ -886,15 +886,15 @@ object Dedup {
     * ([[graft.streaming.StreamingOps.nearDupStream]]). */
   def minhashSigProjected(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, k: Int = 64): DataFrame =
-    // gram hashing via the native codegen expression (value-identical to
-    // the former build-string-then-xxhash64 lambda form); the k seed
-    // folds then only murmur 8-byte longs
+    // gram hashing AND the k seeded min-folds via native codegen
+    // expressions (value-identical to the transform/array_min lambda
+    // pipeline, MinhashSigsSpec-pinned): the declarative fold was k
+    // expression trees each re-walking the gram array and recomputing
+    // the shared hashLong(gram, 42) inner step — a plan-size and 2×-work
+    // cliff once recall-targeted banding pushes k past 100
     docs.select(col(idCol).as("id"),
         graft.functions.NgramHashes(col(textCol), n).as("__sh"))
-      .select(col("id"),
-        array((0 until k).map(i =>
-          array_min(transform(col("__sh"), h => hash(h, lit(i))))): _*)
-          .as("sig"))
+      .select(col("id"), graft.functions.MinhashSigs(col("__sh"), k).as("sig"))
 
   /** LSH banding over a (id, sig) table: one row per (id, band) with the
     * band's signature hash — the candidate-join key. Map-side. */

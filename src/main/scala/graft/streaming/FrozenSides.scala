@@ -161,6 +161,11 @@ object FrozenSides {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val root = graft.sources.AtomicSwap.live(fs, p).map(_.toString).getOrElse(path)
       val rp = new org.apache.hadoop.fs.Path(root)
+      // no live root AND no plain dir = the artifact was never published
+      // — a clear error, not five vanished-mid-swap retries (live()
+      // already distinguishes the transient mid-swap absent window)
+      if (root == path && !fs.exists(rp)) throw new IllegalArgumentException(
+        s"no frozen artifact at $path: nothing published there yet")
       val kids = fs.listStatus(rp) // FNFE mid-swap → cachedValidated retries
       val kidM = if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max
       (root, s"$root@${kids.length}@${kids.map(_.getLen).sum}@$kidM")
