@@ -931,10 +931,23 @@ object Multimodal {
     * systematic collision mass: every title card hashes alike) must be
     * excluded by the CALLER, which keeps buckets populated by content,
     * not by degeneracy. `broadcastB` for reference-set-sized b sides
-    * (the MediaIndex screen orientation: corpus never shuffles). */
+    * (the MediaIndex screen orientation: corpus never shuffles).
+    *
+    * SELF-JOIN volume guard (the maxFusedRows posture): without
+    * frame_idx in the key, bucket sizes are set by the perceptual-hash
+    * DISTRIBUTION, and natural-image aHash values cluster — a corpus of
+    * near-identical footage can concentrate frames into few buckets and
+    * push the candidate join toward frames². Before the self-join runs,
+    * ONE aggregate over the banded rows bounds the candidate volume
+    * (Σ bucket²); past `maxCandidateVolume` the operator fails LOUD
+    * naming the remedies (raise `stride` so fewer frames are sampled, or
+    * screen against a bounded reference set — the broadcast orientation,
+    * which this guard exempts because its volume is |batch|·|ref| with
+    * ref reference-set-sized) instead of shipping a silent quadratic. */
   private[graft] def frameBandMatches(aSig: DataFrame, bSig: DataFrame,
                                       maxDist: Int, requireLess: Boolean,
-                                      broadcastB: Boolean): DataFrame = {
+                                      broadcastB: Boolean,
+                                      maxCandidateVolume: Long = 200000000L): DataFrame = {
     require(maxDist <= 3, "4x16-bit banding is only lossless for hamming <= 3")
     def banded(df: DataFrame) = df.select(col("id"), col("frame_idx"), col("fsig"),
         explode(array((0 until 4).map(j =>
@@ -946,6 +959,17 @@ object Multimodal {
       col("frame_idx").as("fa"), col("fsig").as("ha"))
     val b0 = banded(bSig).select(col("band"), col("bval"), col("id").as("id_b"),
       col("frame_idx").as("fb"), col("fsig").as("hb"))
+    if (requireLess && !broadcastB) {
+      val vol = a.groupBy("band", "bval").count()
+        .agg(coalesce(sum(col("count") * col("count")), lit(0L))).head().getLong(0)
+      require(vol <= maxCandidateVolume,
+        s"frame near-dup candidate volume ~$vol (sum of band-bucket sizes squared) exceeds " +
+          s"$maxCandidateVolume: the perceptual-hash distribution is concentrating frames " +
+          "into few buckets and the offset-tolerant self-join would degenerate toward " +
+          "frames^2 — raise `stride` to sample fewer frames, or screen against a bounded " +
+          "reference set (MediaIndex.screenVideo broadcasts the reference side and its " +
+          "volume is |batch|x|ref|), or raise maxCandidateVolume deliberately")
+    }
     val b = if (broadcastB) broadcast(b0) else b0
     a.join(b, Seq("band", "bval"))
       .filter(if (requireLess) col("id_a") < col("id_b") else col("id_a").isNotNull)
@@ -989,14 +1013,16 @@ object Multimodal {
     * SHORTER side, so trims don't dilute. */
   def videoNearDupPairsOffset(binDf: DataFrame, idCol: String, binCol: String,
                               stride: Int = 1, maxDist: Int = 3,
-                              minFrameFrac: Double = 0.8): DataFrame = {
+                              minFrameFrac: Double = 0.8,
+                              maxCandidateVolume: Long = 200000000L): DataFrame = {
     val sig = videoFrameSignatures(binDf, idCol, binCol, stride)
       .filter(col("decoded") && !col("flat"))
       .select(col("doc_id").as("id"), col("frame_idx"), col("ahash").as("fsig"))
       .localCheckpoint(true) // feeds banding (both sides) + per-video counts
     val nf = sig.groupBy("id").agg(count(lit(1)).as("nf"))
     modalOffsetGrant(
-      frameBandMatches(sig, sig, maxDist, requireLess = true, broadcastB = false),
+      frameBandMatches(sig, sig, maxDist, requireLess = true, broadcastB = false,
+        maxCandidateVolume = maxCandidateVolume),
       nf.select(col("id").as("id_a"), col("nf").as("na")),
       nf.select(col("id").as("id_b"), col("nf").as("nb")), minFrameFrac)
   }

@@ -136,4 +136,18 @@ class VideoDedupSpec extends SparkSpec {
     assert(!rows.exists(t => t._1 == 2L || t._2 == 2L),
       s"different material must not pair: ${rows.mkString(",")}")
   }
+
+  test("offset self-join volume guard fails loud when the hash distribution degenerates") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, VideoCodec.encodeAviMjpeg(clip(0))),
+      (1L, VideoCodec.encodeAviMjpeg(clip(0, leadIn = 2), quality = 0.7f)))
+      .toDF("doc_id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.videoNearDupPairsOffset(df, "doc_id", "payload",
+        maxCandidateVolume = 1L)
+    }
+    assert(e.getMessage.contains("stride") && e.getMessage.contains("screenVideo"),
+      s"the volume guard must name the remedies: ${e.getMessage}")
+  }
 }
