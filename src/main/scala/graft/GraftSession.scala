@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(appName: String = "graft"): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    SparkSession.builder()
+    val base = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,6 +43,19 @@ object GraftSession {
       // slate; this conf covers every other long-lived session.)
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    // deployer conf overrides, applied LAST so they win over the local
+    // defaults above: SPARK_GRAFT_CONF="key=value;key=value". The knobs
+    // that differ between this local[CPUS] harness and a cluster
+    // (partition sizing, codecs, speculation — see clusterConf) stay
+    // parameterised instead of hard-coded for either environment.
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';').toSeq).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(base) { (bb, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) => bb.config(k.trim, v.trim)
+          case _ => bb
+        }
+      }
   }
 
   def get(appName: String = "graft"): SparkSession = {

@@ -32,12 +32,19 @@ object GraphOps2 {
     * scale: edges hash-partitioned by src once, ranks co-partitioned,
     * iterations reuse the same exchange. */
   def pagerankInt(edges: DataFrame, iters: Int,
-                  driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
+                  driverMaxEdges: Long = DriverCcMaxEdges,
+                  inputMaterialized: Boolean = false): DataFrame = {
     // localCheckpoint (eager) truncates the LOGICAL plan each round, not
     // just the RDD lineage — without it every round's plan embeds the
     // previous round's, and Catalyst itself becomes the bottleneck. On a
     // cluster use a reliable checkpoint dir instead (executor loss).
-    val e = e0Checkpoint(edges.select("src", "dst"))
+    // inputMaterialized: the caller vouches `edges` is a cheap projection
+    // over already-checkpointed blocks (the qPagerank/qPpr mirror-union
+    // shape) — a second eager materialization here would re-store the
+    // full edge set just to save re-running a projection (r14 profile:
+    // the double checkpoint was a full extra pass per query).
+    val e = if (inputMaterialized) edges.select("src", "dst")
+            else e0Checkpoint(edges.select("src", "dst"))
     smallLongEdges(e, driverMaxEdges).foreach { arr =>
       return driverPrRounds(e.sparkSession, arr, seeds = None, iters)
     }
@@ -162,8 +169,10 @@ object GraphOps2 {
     * one-shuffle-per-round shape; the only change is the teleport column:
     * PrTeleport·1[node ∈ seeds], carried on the anchored node table. */
   def pprInt(edges: DataFrame, seeds: DataFrame, iters: Int,
-             driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
-    val e = e0Checkpoint(edges.select("src", "dst"))
+             driverMaxEdges: Long = DriverCcMaxEdges,
+             inputMaterialized: Boolean = false): DataFrame = {
+    val e = if (inputMaterialized) edges.select("src", "dst") // see pagerankInt
+            else e0Checkpoint(edges.select("src", "dst"))
     smallLongEdges(e, driverMaxEdges).foreach { arr =>
       val seedSet = seeds.select(col("node").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet
@@ -230,7 +239,7 @@ object GraphOps2 {
       .distinct().localCheckpoint(true)
     val edges = ps.select(col("p").as("src"), col("sup").as("dst"))
       .union(ps.select(col("sup").as("src"), col("p").as("dst")))
-    pagerankInt(edges, 3).orderBy("node")
+    pagerankInt(edges, 3, inputMaterialized = true).orderBy("node")
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
@@ -563,8 +572,10 @@ object GraphOps2 {
     * no window, no collect; labels stay node-sized. Same checkpoint
     * cadence as [[pagerankInt]] (linear chain: every other round). */
   def labelPropagation(symEdges: DataFrame, iters: Int,
-                       driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
-    val e = e0Checkpoint(symEdges.select("src", "dst"))
+                       driverMaxEdges: Long = DriverCcMaxEdges,
+                       inputMaterialized: Boolean = false): DataFrame = {
+    val e = if (inputMaterialized) symEdges.select("src", "dst") // see pagerankInt
+            else e0Checkpoint(symEdges.select("src", "dst"))
     smallLongEdges(e, driverMaxEdges).foreach { arr =>
       val spark = symEdges.sparkSession
       import spark.implicits._
@@ -653,7 +664,7 @@ object GraphOps2 {
         .filter(col("src") < col("dst"))
         .select("src", "dst").distinct())
     val e = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-    labelPropagation(e, 2)
+    labelPropagation(e, 2, inputMaterialized = true)
       .select(col("node"), col("lbl").as("community"))
       .orderBy("node")
   }
@@ -850,7 +861,7 @@ object GraphOps2 {
       .distinct().localCheckpoint(true)
     val edges = ps.select(col("p").as("src"), col("sup").as("dst"))
       .union(ps.select(col("sup").as("src"), col("p").as("dst")))
-    pprInt(edges, Seq(3L).toDF("node"), 3)
+    pprInt(edges, Seq(3L).toDF("node"), 3, inputMaterialized = true)
       .orderBy(col("pr").desc, col("node")).limit(50)
   }
 

@@ -311,10 +311,16 @@ object Relational {
       .join(broadcast(T.customer(s, d).select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(
-        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_price"),
-        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_price"),
+      // one percentile aggregate for both targets (the array form): two
+      // separate percentile() calls each buffer + shuffle + sort the
+      // full per-group value multiset; one buffer serves both reads,
+      // per-element results identical
+      .agg(percentile(col("o_totalprice"), array(lit(0.5), lit(0.9))).as("__ps"),
         count(lit(1)).as("cnt"))
+      .select(col("c_mktsegment"),
+        round(element_at(col("__ps"), 1), 4).as("median_price"),
+        round(element_at(col("__ps"), 2), 4).as("p90_price"),
+        col("cnt"))
       .orderBy("c_mktsegment")
   }
 

@@ -43,8 +43,13 @@ object Stats {
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val o = T.orders(s, d)
     val b = o.groupBy("o_orderpriority")
-      .agg(percentile(col("o_totalprice"), lit(0.05)).as("lo"),
-        percentile(col("o_totalprice"), lit(0.95)).as("hi"))
+      // one percentile buffer for both bounds (the array form — see
+      // q_percentile): identical per-element exact interpolation
+      .agg(percentile(col("o_totalprice"),
+          array(lit(0.05), lit(0.95))).as("__ps"))
+      .select(col("o_orderpriority"),
+        element_at(col("__ps"), 1).as("lo"),
+        element_at(col("__ps"), 2).as("hi"))
     o.join(broadcast(b), "o_orderpriority")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
         round(when(col("o_totalprice") < col("lo"), col("lo"))

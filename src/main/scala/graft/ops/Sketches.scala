@@ -110,10 +110,20 @@ object Sketches {
       .agg(SampleQuantileAgg.agg(
         xxhash64(col("l_orderkey"), col("l_linenumber")),
         col("l_extendedprice"), 4096).as("sk"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("exact_p50"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("exact_p90"),
-        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("exact_p99"),
+        // ONE percentile aggregate for all three targets: each separate
+        // percentile(p) buffers (and shuffles, and sorts) the full value
+        // multiset independently — three copies of every price on the
+        // exchange (15.5 MB → ~5 MB at sf0.1, and 3× the merge sort).
+        // The array form reads all three off one sorted buffer; per-
+        // element results are the identical exact computation.
+        percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("__ps"),
         count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"), col("sk"),
+        round(element_at(col("__ps"), 1), 4).as("exact_p50"),
+        round(element_at(col("__ps"), 2), 4).as("exact_p90"),
+        round(element_at(col("__ps"), 3), 4).as("exact_p99"),
+        col("cnt"))
       .withColumn("v50", q(col("sk"), lit(0.5)))
       .withColumn("v90", q(col("sk"), lit(0.9)))
       .withColumn("v99", q(col("sk"), lit(0.99)))

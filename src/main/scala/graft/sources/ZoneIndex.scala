@@ -33,26 +33,45 @@ object ZoneIndex {
     * bytes alone — the ANALYZE-style column statistic, maintained at
     * write time instead of by a separate stats job. */
   /** One per-file stats pass over `data` for `cols`: min/max/count/nulls
-    * + the KMV distinct sketch, one sidecar row per (file, column). */
-  private def zoneRows(data: DataFrame, cols: Seq[String], ndvK: Int): DataFrame =
-    cols.map { c =>
-      // try_cast, not cast: a non-numeric covered column (e.g. a string
-      // tag) gets NULL zmin/zmax — range pruning is then impossible for
-      // it, but its count/null/NDV-sketch stats stay fully valid (ANSI
-      // cast would instead fail the whole stats job on the first value)
-      data.select(input_file_name().as("file"), col(c))
-        .groupBy("file")
-        .agg(min(col(c)).as("zmin_raw"),
-          max(col(c)).as("zmax_raw"),
-          count(lit(1)).as("cnt"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
-          graft.functions.KmvAgg.agg(
-            when(col(c).isNotNull, xxhash64(col(c))), ndvK).as("kmv"))
-        .withColumn("zmin", expr("try_cast(zmin_raw AS double)"))
-        .withColumn("zmax", expr("try_cast(zmax_raw AS double)"))
-        .drop("zmin_raw", "zmax_raw")
-        .withColumn("col", lit(c))
-    }.reduce(_ unionByName _)
+    * + the KMV distinct sketch, one sidecar row per (file, column).
+    * ONE scan and ONE per-file aggregation covers EVERY column — the
+    * previous per-column `map(..).reduce(unionByName)` form re-scanned
+    * and re-aggregated the full data once per covered column (#cols full
+    * table reads for one sidecar at 100 TB; 4 serialized scan stages in
+    * the sf0.1 profile of q_stats_ndv). The shared count(*) is computed
+    * once; the per-(file, column) row shape is restored by exploding an
+    * array of per-column structs — same schema, same values, same
+    * sidecar bytes (min/max/nulls/KMV are per-column aggregates of the
+    * identical inputs, and the KMV bottom-k set is order-independent). */
+  private def zoneRows(data: DataFrame, cols: Seq[String], ndvK: Int): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      min(col(c)).as(s"__zmin_$c"),
+      max(col(c)).as(s"__zmax_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      graft.functions.KmvAgg.agg(
+        when(col(c).isNotNull, xxhash64(col(c))), ndvK).as(s"__kmv_$c"))
+    }
+    val wide = data
+      .select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(count(lit(1)).as("cnt"), aggs: _*)
+    // try_cast, not cast: a non-numeric covered column (e.g. a string
+    // tag) gets NULL zmin/zmax — range pruning is then impossible for
+    // it, but its count/null/NDV-sketch stats stay fully valid (ANSI
+    // cast would instead fail the whole stats job on the first value)
+    val perCol = array(cols.map { c =>
+      struct(
+        col(s"__nulls_$c").as("nulls"),
+        col(s"__kmv_$c").as("kmv"),
+        expr(s"try_cast(`__zmin_$c` AS double)").as("zmin"),
+        expr(s"try_cast(`__zmax_$c` AS double)").as("zmax"),
+        lit(c).as("col"))
+    }: _*)
+    wide.select(col("file"), col("cnt"), explode(perCol).as("z"))
+      .select(col("file"), col("cnt"), col("z.nulls").as("nulls"),
+        col("z.kmv").as("kmv"), col("z.zmin").as("zmin"),
+        col("z.zmax").as("zmax"), col("z.col").as("col"))
+  }
 
   def writeWithZoneIndex(df: DataFrame, path: String, sortCol: String,
                          nFiles: Int, extraCols: Seq[String] = Nil,
