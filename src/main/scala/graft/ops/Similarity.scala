@@ -366,8 +366,32 @@ object Similarity {
     * The model (K·dim doubles) collects to the driver and broadcasts —
     * model-fit-sized, independent of corpus scale. */
   def fitKmeansCodebook(vecs: DataFrame, k: Int, iters: Int = 4,
-                        maxSample: Long = 1L << 20): Array[Array[Double]] = {
+                        maxSample: Long = 1L << 20,
+                        driverMaxValues: Long = DriverKmeansMaxValues): Array[Array[Double]] = {
     import org.apache.spark.sql.types.DecimalType
+    // SIZE ROUTE (the DriverCcMaxEdges idiom): a sample that fits the
+    // driver replays the SAME Lloyd rounds locally with bit-identical
+    // arithmetic — exact scaled-18 HALF_UP decimal means, the identical
+    // fused cosine fold and lowest-cid argmax ties — in 3 bounded Spark
+    // jobs (dim probe, row-count probe, collect) instead of ~3 jobs per
+    // round (r14 profile: the 4-round distributed fit cost ~1s of
+    // serialized single-task stages per ANN-family query at sf0.1).
+    // Both routes emit the same codebook (the DuckDB kmeans replay and
+    // KmeansRouteSpec pin it); past the gate the distributed loop ships
+    // unchanged.
+    driverSampleRows(kmeansSample(vecs, maxSample), k, driverMaxValues) match {
+      case Some(rows) if rows.nonEmpty =>
+        return driverLloyd(rows, k, iters)
+      case Some(_) => // unlucky tiny-corpus hash-sample came back empty:
+        // same fallback as the distributed path — fit on the full input
+        driverSampleRows(vecs.select(col("id"), col("v")), k, driverMaxValues) match {
+          case Some(rows) =>
+            require(rows.nonEmpty, "fitKmeansCodebook: empty input corpus")
+            return driverLloyd(rows, k, iters)
+          case None => () // full input over the gate: distributed path below
+        }
+      case None => () // sample over the gate: distributed path below
+    }
     val hashed = kmeansSample(vecs, maxSample).localCheckpoint(true)
     // degenerate guards: an unlucky hash-sample (tiny corpora) falls back
     // to the full input; an empty input is an error, never an empty
@@ -399,6 +423,104 @@ object Similarity {
             rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
             c
           case None => prev // empty cell: keep previous centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** Driver-replay gate for the Lloyd fit, in VALUES (rows × dim): 2M
+    * doubles collect to ~16 MB raw (~50 MB boxed) and replay 4 rounds in
+    * well under a second; a 100 TB corpus' 1M-row sample stays on the
+    * distributed path. */
+  val DriverKmeansMaxValues: Long = 1L << 21
+
+  /** The routing probe: (id, v, xxhash64(id, 7)) rows of `sample` when
+    * rows × dim fits `maxValues` — one dim probe (head), one bounded
+    * limit-count (executor-side, nothing driver-sized materializes on
+    * the over-gate path — the probeRows rule), then the collect. None
+    * when over the gate; Some(empty) propagates an empty sample so the
+    * caller can apply its fallback. */
+  private def driverSampleRows(sample: DataFrame, k: Int, maxValues: Long)
+      : Option[Array[(Long, Array[Double], Long)]] = {
+    val p = sample.select(col("id"), col("v"), xxhash64(col("id"), lit(7)).as("hk"))
+    val dimRow = p.select(size(col("v")).as("d")).head(1)
+    if (dimRow.isEmpty) return Some(Array.empty)
+    val dim = math.max(1, dimRow(0).getInt(0))
+    val gate = math.max(k.toLong, maxValues / dim).min(Int.MaxValue - 2L).toInt
+    if (p.limit(gate + 1).count() > gate) None
+    else Some(p.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2))))
+  }
+
+  /** Local replay of the distributed Lloyd rounds, arithmetic-identical:
+    *  - init = first k sample vectors by (xxhash64(id,7), id) — the same
+    *    seeded draw;
+    *  - assignment = the fused dot/na/nb cosine fold of
+    *    [[graft.functions.CosineSimilarity]] with java Double.compare
+    *    ordering (NaN greatest, like Spark's struct-max) and ties to the
+    *    LOWEST cid;
+    *  - means = per-(cid,pos) HALF_UP scale-18 decimal mean: each value
+    *    scales via BigDecimal.valueOf(x).setScale(18, HALF_UP) (= Spark's
+    *    double→DECIMAL(38,18) cast), sums exactly, divides by the count
+    *    with the same half-up integer formula the DuckDB oracle replays
+    *    (OracleKit.halfUpDiv), and converts back like java
+    *    BigDecimal(ms, 18).doubleValue;
+    *  - empty cells keep their previous centroid, partially-present
+    *    positions overwrite a CLONE of it (the byCell merge). */
+  private def driverLloyd(rows: Array[(Long, Array[Double], Long)],
+                          k: Int, iters: Int): Array[Array[Double]] = {
+    val sorted = rows.sortBy { case (id, _, hk) => (hk, id) }
+    var cents: Array[Array[Double]] = sorted.take(k).map(_._2)
+    require(cents.nonEmpty, "fitKmeansCodebook: empty input corpus")
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val n = math.min(x.length, y.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xi = x(i); val yi = y(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def scaled18(x: Double): BigInt = BigInt(
+      java.math.BigDecimal.valueOf(x)
+        .setScale(18, java.math.RoundingMode.HALF_UP).unscaledValue())
+    def halfUpDiv(ts: BigInt, n: Long): BigInt = {
+      val nn = BigInt(n)
+      if (ts >= 0) (ts * 2 + nn) / (nn * 2)
+      else -(((-ts) * 2 + nn) / (nn * 2))
+    }
+    for (_ <- 1 to iters) {
+      val dimMax = cents.map(_.length).max max rows.iterator.map(_._2.length).max
+      val sums = Array.fill(cents.length)(new Array[BigInt](dimMax))
+      val cnts = Array.fill(cents.length)(new Array[Long](dimMax))
+      rows.foreach { case (_, v, _) =>
+        var best = 0; var bestC = cos(v, cents(0)); var c = 1
+        while (c < cents.length) {
+          val cc = cos(v, cents(c))
+          if (java.lang.Double.compare(cc, bestC) > 0) { best = c; bestC = cc }
+          c += 1
+        }
+        var j = 0
+        while (j < v.length) {
+          val s = sums(best)(j)
+          sums(best)(j) = if (s == null) scaled18(v(j)) else s + scaled18(v(j))
+          cnts(best)(j) += 1
+          j += 1
+        }
+      }
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        if (!cnts(c).exists(_ > 0)) prev
+        else {
+          val out = prev.clone()
+          var j = 0
+          while (j < out.length) {
+            if (cnts(c)(j) > 0)
+              out(j) = new java.math.BigDecimal(
+                halfUpDiv(sums(c)(j), cnts(c)(j)).bigInteger, 18).doubleValue()
+            j += 1
+          }
+          out
         }
       }
     }
