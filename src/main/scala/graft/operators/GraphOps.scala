@@ -65,11 +65,48 @@ object GraphOps {
     * quadratic per-part supplier×supplier edge set (which coSupplyEdges
     * materializes) never exists. At 100 TB this is the difference between
     * a shuffle of the fact table and a shuffle of its square. */
-  def coSupplyBfs(s: SparkSession, d: String, sources: DataFrame, maxHops: Int): DataFrame = {
+  def coSupplyBfs(s: SparkSession, d: String, sources: DataFrame, maxHops: Int,
+                  driverMaxEdges: Long = GraphOps2.DriverCcMaxEdges): DataFrame = {
     // eager localCheckpoints: constant-size plans across hops (PLANS.md r2)
     val ps = T.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct().localCheckpoint(true)
+    // SIZE ROUTE (the DriverCcMaxEdges idiom): an incidence list that
+    // fits the driver replays the SAME hop expansion over local
+    // adjacency maps — hop distances are exact set algebra, so both
+    // routes are identical and the unrolled oracles pin them. The
+    // distributed loop (~3 jobs/hop: two incidence joins + frontier
+    // checkpoint) ships unchanged past the gate.
+    val psGate = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt
+    if (ps.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
+        ps.limit(psGate + 1).count() <= psGate) {
+      import s.implicits._
+      val inc = ps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byPart = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val bySupp = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      inc.foreach { case (pk, sk) =>
+        byPart.getOrElseUpdate(pk, scala.collection.mutable.ArrayBuffer.empty) += sk
+        bySupp.getOrElseUpdate(sk, scala.collection.mutable.ArrayBuffer.empty) += pk
+      }
+      val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+      sources.select(col("node").cast("long")).distinct()
+        .collect().foreach(r => dist(r.getLong(0)) = 0L)
+      var frontier: Set[Long] = dist.keySet.toSet
+      var hop = 1L
+      while (hop <= maxHops && frontier.nonEmpty) {
+        val parts = frontier.iterator
+          .flatMap(sk => bySupp.getOrElse(sk, Nil)).toSet
+        val next = parts.iterator
+          .flatMap(pk => byPart.getOrElse(pk, Nil))
+          .filter(sk => !dist.contains(sk)).toSet
+        next.foreach(sk => dist(sk) = hop)
+        frontier = next
+        hop += 1
+      }
+      return dist.toSeq.sorted.toDF("node", "dist")
+    }
     var visited = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = visited.select("node")
@@ -219,12 +256,41 @@ object GraphOps {
     * 5 shuffles for a depth-32 ontology instead of 32.
     * Reference analog: ancestor closure over parent-child ontologies
     * (loaders/load-Ontologies.py, python/obo.py). */
-  def transitiveClosure(edges: DataFrame, maxDepth: Int): DataFrame = {
+  /** Edge gate for the driver closure route (the DriverCcMaxEdges idiom
+    * — GraphOps2 documents the crossover): an under-gate edge set
+    * collects once and the SAME doubling rounds replay as hash-set
+    * operations, where the distributed loop pays ~4 Spark jobs per round
+    * (self-join, distinct, eager checkpoint, growth count). Both routes
+    * emit the identical path SET (exact set algebra, no numeric ties),
+    * which the recursive-CTE oracles hash. */
+  val DriverClosureMaxEdges: Long = 2000000L
+
+  /** Driver-route bail-out: a closure that outgrows this many paths
+    * mid-replay falls back to the distributed loop (pathological
+    * fan-out), so the route can never pin closure-sized memory. */
+  private val DriverClosureMaxPaths: Long = 16000000L
+
+  def transitiveClosure(edges: DataFrame, maxDepth: Int,
+                        driverMaxEdges: Long = DriverClosureMaxEdges): DataFrame = {
     // eager localCheckpoint per round: the doubling self-join references
     // the closure THREE times (join x2 + union), so without plan
     // truncation the logical plan grows 3^rounds (see PLANS.md round 2)
     var closure = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
+    val gate = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt
+    if (closure.limit(gate + 1).count() <= gate) {
+      driverClosure(closure.collect(), maxDepth).foreach { pairs =>
+        val spark = edges.sparkSession
+        // parallelize (not a LocalRelation): the closure is PATH-sized —
+        // bigger than its edge input — and callers aggregate over it, so
+        // the rows must land spread across cores, not inlined into the
+        // plan as one single-partition local scan
+        val rdd = spark.sparkContext.parallelize(
+          pairs.toSeq.map { case (s, d) => org.apache.spark.sql.Row(s, d) },
+          spark.sparkContext.defaultParallelism)
+        return spark.createDataFrame(rdd, closure.schema)
+      }
+    }
     var nPaths = closure.count()
     var depth = 1
     var grew = true
@@ -242,6 +308,41 @@ object GraphOps {
       depth *= 2
     }
     closure
+  }
+
+  /** Local replay of the doubling rounds over the collected DISTINCT
+    * edge set: identical loop shape (double while depth < maxDepth and
+    * the path set grew), identical output SET — node type stays whatever
+    * the caller shipped (string ids, dictionary-encoded longs). None if
+    * the closure outgrows [[DriverClosureMaxPaths]] mid-replay (the
+    * caller then runs the distributed loop on the already-checkpointed
+    * base). */
+  private def driverClosure(rows: Array[org.apache.spark.sql.Row],
+                            maxDepth: Int): Option[scala.collection.Set[(Any, Any)]] = {
+    var closure = scala.collection.mutable.HashSet.empty[(Any, Any)]
+    rows.foreach(r => closure += ((r.get(0), r.get(1))))
+    var nPaths = closure.size.toLong
+    var depth = 1
+    var grew = true
+    while (depth < maxDepth && grew) {
+      val bySrc = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+      closure.foreach { case (s, d) =>
+        bySrc.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+      }
+      val doubled = scala.collection.mutable.HashSet.empty[(Any, Any)] ++ closure
+      closure.foreach { case (s, m) =>
+        bySrc.get(m).foreach(_.foreach { d =>
+          doubled += ((s, d))
+          if (doubled.size > DriverClosureMaxPaths) return None
+        })
+      }
+      grew = doubled.size > nPaths
+      nPaths = doubled.size
+      closure = doubled
+      depth *= 2
+    }
+    Some(closure)
   }
 
   /** Ancestor closure over the part→brand→type→ROOT hierarchy synthesized

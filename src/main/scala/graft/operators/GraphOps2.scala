@@ -746,8 +746,10 @@ object GraphOps2 {
     * edges by src and the per-round join becomes co-partitioned. Exact
     * long arithmetic — no float drift under any partitioning. */
   def ssspInt(edges: DataFrame, sources: DataFrame, hops: Int,
-              driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
-    val e = e0Checkpoint(edges.select(col("src"), col("dst"), col("w")))
+              driverMaxEdges: Long = DriverCcMaxEdges,
+              inputMaterialized: Boolean = false): DataFrame = {
+    val e = if (inputMaterialized) edges.select(col("src"), col("dst"), col("w"))
+            else e0Checkpoint(edges.select(col("src"), col("dst"), col("w"))) // see pagerankInt
     // size route (see probeRows): min-plus over longs replays
     // bit-identically on the driver; the weighted probe is its own
     // shape, but the gate is the same
@@ -821,7 +823,7 @@ object GraphOps2 {
       .localCheckpoint(true)
     val edges = ps.select(col("p").as("src"), col("sup").as("dst"), col("w"))
       .union(ps.select(col("sup").as("src"), col("p").as("dst"), col("w")))
-    ssspInt(edges, Seq(1L).toDF("node"), 4).orderBy("node")
+    ssspInt(edges, Seq(1L).toDF("node"), 4, inputMaterialized = true).orderBy("node")
   }
 
   /** Top-50 entities related to the hub supplier (node 2·1+1) by
