@@ -477,8 +477,12 @@ object PipelineOps4 {
     val graph = nnDescentGraph(vecs, k, rounds)
       .select(col("src_id").as("gsrc"), col("dst_id").as("gdst"))
       .localCheckpoint(true)
+    // deliberately NOT checkpointed: a projection over the parquet scan
+    // re-reads ~MBs per hop join, strictly cheaper than the eager
+    // materialization job a checkpoint costs (r14 profile: the one-shot
+    // gate query is job-count-bound; the PERSISTED serving paths —
+    // GraphBundle/FrozenSides — pass their own materialized sides)
     val corpus = vecs.select(col("vec_id").as("node"), col("v").as("nv"))
-      .localCheckpoint(true) // one scan serves all hop joins
     val probes = corpus.filter(col("node") < 10)
       .select(col("node").as("query_id"), col("nv").as("qv"))
     searchWith(graph, corpus, probes, pickEntries(graph, entries), beam, hops, topK)
@@ -502,8 +506,11 @@ object PipelineOps4 {
   private[graft] def pickEntries(graph: DataFrame, entries: Int): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
+    // NOT checkpointed: one cheap aggregation over the caller's already-
+    // materialized edge table — recomputing it for the one fetch (plus
+    // the rare spill-over probes) costs less than the eager
+    // materialization job a checkpoint pays (r14 job-count trim)
     val deg = graph.groupBy(col("gdst").as("node")).agg(count(lit(1)).as("dc"))
-      .localCheckpoint(true) // the fetch below + the rare spill-over probes
     // TWO driver jobs, not 2·entries: fetch the top slice of the degree
     // table once, fetch the out-neighborhoods of everything in it once,
     // then run the greedy locally. The greedy's picks provably stay
