@@ -347,7 +347,23 @@ object PipelineOps4 {
       val pairs = bp.select(explode(col("bp")).as("u"), col("bp"))
         .select(col("u").as("src"), explode(col("bp")).as("dst"))
         .filter(col("dst") =!= col("src"))
+      // scale-adaptive parallelism for the expansion stage: the dedup
+      // agg's exchange carries node-sized SETS (tiny bytes), so AQE
+      // coalesces its read to 1-2 tasks — and that read is where the
+      // round's real work runs (explode to ≤ n·(2k)² candidate rows, a
+      // dim-wide cosine each, the top-k window sort). The candidate
+      // volume is KNOWN (the |B(p)| ≤ 2k bound), so pin the partition
+      // count from it — ~200k scored rows per task, clamped to
+      // [cores, 8·cores] — instead of letting byte-based coalescing
+      // serialize a compute-bound stage (guide §2: derive partitioning
+      // from input size, here the post-explosion size).
+      val par = {
+        val cores = vecs.sparkSession.sparkContext.defaultParallelism
+        val cand = n * 4L * k * k
+        math.max(cores.toLong, math.min(8L * cores, cand / 200000L + 1L)).toInt
+      }
       val all = pairs.union(edges.select("src", "dst"))
+        .repartition(par, col("src"))
         .groupBy("src").agg(collect_set(col("dst")).as("ds"))
         .select(col("src"), explode(col("ds")).as("dst"))
       val sims = all
