@@ -183,8 +183,17 @@ object GraphOps {
       |  FROM sym JOIN deg dn ON dn.sk = sym.node JOIN deg dm ON dm.sk = sym.nbr)
       |SELECT node, nbr, common, round(jac, 6) AS jaccard, rnk
       |FROM scored WHERE rnk <= 3 ORDER BY node, rnk""".stripMargin) { (s, d) =>
+    // pin the wedge join's parallelism: its exchange carries the small
+    // incidence list but the join stage EXPANDS it to Σ per-part degree²
+    // wedge rows + the pair aggregation — AQE's byte-based coalescing
+    // reads it with ~5 tasks on 32 cores (r14 profile: 1.3s wall, 5.3s
+    // CPU). One explicit pk repartition at runtime parallelism feeds
+    // both self-join sides (same key → no extra exchange) and is not
+    // coalescable; at cluster scale the incidence list's own byte size
+    // already exceeds any core count, so the max() is a no-op.
     val ps = T.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+      .repartition(s.sparkContext.defaultParallelism, col("pk"))
     val deg = ps.groupBy("sk").agg(count(lit(1)).as("d"))
     val pairs = ps.select(col("pk"), col("sk").as("s1"))
       .join(ps.select(col("pk"), col("sk").as("s2")), "pk")
