@@ -1719,15 +1719,24 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .localCheckpoint(true))
     val Seq(textPairs, embedPairs, exactPairs) = awaitAll(fText, fEmbed, fExact)
-    def flagOf(pairs: DataFrame, name: String): DataFrame =
-      pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-        .distinct().withColumn(name, lit(true))
     val fused = textPairs.unionByName(embedPairs).unionByName(exactPairs)
       .distinct().localCheckpoint(true)
+    // ONE tagged aggregation computes all three membership flags —
+    // the per-arm flagOf form paid three distinct-shuffles plus three
+    // left joins for what is one doc-keyed groupBy over the (tiny,
+    // checkpointed) pair sets (guide §2.4: share the exchange)
+    def touched(pairs: DataFrame, tag: Int): DataFrame =
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
+        lit(tag).as("__arm"))
+    val flags = touched(textPairs, 1)
+      .unionByName(touched(embedPairs, 2))
+      .unionByName(touched(exactPairs, 3))
+      .groupBy("doc_id")
+      .agg(max(col("__arm") === 1).as("text_dup"),
+        max(col("__arm") === 2).as("embed_dup"),
+        max(col("__arm") === 3).as("exact_dup"))
     survivorPick(docs, fused)
-      .join(flagOf(textPairs, "text_dup"), Seq("doc_id"), "left")
-      .join(flagOf(embedPairs, "embed_dup"), Seq("doc_id"), "left")
-      .join(flagOf(exactPairs, "exact_dup"), Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
       .na.fill(false, Seq("text_dup", "embed_dup", "exact_dup"))
       .orderBy("doc_id")
   }
