@@ -9,13 +9,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   val TinyDir = "/root/testdata/sf0.001"
   val SmallDir = "/root/testdata/sf0.01"
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName(getClass.getSimpleName)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // belt to the test-classpath log4j2.properties' suspenders: the r14
+    // driver test run died under INFO spam before the sbt summary printed
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
   /** Set session confs for `body`, restoring previous values (set or
     * unset) afterwards — shared by every spec that toggles optimizer
