@@ -22,10 +22,27 @@ object Bench {
     catch { case _: Throwable => () }
 
     type Fn = (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame
-    def runOne(fn: Fn): (Double, Boolean) = {
+    // per-query executor CPU (VERDICT r14 #7): the bench inputs are
+    // single-row-group parquet, so scan-fused stages run single-threaded
+    // and CPU savings are invisible in wall clock — record task CPU per
+    // query into the bench_full.json artifact. The counter is read only
+    // after a listener-bus drain, OUTSIDE the timed region.
+    final case class Sample(secs: Double, ok: Boolean, cpu: Double)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
+      }
+    })
+    def runOne(fn: Fn): Sample = {
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      val c0 = cpuNs.get
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      val cpu = (cpuNs.get - c0) / 1e9
       // measure every query from a clean slate: iterative operators leave
       // localCheckpoint RDD blocks behind (freed only on driver GC via the
       // ContextCleaner); letting them accumulate across 100+ queries
@@ -39,7 +56,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!protectedIds.contains(id)) rdd.unpersist(blocking = false)
       }
-      (secs, ok)
+      Sample(secs, ok, cpu)
     }
     // This machine is shared, and contention windows are SUSTAINED (r10:
     // four untouched queries drifted +60-80% in the driver run although
@@ -58,24 +75,28 @@ object Bench {
     val prodItems = Production.forms.toSeq.sortBy(_._1).map { case (n, f) => ("prod/" + n, f) }
     val allItems: Seq[(String, Fn)] = gateItems ++ prodItems
     val pass1 = allItems.map { case (name, fn) => (name, fn, runOne(fn)) }
-    val retryItems = pass1.filter { case (_, _, (secs, ok)) => ok && secs > 1.0 }
+    val retryItems = pass1.filter { case (_, _, m) => m.ok && m.secs > 1.0 }
     val pass2 = retryItems.map { case (name, fn, m1) => (name, fn, m1, runOne(fn)) }
-    val pass3 = pass2.flatMap { case (name, fn, (s1, _), (s2, ok2)) =>
-      val best = if (ok2) math.min(s1, s2) else s1
-      val spread = if (ok2) math.abs(s1 - s2) / math.max(best, 1e-9) else 0.0
+    val pass3 = pass2.flatMap { case (name, fn, m1, m2) =>
+      val best = if (m2.ok) math.min(m1.secs, m2.secs) else m1.secs
+      val spread = if (m2.ok) math.abs(m1.secs - m2.secs) / math.max(best, 1e-9) else 0.0
       if (best > 2.5 && spread > 0.25) Some((name, fn, runOne(fn))) else None
     }
-    val bestOf: Map[String, Double] = {
+    // best sample per query: min wall among passing samples (its CPU rides
+    // along — CPU of the least-contended run is the best plan-cost estimate
+    // for the same reason the min wall is)
+    val bestSample: Map[String, Sample] = {
       val samples = pass1.map { case (n, _, m) => (n, m) } ++
         pass2.map { case (n, _, _, m) => (n, m) } ++
         pass3.map { case (n, _, m) => (n, m) }
       samples.groupBy(_._1).map { case (n, ms) =>
-        val oks = ms.collect { case (_, (s, true)) => s }
-        (n, if (oks.nonEmpty) oks.min else ms.head._2._1)
+        val oks = ms.map(_._2).filter(_.ok)
+        (n, if (oks.nonEmpty) oks.minBy(_.secs) else ms.head._2)
       }
     }
+    val bestOf: Map[String, Double] = bestSample.map { case (n, m) => (n, m.secs) }
     val okOf: Map[String, Boolean] =
-      pass1.map { case (n, _, (_, ok)) => (n, ok) }.toMap
+      pass1.map { case (n, _, m) => (n, m.ok) }.toMap
     val results = gateItems.map { case (name, _) => (name, bestOf(name), okOf(name)) }
     // The driver captures only the LAST 2000 chars of output and parses the
     // JSON line out of that tail — a line longer than ~1880 chars gets its
@@ -158,6 +179,26 @@ object Bench {
       out = line(bySlow.take(keep).sortBy(_._1), bySlow.length - keep)
     }
     println(out)
+    // COMPLETE per-query artifact (VERDICT r14 #5/#6): the stdout line's
+    // 1880-char budget drops the fastest queries from the printed map,
+    // which produced phantom "dropped_from_bench" diffs two rounds
+    // running. Every query (gate + prod twins), wall AND executor-CPU
+    // seconds, lands in bench_full.json next to the repo — the stdout
+    // line above stays the driver contract, byte-format unchanged.
+    try {
+      def ent(key: String): String = {
+        val m = bestSample(key)
+        s""""$key":{"sec":${d3(m.secs)},"cpu_sec":${d3(m.cpu)},"ok":${m.ok}}"""
+      }
+      val gates = gateItems.map(_._1).map(ent).mkString("{", ",", "}")
+      val prods = prodItems.map(_._1).map(ent).mkString("{", ",", "}")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val full =
+        s"""{"total_sec":${d3(total)},"attempted":$attempted,"ran":$ran,""" +
+          s""""sf":"$sfDir","cpus":$cpus,"queries":$gates,"prod":$prods}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"), full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // artifact only — never fail the bench
     spark.stop()
   }
 }
