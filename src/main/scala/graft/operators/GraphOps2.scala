@@ -278,6 +278,44 @@ object GraphOps2 {
     * algebra), which the oracles hash and the forced-route specs pin. */
   val DriverCcMaxEdges: Long = 4000000L
 
+  /** Rows a single expansion-stage task should score/aggregate — the r14
+    * NN-Descent calibration (~200k wedge/candidate rows ≈ 0.2-0.5s of
+    * fused compute per task). */
+  val ExpansionRowsPerTask: Long = 200000L
+
+  /** Task-count sanity ceiling for one expansion stage. Deliberately an
+    * ABSOLUTE bound, not cores-proportional: the r14 `8·cores` clamp let
+    * per-task input grow without bound past ~1.6M·cores candidate rows
+    * on a small cluster with a huge expansion (VERDICT r14 #3). 256k
+    * tasks ≈ 52G expansion rows at the target rows/task — past that the
+    * per-task share grows gracefully instead of the scheduler drowning. */
+  val MaxExpansionTasks: Long = 262144L
+
+  /** Partition count for a stage that EXPANDS its input — wedge
+    * self-joins (output ∝ Σ per-key degree²), candidate explodes — where
+    * AQE's byte-based coalescing sees only the tiny pre-expansion
+    * exchange bytes and serializes a compute-bound stage (r14 profiles:
+    * q_node_jaccard's wedge stage 1.3s wall / 5.3s CPU on 5 tasks).
+    * Derived from the KNOWN post-expansion volume, floored at runtime
+    * parallelism — a floor, not a pin: the caller passes the true volume,
+    * so at cluster scale the count keeps growing with the data instead of
+    * freezing at a core count (the q_node_jaccard r14 pin's flaw). */
+  def expansionTasks(spark: org.apache.spark.sql.SparkSession,
+                     volume: Long,
+                     rowsPerTask: Long = ExpansionRowsPerTask): Int =
+    math.max(spark.sparkContext.defaultParallelism.toLong,
+      math.min(volume / rowsPerTask + 1L, MaxExpansionTasks)).toInt
+
+  /** Σ per-key degree² of an incidence list — the exact output volume of
+    * its key-equi self-join (the wedge count). One aggregation pass;
+    * call it on an already-materialized (checkpointed) incidence so the
+    * stat rides cached blocks, not a second source scan. */
+  def wedgeVolume(inc: DataFrame, key: String): Long = {
+    val r = inc.groupBy(key).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   def connectedComponents(edges: DataFrame, maxIters: Int,
                           driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val e0 = e0Checkpoint(edges.select(col("src"), col("dst"))
@@ -647,10 +685,17 @@ object GraphOps2 {
       |l2 AS (SELECT node, lbl FROM c2
       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1)
       |SELECT node, lbl AS community FROM l2 ORDER BY node""".stripMargin) { (s, d) =>
-    // ps is referenced only inside the single half-pair self-join below,
-    // where both sides share one distinct-exchange (ReusedExchange) — no
-    // checkpoint needed; `half` is the reuse point that must materialize
-    val ps = T.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+    // checkpoint the incidence list once: the Σdeg² volume stat and both
+    // wedge sides read the materialized blocks (r15 — previously the two
+    // join sides shared one distinct-exchange via ReusedExchange; the
+    // stat consumer makes the explicit materialization the cheaper form)
+    val ps = e0Checkpoint(
+      T.lineitem(s, d).select("l_partkey", "l_suppkey").distinct())
+    // wedge-expansion parallelism derived from Σ per-part degree² (the
+    // q_node_jaccard treatment): AQE's byte-based coalescing otherwise
+    // reads the expansion stage with ~5 tasks at 32 cores
+    val wedged = ps.repartition(
+      expansionTasks(s, wedgeVolume(ps, "l_partkey")), col("l_partkey"))
     // generate each undirected edge ONCE (src < dst), dedup the halved
     // pair stream, then mirror — same edge set as the symmetric join at
     // half the distinct-shuffle volume (the dominant cost: per-part
@@ -659,8 +704,8 @@ object GraphOps2 {
     // union would recompute the fanout join + distinct in both branches
     // (same fix as qKCore's pair scan)
     val half = e0Checkpoint(
-      ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
-        .join(ps.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst")), "pk")
+      wedged.select(col("l_partkey").as("pk"), col("l_suppkey").as("src"))
+        .join(wedged.select(col("l_partkey").as("pk"), col("l_suppkey").as("dst")), "pk")
         .filter(col("src") < col("dst"))
         .select("src", "dst").distinct())
     val e = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
