@@ -308,11 +308,15 @@ object CorpusQuality {
   private def releaseDecisions(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val docs = T.documents(s, d)
     val evalDocs = docs.filter(col("doc_id") < 25)
-    val train = docs.filter(col("doc_id") >= 25)
-    val q = train.select(col("doc_id"), filterVerdict.as("q"))
-      .localCheckpoint(true) // read by the keep-join and the final verdict
-    val qk = train.join(q.filter(col("q") === "keep").select("doc_id"), "doc_id")
-      .localCheckpoint(true) // feeds the pair join, the pick, and decontam
+    // ONE training pass (r15): the verdict and the text ride the same
+    // checkpointed table — previously `q` (doc_id, verdict) and `qk`
+    // (train ⋈ q-keep, re-attaching text) were SEPARATE checkpoints,
+    // paying a second corpus scan + a doc-keyed join + a second
+    // materialization job for columns one projection already had
+    val q = docs.filter(col("doc_id") >= 25)
+      .select(col("doc_id"), col("text"), filterVerdict.as("q"))
+      .localCheckpoint(true) // pair join, pick, decontam, verdict read it
+    val qk = q.filter(col("q") === "keep").select("doc_id", "text")
     val pick = Dedup.survivorPick(qk,
         Dedup.jaccardPairsPrefix(qk, "doc_id", "text", 3, 0.5))
       .localCheckpoint(true) // read by the survivor filter and the verdict
@@ -325,9 +329,22 @@ object CorpusQuality {
     val contaminated = cross
       .select(when(col("id_a") >= 25, col("id_a")).otherwise(col("id_b")).as("doc_id"))
       .distinct().withColumn("cont", lit(true))
-    q.join(pick.select(col("doc_id"), col("survivor_id"), col("keep").as("dk")),
-        Seq("doc_id"), "left")
-      .join(contaminated, Seq("doc_id"), "left")
+    // ONE tagged aggregation folds both flag sources (survivor pick +
+    // contamination) into a single doc-keyed table, so the decision
+    // assembly pays ONE left join instead of one per source — the
+    // q_dedup_fuse r14 pattern (guide §2.4 share the exchange). max()
+    // ignores nulls: a doc present in one branch keeps its values, a doc
+    // in both merges them (cont ⊆ pick, so survivor_id/dk never conflict).
+    val flags = pick
+      .select(col("doc_id"), col("survivor_id"), col("keep").as("dk"),
+        lit(null).cast("boolean").as("cont"))
+      .unionByName(contaminated.select(col("doc_id"),
+        lit(null).cast("long").as("survivor_id"),
+        lit(null).cast("boolean").as("dk"), col("cont")))
+      .groupBy("doc_id")
+      .agg(max(col("survivor_id")).as("survivor_id"), max(col("dk")).as("dk"),
+        max(col("cont")).as("cont"))
+    q.select("doc_id", "q").join(flags, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("q") =!= "keep", col("q"))
           .when(!col("dk"), "dup")
