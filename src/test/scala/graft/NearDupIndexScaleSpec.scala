@@ -214,19 +214,29 @@ class NearDupIndexScaleSpec extends SparkSpec {
     val batch = docs.filter(isBatch).localCheckpoint(true)
     // the routed (default-gate) plan vs the same query FORCED down the
     // small-batch path — value-identical across the gate (VERDICT r9 #3)
+    val routedDf = Dedup.NearDupIndex.query(spark, idx, batch)
+    // the structural claim itself: the oversized route never touches the
+    // postings table (the small-batch plan's broadcast+postings shape is
+    // exactly what inverts above the gate)
+    assert(!routedDf.queryExecution.executedPlan.toString.contains(s"$idx/prefix"),
+      "oversized route scanned the postings table")
     val (routed, routedBytes) = bytesReadDuring(
-      Dedup.NearDupIndex.query(spark, idx, batch)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      routedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     val (forced, forcedBytes) = bytesReadDuring(
       Dedup.NearDupIndex.query(spark, idx, batch, maxBatchFraction = 1.0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     assert(routed == forced, s"routing changed the pair set: " +
       s"missing=${forced -- routed} extra=${routed -- forced}")
     // the r9 regression: above the pushdown cap, the small-batch plan
-    // read MORE than from-scratch (broadcast batch + full postings +
-    // full profiles). The oversized route must strictly undercut it.
-    assert(routedBytes < forcedBytes,
-      s"oversized route read $routedBytes B, not less than the " +
-        s"small-batch plan's $forcedBytes B")
+    // read MORE than from-scratch (1.8× — broadcast batch + full postings
+    // + full profiles). The route's documented read contract is PARITY
+    // with from-scratch (r10 measured 1.03×), so pin parity-or-better
+    // with slack for footer/file-count noise: the r15 scale-derived
+    // bucket count dropped this spec-sized index from 64 posting files
+    // to 4, which made the forced plan's fixed overhead small enough
+    // that a strict `<` no longer holds at this corpus size.
+    assert(routedBytes <= forcedBytes * 1.1,
+      s"oversized route read $routedBytes B vs the small-batch plan's " +
+        s"$forcedBytes B — beyond read parity")
   }
 }
