@@ -307,13 +307,37 @@ object GraphOps2 {
       math.min(volume / rowsPerTask + 1L, MaxExpansionTasks)).toInt
 
   /** Σ per-key degree² of an incidence list — the exact output volume of
-    * its key-equi self-join (the wedge count). One aggregation pass;
-    * call it on an already-materialized (checkpointed) incidence so the
-    * stat rides cached blocks, not a second source scan. */
+    * its key-equi self-join (the wedge count). One aggregation pass over
+    * the incidence source. */
   def wedgeVolume(inc: DataFrame, key: String): Long = {
     val r = inc.groupBy(key).agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * col("c"))).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Byte gate for [[wedgeTasks]]' stat route: under it the Σdeg² stat's
+    * extra jobs (an aggregation pass before the query proper) cost more
+    * than the better task count buys — jar-pinned r15 ABABs measured the
+    * always-stat form +0.3s on q_node_jaccard at sf0.1 with zero upside
+    * (the derived 91 ≈ the 32-core floor there). A ≤1 GiB incidence
+    * bounds the wedge stage to single-host seconds, where the cores
+    * floor is already the right spread. */
+  val WedgeStatMinBytes: Long = 1L << 30
+
+  /** Wedge-join partition count, SIZE-ROUTED (VERDICT r14 #3): a small
+    * incidence pins its expansion exchange at runtime parallelism
+    * (spreading the Σdeg²-expanding stage AQE would byte-coalesce to 1-5
+    * tasks, at zero extra jobs); past [[WedgeStatMinBytes]] (Catalyst's
+    * size estimate — metadata, no job) the count is DERIVED from the
+    * true Σdeg² volume via one stat pass, so a cluster-sized wedge stage
+    * keeps growing its task count with the data instead of freezing at
+    * a core count with unbounded per-task input. */
+  def wedgeTasks(inc: DataFrame, key: String): Int = {
+    val spark = inc.sparkSession
+    if (inc.queryExecution.optimizedPlan.stats.sizeInBytes
+        <= BigInt(WedgeStatMinBytes))
+      spark.sparkContext.defaultParallelism
+    else expansionTasks(spark, wedgeVolume(inc, key))
   }
 
   def connectedComponents(edges: DataFrame, maxIters: Int,
@@ -685,17 +709,14 @@ object GraphOps2 {
       |l2 AS (SELECT node, lbl FROM c2
       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1)
       |SELECT node, lbl AS community FROM l2 ORDER BY node""".stripMargin) { (s, d) =>
-    // checkpoint the incidence list once: the Σdeg² volume stat and both
-    // wedge sides read the materialized blocks (r15 — previously the two
-    // join sides shared one distinct-exchange via ReusedExchange; the
-    // stat consumer makes the explicit materialization the cheaper form)
-    val ps = e0Checkpoint(
-      T.lineitem(s, d).select("l_partkey", "l_suppkey").distinct())
-    // wedge-expansion parallelism derived from Σ per-part degree² (the
+    // ps is referenced only inside the single half-pair self-join below,
+    // where both sides share one exchange (ReusedExchange) — no
+    // checkpoint needed; `half` is the reuse point that must materialize
+    val ps = T.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+    // size-routed wedge-expansion parallelism (wedgeTasks — the
     // q_node_jaccard treatment): AQE's byte-based coalescing otherwise
-    // reads the expansion stage with ~5 tasks at 32 cores
-    val wedged = ps.repartition(
-      expansionTasks(s, wedgeVolume(ps, "l_partkey")), col("l_partkey"))
+    // reads the Σdeg²-expanding stage with ~5 tasks at 32 cores
+    val wedged = ps.repartition(wedgeTasks(ps, "l_partkey"), col("l_partkey"))
     // generate each undirected edge ONCE (src < dst), dedup the halved
     // pair stream, then mirror — same edge set as the symmetric join at
     // half the distinct-shuffle volume (the dominant cost: per-part
