@@ -309,15 +309,30 @@ object PipelineOps4 {
     nnDescentGraph(vecs, k = 14, rounds = 2)
   }
 
-  private[graft] def nnDescentGraph(vecs: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** Input gate for the NN-Descent driver replay, in DOUBLES (rows ×
+    * dim) — the same driver-sized-by-construction bound the r14 kmeans
+    * route uses (≤ 16 MB of vectors). Past it — any real embedding
+    * corpus — the distributed loop ships unchanged. Both routes emit the
+    * identical scored graph (exact replay of the congruential init, the
+    * ρ-sampled reverse neighborhoods, the fused cosine fold and Spark's
+    * nan-safe (cv DESC, dst ASC) ranking); NnDescentRouteSpec pins
+    * bit-identity across the gate, and the q_nn_descent / q_graph_search
+    * oracles hash the routed results at all three SFs. */
+  private[graft] val NnDescentDriverMaxDoubles: Long = 2000000L
+
+  private[graft] def nnDescentGraph(vecs: DataFrame, k: Int, rounds: Int,
+                                    driverMaxDoubles: Long = NnDescentDriverMaxDoubles): DataFrame = {
     import graft.functions.VectorFunctions.cosineSim
+    val spark = vecs.sparkSession
     // The congruential init needs a dense 0..n-1 node numbering. One
     // narrow bounds pass decides the route: vec ids that are already
     // dense (the common layout) ARE the numbering — no work; otherwise a
     // range-partitioned distributed rank builds it (never a global
     // single-task window). Both routes yield the same rid on dense ids,
-    // so the oracle (ROW_NUMBER over vec_id) covers both.
-    val b = vecs.agg(min(col("vec_id")), max(col("vec_id")), count(lit(1))).head
+    // so the oracle (ROW_NUMBER over vec_id) covers both. The same pass
+    // carries max vector width for the driver-route gate below.
+    val b = vecs.agg(min(col("vec_id")), max(col("vec_id")), count(lit(1)),
+      max(size(col("v")))).head
     val n = b.getLong(2)
     val dense = n > 0 && b.getLong(0) == 0L && b.getLong(1) == n - 1
     val ev = (if (dense) vecs.select(col("vec_id").as("rid"), col("vec_id"), col("v"))
@@ -327,6 +342,50 @@ object PipelineOps4 {
       PipelineOps3.exclusivePrefixSum(base, "__g", Seq("vec_id"), "one", 32)
         .select(col("pre").as("rid"), col("vec_id"), col("v"))
     }).localCheckpoint(true)
+    // SIZE ROUTE (the DriverCcMaxEdges/kmeans idiom, r15): a vector set
+    // that fits the driver replays the SAME rounds locally — the
+    // distributed loop pays ~6 Spark jobs per round (reverse-sample
+    // window, candidate dedup exchange, two vector joins, top-k window,
+    // eager checkpoint) over data that is KB-sized here. The scored
+    // rows return through parallelize and the SHARED final projection
+    // below (joins, 6-dp rounding, ordering), so only the iterative
+    // middle is replayed. Null/ragged vectors fall back to the loop.
+    val dimMax = if (b.isNullAt(3)) 0L else b.getInt(3).toLong
+    val collected: Array[org.apache.spark.sql.Row] =
+      if (n > 0 && n * math.max(1L, dimMax) <= driverMaxDoubles)
+        ev.select(col("rid"), col("v")).collect()
+      else null
+    val scored: DataFrame =
+      if (collected != null && collected.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        val vs = new Array[Array[Double]](n.toInt)
+        collected.foreach(r => vs(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
+        val out = driverNnDescent(vs, k, rounds)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("rnk",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
+        val rdd = spark.sparkContext.parallelize(
+          out.toSeq.map { case (s2, d2, cv, r) =>
+            org.apache.spark.sql.Row(s2, d2, cv, r) },
+          spark.sparkContext.defaultParallelism)
+        spark.createDataFrame(rdd, schema)
+      } else distributedNnDescent(ev, n, k, rounds)
+    scored
+      .join(ev.select(col("rid").as("src"), col("vec_id").as("src_id")), "src")
+      .join(ev.select(col("rid").as("dst"), col("vec_id").as("dst_id")), "dst")
+      .select(col("src_id"), col("rnk"), col("dst_id"), round(col("cv"), 6).as("sim"))
+      .orderBy("src_id", "rnk")
+  }
+
+  private def distributedNnDescent(ev: DataFrame, n: Long, k: Int,
+                                   rounds: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val vecs = ev
     var edges = ev.select(col("rid"), explode(sequence(lit(1), lit(k))).as("m"))
       .select(col("rid").as("src"),
         ((col("rid") * 37 + col("m") * 101 + 13) % n).as("dst"))
@@ -377,10 +436,137 @@ object PipelineOps4 {
       edges = scored.select("src", "dst")
     }
     scored
-      .join(ev.select(col("rid").as("src"), col("vec_id").as("src_id")), "src")
-      .join(ev.select(col("rid").as("dst"), col("vec_id").as("dst_id")), "dst")
-      .select(col("src_id"), col("rnk"), col("dst_id"), round(col("cv"), 6).as("sim"))
-      .orderBy("src_id", "rnk")
+  }
+
+  /** Driver replay of [[distributedNnDescent]]'s rounds over the
+    * collected (rid-indexed) vectors — bit-identical by construction:
+    * the congruential init's long arithmetic, the reverse-neighbor
+    * ρ-sample's (xxhash64(src·1000003+dst), dst) order (the exact
+    * catalyst XXH64 with seed 42, JVM overflow wrap and all), the set
+    * semantics of the candidate dedup (collect_set ≙ HashSet), the
+    * fused dot/na/nb cosine fold of [[graft.functions.CosineSimilarity]],
+    * and Spark's nan-safe double ordering for the (cv DESC, dst ASC)
+    * top-k window (NaN greatest, -0.0 == 0.0 — java.lang.Double.compare
+    * would order -0.0 ties differently). Returns the last round's scored
+    * rows (src, dst, cv, rnk ≤ k). */
+  private def driverNnDescent(vs: Array[Array[Double]], k: Int,
+                              rounds: Int): Array[(Long, Long, Double, Int)] = {
+    val n = vs.length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val m = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // Spark's nan-safe double compare (NaN == NaN, NaN greatest,
+    // -0.0 == 0.0) — the window's sort comparator
+    def nanSafe(x: Double, y: Double): Int =
+      if (x < y) -1 else if (x > y) 1 else if (x == y) 0
+      else if (java.lang.Double.isNaN(x) && java.lang.Double.isNaN(y)) 0
+      else if (java.lang.Double.isNaN(x)) 1 else -1
+    // congruential init, distinct (sets make order irrelevant)
+    var edges: Array[Array[Long]] = {
+      val sets = Array.fill(n)(new java.util.HashSet[java.lang.Long]())
+      var rid = 0
+      while (rid < n) {
+        var m = 1
+        while (m <= k) {
+          val dst = (rid.toLong * 37L + m.toLong * 101L + 13L) % n.toLong
+          if (dst != rid.toLong) { sets(rid).add(dst); () }
+          m += 1
+        }
+        rid += 1
+      }
+      sets.map { s =>
+        val a = new Array[Long](s.size); var i = 0
+        val it = s.iterator; while (it.hasNext) { a(i) = it.next(); i += 1 }
+        a
+      }
+    }
+    var scoredOut: Array[(Long, Long, Double, Int)] = Array.empty
+    for (_ <- 1 to rounds) {
+      // reverse adjacency, then the deterministic k-sample per node
+      val rev = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
+      var s = 0
+      while (s < n) {
+        val es = edges(s); var i = 0
+        while (i < es.length) { rev(es(i).toInt) += s.toLong; i += 1 }
+        s += 1
+      }
+      // B(p) = N(p) ∪ revK(p)
+      val bp = new Array[Array[Long]](n)
+      var p = 0
+      while (p < n) {
+        val ordered = rev(p).sortBy(d =>
+          (org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(p.toLong * 1000003L + d, 42L), d))
+        val set = new java.util.HashSet[java.lang.Long]()
+        edges(p).foreach(d => { set.add(d); () })
+        ordered.take(k).foreach(d => { set.add(d); () })
+        val a = new Array[Long](set.size); var i = 0
+        val it = set.iterator; while (it.hasNext) { a(i) = it.next(); i += 1 }
+        bp(p) = a
+        p += 1
+      }
+      // local join: every ordered (u, w) pair within each B set, w != u,
+      // unioned with the current edges, deduped per src (collect_set)
+      val cand = Array.fill(n)(new java.util.HashSet[java.lang.Long]())
+      p = 0
+      while (p < n) {
+        val a = bp(p); var i = 0
+        while (i < a.length) {
+          val u = a(i); var j = 0
+          while (j < a.length) {
+            val w = a(j)
+            if (w != u) { cand(u.toInt).add(w); () }
+            j += 1
+          }
+          i += 1
+        }
+        p += 1
+      }
+      s = 0
+      while (s < n) {
+        edges(s).foreach(d => { cand(s).add(d); () }); s += 1
+      }
+      // score every candidate, rank (cv DESC, dst ASC), keep top k
+      val nextEdges = new Array[Array[Long]](n)
+      val out = Array.newBuilder[(Long, Long, Double, Int)]
+      s = 0
+      while (s < n) {
+        val cs = cand(s)
+        if (cs.isEmpty) nextEdges(s) = Array.empty[Long]
+        else {
+          val arr = new Array[(Long, Double)](cs.size)
+          var i = 0
+          val it = cs.iterator
+          while (it.hasNext) {
+            val d = it.next().longValue()
+            arr(i) = (d, cos(vs(s), vs(d.toInt))); i += 1
+          }
+          val sorted = arr.sortWith { (x, y) =>
+            val c = nanSafe(y._2, x._2) // cv DESC
+            if (c != 0) c < 0 else x._1 < y._1 // dst ASC
+          }
+          val keep = math.min(k, sorted.length)
+          val es = new Array[Long](keep)
+          i = 0
+          while (i < keep) {
+            out += ((s.toLong, sorted(i)._1, sorted(i)._2, i + 1))
+            es(i) = sorted(i)._1
+            i += 1
+          }
+          nextEdges(s) = es
+        }
+        s += 1
+      }
+      edges = nextEdges
+      scoredOut = out.result()
+    }
+    scoredOut
   }
 
   /** B(p) = N(p) ∪ sample_k(N⁻¹(p)) for every node, one set column per
