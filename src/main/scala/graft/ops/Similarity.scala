@@ -49,6 +49,169 @@ object Similarity {
   private def requireFusedScanAllowed(n: Long, maxFusedRows: Long, op: String): Unit =
     if (n > maxFusedRows) throw new FusedScanTooLarge(op, n, maxFusedRows)
 
+  /** Driver-replay WORK gate for the fused all-pairs scans (r15): total
+    * multiply-adds (n·(n−1)/2 · dim) a local replay would run — ~1e9
+    * replays in well under a second, past it the 32+-core distributed
+    * scan wins. Bounds WORK where the graph/kmeans routes bound INPUT:
+    * an O(n²) kernel gated on n·dim alone would stall the driver at the
+    * very sizes the gate is supposed to admit. */
+  private[graft] val DriverPairScanMaxOps: Long = 1000000000L
+
+  private def pairScanOps(n: Long, dimMax: Long): Long = {
+    val d = math.max(1L, dimMax)
+    if (n <= 1) 0L
+    else if (n > 3000000000L) Long.MaxValue
+    else {
+      val pairs = n * (n - 1) / 2
+      if (pairs > Long.MaxValue / d) Long.MaxValue else pairs * d
+    }
+  }
+
+  private def collectPairRows(e: DataFrame): Array[(Long, Array[Double], Double)] =
+    e.select(col("id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** Spark's round(c, 6) on doubles: HALF_UP decimal; NaN/Inf pass through. */
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark's nan-safe double compare (NaN == NaN, NaN greatest, -0.0 == 0.0). */
+  private def nanSafeCompare(x: Double, y: Double): Int =
+    if (x < y) -1 else if (x > y) 1 else if (x == y) 0
+    else if (java.lang.Double.isNaN(x) && java.lang.Double.isNaN(y)) 0
+    else if (java.lang.Double.isNaN(x)) 1 else -1
+
+  /** Local replay of the fused thresholded pair scan: same dot fold as
+    * [[graft.functions.DotProduct]], same HALF_UP 6-dp round, Spark's
+    * NaN-greatest `>= τ`, pairs normalized id_a < id_b (cos is
+    * orientation-independent bit-for-bit — IEEE multiply commutes). */
+  private def driverPairScan(rows: Array[(Long, Array[Double], Double)],
+                             tau: Double): Array[(Long, Long, Double)] = {
+    val out = Array.newBuilder[(Long, Long, Double)]
+    var i = 0
+    while (i < rows.length) {
+      val (ia, va, na2) = rows(i)
+      var j = i + 1
+      while (j < rows.length) {
+        val (ib, vb, nb2) = rows(j)
+        if (ia != ib) {
+          val m = math.min(va.length, vb.length)
+          var dot = 0.0; var t = 0
+          while (t < m) { dot += va(t) * vb(t); t += 1 }
+          val c = dot / (na2 * nb2)
+          // prefilter before the (BigDecimal) round: rounding moves a
+          // value by ≤ 5e-7, so only near-threshold pairs pay it
+          if (java.lang.Double.isNaN(c) || c >= tau - 1e-6) {
+            val rc = round6(c)
+            if (java.lang.Double.isNaN(rc) || rc >= tau) {
+              if (ia < ib) out += ((ia, ib, rc)) else out += ((ib, ia, rc))
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def pairRowsDf(spark: org.apache.spark.sql.SparkSession,
+                         out: Array[(Long, Long, Double)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        out.toSeq.map { case (a, b, c) => org.apache.spark.sql.Row(a, b, c) },
+        spark.sparkContext.defaultParallelism), schema)
+  }
+
+  /** Local replay of the fused all-pairs top-k window: per-node bounded
+    * best-k under Spark's nan-safe (cos DESC, nbr ASC) order, rnk 1-based
+    * LONG like the distributed form's Exact.lng(row_number). O(n·k)
+    * memory — the n²/2 scored pairs are never materialized. */
+  private def driverKnnScan(rows: Array[(Long, Array[Double], Double)],
+                            kNbrs: Int): Array[(Long, Long, Double, Long)] = {
+    final case class Cand(nbr: Long, cos: Double)
+    // worst-first order so the queue head is the eviction candidate
+    val worstFirst = new java.util.Comparator[Cand] {
+      def compare(a: Cand, b: Cand): Int = {
+        val c = nanSafeCompare(a.cos, b.cos)
+        if (c != 0) c else java.lang.Long.compare(b.nbr, a.nbr)
+      }
+    }
+    val heaps = new java.util.HashMap[Long, java.util.PriorityQueue[Cand]]()
+    def offer(node: Long, nbr: Long, cos: Double): Unit = {
+      var q = heaps.get(node)
+      if (q == null) { q = new java.util.PriorityQueue[Cand](kNbrs + 1, worstFirst); heaps.put(node, q) }
+      if (q.size < kNbrs) { q.add(Cand(nbr, cos)); () }
+      else {
+        val w = q.peek()
+        val c = nanSafeCompare(cos, w.cos)
+        if (c > 0 || (c == 0 && nbr < w.nbr)) { q.poll(); q.add(Cand(nbr, cos)); () }
+      }
+    }
+    var i = 0
+    while (i < rows.length) {
+      val (ia, va, na2) = rows(i)
+      var j = i + 1
+      while (j < rows.length) {
+        val (ib, vb, nb2) = rows(j)
+        if (ia != ib) {
+          val m = math.min(va.length, vb.length)
+          var dot = 0.0; var t = 0
+          while (t < m) { dot += va(t) * vb(t); t += 1 }
+          val rc = round6(dot / (na2 * nb2))
+          offer(ia, ib, rc); offer(ib, ia, rc)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = Array.newBuilder[(Long, Long, Double, Long)]
+    val it = heaps.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      val node = en.getKey
+      val arr = en.getValue.toArray(new Array[Cand](en.getValue.size))
+      java.util.Arrays.sort(arr, new java.util.Comparator[Cand] {
+        def compare(a: Cand, b: Cand): Int = {
+          val c = nanSafeCompare(b.cos, a.cos) // cos DESC
+          if (c != 0) c else java.lang.Long.compare(a.nbr, b.nbr)
+        }
+      })
+      var r = 0
+      while (r < arr.length) {
+        out += ((node, arr(r).nbr, arr(r).cos, (r + 1).toLong)); r += 1
+      }
+    }
+    out.result()
+  }
+
+  private def knnRowsDf(spark: org.apache.spark.sql.SparkSession,
+                        out: Array[(Long, Long, Double, Long)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("nbr",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("rnk",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        out.toSeq.map { case (n2, b2, c2, r2) =>
+          org.apache.spark.sql.Row(n2, b2, c2, r2) },
+        spark.sparkContext.defaultParallelism), schema)
+  }
+
   /** Corpus with double vectors and precomputed norms. */
   def withNorms(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -669,15 +832,17 @@ object Similarity {
   /** (sample of unit vectors, corpus row count) in one counting pass —
     * the count both sizes the hash-sample modulus and feeds
     * cellCountFor, so callers never pay it twice. */
-  private def collectUnitSample(e: DataFrame, cap: Long): (Array[Array[Double]], Long) = {
-    val n = e.count()
+  private def collectUnitSample(e: DataFrame, cap: Long): (Array[Array[Double]], Long, Long) = {
+    val b = e.agg(count(lit(1)), max(size(col("v")))).head()
+    val n = b.getLong(0)
+    val dimMax = if (b.isNullAt(1)) 0L else b.getInt(1).toLong
     val m = math.max(1L, n / math.max(1L, cap))
     val hashed =
       if (m <= 1L) e else e.filter(pmod(xxhash64(col("id")), lit(m)) === 0)
     val us = hashed
       .orderBy(xxhash64(col("id"), lit(7)), col("id")).limit(cap.toInt)
       .select("u").collect().map(_.getSeq[Double](0).toArray)
-    (us, n)
+    (us, n, dimMax)
   }
 
   /** Plain Lloyd on driver arrays (euclidean argmin, ties to lowest cid,
@@ -806,17 +971,29 @@ object Similarity {
     * so no codegen ceiling). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          tau: Double, kOpt: Option[Int] = None,
-                         maxFusedRows: Long = MaxFusedRows)
+                         maxFusedRows: Long = MaxFusedRows,
+                         driverMaxOps: Long = DriverPairScanMaxOps)
       : (DataFrame, CellPruneStats) = {
     import VectorFunctions.dotProduct
     val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
       .withColumn("u", transform(col("v"), x => x / col("nrm")))
     val cosCol = round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-    val (us, n) = collectUnitSample(e, 256)
+    val (us, n, dimMax) = collectUnitSample(e, 256)
     val routeStats = routePairsSample(us, n, tau)
     val (scored, stats) =
       if (routeStats.degenerate) {
         requireFusedScanAllowed(n, maxFusedRows, "cosineNearDupPairs")
+        // DRIVER ROUTE (r15, the nnDescentGraph idiom): under the ops
+        // gate the n²/2 scan is driver-sized — replay it locally (same
+        // dot fold, same HALF_UP 6-dp round, Spark's NaN-greatest >= τ)
+        // instead of paying the checkpoint + self-join + filter jobs.
+        // Ordered AFTER the fused-scan guard: the ceiling's loud-fail
+        // contract prices the quadratic arm wherever it runs.
+        if (e.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+            n > 0 && pairScanOps(n, dimMax) <= driverMaxOps) {
+          val out = driverPairScan(collectPairRows(e), tau)
+          return (pairRowsDf(emb.sparkSession, out), routeStats)
+        }
         // checkpoint: both self-join sides read the scan+norm projection
         // from memory instead of recomputing it (bounded by the guard
         // above: ≤ maxFusedRows rows ever reach executor storage here)
@@ -898,13 +1075,16 @@ object Similarity {
     * pass 2, is what the measurement gates. */
   def exactKnnEdgesRouted(emb: DataFrame, idCol: String, vecCol: String,
                           kNbrs: Int, kOpt: Option[Int] = None,
-                          maxFusedRows: Long = MaxFusedRows)
+                          maxFusedRows: Long = MaxFusedRows,
+                          driverMaxOps: Long = DriverPairScanMaxOps)
       : (DataFrame, KnnPruneStats) =
-    exactKnnEdgesMeasured(emb, idCol, vecCol, kNbrs, kOpt, route = true, maxFusedRows)
+    exactKnnEdgesMeasured(emb, idCol, vecCol, kNbrs, kOpt, route = true, maxFusedRows,
+      driverMaxOps)
 
   private def exactKnnEdgesMeasured(emb: DataFrame, idCol: String, vecCol: String,
                                     kNbrs: Int, kOpt: Option[Int], route: Boolean,
-                                    maxFusedRows: Long = MaxFusedRows)
+                                    maxFusedRows: Long = MaxFusedRows,
+                                    driverMaxOps: Long = DriverPairScanMaxOps)
       : (DataFrame, KnnPruneStats) = {
     val e = withNorms(emb, idCol, vecCol).filter(col("nrm") > 0)
       .select(col("id"), col("v"), col("nrm"),
@@ -920,11 +1100,20 @@ object Similarity {
     // then ALSO running the all-pairs scan it routed to (q_knn_graph
     // 4.9s vs the plain scan's ~2s).
     if (route) {
-      val (us, n) = collectUnitSample(e, 256)
+      val (us, n, dimMax) = collectUnitSample(e, 256)
       nKnown = n
       val routeStats = routeKnnSample(us, n, kNbrs)
       if (routeStats.degenerate) {
         requireFusedScanAllowed(n, maxFusedRows, "exactKnnEdgesRouted")
+        // DRIVER ROUTE (r15, after the guard — see cosineNearDupPairs):
+        // under the ops gate the all-pairs top-k replays locally with
+        // O(n·k) memory (bounded per-node heaps), same rounded-cos
+        // nan-safe (cos DESC, nbr ASC) ranking
+        if (e.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+            n > 0 && pairScanOps(n, dimMax) <= driverMaxOps) {
+          return (knnRowsDf(emb.sparkSession, driverKnnScan(collectPairRows(e), kNbrs)),
+            routeStats)
+        }
         // fused all-pairs window baseline: same output, no reproduced
         // cross product through a shuffle, no quantizer fit, no corpus
         // assignment — one scan (checkpointed: both self-join sides
